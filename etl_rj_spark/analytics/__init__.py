@@ -1,0 +1,4 @@
+"""Read-side analytics: the documented query library (SURVEY.md §2.10)
+and the oracle-checked query suite consumed by ``__spark_entry__.py``."""
+
+from etl_rj_spark.analytics.suite import REGISTRY, Query  # noqa: F401

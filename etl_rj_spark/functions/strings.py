@@ -1,0 +1,75 @@
+"""String kernels X1-X9 (SURVEY.md §2.8).
+
+Reference behaviors reproduced as native Spark expression chains (the
+reference applies the same transforms row-at-a-time in pandas; here
+they stay inside whole-stage codegen — no UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_lower(c: Column | str) -> Column:
+    """X1 — lowercase + trim (name normalization, ventas_totales.py:145,149)."""
+    return F.lower(F.trim(F.col(c) if isinstance(c, str) else c))
+
+
+def norm_upper(c: Column | str) -> Column:
+    """X2 — uppercase + trim (wor2.py:329,429)."""
+    return F.upper(F.trim(F.col(c) if isinstance(c, str) else c))
+
+
+def clean_customer_name(c: Column | str) -> Column:
+    """X3 — the reference's ``clean_customer_name`` (cartera.py:92-98,
+    pending_orders.py:102-107): null-safe str cast → strip/lower →
+    remove non-[a-z0-9 whitespace] → collapse whitespace → strip.
+
+    The reference does this with a row-level Python ``.apply``; here it
+    is a pure native chain (no UDF — SURVEY §2.9 UDF1 note).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    s = F.lower(F.trim(col.cast("string")))
+    s = F.regexp_replace(s, r"[^a-z0-9\s]", "")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def parse_money(c: Column | str) -> Column:
+    """X4+N1 — accounting-format money parse (cartera.py:143-147):
+    strip ``$`` ``,`` and spaces, ``(`` → ``-``, ``)`` → removed, then
+    lenient numeric cast (junk → null)."""
+    col = F.col(c) if isinstance(c, str) else c
+    s = F.regexp_replace(col.cast("string"), r"[$,\s]", "")
+    s = F.regexp_replace(s, r"\(", "-")
+    s = F.regexp_replace(s, r"\)", "")
+    return s.try_cast("double")
+
+
+def parse_money_default(c: Column | str, default: float = 0.0) -> Column:
+    """X4+N2 — money parse with null → default (cartera.py:148-149)."""
+    return F.coalesce(parse_money(c), F.lit(default))
+
+
+def recode_values(c: Column | str, mapping: Mapping[str, str], default: Column | None = None) -> Column:
+    """X5/J3 — static value recode (e.g. '- no customer/project -' →
+    'Sin Nombre', cartera.py:110; zone/product maps wor2.py:36-62).
+
+    Unmatched values pass through unchanged unless ``default`` given.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    expr = None
+    for k, v in mapping.items():
+        cond = col == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    tail = default if default is not None else col
+    return tail if expr is None else expr.otherwise(tail)
+
+
+def truncate(c: Column | str, width: int) -> Column:
+    """X7 — substring truncation to field width (pending_orders.py:146,149)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.substring(col, 1, width)

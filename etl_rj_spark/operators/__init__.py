@@ -1,0 +1,28 @@
+"""Composable DataFrame→DataFrame dataflow operators (SURVEY.md §2).
+
+Core reference surface: projection (P), filters (F), joins/recodes (J),
+dedup (J4/J5), aggregates (A), windows (W), set ops (U).
+
+LLM-data-pipeline extensions (SURVEY §7 step 9): ``text_dedup``,
+``similarity``, ``text_analysis``, ``multimodal``.
+"""
+
+from etl_rj_spark.operators.aggregates import (  # noqa: F401
+    distinct_topk,
+    distinct_values,
+    latest_snapshot,
+)
+from etl_rj_spark.operators.dedup import anti_join_new_rows  # noqa: F401
+from etl_rj_spark.operators.filters import (  # noqa: F401
+    drop_null_rows,
+    rows_where_no_column_contains,
+)
+from etl_rj_spark.operators.joins import dim_lookup  # noqa: F401
+from etl_rj_spark.operators.projection import (  # noqa: F401
+    first_present_column,
+    rename_map,
+    rename_positional,
+    select_present,
+)
+from etl_rj_spark.operators.setops import union_all_by_name  # noqa: F401
+from etl_rj_spark.operators.windows import with_lag_delta  # noqa: F401

@@ -1,0 +1,59 @@
+"""Local emulation of the driver's DuckDB-oracle comparison: run the
+Spark query and the oracle SQL on the same parquet tables, compare
+row count, sorted column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize_rows(cols, rows):
+    """Sort columns by name, then rows; normalize cell values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def compare_spark_duck(spark_df, con, sql):
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+
+    sc, sr = normalize_rows(s_cols, s_rows)
+    dc, dr = normalize_rows(d_cols, d_rows)
+    assert sc == dc, f"column mismatch: spark={sc} duck={dc}"
+    assert len(sr) == len(dr), f"row count mismatch: spark={len(sr)} duck={len(dr)}"
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        assert a == b, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
