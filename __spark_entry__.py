@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_rj_spark.analytics.suite import REGISTRY
+from etl_rj_spark.analytics import REGISTRY
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

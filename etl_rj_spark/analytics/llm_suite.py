@@ -1,0 +1,399 @@
+"""Oracle-checked queries for the LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) over
+the ``documents`` and ``embeddings`` tables.
+
+Cross-engine determinism: all content hashing is md5-hex (identical
+everywhere); integer arithmetic is exact int64; float expressions are
+written in a fixed operation order and rounded where engines may
+differ in the last ulp. Near-dup corpora are synthesized in-query
+(documents ∪ perturbed copies) so both engines see identical inputs
+and the dedup operators actually fire (the base corpus is all-unique).
+
+Oracle notes per query:
+- LSH pair queries' oracles are ALL-PAIRS exact Jaccard (ground
+  truth); the Spark side must achieve recall 1 at the chosen
+  bands/threshold (exact copies always collide; ' zz'-suffix dups have
+  j≈0.97 → miss probability ~1e-7).
+- The n-gram inverted index is exactly recall-1 (any pair with j>0
+  shares an n-gram), so its oracle equality is exact, not
+  probabilistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import REGISTRY, _msum, _q, _t  # noqa: F401
+from etl_rj_spark.operators.multimodal import binary_features, with_binary_payload
+from etl_rj_spark.operators.similarity import cosine_topk, ivf_topk, l2_norm, vec_double
+from etl_rj_spark.operators.text_analysis import (
+    STOPWORDS,
+    content_md5,
+    lang_id,
+    minhash64,
+    quality_features,
+    regex_token_count,
+    token_count,
+)
+from etl_rj_spark.operators.text_dedup import (
+    exact_dedup_mapping,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+# --- shared SQL fragments --------------------------------------------------
+
+_NT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"  # normalized text
+
+
+def _sql_shingle_sets(corpus_sql: str, k: int = 5) -> str:
+    """CTE body: (doc_id, s) with s = distinct k-char shingles of the
+    normalized text."""
+    return f"""
+      SELECT doc_id,
+             list_distinct([substr(nt, i, {k}) for i in range(1, len(nt) - {k - 2})]) AS s
+      FROM (SELECT doc_id, {_NT} AS nt FROM ({corpus_sql}))
+    """
+
+
+_JACCARD = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / "
+    "((len(a.s) + len(b.s))::DOUBLE - len(list_intersect(a.s, b.s))::DOUBLE)"
+)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+_DUP_CORPUS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text FROM documents"
+)
+
+@_q(
+    "exact_dedup_docs",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS}),
+    keyed AS (SELECT doc_id, md5({_NT}) AS key FROM corpus)
+    SELECT k.doc_id, c.canonical_id
+    FROM keyed k JOIN (SELECT key, MIN(doc_id) AS canonical_id FROM keyed GROUP BY key) c
+      USING (key)
+    """,
+    bench=True,
+    tags=("dedup-exact",),
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: canonical-id mapping over a corpus of documents ∪
+    case/whitespace-perturbed copies — every copy maps to its original
+    (hash-groupBy on md5 of normalized text)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = d.unionByName(dup)
+    return exact_dedup_mapping(corpus, "doc_id", "text")
+
+
+# --- MinHash + LSH near-dup ------------------------------------------------
+
+_NEAR_CORPUS = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text "
+    "FROM documents WHERE doc_id < 100"
+)
+
+@_q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS}),
+    sets AS ({_sql_shingle_sets('SELECT * FROM corpus')})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD} >= 0.8
+    """,
+    tags=("dedup-minhash-lsh",),
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands × 4 rows) candidates → exact-Jaccard
+    filter at 0.8 over documents ∪ near-identical copies. Oracle is
+    all-pairs ground truth (recall-1 at these parameters)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    corpus = d.unionByName(dup)
+    return minhash_lsh_dedup_pairs(corpus, "doc_id", "text", threshold=0.8)
+
+
+# --- n-gram Jaccard (exact inverted index) ---------------------------------
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD} >= 0.7
+    """,
+    tags=("dedup-ngram-jaccard",),
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Token-3-gram Jaccard pairs ≥ 0.7 via inverted-index join —
+    exact (recall 1), oracle equality is strict."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    corpus = d.unionByName(dup)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+@_q(
+    "simhash_fingerprints",
+    f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), j ->
+             CASE WHEN list_sum(list_transform(th, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                  THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+    FROM (
+      SELECT doc_id,
+             list_transform(string_split_regex({_NT}, '\\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+      FROM documents WHERE doc_id < 200
+    )
+    """,
+    tags=("dedup-simhash",),
+)
+def simhash_fingerprints(spark, sf_dir):
+    """60-bit SimHash fingerprints (md5-based bit votes) — the
+    fingerprint step of simhash_near_pairs, oracle-checked bit-exactly."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", simhash("text").alias("fp"))
+
+
+# --- text analysis ---------------------------------------------------------
+
+def _sql_stop_count(lang: str) -> str:
+    words = "|".join(STOPWORDS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+@_q(
+    "lang_id_docs",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_sql_stop_count('en')} > 0
+                  AND {_sql_stop_count('en')} >= {_sql_stop_count('es')}
+                  AND {_sql_stop_count('en')} >= {_sql_stop_count('fr')} THEN 'en'
+             WHEN {_sql_stop_count('es')} > 0
+                  AND {_sql_stop_count('es')} >= {_sql_stop_count('fr')} THEN 'es'
+             WHEN {_sql_stop_count('fr')} > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM documents
+    """,
+    tags=("text-langid",),
+)
+def lang_id_docs(spark, sf_dir):
+    """Heuristic language ID (stopword-count argmax with deterministic
+    precedence) next to the table's labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "quality_score_docs",
+    rf"""
+    SELECT doc_id, n_chars, n_tokens,
+           punct / greatest(n_chars, 1.0) AS punct_ratio,
+           stop_en / greatest(n_tokens, 1.0) AS stopword_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.3
+             + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
+             + least(stop_en / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4 AS quality_score
+    FROM (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
+             len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
+             {_sql_stop_count('en')}::DOUBLE AS stop_en
+      FROM documents
+    )
+    """,
+    tags=("text-quality",),
+)
+def quality_score_docs(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword features + combined
+    [0,1] score, fixed operation order."""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+@_q(
+    "token_stats_docs",
+    r"""
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+    FROM documents
+    """,
+    tags=("text-tokens",),
+)
+def token_stats_docs(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish regex pre-tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        regex_token_count("text").alias("regex_tokens"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5({_NT}) AS content_md5,
+           list_min(list_transform(
+             [substr(nt, i, 5) for i in range(1, len(nt) - 3)],
+             s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS minhash
+    FROM (SELECT doc_id, {_NT} AS nt, text FROM documents)
+    """,
+    tags=("text-fingerprint",),
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: exact content md5 + 1-permutation
+    minhash over 5-char shingles."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", content_md5("text").alias("content_md5"), minhash64("text").alias("minhash")
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+_SQL_DOT = "list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))"
+_SQL_COS = (
+    f"round({_SQL_DOT} / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 9)"
+)
+
+@_q(
+    "cosine_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+         scored AS (SELECT query_id, vec_id, {_SQL_COS} AS score FROM q CROSS JOIN c)
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    bench=True,
+    tags=("similarity-bruteforce",),
+)
+def cosine_topk_bruteforce(spark, sf_dir):
+    """Exact ANN baseline: brute-force cosine top-10 for 5 query
+    vectors against the rest of the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return cosine_topk(corpus, queries, k=10)
+
+
+_SQL_CELL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+)
+
+@_q(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {_SQL_CELL} AS cell
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, {_SQL_CELL} AS cell
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (SELECT query_id, c.vec_id, {_SQL_COS} AS score
+                    FROM q JOIN c USING (cell))
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+    tags=("similarity-ivf",),
+)
+def ann_ivf_topk(spark, sf_dir):
+    """Scale-path ANN: sign-bit coarse cells (deterministic IVF/LSH),
+    probing only the query's cell — the cell equi-join replaces the
+    cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries, k=5)
+
+
+@_q(
+    "embedding_norm_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           (SUM(CAST(ROUND(norm * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) AS avg_norm
+    FROM (
+      SELECT label,
+             sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS norm
+      FROM (SELECT label, embedding::DOUBLE[] AS cv FROM embeddings)
+    ) GROUP BY label
+    """,
+    tags=("similarity-stats",),
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm stats (exact-integer-micros
+    aggregation for cross-engine determinism)."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(vec_double("embedding"))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            ((F.sum(F.round(F.col("norm") * 1000000).cast("long")) / F.lit(1000000.0)) / F.count("*")).alias("avg_norm"),
+        )
+    )
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5,
+           CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 512 AS INTEGER) AS fake_width,
+           CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 512 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: text → opaque binary payload → Arrow-batched
+    mapInPandas feature extraction (byte length, content md5, hash-
+    derived stand-in dimensions). Exercises the exact execution path a
+    real media decoder uses, with a fully SQL-checkable output."""
+    d = _t(spark, sf_dir, "documents")
+    return binary_features(with_binary_payload(d, "doc_id", "text"))

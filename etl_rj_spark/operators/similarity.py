@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries broadcast against the corpus; per-row score is a pure
+  expression (zip_with/aggregate), so the scan parallelizes perfectly
+  and nothing shuffles except the final per-query top-k.
+- ``ivf_topk``: the scale path — coarse quantization into sign-bit
+  cells (a deterministic LSH/IVF hybrid); candidates only probe their
+  own cell. At 100 TB you bucket the corpus once (partitioned/bucketed
+  by cell) and each query touches 1/2^bits of the data.
+
+Dot products evaluate in a fixed left-to-right order over
+double-cast elements, so scores are bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def vec_double(c: Column | str) -> Column:
+    """Cast array<float> → array<double> (exact widening)."""
+    return F.transform(_c(c), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine: broadcast the (small) query
+    set, score every corpus row, keep k per query.
+
+    Output: (query_id, id, score, rank) with deterministic tie-break
+    on id. Score rounded to 9 dp for cross-engine stability.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col), vec_double(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col), vec_double(vec_col).alias("__cv"))
+    scored = q.crossJoin(c).select(
+        query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cell(c: Column | str, bits: int = 8) -> Column:
+    """Coarse cell id from the sign bits of the first ``bits``
+    dimensions: sum((v[j] > 0) << j). Deterministic, engine-portable."""
+    v = _c(c)
+    cell = F.lit(0)
+    for j in range(bits):
+        cell = cell + F.when(F.element_at(v, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return cell
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own sign-bit cell.
+    The cell equi-join replaces the cross join — at scale the corpus is
+    pre-bucketed by cell and each query reads one bucket."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            vec_double(vec_col).alias("__qv"),
+            ivf_cell(vec_col, bits).alias("__cell"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), vec_double(vec_col).alias("__cv"), ivf_cell(vec_col, bits).alias("__cell")
+    )
+    scored = q.join(c, "__cell").select(
+        query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

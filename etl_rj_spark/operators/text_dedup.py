@@ -1,0 +1,270 @@
+"""Deduplication operators for document corpora: exact (hash-groupBy),
+MinHash+LSH near-dup, SimHash, and n-gram-Jaccard (inverted index).
+
+Generalizes the reference's key-based incremental dedup (J4/J5,
+ventas_totales.py:205-209) and its exact-match-name weakness
+(the unmapped-client warnings) to content-level near-duplicate
+detection at corpus scale.
+
+Scale design:
+- Exact dedup groups on md5(normalized text) — a 32-byte shuffle key
+  instead of the full document.
+- MinHash+LSH shuffles only (doc_id, band_bucket) pairs; the
+  candidate self-join keys on (band, bucket), so true near-dups
+  co-locate and the join stays sparse. Signatures and shingle hashing
+  are pure expressions (no UDF, no explode of shingles).
+- The n-gram inverted index is exact (recall 1 for any τ > 0) but can
+  blow up on ubiquitous shingles; ``max_posting_len`` caps posting
+  lists for the at-scale variant (capped → approximate, flagged).
+- All hashing is md5-hex based, reproducible in any engine — the
+  DuckDB oracles recompute identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.text_analysis import (
+    char_shingles,
+    normalized_text,
+    shingle_hash,
+    whitespace_tokens,
+)
+
+MINHASH_P = 1_000_000_007
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id) mapping: canonical = MIN(id) among rows whose
+    normalized text hashes equal. Two shuffles on the 32-hex key."""
+    keyed = df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__key"))
+    canon = keyed.groupBy("__key").agg(F.min(id_col).alias("canonical_id"))
+    return keyed.join(canon, "__key").select(id_col, "canonical_id")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-content group."""
+    mapping = exact_dedup_mapping(df, id_col, text_col)
+    keep = mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(c: Column | str, shingle_k: int = 5, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature over k-char shingles of the
+    normalized text. h_i(x) = ((37+2i)*x + (101+i)) mod P over 28-bit
+    shingle hashes — exact int64 arithmetic, engine-portable."""
+    hashes = F.transform(char_shingles(normalized_text(c), shingle_k), shingle_hash)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(hashes, lambda x: ((F.lit(37) + F.lit(2) * i) * x + (F.lit(101) + i)) % F.lit(MINHASH_P))
+        ),
+    )
+
+
+def lsh_band_buckets(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
+    """Array of (band, bucket) structs: bucket = md5 of the band's
+    signature slice. Equal slices → equal buckets."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    entries = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        bucket = F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
+    band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, shingle_k, num_hashes).alias("__sig"),
+    )
+    exploded = sig.select(
+        id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = exploded.toDF("id_a", "band", "bucket")
+    b = exploded.toDF("id_b", "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs."""
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(normalized_text(text_col), shingle_k)).alias("__set"),
+    )
+    a = sets.toDF("id_a", "__set_a")
+    b = sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
+    at ``threshold``. Probabilistic recall (tune bands/rows to τ);
+    precision exact."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands)
+    return jaccard_on_pairs(pairs, df, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index (exact)
+# ---------------------------------------------------------------------------
+
+def token_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Distinct n-grams of whitespace tokens (joined with single
+    spaces) of the normalized text."""
+    toks = whitespace_tokens(normalized_text(c))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a token-n-gram inverted index:
+    candidates share ≥1 n-gram (recall 1 for τ>0), then exact Jaccard.
+
+    ``max_posting_len`` caps posting-list length for the at-scale
+    variant (drops ubiquitous n-grams → approximate; None = exact).
+    """
+    sets = df.select(F.col(id_col), token_ngrams(text_col, n).alias("__set"))
+    posting = sets.select(id_col, F.explode("__set").alias("gram"))
+    if max_posting_len is not None:
+        ok = posting.groupBy("gram").count().filter(F.col("count") <= max_posting_len)
+        posting = posting.join(ok.select("gram"), "gram", "left_semi")
+    a = posting.toDF("id_a", "gram")
+    b = posting.toDF("id_b", "gram")
+    pairs = (
+        a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    sa = sets.toDF("id_a", "__set_a")
+    sb = sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5-hex-15 → 60 bits, inside int64
+
+
+def simhash(c: Column | str) -> Column:
+    """60-bit SimHash over whitespace tokens of the normalized text:
+    per-bit ±1 votes from each token's 60-bit md5 hash; fingerprint
+    bit j set iff the vote sum is positive. Pure expressions."""
+    toks = whitespace_tokens(normalized_text(c))
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    zero = F.lit(0).cast("long")
+    # dynamic shifts aren't expressible with F.shiftleft/right (literal
+    # amounts only); test bits with a literal powers-of-two array instead
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+
+    def bit_word(j: Column) -> Column:
+        p = F.element_at(powers, j + 1)
+        votes = F.aggregate(
+            th,
+            zero,
+            lambda acc, h: acc + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, p).otherwise(zero)
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_word),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4
+    15-bit fingerprint segments (a pair within hamming ≤ 3 of a 60-bit
+    hash must agree exactly on ≥1 of the 4 segments — exact recall)."""
+    fp = df.select(F.col(id_col), simhash(text_col).alias("__fp"))
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                (F.shiftright(F.col("__fp"), s * 15) % F.lit(1 << 15)).alias("segval"),
+            )
+            for s in range(4)
+        ]
+    )
+    exploded = fp.select(id_col, "__fp", F.explode(segs).alias("s")).select(
+        id_col, "__fp", "s.seg", "s.segval"
+    )
+    a = exploded.toDF("id_a", "fp_a", "seg", "segval")
+    b = exploded.toDF("id_b", "fp_b", "seg", "segval")
+    return (
+        a.join(b, ["seg", "segval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,103 @@
+"""Unit tests for operator semantics not exercised by the oracle suite
+(null-key dedup modes, pandas-compatible rename behavior, positional
+renames, flexible column detection)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.dedup import anti_join_new_rows
+from etl_rj_spark.operators.filters import rows_where_no_column_contains
+from etl_rj_spark.operators.projection import (
+    first_present_column,
+    rename_map,
+    rename_positional,
+    select_present,
+    with_literals,
+)
+from etl_rj_spark.operators.setops import union_all_by_name
+
+
+@pytest.fixture(scope="module")
+def new_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (None, "c", 30.0)], "k int, s string, v double"
+    )
+
+
+@pytest.fixture(scope="module")
+def existing_df(spark):
+    return spark.createDataFrame([(1, "a"), (9, "z"), (None, "c")], "k int, s string")
+
+
+class TestAntiJoin:
+    def test_error_mode_raises_on_null_key(self, new_df, existing_df):
+        out = anti_join_new_rows(new_df, existing_df, ["k", "s"])
+        with pytest.raises(Exception, match="null dedup key"):
+            out.collect()
+
+    def test_error_mode_clean_keys(self, spark, existing_df):
+        new = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k int, s string, v double")
+        got = anti_join_new_rows(new, existing_df, ["k", "s"]).collect()
+        assert [(r.k, r.s) for r in got] == [(2, "b")]
+
+    def test_drop_mode(self, new_df, existing_df):
+        got = anti_join_new_rows(new_df, existing_df, ["k", "s"], on_null_key="drop").collect()
+        assert sorted((r.k, r.s) for r in got) == [(2, "b")]
+
+    def test_match_mode_pandas_semantics(self, new_df, existing_df):
+        # pandas set-membership treats NaN keys as equal: the (None,'c')
+        # row IS considered already-loaded and must be excluded.
+        got = anti_join_new_rows(new_df, existing_df, ["k", "s"], on_null_key="match").collect()
+        assert sorted((r.k, r.s) for r in got) == [(2, "b")]
+
+    def test_rerun_idempotence(self, spark, new_df):
+        # Ventas PDF §9 "Escenario de Recuperación": re-processing an
+        # already-loaded file inserts zero rows.
+        clean = new_df.na.drop(subset=["k"])
+        assert anti_join_new_rows(clean, clean, ["k", "s"]).count() == 0
+
+
+class TestProjection:
+    def test_rename_map_ignores_missing(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        out = rename_map(df, {"a": "x", "Customer ": "nombre"})
+        assert out.columns == ["x", "b"]
+
+    def test_rename_positional(self, spark):
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        assert rename_positional(df, {1: "cuota_dinero", 2: "cuota_volumen"}).columns == [
+            "a", "cuota_dinero", "cuota_volumen",
+        ]
+
+    def test_select_present(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        assert select_present(df, ["b", "zz", "a"]).columns == ["b", "a"]
+
+    def test_first_present_column(self, spark):
+        df = spark.createDataFrame([(1,)], ["Status "])
+        assert first_present_column(df, ["Validated Status ", "Status "]) == "Status "
+        with pytest.raises(ValueError):
+            first_present_column(df, ["nope"])
+
+    def test_with_literals(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        row = with_literals(df, id_cliente=0, stamp=F.current_date()).collect()[0]
+        assert row.id_cliente == 0 and row.stamp is not None
+
+
+class TestFiltersSetops:
+    def test_contains_null_safe(self, spark):
+        df = spark.createDataFrame([("Total x", None), (None, "ok"), ("a", "b")], "x string, y string")
+        got = rows_where_no_column_contains(df, "Total").collect()
+        assert sorted([(r.x, r.y) for r in got], key=str) == sorted(
+            [(None, "ok"), ("a", "b")], key=str
+        )
+
+    def test_union_drift(self, spark):
+        a = spark.createDataFrame([(1, "x")], "k int, s string")
+        b = spark.createDataFrame([(2, 9.5)], "k int, v double")
+        out = union_all_by_name([a, b])
+        assert set(out.columns) == {"k", "s", "v"}
+        assert out.count() == 2

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from etl_rj_spark.analytics.suite import REGISTRY
+from etl_rj_spark.analytics import REGISTRY
 from tests.oracle_utils import compare_spark_duck, duck_connection
 
 _WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
