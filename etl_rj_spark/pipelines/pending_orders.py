@@ -1,0 +1,83 @@
+"""Entry point 2b — pending-orders daily snapshot (SURVEY §3,
+pending_orders.py): junk-trimmed CSV → rename incl. flexible status
+column → temporal dims with 1900-01-01 default → dim join → truncation
+and thousands-separator cleanup → snapshot append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions import (
+    clean_customer_name,
+    date_default,
+    parse_date_lenient,
+    parse_int_thousands,
+    parse_money_default,
+    temporal_dims,
+    truncate,
+)
+from etl_rj_spark.operators import dim_lookup, first_present_column, rename_map
+from etl_rj_spark.operators.filters import drop_null_rows
+from etl_rj_spark.operators.joins import unmapped_rows
+
+#: pending_orders.py:66-73 — trailing-space headers.
+PENDING_RENAME = {
+    "Customer ": "nombre_cliente",
+    "Amount (Net) ": "amount_net_raw",
+    "Document Number ": "document_number",
+    "Date ": "fecha_raw",
+    "Class Item ": "class_item",
+    "Quantity ": "cantidad_raw",
+}
+
+#: pending_orders.py:74-77 — the status column varies by export.
+ESTADO_CANDIDATES = ["Validated Status ", "Status "]
+
+FINAL_COLUMNS = [
+    "id_cliente", "class_item", "cantidad", "amount_net", "document_number",
+    "estado", "fecha", "id_zone", "nombre_mes", "mes", "dia", "anio",
+]
+
+
+def clean_pending_orders(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (snapshot_rows, unmapped_names)."""
+    estado_src = first_present_column(df, ESTADO_CANDIDATES)
+    df = rename_map(df, {**PENDING_RENAME, estado_src: "estado_raw"})
+
+    fecha = date_default(parse_date_lenient("fecha_raw"))      # D2+D4
+    dims = temporal_dims(fecha)                                # D6
+    df = df.withColumns(
+        {
+            "class_item": F.coalesce(F.col("class_item"), F.lit("Descuento")),  # N2
+            "fecha": fecha,
+            "nombre_mes": dims["nombre_mes"],
+            "mes": dims["mes"],
+            "dia": dims["dia"],
+            "anio": dims["anio"],
+        }
+    )
+
+    dim = clientes.select(
+        clean_customer_name("nombre_cliente").alias("__name_key"), "id_cliente", "id_zone"
+    )
+    probe = df.withColumn("__name_key", clean_customer_name("nombre_cliente"))
+    enriched = dim_lookup(probe, dim, "__name_key")            # J1
+    unmapped = unmapped_rows(enriched, "id_cliente").select("nombre_cliente").distinct()
+
+    out = (
+        drop_null_rows(enriched, ["id_cliente"])
+        .withColumns(
+            {
+                "id_cliente": F.col("id_cliente").cast("int"),
+                "id_zone": F.coalesce(F.col("id_zone"), F.lit(1)).cast("int"),  # N6 default zone
+                "cantidad": F.coalesce(parse_int_thousands("cantidad_raw"), F.lit(0)),  # N4+N2
+                "amount_net": parse_money_default("amount_net_raw"),                     # X4+N2
+                "document_number": truncate(F.col("document_number").cast("string"), 20),  # X7
+                "estado": truncate(F.col("estado_raw").cast("string"), 50),                # X7
+            }
+        )
+        .select(*FINAL_COLUMNS)
+    )
+    return out, unmapped

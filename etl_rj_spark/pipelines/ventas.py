@@ -1,0 +1,83 @@
+"""Entry point 1 — incremental sales-fact load (SURVEY §3,
+ventas_totales.py): CSV/Excel export → rename/typed → dim lookup with
+unmapped reporting → key normalization → anti-join dedup → batched
+append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions import norm_lower, parse_date, to_number
+from etl_rj_spark.operators import dim_lookup, rename_map
+from etl_rj_spark.operators.filters import drop_null_rows
+from etl_rj_spark.operators.joins import unmapped_rows
+from etl_rj_spark.sinks.incremental import append_incremental
+
+#: ventas_totales.py:107-119 — source-header → warehouse-column map.
+VENTAS_RENAME = {
+    "Company Name": "nombre_cliente",
+    "Date": "fecha_raw",
+    "Document Number": "document_number",
+    "Type": "tipo",
+    "Item": "item",
+    "Description": "descripcion",
+    "Class": "clase",
+    "Quantity": "cantidad_producto",
+    "UOM": "presentacion",
+    "Amount": "amount",
+    "Created From": "created_from",
+}
+
+#: ventas_totales.py:169 — composite dedup key.
+VENTAS_DEDUP_KEYS = ["id_cliente", "fecha", "document_number", "item"]
+
+
+def clean_ventas(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Clean + enrich a sales export. Returns (facts, unmapped_names):
+    facts ready to dedup/append; unmapped client names for the
+    operational report (ventas_totales.py:154-156).
+
+    Key normalization (ventas_totales.py:186-203) happens here — int
+    cast, trimmed strings, date-truncated fecha — so the dedup keys
+    are non-null and comparable (SURVEY §4 null-key delta)."""
+    df = df.drop("Status")                             # P1
+    df = rename_map(df, VENTAS_RENAME)                 # P2
+    df = df.withColumns(
+        {
+            "amount": to_number("amount"),             # N1
+            "cantidad_producto": to_number("cantidad_producto"),
+            "fecha": parse_date("fecha_raw", "M/d/yyyy"),  # D1/D3
+        }
+    ).drop("fecha_raw")
+
+    dim = clientes.select(
+        norm_lower("nombre_cliente").alias("__name_key"), "id_cliente"
+    )                                                   # X1
+    probe = df.withColumn("__name_key", norm_lower("nombre_cliente"))
+    enriched = dim_lookup(probe, dim, "__name_key")     # J2 (broadcast left)
+    unmapped = unmapped_rows(enriched, "id_cliente").select("nombre_cliente").distinct()  # A1
+
+    facts = (
+        drop_null_rows(enriched, ["id_cliente", "fecha"])          # F1
+        .withColumns(
+            {
+                "id_cliente": F.col("id_cliente").cast("int"),     # N3
+                "document_number": F.trim(F.col("document_number").cast("string")),
+                "item": F.trim(F.col("item").cast("string")),
+            }
+        )
+        .drop("__name_key", "nombre_cliente")                      # P1
+    )
+    return facts, unmapped
+
+
+def load_ventas(
+    spark: SparkSession, df: DataFrame, clientes: DataFrame, warehouse_path: str
+) -> tuple[int, DataFrame]:
+    """Full incremental load: returns (rows_inserted, unmapped_names).
+    Re-running the same file inserts 0 (Ventas PDF §9)."""
+    facts, unmapped = clean_ventas(df, clientes)
+    inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
+    return inserted, unmapped

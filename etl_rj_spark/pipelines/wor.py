@@ -1,0 +1,158 @@
+"""Entry point 3 — WOR workbook multi-table load (SURVEY §3, wor2.py):
+regex-discovered named tables → per-kind cleaning → zone/product
+recodes → UNION ALL per group → anti-join dedup per target table.
+
+Tables arrive pre-extracted (sources.excel_tables); each carries
+name-derived metadata columns (zone, nombre_mes, mes, anio) and a
+``_row_idx`` source-row index for the order-dependent drop-first-row
+step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions import norm_upper, recode_values, to_number_default
+from etl_rj_spark.operators import rename_map, union_all_by_name
+from etl_rj_spark.operators.filters import (
+    drop_leading_rows,
+    drop_null_rows,
+    rows_where_no_column_contains,
+)
+from etl_rj_spark.operators.projection import rename_positional, select_present
+
+#: Engine analog of the reference's static zone map (wor2.py:50-62):
+#: table-name zone token → surrogate id.
+ZONE_IDS = {
+    "Zone1": 1, "Zone2": 2, "Zone3": 3, "Zone4": 4, "Zone5": 5, "Zone6": 6,
+    "KamEast": 7, "KamCentral": 8,
+}
+
+WEEK_RENAME = {
+    "WEEK 1": "semana_1", "WEEK 2": "semana_2", "WEEK 3": "semana_3",
+    "WEEK 4": "semana_4", "WEEK 5": "semana_5",
+}
+
+FORECAST_KEYS = ["id_cliente", "id_zone", "mes", "anio"]       # wor2.py:341
+CUOTA_KEYS = ["id_zone", "mes", "anio"]                        # wor2.py:231-232
+CATEGORY_KEYS = ["id_producto", "id_zone", "mes", "anio"]      # wor2.py:389
+
+
+def _with_zone_id(df: DataFrame) -> DataFrame:
+    """J3 — zone-token recode with default id 1 (wor2.py:213,330)."""
+    return df.withColumn(
+        "id_zone",
+        recode_values("zone", {k: str(v) for k, v in ZONE_IDS.items()}, default=F.lit("1"))
+        .cast("int"),
+    )
+
+
+def clean_forecast_tables(
+    tables: list[DataFrame], clientes_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Proyeccion/Forecast tables → forecast facts
+    (wor2.py:264-272,300-360). Returns (facts, unmapped_names).
+
+    clientes_map: (nombre_cliente, id_cliente) dimension; names matched
+    upper-trimmed (X2, wor2.py:327-329).
+    """
+    cleaned = []
+    for df in tables:
+        df = df.na.fill(0)                                        # N5
+        df = df.drop("Py %")                                      # P1
+        df = drop_leading_rows(df, "_row_idx", 1)                 # F5 (repeated header row)
+        value_cols = [c for c in df.columns if c.startswith("WEEK") or c == "TOTAL"]
+        df = rows_where_no_column_contains(                        # F3 ('Total' subtotal rows)
+            df, "Total", [c for c in df.columns if c == "ZONA/CLIENTE"]
+        )
+        # F2 (wor2.py:270-271): drop rows whose first column is 0 — a
+        # string compare like pandas' mixed-dtype !=0 (names pass, the
+        # literal 0 / fillna(0) rows drop)
+        first = F.coalesce(F.trim(F.col(df.columns[0]).cast("string")), F.lit("0"))
+        df = df.filter(first != "0")
+        for c in value_cols:
+            df = df.withColumn(c, to_number_default(c))           # N1+N2
+        cleaned.append(df)
+    unioned = union_all_by_name(cleaned)                          # U1
+    unioned = rename_map(unioned, {**WEEK_RENAME, "ZONA/CLIENTE": "nombre_cliente"})  # P2
+    unioned = _with_zone_id(unioned)
+
+    dim = clientes_map.select(
+        norm_upper("nombre_cliente").alias("__name_key"), "id_cliente"
+    )
+    probe = unioned.withColumn("__name_key", norm_upper("nombre_cliente"))
+    enriched = probe.join(F.broadcast(dim), "__name_key", "left")  # J2
+    unmapped = (
+        enriched.filter(F.col("id_cliente").isNull()).select("nombre_cliente").distinct()
+    )
+    facts = (
+        drop_null_rows(enriched, ["id_cliente"])                   # F1
+        .withColumn("id_cliente", F.col("id_cliente").cast("int"))
+        .select(
+            "id_cliente", "id_zone",
+            *WEEK_RENAME.values(),
+            "mes", "anio", "nombre_mes",
+        )                                                          # P4
+    )
+    return facts, unmapped
+
+
+def harvest_zone_quotas(tables: list[DataFrame]) -> DataFrame:
+    """Zone-level quotas: the first data row of each forecast table is
+    the zone total; keep TOTAL > 0, id_cliente = 0 (wor2.py:171-178,216)."""
+    rows = []
+    for df in tables:
+        zone_row = df.filter(F.col("_row_idx") == 0)
+        rows.append(zone_row)
+    unioned = union_all_by_name(rows)
+    unioned = _with_zone_id(unioned)
+    return (
+        unioned.withColumn("cuota", to_number_default("TOTAL"))
+        .filter(F.col("cuota") > 0)                               # F2
+        .withColumn("id_cliente", F.lit(0))                       # P5
+        .select("id_zone", "id_cliente", "cuota", "nombre_mes", "mes", "anio")
+    )
+
+
+def clean_category_tables(
+    tables: list[DataFrame], producto_map: dict[str, int]
+) -> tuple[DataFrame, DataFrame]:
+    """Avancedeventa_Category tables → per-product quotas
+    (wor2.py:256-292,362-408). Positional rename of columns 3,4 →
+    cuota_dinero/cuota_volumen; product-name recode; drop unmapped.
+    Returns (facts, unmapped_names)."""
+    cleaned = []
+    for df in tables:
+        df = rename_positional(df, {3: "cuota_dinero", 4: "cuota_volumen"})  # P3
+        df = rename_map(df, {"Negocio.": "nombre_producto"})
+        df = drop_leading_rows(df, "_row_idx", 1)                 # F5
+        df = rows_where_no_column_contains(df, "Total", ["nombre_producto"])  # F3
+        df = df.withColumns(
+            {
+                "cuota_dinero": to_number_default("cuota_dinero"),
+                "cuota_volumen": to_number_default("cuota_volumen", dtype="double"),
+            }
+        )
+        cleaned.append(select_present(df, [
+            "nombre_producto", "cuota_dinero", "cuota_volumen",
+            "zone", "nombre_mes", "mes", "anio", "_row_idx",
+        ]))
+    unioned = union_all_by_name(cleaned)                          # U1
+    unioned = _with_zone_id(unioned)
+    recoded = unioned.withColumn(
+        "id_producto",
+        recode_values(
+            norm_upper("nombre_producto"),
+            {k.upper(): str(v) for k, v in producto_map.items()},
+            default=F.lit(None).cast("string"),
+        ).cast("int"),
+    )                                                              # J3
+    unmapped = recoded.filter(F.col("id_producto").isNull()).select("nombre_producto").distinct()
+    facts = (
+        drop_null_rows(recoded, ["id_producto"])
+        .withColumn("cuota_volumen", F.col("cuota_volumen").cast("int"))
+        .select("id_producto", "id_zone", "cuota_dinero", "cuota_volumen",
+                "nombre_mes", "mes", "anio")
+    )
+    return facts, unmapped

@@ -1,0 +1,38 @@
+"""K2 — snapshot append: stamp every row with the load date and append
+the full batch (cartera.py:179,185-196; pending_orders.py:167,174).
+
+The sink table is partitioned by the snapshot column, so the
+analysis layer's latest-snapshot filter (A4) becomes partition
+pruning, and each day's load is one new partition directory — at
+100 TB this is the difference between scanning one day and scanning
+the table.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_snapshot(
+    df: DataFrame,
+    path: str,
+    snapshot_col: str = "fecha_carga",
+    snapshot_date: datetime.date | None = None,
+) -> DataFrame:
+    """Stamp ``snapshot_col`` (today unless given) and append, partitioned
+    by the snapshot column. Returns the stamped frame (lazily reusable)."""
+    stamp = F.lit(snapshot_date) if snapshot_date is not None else F.current_date()
+    stamped = df.withColumn(snapshot_col, stamp.cast("date"))
+    stamped.write.mode("append").partitionBy(snapshot_col).parquet(path)
+    return stamped
+
+
+def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fecha_carga") -> DataFrame:
+    """A4 over a partitioned snapshot table — the max-snapshot join
+    prunes to the newest partition."""
+    from etl_rj_spark.operators.aggregates import latest_snapshot
+
+    return latest_snapshot(spark.read.parquet(path), snapshot_col)

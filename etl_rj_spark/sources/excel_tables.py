@@ -1,0 +1,121 @@
+"""S4 — Excel named-table extraction by regex (wor2.py:95-160).
+
+The reference opens a workbook with openpyxl, iterates each sheet's
+*named table objects*, matches table names against
+``(Avancedeventa_Category|Proyeccion_Vendedor|Forecast)_(zone)_(month)``
+patterns, and slices each table range into a DataFrame whose first row
+is the header, attaching (kind, zone, month) metadata from the name.
+
+Split into two layers so the classification/metadata logic is testable
+without openpyxl (absent in this container):
+
+- ``classify_tables``: pure logic over {table_name: pandas.DataFrame}.
+- ``read_workbook_tables``: openpyxl discovery (import-gated) feeding
+  ``classify_tables``; each extracted table becomes a Spark DataFrame
+  via the Arrow path with metadata attached as literal columns.
+
+Workbooks are small desktop artifacts — driver-side discovery is the
+right distribution story (the *data* goes distributed immediately
+after ``spark.createDataFrame``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions.dates import MONTH_ES_EN
+
+#: wor2.py:104-108 — table-name patterns: kind_zone_month.
+TABLE_NAME_RE = re.compile(
+    r"^(?P<kind>Avancedeventa_Category|Proyeccion_Vendedor|Forecast)"
+    r"_(?P<zone>Zone\s*[1-6]|KamEast|KamCentral)"
+    r"_(?P<month>[A-Za-z]+)$"
+)
+
+#: Spanish month → month number (via the explicit ES→EN table).
+_MONTH_NUM = {es: i + 1 for i, es in enumerate(MONTH_ES_EN)}
+
+
+@dataclass
+class NamedTable:
+    kind: str           # Avancedeventa_Category | Proyeccion_Vendedor | Forecast
+    zone: str           # Zone1..Zone6 | KamEast | KamCentral
+    month_name_es: str  # Enero..Diciembre
+    month_name_en: str
+    mes: int
+    data: pd.DataFrame
+
+
+def classify_tables(tables: dict[str, pd.DataFrame]) -> list[NamedTable]:
+    """Match table names against the reference patterns; non-matching
+    tables are distractors and skipped (wor2.py:119-144)."""
+    out: list[NamedTable] = []
+    for name, pdf in tables.items():
+        m = TABLE_NAME_RE.match(name.strip())
+        if not m:
+            continue
+        month_es = m.group("month").capitalize()
+        if month_es not in MONTH_ES_EN:
+            continue
+        out.append(
+            NamedTable(
+                kind=m.group("kind"),
+                zone=m.group("zone").replace(" ", ""),
+                month_name_es=month_es,
+                month_name_en=MONTH_ES_EN[month_es],
+                mes=_MONTH_NUM[month_es],
+                data=pdf,
+            )
+        )
+    return out
+
+
+def tables_to_spark(
+    spark: SparkSession, tables: list[NamedTable], anio: int
+) -> list[tuple[NamedTable, DataFrame]]:
+    """Lift each extracted table into a Spark DataFrame with the
+    name-derived metadata attached as literal columns
+    (wor2.py:147-149, 274-283)."""
+    out = []
+    for t in tables:
+        pdf = t.data.reset_index(drop=True)
+        pdf["_row_idx"] = pdf.index  # source-row order for F5/order-dependent ops
+        df = (
+            spark.createDataFrame(pdf)
+            .withColumn("zone", F.lit(t.zone))
+            .withColumn("nombre_mes", F.lit(t.month_name_en))
+            .withColumn("mes", F.lit(t.mes))
+            .withColumn("anio", F.lit(anio))
+        )
+        out.append((t, df))
+    return out
+
+
+def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
+    """Discover named tables in a workbook (wor2.py:95,119-144:
+    ``load_workbook(data_only=True)``; first row of each table range is
+    the header). Requires openpyxl."""
+    try:
+        from openpyxl import load_workbook
+    except ImportError as exc:  # pragma: no cover - openpyxl absent here
+        raise NotImplementedError(
+            "Excel named-table source requires openpyxl (not in this "
+            "container); use classify_tables on pre-extracted frames"
+        ) from exc
+
+    wb = load_workbook(path, data_only=True)  # pragma: no cover
+    tables: dict[str, pd.DataFrame] = {}
+    for sheet in wb.worksheets:  # pragma: no cover
+        for name, ref in sheet.tables.items():
+            cells = sheet[ref.ref if hasattr(ref, "ref") else ref]
+            rows = [[c.value for c in row] for row in cells]
+            if not rows:
+                continue
+            tables[name] = pd.DataFrame(rows[1:], columns=rows[0])
+    return tables  # pragma: no cover

@@ -1,0 +1,253 @@
+"""End-to-end pipeline tests over FIXTURES.md-shaped dirty inputs:
+the documented reference invariants (SURVEY §5.2) — idempotent
+incremental re-runs, full-snapshot stamping, unmapped-name drop+report,
+money/date coercion — through the real sources and sinks."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rj_spark.pipelines.cartera import clean_cartera
+from etl_rj_spark.pipelines.pending_orders import clean_pending_orders
+from etl_rj_spark.pipelines.ventas import VENTAS_DEDUP_KEYS, clean_ventas, load_ventas
+from etl_rj_spark.pipelines.wor import (
+    clean_category_tables,
+    clean_forecast_tables,
+    harvest_zone_quotas,
+)
+from etl_rj_spark.sinks.snapshot import append_snapshot, read_latest_snapshot
+from etl_rj_spark.sources.excel_tables import classify_tables, tables_to_spark
+from etl_rj_spark.sources.trimmed_csv import read_csv_trimmed
+
+
+@pytest.fixture(scope="module")
+def clientes(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ACME Corp.", 10),
+            (2, "Beta  Industries", 20),
+            (3, "Gamma-LLC", None),   # null zone → default-zone path
+            (4, "Ecommerce", 30),
+        ],
+        "id_cliente int, nombre_cliente string, id_zone int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ventas (incremental)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ventas_csv(tmp_path):
+    p = tmp_path / "ventas.csv"
+    p.write_text(
+        "Company Name,Date,Document Number,Type,Item,Description,Class,Quantity,UOM,Amount,Created From,Status\n"
+        "acme corp.,01/15/2024,INV-1 ,Invoice,SKU1,desc,Cls,2,EA,100.5,,ok\n"
+        "ACME CORP.,01/16/2024,INV-2,Invoice,SKU2,desc,Cls,1,EA,junk,,ok\n"
+        "Nobody Inc,01/17/2024,INV-3,Invoice,SKU3,desc,Cls,3,EA,30,,ok\n"
+        "Beta  industries,02/01/2024,INV-4,Invoice,SKU4,desc,Cls,1,EA,7.25,,ok\n"
+    )
+    return str(p)
+
+
+def test_ventas_incremental(spark, clientes, ventas_csv, tmp_path):
+    src = spark.read.option("header", True).csv(ventas_csv)  # S1
+    wh = str(tmp_path / "ventas_wh")
+
+    inserted, unmapped = load_ventas(spark, src, clientes, wh)
+    assert inserted == 3  # Nobody Inc dropped as unmapped
+    assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Inc"]
+
+    # idempotence: re-running the same file inserts 0 (Ventas PDF §9)
+    inserted2, _ = load_ventas(spark, src, clientes, wh)
+    assert inserted2 == 0
+
+    wh_df = spark.read.parquet(wh)
+    assert wh_df.count() == 3
+    row = wh_df.filter(F.col("document_number") == "INV-2").first()
+    assert row.amount is None  # junk → null (N1)
+    assert row.fecha == datetime.date(2024, 1, 16)
+    # key normalization: trailing space trimmed on document_number
+    assert wh_df.filter(F.col("document_number") == "INV-1").count() == 1
+
+
+def test_ventas_partial_overlap(spark, clientes, ventas_csv, tmp_path):
+    src = spark.read.option("header", True).csv(ventas_csv)
+    wh = str(tmp_path / "wh2")
+    facts, _ = clean_ventas(src, clientes)
+    # preload only the INV-1 row
+    facts.filter(F.col("document_number") == "INV-1").write.parquet(wh)
+    inserted, _ = load_ventas(spark, src, clientes, wh)
+    assert inserted == 2  # only the genuinely new rows
+
+
+# ---------------------------------------------------------------------------
+# cartera (snapshot) via the trimmed-CSV source
+# ---------------------------------------------------------------------------
+
+CARTERA_HEADER = (
+    "Zones for Financial Reporting ,Customer:Project ,Transaction Type ,Date ,"
+    "Document Number ,Due Date ,Open Balance ,P.O. No. ,Age "
+)
+
+
+@pytest.fixture()
+def cartera_csv(tmp_path):
+    junk = "\n".join(f"report junk line {i}" for i in range(6))
+    rows = "\n".join(
+        [
+            'Zone A,ACME corp,Invoice,2024-01-05,D-1,2024-02-05,"$1,234.56",po,30',
+            'Walmart,Ecommerce,Invoice,2024-01-06,D-2,not a date,"($2,000.00)",po,15',
+            "Zone B,- no customer/project -,Invoice,2024-01-07,D-3,2024-03-01,junk,po,9",
+            "Zone C,Unknown Person,Invoice,2024-01-08,D-4,2024-02-20,50,po,1",
+        ]
+    )
+    p = tmp_path / "cartera.csv"
+    p.write_text(f"{junk}\n{CARTERA_HEADER}\n{rows}\nGRAND TOTAL,,,,,,99999,,\n")
+    return str(p)
+
+
+def test_cartera_snapshot(spark, clientes, cartera_csv, tmp_path):
+    src = read_csv_trimmed(spark, cartera_csv, skiprows=6, skipfooter=1)  # S2
+    assert "_row_idx" in src.columns
+    assert src.count() == 4  # junk header/footer trimmed
+
+    snap, unmapped = clean_cartera(src, clientes)
+    rows = {r.document_number: r for r in snap.collect()}
+    # ACME matched through punctuation/case cleaning (X3)
+    assert rows["D-1"].id_cliente == 1
+    assert rows["D-1"].open_balance == 1234.56   # $ and , stripped
+    assert rows["D-1"].id_zone == "10"           # DB zone wins (N6)
+    # e-commerce rewrite fired and Ecommerce maps to client 4
+    assert rows["D-2"].id_cliente == 4
+    assert rows["D-2"].open_balance == -2000.0   # accounting negative
+    assert rows["D-2"].fecha_pago is None        # invalid date → null (D2)
+    # unmapped: 'Sin Nombre' (recoded placeholder) and 'Unknown Person' dropped
+    assert sorted(r.nombre_cliente for r in unmapped.collect()) == ["Sin Nombre", "Unknown Person"]
+
+    # two snapshot days → latest-snapshot returns only day 2
+    wh = str(tmp_path / "cartera_wh")
+    append_snapshot(snap, wh, snapshot_date=datetime.date(2024, 1, 10))
+    append_snapshot(snap, wh, snapshot_date=datetime.date(2024, 1, 11))
+    all_rows = spark.read.parquet(wh)
+    assert all_rows.count() == 4  # full snapshot each day, no dedup (K2)
+    latest = read_latest_snapshot(spark, wh)
+    assert latest.count() == 2
+    assert {r.fecha_carga for r in latest.collect()} == {datetime.date(2024, 1, 11)}
+
+
+# ---------------------------------------------------------------------------
+# pending orders (snapshot, flexible status column)
+# ---------------------------------------------------------------------------
+
+def _pending_csv(tmp_path, status_header):
+    junk = "\n".join(f"junk {i}" for i in range(6))
+    hdr = (
+        f"Customer ,Amount (Net) ,Document Number ,Date ,Class Item ,Quantity ,{status_header}"
+    )
+    rows = "\n".join(
+        [
+            'ACME corp,"$1,500.00",DOC-000000000000000000001,2024-03-05,Item,"1,234",Validated',
+            "GAMMA-llc.,250,D2,bad date,,"  # null class_item → Descuento; bad date → 1900
+            + "10," + ("S" * 60),
+        ]
+    )
+    p = tmp_path / f"pending_{status_header.strip()}.csv"
+    p.write_text(f"{junk}\n{hdr}\n{rows}\ntotal row,,,,,,\n")
+    return str(p)
+
+
+@pytest.mark.parametrize("status_header", ["Validated Status ", "Status "])
+def test_pending_orders_flexible_status(spark, clientes, tmp_path, status_header):
+    src = read_csv_trimmed(spark, _pending_csv(tmp_path, status_header))
+    snap, unmapped = clean_pending_orders(src, clientes)
+    rows = {r.id_cliente: r for r in snap.collect()}
+    assert unmapped.count() == 0
+    acme = rows[1]
+    assert acme.amount_net == 1500.0
+    assert acme.cantidad == 1234                      # thousands strip (N4)
+    assert len(acme.document_number) == 20            # X7 truncation
+    assert acme.mes == 3 and acme.nombre_mes == "March" and acme.anio == 2024
+    gamma = rows[3]
+    assert gamma.fecha == datetime.date(1900, 1, 1)   # D4 default
+    assert gamma.class_item == "Descuento"            # N2 default
+    assert gamma.id_zone == 1                         # null dim zone → default 1
+    assert len(gamma.estado) == 50                    # X7 truncation
+
+
+# ---------------------------------------------------------------------------
+# WOR workbook tables
+# ---------------------------------------------------------------------------
+
+def _wor_tables():
+    # row 0 is the zone-total row: harvested by the quota pipeline,
+    # dropped (F5) by the forecast pipeline
+    forecast = pd.DataFrame(
+        {
+            "ZONA/CLIENTE": ["Zone totals", "ACME CORP.", "Total Q", "0", "BETA  INDUSTRIES"],
+            "WEEK 1": [10.0, 1.0, 99.0, 0.0, 2.0],
+            "WEEK 2": [10.0, 1.0, 99.0, 0.0, 2.0],
+            "WEEK 3": [10.0, 1.0, 99.0, 0.0, None],
+            "WEEK 4": [10.0, 1.0, 99.0, 0.0, 2.0],
+            "WEEK 5": [10.0, 1.0, 99.0, 0.0, 2.0],
+            "TOTAL": [50.0, 5.0, 99.0, 0.0, 8.0],
+            "Py %": [1.0, 1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    category = pd.DataFrame(
+        {
+            "Negocio.": ["header", "Producto Uno", "Total", "Producto Desconocido"],
+            "b": [0, 1, 2, 3],
+            "c": [0, 1, 2, 3],
+            "col3": [None, 111.5, 999.0, 5.0],
+            "col4": [None, 40.0, 999.0, 6.0],
+        }
+    )
+    return {
+        "Forecast_Zone1_Enero": forecast,
+        "Proyeccion_Vendedor_KamEast_Febrero": forecast,
+        "Avancedeventa_Category_Zone2_Enero": category,
+        "NotATable_Zone9_Enero": category,  # distractor: no pattern match
+    }
+
+
+def test_wor_classification_and_pipelines(spark):
+    classified = classify_tables(_wor_tables())
+    assert sorted((t.kind, t.zone, t.mes) for t in classified) == [
+        ("Avancedeventa_Category", "Zone2", 1),
+        ("Forecast", "Zone1", 1),
+        ("Proyeccion_Vendedor", "KamEast", 2),
+    ]
+    lifted = tables_to_spark(spark, classified, anio=2024)
+
+    forecast_dfs = [df for t, df in lifted if t.kind in ("Forecast", "Proyeccion_Vendedor")]
+    clientes_map = spark.createDataFrame(
+        [("ACME Corp.", 1), ("Beta  Industries", 2)], "nombre_cliente string, id_cliente int"
+    )
+    facts, unmapped = clean_forecast_tables(forecast_dfs, clientes_map)
+    got = facts.collect()
+    # per table: zone row dropped (F5), 'Total' row dropped (F3),
+    # zero-name row dropped (F2) → ACME + BETA rows per table
+    assert len(got) == 4
+    acme_z1 = [r for r in got if r.id_cliente == 1 and r.id_zone == 1][0]
+    assert acme_z1.semana_1 == 1.0 and acme_z1.mes == 1 and acme_z1.anio == 2024
+    beta = [r for r in got if r.id_cliente == 2][0]
+    assert beta.semana_3 == 0.0  # N5 fillna(0)
+    assert unmapped.count() == 0
+
+    quotas = harvest_zone_quotas(forecast_dfs).collect()
+    assert len(quotas) == 2
+    assert all(q.id_cliente == 0 and q.cuota == 50.0 for q in quotas)
+    assert {q.id_zone for q in quotas} == {1, 7}  # Zone1, KamEast
+
+    cat_dfs = [df for t, df in lifted if t.kind == "Avancedeventa_Category"]
+    cats, cat_unmapped = clean_category_tables(cat_dfs, {"Producto Uno": 11})
+    crows = cats.collect()
+    assert len(crows) == 1
+    assert crows[0].id_producto == 11 and crows[0].cuota_dinero == 111.5
+    assert crows[0].cuota_volumen == 40 and crows[0].id_zone == 2
+    assert [r.nombre_producto for r in cat_unmapped.collect()] == ["Producto Desconocido"]
