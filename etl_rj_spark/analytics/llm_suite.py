@@ -181,6 +181,49 @@ def simhash_fingerprints(spark, sf_dir):
     return d.select("doc_id", simhash("text").alias("fp"))
 
 
+_FP_CORPUS = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text AS text "
+    "FROM documents WHERE doc_id < 100"
+)
+
+@_q(
+    "simhash_near_pairs",
+    f"""
+    WITH corpus AS ({_FP_CORPUS}),
+    fps AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN list_sum(list_transform(th, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split_regex({_NT}, '\\s+'),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+        FROM corpus
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    tags=("dedup-simhash",),
+)
+def simhash_near_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) with 15-bit segment
+    blocking — pigeonhole guarantees a pair within hamming 3 agrees on
+    ≥1 of 4 segments, so recall is exact and the all-pairs oracle is a
+    strict equality check."""
+    from etl_rj_spark.operators.text_dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    corpus = d.unionByName(dup)
+    pairs = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # --- text analysis ---------------------------------------------------------
 
 def _sql_stop_count(lang: str) -> str:

@@ -1,0 +1,227 @@
+"""Extended analytics coverage: TPC-H-shaped multi-join queries (the
+big-big shuffle-join patterns the reference's star schema implies at
+warehouse scale), semi/anti subquery forms, rollup, set ops, and the
+remaining scalar-kernel citations.
+
+These are the bench workhorses: orders⋈lineitem is a genuine big-big
+join (sort-merge at scale, broadcast under AQE when one side shrinks
+after filters), exercised alongside broadcast dim joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _msum, _q, _t
+from etl_rj_spark.functions import norm_upper, recode_values
+from etl_rj_spark.operators.aggregates import money_sum
+from etl_rj_spark.operators.joins import dim_lookup
+
+
+@_q(
+    "revenue_by_nation",
+    f"""
+    SELECT n_name AS nation, {_msum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC
+    """,
+    bench=True,
+    tags=("J1", "A3", "tpch-q5"),
+)
+def revenue_by_nation(spark, sf_dir):
+    """TPC-H-Q5-shaped: local-supplier revenue per nation in one
+    region. orders⋈lineitem is the big-big join; every dim broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@_q(
+    "top_unshipped_revenue",
+    f"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS fecha, o_orderpriority,
+           {_msum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    bench=True,
+    tags=("J1", "A3", "O1", "O2", "tpch-q3"),
+)
+def top_unshipped_revenue(spark, sf_dir):
+    """TPC-H-Q3-shaped: top revenue among orders not yet shipped at a
+    cutoff — filters push into all three scans before the joins."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = c.join(o, c.c_custkey == o.o_custkey).join(li, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy(
+            "o_orderkey", F.to_date("o_orderdate").alias("fecha"), "o_orderpriority"
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "late_order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("J-semi", "A3", "tpch-q4"),
+)
+def late_order_priority_counts(spark, sf_dir):
+    """TPC-H-Q4-shaped: EXISTS correlated subquery → left_semi join
+    (orders with any lineitem shipped >90 days after order date)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    semi = o.join(late.select(F.col("l_orderkey")), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+    return (
+        semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders")).orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "supplier_part_distincts",
+    """
+    SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+    tags=("A3", "distinct-agg"),
+)
+def supplier_part_distincts(spark, sf_dir):
+    """Distinct aggregates per group (expand + two-phase agg plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@_q(
+    "rollup_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_msum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A3", "rollup"),
+)
+def rollup_flag_status(spark, sf_dir):
+    """ROLLUP hierarchy totals (subtotal + grand-total rows with null
+    group keys, identical in both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), money_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q(
+    "set_ops_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+    """,
+    tags=("setops",),
+)
+def set_ops_customers(spark, sf_dir):
+    """EXCEPT (distinct) set difference."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    b = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    return a.subtract(b)
+
+
+@_q(
+    "intersect_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+    """,
+    tags=("setops",),
+)
+def intersect_customers(spark, sf_dir):
+    """INTERSECT (distinct)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    b = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    return a.intersect(b)
+
+
+@_q(
+    "count_rows",
+    "SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("A2",),
+)
+def count_rows(spark, sf_dir):
+    """A2 — row-count progress metric (len(df), ventas_totales.py:215)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@_q(
+    "upper_trim_recode_kernel",
+    """
+    SELECT s_suppkey, upper(trim('  ' || s_name || ' ')) AS nombre_norm,
+           CASE upper(trim('  ' || s_name || ' '))
+             WHEN 'SUPPLIER_0' THEN 'PRIMARY' ELSE 'OTHER' END AS clase
+    FROM supplier
+    """,
+    tags=("X2", "X5"),
+)
+def upper_trim_recode_kernel(spark, sf_dir):
+    """X2 — uppercase+trim normalization (wor2.py:329) + value recode."""
+    s = _t(spark, sf_dir, "supplier")
+    dirty = F.concat(F.lit("  "), F.col("s_name"), F.lit(" "))
+    normed = norm_upper(dirty)
+    return s.select(
+        "s_suppkey",
+        normed.alias("nombre_norm"),
+        recode_values(normed, {"SUPPLIER_0": "PRIMARY"}, default=F.lit("OTHER")).alias("clase"),
+    )
