@@ -97,6 +97,20 @@ def tables_to_spark(
     return out
 
 
+def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+    """S3 — whole-sheet Excel scan (``pd.read_excel``,
+    ventas_totales.py:87): driver-side pandas read lifted through the
+    Arrow path. Requires openpyxl (absent in this container — gated)."""
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as exc:  # pragma: no cover - openpyxl absent here
+        raise NotImplementedError(
+            "Excel sheet source requires openpyxl/xlrd; not available in "
+            "this container"
+        ) from exc
+    return spark.createDataFrame(pdf)  # pragma: no cover
+
+
 def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
     """Discover named tables in a workbook (wor2.py:95,119-144:
     ``load_workbook(data_only=True)``; first row of each table range is

@@ -1,0 +1,72 @@
+"""S5/S6 — JDBC dimension and key-projection reads
+(ventas_totales.py:141-143, 176-181; wor2.py:232-233).
+
+The reference pulls dimension tables and fact-key projections to the
+client over pymssql. Here both are Spark JDBC reads with the
+projection/predicate pushed into the ``query`` option, so the database
+does the pruning (the reference hand-writes the same optimization —
+SURVEY §4).
+
+No database exists in this container; these are thin, untested-live
+wrappers whose semantics (column pruning, predicate pushdown,
+partitioned reads) are carried by Spark's built-in JDBC source. Tests
+substitute parquet dimensions (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_dim_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    columns: Sequence[str],
+    properties: dict | None = None,
+) -> DataFrame:
+    """S5 — dimension read with the projection pushed into the query
+    (``SELECT id_cliente, nombre_cliente, id_zone FROM Clientes``)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", f"SELECT {', '.join(columns)} FROM {table}")
+        .options(**(properties or {}))
+        .load()
+    )
+
+
+def read_key_projection(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    predicate: str | None = None,
+    properties: dict | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """S6 — dedup key projection (``SELECT <keys> FROM <fact> [WHERE
+    ...]``). For large fact tables pass partition_column/bounds so the
+    read parallelizes across ``num_partitions`` JDBC connections
+    instead of one cursor (the at-scale posture; the reference
+    single-streams this, BASELINE.md dedup-cost row)."""
+    where = f" WHERE {predicate}" if predicate else ""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", f"SELECT {', '.join(keys)} FROM {table}{where}")
+        .options(**(properties or {}))
+    )
+    if num_partitions and partition_column is not None:
+        reader = (
+            reader.option("numPartitions", num_partitions)
+            .option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()

@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the pattern for operators whose state
+outlives a microbatch — the streaming twin of
+``operators.windows.sessionize``).
+
+Per user, state carries the open session (start, last-seen, count,
+value sum) as int64 epoch-micros + counters. Each batch sorts its
+events, closes and emits every session whose gap elapsed, and leaves
+the trailing session open in state (emitted on a later batch's gap or
+on state timeout in a production deployment).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
+
+
+def _make_sessionizer(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start, last, n, vsum = state.get if state.exists else (None, None, 0, 0.0)
+
+        closed: list[tuple] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            ts_us = batch["ts"].astype("int64") // 1000  # ns → µs
+            for t, v in zip(ts_us.tolist(), batch["value"].tolist()):
+                if last is not None and t - last > gap_us:
+                    closed.append((user_id, start, last, n, vsum))
+                    start, n, vsum = None, 0, 0.0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+                vsum += v
+        state.update((start, last, n, vsum))
+
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events", "value_sum"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return fn
+
+
+def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Emit closed sessions per user as the stream progresses. Input
+    needs (user_id, ts, event_id, value)."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

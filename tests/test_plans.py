@@ -1,0 +1,39 @@
+"""Plan-shape regression tests: the scale contract (broadcasts for dim
+joins, pushdown reaching the scans, no accidental shuffle joins at
+test scale)."""
+
+from __future__ import annotations
+
+from etl_rj_spark.analytics import REGISTRY
+from etl_rj_spark.plans import explain_counts, pushed_filters
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["client_zone_rollup", "dim_enrich_left", "latest_snapshot"]:
+        counts = explain_counts(REGISTRY[name].build(spark, sf_dir))
+        assert counts["broadcast_hash_join"] >= 1, (name, counts)
+        assert counts["sort_merge_join"] == 0, (name, counts)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["pricing_summary"].build(spark, sf_dir)
+    assert pushed_filters(df), "shipdate filter must reach the parquet scan"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # column pruning: the scan must not read the unused l_orderkey
+    scan_line = next(l for l in plan.splitlines() if "Scan parquet" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_extendedprice" in scan_line
+
+
+def test_anti_join_single_exchange(spark, sf_dir):
+    counts = explain_counts(REGISTRY["incremental_anti_join"].build(spark, sf_dir))
+    # broadcast anti-join at this scale: one exchange (the broadcast),
+    # no shuffle joins
+    assert counts["sort_merge_join"] == 0
+    assert counts["broadcast_hash_join"] == 1
+
+
+def test_topk_single_shuffle(spark, sf_dir):
+    counts = explain_counts(REGISTRY["topk_orders_per_customer"].build(spark, sf_dir))
+    # one hash-partition exchange on o_custkey feeds the window
+    assert counts["exchange"] == 1, counts

@@ -59,6 +59,59 @@ def test_windowed_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     assert got == expected
 
 
+def test_stateful_sessionize_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Closed sessions emitted by the stateful streaming operator must
+    equal the batch sessionization minus each user's trailing (still
+    open) session."""
+    from etl_rj_spark.operators.windows import sessionize
+    from etl_rj_spark.streaming.stateful import streaming_sessionize
+
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, round(r.value_sum, 6))
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    sessions = (
+        sessionize(batch.select("user_id", "ts", "event_id", "value"),
+                   "user_id", "ts", 1800, tiebreak_col="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    # drop each user's last session (open in the stream)
+    from pyspark.sql import Window
+
+    last = Window.partitionBy("user_id")
+    expected_rows = (
+        sessions.withColumn("_max_sid", F.max("session_id").over(last))
+        .filter(F.col("session_id") < F.col("_max_sid"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_start): (r.n_events, round(r.value_sum, 6))
+        for r in expected_rows
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_snapshot_stream_drains_once(spark, events_dir, tmp_path):
     out = str(tmp_path / "snap_out")
     ck = str(tmp_path / "ck2")
