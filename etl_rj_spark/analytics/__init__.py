@@ -4,3 +4,4 @@ and the oracle-checked query suite consumed by ``__spark_entry__.py``."""
 from etl_rj_spark.analytics.suite import REGISTRY, Query  # noqa: F401
 from etl_rj_spark.analytics import llm_suite  # noqa: F401  (registers queries)
 from etl_rj_spark.analytics import tpch_suite  # noqa: F401  (registers queries)
+from etl_rj_spark.analytics import temporal_suite  # noqa: F401  (registers queries)

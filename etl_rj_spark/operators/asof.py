@@ -1,0 +1,112 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+Both are implemented as compositions of built-in operators (SURVEY's
+custom-operator preference order: composition before Pandas UDF):
+
+- ``asof_join``: union the tagged sides, one window sort per key, pick
+  the last right-side value at-or-before each left row. One shuffle on
+  the key — same cost as a sort-merge join, no per-group Python.
+- ``range_join_count``: bucketize the time axis so candidates meet on
+  (key, bucket) equi-join instead of an inequality cross join, then
+  apply the exact range predicate. Interval width = bucket width →
+  each left row probes exactly 2 buckets.
+
+At 100 TB both stay pure JVM expressions; the equi-join keys
+(key, bucket) give Catalyst/AQE a hash-partitionable join instead of a
+BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``on`` key (null columns
+    when no prior right row exists). ``right`` must be unique per
+    (on, right_ts) — pre-aggregate if not (ties would make the match
+    engine-dependent).
+
+    ``tolerance_seconds`` optionally nulls matches older than the
+    window (pandas ``merge_asof(tolerance=...)``).
+    """
+    on = list(on)
+    rv = list(right_values)
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    r_proj = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rv],
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts (<= semantics)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumns(
+        {
+            f"__m_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w)
+            for c in rv
+        }
+        | {"__m_ts": F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True).over(w)}
+    )
+    out = matched.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.withColumns(
+            {f"__m_{c}": F.when(in_tol, F.col(f"__m_{c}")) for c in rv}
+            | {"__m_ts": F.when(in_tol, F.col("__m_ts"))}
+        )
+    keep = [c for c in left.columns]
+    renames = {f"__m_{c}": f"asof_{c}" for c in rv}
+    out = out.select(*keep, F.col("__m_ts").alias("asof_ts"), *[F.col(k).alias(v) for k, v in renames.items()])
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows with ``left_ts <= right_ts < left_ts + window``
+    per left row (0 when none). Exact; the bucketized equi-join is only
+    a candidate filter."""
+    on = list(on)
+    bucket_l = F.floor(F.col(left_ts).cast("double") / window_seconds).cast("long")
+
+    l = left.withColumn(
+        "__bucket", F.explode(F.array(bucket_l, bucket_l + 1))
+    )
+    r = right.select(*on, F.col(right_ts).alias("__rts")).withColumn(
+        "__bucket", F.floor(F.col("__rts").cast("double") / window_seconds).cast("long")
+    )
+
+    upper = F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECOND")
+    hits = (
+        l.join(r, on=[*on, "__bucket"])
+        .filter((F.col("__rts") >= F.col(left_ts)) & (F.col("__rts") < upper))
+        .groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("*").alias(count_alias))
+    )
+    return left.join(hits, on=left.columns, how="left").na.fill({count_alias: 0})

@@ -1,0 +1,55 @@
+"""Scale-mechanics tests: bucketed co-located joins eliminate the
+shuffle; salted joins spread hot keys without changing results."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.skew import salted_join
+from etl_rj_spark.plans import explain_counts
+from etl_rj_spark.sinks.bucketed import write_bucketed
+from etl_rj_spark.sources.parquet import read_parquet_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"li_b_{tag}", f"o_b_{tag}"
+    try:
+        write_bucketed(li, ta, ["l_orderkey"], 4, path=str(tmp_path / ta))
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), tb, ["l_orderkey"], 4,
+            path=str(tmp_path / tb),
+        )
+        a, b = spark.table(ta), spark.table(tb)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "l_orderkey")
+            counts = explain_counts(joined)
+            assert counts["exchange"] == 0, counts  # co-located: zero shuffle
+            assert counts["sort_merge_join"] == 1, counts
+            # and it still computes the right thing
+            assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    o = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = read_parquet_table(spark, f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    salted = salted_join(o, c, on="c_custkey", salt=4)
+    plain = o.join(c, "c_custkey")
+    assert sorted(map(str, salted.collect())) == sorted(map(str, plain.collect()))
