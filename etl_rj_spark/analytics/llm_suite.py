@@ -421,6 +421,55 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
+# --- corpus curation -------------------------------------------------------
+
+@_q(
+    "hash_split_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                  AS INTEGER) AS bucket
+      FROM documents
+    )
+    """,
+    tags=("curation-split",),
+)
+def hash_split_docs(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 of doc_id —
+    stable across runs, engines, and partitionings (never rand())."""
+    from etl_rj_spark.operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@_q(
+    "keep_latest_events",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("curation-latest",),
+)
+def keep_latest_events(spark, sf_dir):
+    """Keep-latest versioning: each user's newest event per type (the
+    per-key generalization of the reference's MAX(FechaCarga) snapshot
+    filter)."""
+    from etl_rj_spark.operators.curation import keep_latest
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts", "value")
+    return keep_latest(e, ["user_id", "event_type"], ["ts", "event_id"])
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @_q(

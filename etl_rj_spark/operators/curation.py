@@ -1,0 +1,62 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+train/test splitting and keep-latest versioning.
+
+- ``hash_split``: assignment by md5 of the key — stable across runs,
+  engines, partitionings and cluster sizes (never ``rand()``: a split
+  that changes when the cluster re-runs poisons every downstream
+  train/eval comparison). The md5-hex construction is the same
+  engine-portable contract the dedup operators use.
+- ``keep_latest``: one row per key, newest by a version/timestamp
+  column with a unique tiebreaker — the standard "current version of
+  every document" view over an append-only corpus (generalizes the
+  reference's snapshot + MAX(FechaCarga) pattern to per-key latest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the key's string
+    form (12 hex digits = 48 bits, no modulo bias worth caring about)."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a 'train'/'val'/'test' assignment: bucket < train_pct →
+    train, < train_pct+val_pct → val, else test."""
+    b = split_bucket(key)
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """One row per key tuple: the last by ``order_by`` (descending,
+    which must end in a unique tiebreaker for determinism). One shuffle
+    on the keys; at scale prefer the sink pre-partitioned by the keys."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,147 @@
+"""Property-based dirty-input tests (SURVEY §5.3): the cleaning kernels
+must coerce adversarial cells exactly like the reference's pandas code
+on the cleaned-input domain (ASCII business data — the domain the
+reference operates on; SURVEY §4 documents the out-of-domain deltas
+like '1e3'/'inf' which are deliberately out of contract).
+
+Each property generates a batch of cells, runs the kernel once through
+Spark, and compares against a direct Python mirror of the reference
+algorithm (re/str, the same steps cartera.py:92-98 and 143-149 take).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions import (
+    clean_customer_name,
+    parse_date,
+    parse_int_thousands,
+    parse_money,
+)
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+# printable-ASCII business-text alphabet
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30
+)
+
+
+def _spark_map(spark, kernel, cells):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cells)], "i int, c string")
+    rows = df.select("i", kernel("c").alias("out")).collect()
+    return [r.out for r in sorted(rows, key=lambda r: r.i)]
+
+
+# --- X3 clean_customer_name ------------------------------------------------
+
+def _py_clean_name(s):
+    if s is None:
+        return None
+    s = str(s).strip().lower()
+    s = re.sub(r"[^a-z0-9\s]", "", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+@settings(**SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_clean_name_matches_reference(spark, cells):
+    got = _spark_map(spark, clean_customer_name, cells)
+    assert got == [_py_clean_name(c) for c in cells]
+
+
+# --- X4/N1 money parse -----------------------------------------------------
+
+_MONEY_CELLS = st.one_of(
+    # well-formed accounting money, with optional $, commas, parens, spaces
+    st.tuples(
+        st.integers(0, 10**7), st.integers(0, 99), st.booleans(), st.booleans(), st.booleans()
+    ).map(
+        lambda t: (
+            ("(" if t[2] else "")
+            + (" $" if t[3] else "$")
+            + (f"{t[0]:,}" if t[4] else str(t[0]))
+            + f".{t[1]:02d}"
+            + (")" if t[2] else "")
+        )
+    ),
+    # junk
+    st.sampled_from(["N/A", "pending", "-", "", "$", "()", "$-"]),
+    _TEXT,
+)
+
+
+def _py_parse_money(s):
+    if s is None:
+        return None
+    s = re.sub(r"[$,\s]", "", str(s)).replace("(", "-").replace(")", "")
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    # contract domain: plain decimal notation only (SURVEY §4 — pandas
+    # accepts '1e3'/'inf'/'nan'; the cleaned accounting domain doesn't)
+    if not re.fullmatch(r"-?\d+(\.\d+)?|-?\.\d+|-?\d+\.", s):
+        return None
+    return v
+
+
+@settings(**SETTINGS)
+@given(st.lists(_MONEY_CELLS, min_size=1, max_size=40))
+def test_parse_money_matches_reference(spark, cells):
+    # restrict to contract domain: drop cells where the python mirror
+    # and plain-decimal domain disagree (scientific notation etc.)
+    got = _spark_map(spark, parse_money, cells)
+    expected = [_py_parse_money(c) for c in cells]
+    for c, g, e in zip(cells, got, expected):
+        if e is None:
+            # Spark may parse a superset (e.g. '1e3'); only assert
+            # agreement for in-domain cells, null for definite junk
+            if not re.search(r"[0-9]", c):
+                assert g is None, (c, g)
+        else:
+            assert g == pytest.approx(e), (c, g, e)
+
+
+# --- N4 thousands-int ------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(
+    st.integers(0, 10**8).map(lambda v: f"{v:,}"),
+    st.integers(0, 10**8).map(str),
+    st.sampled_from(["", "x", "1.5", "12,34a"]),
+), min_size=1, max_size=40))
+def test_parse_int_thousands_matches_reference(spark, cells):
+    def py(s):
+        s2 = str(s).replace(",", "")
+        return int(s2) if re.fullmatch(r"-?\d+", s2) else None
+
+    got = _spark_map(spark, parse_int_thousands, cells)
+    assert got == [py(c) for c in cells]
+
+
+# --- D1/D2 date parse ------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(
+    st.dates().map(lambda d: d.strftime("%m/%d/%Y")),
+    st.sampled_from(["13/01/2020", "00/10/2020", "2020-01-01", "not a date", ""]),
+), min_size=1, max_size=40))
+def test_parse_date_strict(spark, cells):
+    import datetime
+
+    def py(s):
+        try:
+            return datetime.datetime.strptime(s, "%m/%d/%Y").date()
+        except ValueError:
+            return None
+
+    got = _spark_map(spark, lambda c: parse_date(c, "MM/dd/yyyy"), cells)
+    assert got == [py(c) for c in cells]
