@@ -7,11 +7,16 @@ named engine queries, each paired with the equivalent DuckDB oracle SQL
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_rj_spark.analytics import REGISTRY
+# importable regardless of the harness's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_rj_spark.analytics import REGISTRY  # noqa: E402
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

@@ -421,6 +421,58 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
+# --- dup clusters (connected components) -----------------------------------
+
+_CLUSTER_CORPUS = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 50 "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text "
+    "FROM documents WHERE doc_id < 50 "
+    "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz zz' AS text "
+    "FROM documents WHERE doc_id < 50"
+)
+
+@_q(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.6
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+    tags=("dedup-clusters",),
+)
+def dup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: exact n-gram-Jaccard pairs →
+    connected components by iterative min-label propagation. Each
+    original + its two perturbed copies collapse into one component
+    labeled by the original id."""
+    from etl_rj_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dup1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text"))
+    dup2 = d.select((F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zz zz")).alias("text"))
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6, n=3)
+    return connected_components(pairs.select("id_a", "id_b")).select("node", "component")
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

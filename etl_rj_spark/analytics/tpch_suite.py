@@ -206,6 +206,62 @@ def count_rows(spark, sf_dir):
 
 
 @_q(
+    "zscore_events_by_type",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) AS sc,
+             SUM(CAST(ROUND(value*100) AS BIGINT) * CAST(ROUND(value*100) AS BIGINT)) AS sq
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN ((sq/10000.0)/n - ((sc/100.0)/n)*((sc/100.0)/n)) > 0
+                THEN (e.value - (sc/100.0)/n)
+                     / sqrt((sq/10000.0)/n - ((sc/100.0)/n)*((sc/100.0)/n))
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN s USING (event_type)
+    """,
+    tags=("grouped-pandas-udf",),
+)
+def zscore_events_by_type(spark, sf_dir):
+    """Per-group z-score via Arrow grouped-map applyInPandas (UDF1's
+    modern form) — mean/variance from exact integer-cents sums inside
+    the UDF, so the Python path is bit-reproducible by the SQL oracle."""
+    from etl_rj_spark.operators.grouped_pandas import zscore_by_group
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_by_group(e, ["event_type"], "value")
+
+
+@_q(
+    "profile_lineitem",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity_nulls,
+           COUNT(DISTINCT l_quantity) AS l_quantity_distinct,
+           SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS l_extendedprice_nulls,
+           COUNT(DISTINCT l_extendedprice) AS l_extendedprice_distinct,
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS l_returnflag_nulls,
+           COUNT(DISTINCT l_returnflag) AS l_returnflag_distinct,
+           MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+           MIN(l_extendedprice) AS l_extendedprice_min,
+           MAX(l_extendedprice) AS l_extendedprice_max
+    FROM lineitem
+    """,
+    tags=("profiling", "A2"),
+)
+def profile_lineitem(spark, sf_dir):
+    """Single-pass column profiling (nulls/distincts/ranges) — the
+    reference's operational diagnostics as one aggregation."""
+    from etl_rj_spark.operators.profiling import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, numeric_cols=["l_quantity", "l_extendedprice"], string_cols=["l_returnflag"]
+    )
+
+
+@_q(
     "upper_trim_recode_kernel",
     """
     SELECT s_suppkey, upper(trim('  ' || s_name || ' ')) AS nombre_norm,
