@@ -522,6 +522,57 @@ def keep_latest_events(spark, sf_dir):
     return keep_latest(e, ["user_id", "event_type"], ["ts", "event_id"])
 
 
+# --- bench-scale variants (rows-only: the ground-truth oracle is
+# all-pairs-quadratic, which is exactly what these paths avoid) -------------
+
+def _scaled_docs(spark, sf_dir, copies: int):
+    """documents replicated ``copies``× with per-copy id offsets and a
+    distinct suffix word — every copy is a near-dup of its original, so
+    dedup at this scale has real work to do."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__i"), "doc_id", "text"
+    )
+    # explode inherits the (single-file) input partitioning — spread the
+    # fan-out before the hash-heavy stages or they run on one core
+    return rep.repartition(64, "doc_id", "__i").select(
+        (F.col("doc_id") + F.col("__i") * 1000000).alias("doc_id"),
+        F.when(F.col("__i") == 0, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" v"), F.col("__i").cast("string")))
+        .alias("text"),
+    )
+
+
+@_q("minhash_lsh_pairs_scaled", None, bench=True, tags=("dedup-minhash-lsh", "bench-scale"))
+def minhash_lsh_pairs_scaled(spark, sf_dir):
+    """MinHash+LSH dedup over a 25×-replicated corpus (12.5k docs,
+    ~300k near-dup pair candidates) — the throughput path the
+    oracle-checked small variant proves correct. At-scale
+    configuration: token-3-gram shingles, 16 hashes, hashed-set
+    verification."""
+    corpus = _scaled_docs(spark, sf_dir, 25)
+    return minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.8,
+        num_hashes=16, hashed_sets=True, token_ngrams_n=3,
+    )
+
+
+@_q("cosine_topk_scaled", None, bench=True, tags=("similarity-bruteforce", "bench-scale"))
+def cosine_topk_scaled(spark, sf_dir):
+    """Brute-force cosine top-10 for 20 queries against a 20×-replicated
+    corpus (10k vectors × 64 dims)."""
+    e = _t(spark, sf_dir, "embeddings")
+    rep = (
+        e.select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("__i"), "vec_id", "embedding"
+        )
+        .repartition(64, "vec_id", "__i")
+        .select((F.col("vec_id") + F.col("__i") * 1000000).alias("vec_id"), "embedding")
+    )
+    queries = rep.filter(F.col("vec_id") < 20)
+    return cosine_topk(rep.filter(F.col("vec_id") >= 20), queries, k=10)
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @_q(

@@ -262,6 +262,51 @@ def profile_lineitem(spark, sf_dir):
 
 
 @_q(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             (CAST(ROUND(o_totalprice*100) AS BIGINT) + 100) / CAST(100 AS DOUBLE)
+               AS o_totalprice,
+             o_orderdate, o_orderpriority, 2 AS version
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), existing AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 1 AS version
+      FROM orders
+    ), unioned AS (
+      SELECT * FROM existing UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, version,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM unioned QUALIFY rn = 1
+    """,
+    tags=("merge-upsert", "scd"),
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO emulation (no Delta): existing ∪ updates, latest
+    version per key wins — every 5th order gets a +$1 repriced update,
+    the rest pass through."""
+    from etl_rj_spark.operators.scd import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    existing = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn(
+            "o_totalprice",
+            (F.round(F.col("o_totalprice") * 100).cast("long") + 100)
+            / F.lit(100).cast("double"),
+        )
+        .withColumn("version", F.lit(2))
+    )
+    merged = merge_upsert(existing, updates, ["o_orderkey"], ["version"])
+    # expose rn=1 to mirror the oracle's QUALIFY projection
+    return merged.withColumn("rn", F.lit(1))
+
+
+@_q(
     "upper_trim_recode_kernel",
     """
     SELECT s_suppkey, upper(trim('  ' || s_name || ' ')) AS nombre_norm,

@@ -58,17 +58,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(c: Column | str, shingle_k: int = 5, num_hashes: int = 32) -> Column:
-    """num_hashes-wide MinHash signature over k-char shingles of the
-    normalized text. h_i(x) = ((37+2i)*x + (101+i)) mod P over 28-bit
-    shingle hashes — exact int64 arithmetic, engine-portable."""
-    hashes = F.transform(char_shingles(normalized_text(c), shingle_k), shingle_hash)
+def _shingles(c: Column | str, shingle_k: int, token_ngrams_n: int | None) -> Column:
+    """Shingle set: k-char shingles (default, fine-grained) or token
+    n-grams (``token_ngrams_n``) — ~5× fewer shingles per document,
+    the standard configuration for corpus-scale minhash."""
+    if token_ngrams_n is not None:
+        return token_ngrams(c, token_ngrams_n)
+    return char_shingles(normalized_text(c), shingle_k)
+
+
+def shingle_hashes(
+    c: Column | str, shingle_k: int = 5, token_ngrams_n: int | None = None
+) -> Column:
+    """28-bit hashes of the document's shingles. Materialize this as
+    its own column before fanning out to the hash family — as a
+    subexpression of each of the num_hashes lambdas it would be
+    recomputed (md5 per shingle) once per hash function."""
+    return F.transform(_shingles(c, shingle_k, token_ngrams_n), shingle_hash)
+
+
+def minhash_signature_from_hashes(hashes: Column | str, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature from precomputed shingle
+    hashes. h_i(x) = ((37+2i)*x + (101+i)) mod P — exact int64
+    arithmetic, engine-portable."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(hashes, lambda x: ((F.lit(37) + F.lit(2) * i) * x + (F.lit(101) + i)) % F.lit(MINHASH_P))
+            F.transform(h, lambda x: ((F.lit(37) + F.lit(2) * i) * x + (F.lit(101) + i)) % F.lit(MINHASH_P))
         ),
     )
+
+
+def minhash_signature(c: Column | str, shingle_k: int = 5, num_hashes: int = 32) -> Column:
+    """Convenience single-expression form (small inputs / tests); for
+    bulk use compute ``shingle_hashes`` as a column first."""
+    return minhash_signature_from_hashes(shingle_hashes(c, shingle_k), num_hashes)
 
 
 def lsh_band_buckets(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
@@ -90,17 +115,21 @@ def lsh_candidate_pairs(
     shingle_k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    token_ngrams_n: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
-    band bucket."""
+    band bucket. The band table is persisted — it feeds both sides of
+    the self-join, and signatures are the expensive part."""
     rows_per_band = num_hashes // bands
     sig = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_k, token_ngrams_n).alias("__h")
+    ).select(
         F.col(id_col),
-        minhash_signature(text_col, shingle_k, num_hashes).alias("__sig"),
+        minhash_signature_from_hashes("__h", num_hashes).alias("__sig"),
     )
     exploded = sig.select(
         id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
     a = exploded.toDF("id_a", "band", "bucket")
     b = exploded.toDF("id_b", "band", "bucket")
     return (
@@ -117,12 +146,22 @@ def jaccard_on_pairs(
     id_col: str,
     text_col: str,
     shingle_k: int = 5,
+    hashed_sets: bool = False,
+    token_ngrams_n: int | None = None,
 ) -> DataFrame:
-    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs."""
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(char_shingles(normalized_text(text_col), shingle_k)).alias("__set"),
+    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs.
+
+    ``hashed_sets=True`` intersects 28-bit shingle-hash sets instead of
+    string sets — ~10× cheaper per pair (int equality, int arrays
+    through the shuffle) at the cost of a ~1e-4-per-doc hash-collision
+    perturbation of the Jaccard value. Use it at corpus scale; keep
+    string sets where bit-exact Jaccard is the contract."""
+    shingle_col = (
+        F.array_distinct(shingle_hashes(text_col, shingle_k, token_ngrams_n))
+        if hashed_sets
+        else F.array_distinct(_shingles(text_col, shingle_k, token_ngrams_n))
     )
+    sets = df.select(F.col(id_col), shingle_col.alias("__set"))
     a = sets.toDF("id_a", "__set_a")
     b = sets.toDF("id_b", "__set_b")
     inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
@@ -142,14 +181,17 @@ def minhash_lsh_dedup_pairs(
     shingle_k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    hashed_sets: bool = False,
+    token_ngrams_n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
     at ``threshold``. Probabilistic recall (tune bands/rows to τ);
-    precision exact."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands)
-    return jaccard_on_pairs(pairs, df, id_col, text_col, shingle_k).filter(
-        F.col("jaccard") >= threshold
-    )
+    precision exact. ``hashed_sets``/``token_ngrams_n`` → the cheap
+    at-scale configuration (see jaccard_on_pairs/_shingles)."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
+    return jaccard_on_pairs(
+        pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
