@@ -473,6 +473,28 @@ def dup_clusters(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b")).select("node", "component")
 
 
+@_q(
+    "udtf_token_ngrams",
+    f"""
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+             ELSE [] END) AS gram
+    FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+    """,
+    tags=("udtf",),
+)
+def udtf_token_ngrams(spark, sf_dir):
+    """Python UDTF in LATERAL position: token 3-grams with multiplicity
+    — the Spark 4 table-function surface, semantics pinned to the
+    expression-based n-gram path by the shared oracle."""
+    from etl_rj_spark.operators.udtfs import explode_ngrams_udtf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return explode_ngrams_udtf(spark, d, "doc_id", "text", n=3)
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

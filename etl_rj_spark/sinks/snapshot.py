@@ -31,8 +31,14 @@ def append_snapshot(
 
 
 def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fecha_carga") -> DataFrame:
-    """A4 over a partitioned snapshot table — the max-snapshot join
-    prunes to the newest partition."""
-    from etl_rj_spark.operators.aggregates import latest_snapshot
+    """A4 over a partitioned snapshot table with static partition
+    pruning: the MAX over the partition column is resolved first — a
+    scan that reads partition-directory values only, no data files —
+    then the read filters on the literal, so the scan touches exactly
+    one partition (PartitionFilters in the plan).
 
-    return latest_snapshot(spark.read.parquet(path), snapshot_col)
+    For non-partitioned inputs use ``operators.aggregates.latest_snapshot``
+    (the collect-free broadcast-max join)."""
+    df = spark.read.parquet(path)
+    latest = df.select(F.max(snapshot_col).alias("m")).first()[0]
+    return df.filter(F.col(snapshot_col) == F.lit(latest))

@@ -4,6 +4,8 @@ test scale)."""
 
 from __future__ import annotations
 
+import re
+
 from etl_rj_spark.analytics import REGISTRY
 from etl_rj_spark.plans import explain_counts, pushed_filters
 
@@ -31,6 +33,28 @@ def test_anti_join_single_exchange(spark, sf_dir):
     # no shuffle joins
     assert counts["sort_merge_join"] == 0
     assert counts["broadcast_hash_join"] == 1
+
+
+def test_latest_snapshot_partition_pruning(spark, sf_dir, tmp_path):
+    """On a fecha_carga-partitioned sink, the latest-snapshot read must
+    prune partitions dynamically (scan only the newest day)."""
+    import datetime
+
+    from etl_rj_spark.sinks.snapshot import append_snapshot, read_latest_snapshot
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").limit(100)
+    wh = str(tmp_path / "snap_wh")
+    append_snapshot(orders, wh, snapshot_date=datetime.date(2024, 1, 1))
+    append_snapshot(orders, wh, snapshot_date=datetime.date(2024, 1, 2))
+
+    latest = read_latest_snapshot(spark, wh)
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    # static partition pruning: the scan's PartitionFilters carry the
+    # literal snapshot date — only one partition is read
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2024-01-02" in m.group(1), plan[:2000]
+    assert latest.count() == 100
 
 
 def test_topk_single_shuffle(spark, sf_dir):
