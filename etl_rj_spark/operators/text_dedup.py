@@ -187,11 +187,50 @@ def minhash_lsh_dedup_pairs(
     """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
     at ``threshold``. Probabilistic recall (tune bands/rows to τ);
     precision exact. ``hashed_sets``/``token_ngrams_n`` → the cheap
-    at-scale configuration (see jaccard_on_pairs/_shingles)."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
-    return jaccard_on_pairs(
-        pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
-    ).filter(F.col("jaccard") >= threshold)
+    at-scale configuration (see jaccard_on_pairs/_shingles).
+
+    The hashed path shingle-hashes the corpus ONCE (persisted and
+    eagerly materialized): the same hash arrays feed the signatures,
+    both sides of the band self-join, and the verification sets —
+    without the barrier the hashing runs 3×."""
+    if not hashed_sets:
+        pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
+        return jaccard_on_pairs(
+            pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
+        ).filter(F.col("jaccard") >= threshold)
+
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_k, token_ngrams_n).alias("__h")
+    ).persist()
+    base.count()  # materialization barrier: hash the corpus exactly once
+
+    sig = base.select(
+        F.col(id_col), minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
+    )
+    exploded = sig.select(
+        id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
+    a = exploded.toDF("id_a", "band", "bucket")
+    b = exploded.toDF("id_b", "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = base.select(F.col(id_col), F.array_distinct("__h").alias("__set"))
+    sa = sets.toDF("id_a", "__set_a")
+    sb = sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
