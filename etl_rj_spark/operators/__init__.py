@@ -11,8 +11,25 @@ from etl_rj_spark.operators.aggregates import (  # noqa: F401
     distinct_topk,
     distinct_values,
     latest_snapshot,
+    money_sum,
 )
+from etl_rj_spark.operators.asof import asof_join, range_join_count  # noqa: F401
+from etl_rj_spark.operators.components import connected_components  # noqa: F401
+from etl_rj_spark.operators.curation import hash_split, keep_latest  # noqa: F401
 from etl_rj_spark.operators.dedup import anti_join_new_rows  # noqa: F401
+from etl_rj_spark.operators.grouped_pandas import zscore_by_group  # noqa: F401
+from etl_rj_spark.operators.profiling import profile_columns  # noqa: F401
+from etl_rj_spark.operators.scd import merge_upsert  # noqa: F401
+from etl_rj_spark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
+from etl_rj_spark.operators.skew import salted_join  # noqa: F401
+from etl_rj_spark.operators.text_dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_mapping,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
 from etl_rj_spark.operators.filters import (  # noqa: F401
     drop_null_rows,
     rows_where_no_column_contains,
