@@ -307,6 +307,23 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @_q(
+    "histogram_totalprice",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("profiling", "histogram"),
+)
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width value histogram (20 × $25k buckets, top-clamped) —
+    the distribution half of profiling, one aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n")).orderBy("bucket")
+
+
+@_q(
     "upper_trim_recode_kernel",
     """
     SELECT s_suppkey, upper(trim('  ' || s_name || ' ')) AS nombre_norm,
