@@ -45,6 +45,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
 
+def test_compact_partition(spark, sf_dir, tmp_path):
+    import datetime
+    import glob
+
+    from etl_rj_spark.sinks.compact import compact_partition
+    from etl_rj_spark.sinks.snapshot import append_snapshot
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").limit(200)
+    wh = str(tmp_path / "wh")
+    # several appends into the same snapshot partition → many files
+    for _ in range(3):
+        append_snapshot(orders.repartition(4), wh, snapshot_date=datetime.date(2024, 1, 1))
+    part = f"{wh}/fecha_carga=2024-01-01"
+    before = len(glob.glob(f"{part}/*.parquet"))
+    assert before >= 12
+
+    n = compact_partition(spark, wh, "fecha_carga=2024-01-01", target_files=1)
+    assert n == 600
+    assert len(glob.glob(f"{part}/*.parquet")) == 1
+    assert spark.read.parquet(wh).count() == 600  # data intact
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     o = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("c_custkey"), "o_orderkey"
