@@ -495,6 +495,70 @@ def udtf_token_ngrams(spark, sf_dir):
     return explode_ngrams_udtf(spark, d, "doc_id", "text", n=3)
 
 
+@_q(
+    "dedup_corpus_survivors",
+    f"""
+    WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.6
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT c.doc_id FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    tags=("dedup-clusters", "dedup-survivors"),
+)
+def dedup_corpus_survivors(spark, sf_dir):
+    """The full dedup flow's output: pairs → connected components →
+    one surviving representative per near-dup cluster (min id) plus all
+    edge-less documents — here exactly the 50 original doc_ids."""
+    from etl_rj_spark.operators.text_dedup import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dup1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text"))
+    dup2 = d.select((F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zz zz")).alias("text"))
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6, n=3)
+    return dedup_survivors(corpus, "doc_id", pairs.select("id_a", "id_b")).select("doc_id")
+
+
+@_q(
+    "embedding_l2_normalized",
+    """
+    SELECT vec_id,
+           list_transform(cv, x -> round(x / sqrt(list_sum(
+             list_transform(range(1, 65), i -> cv[i] * cv[i]))), 7)) AS unit_vec
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 100)
+    """,
+    tags=("similarity-normalize",),
+)
+def embedding_l2_normalized(spark, sf_dir):
+    """L2 unit-normalization of embedding vectors (elements rounded to
+    7 dp for cross-engine comparison)."""
+    from etl_rj_spark.operators.similarity import l2_normalize, vec_double
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id", l2_normalize(vec_double("embedding"), round_digits=7).alias("unit_vec")
+    )
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

@@ -307,6 +307,35 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @_q(
+    "quantile_stats",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A3", "quantile"),
+)
+def quantile_stats(spark, sf_dir):
+    """Exact interpolated percentiles per group — Spark's percentile()
+    and DuckDB's quantile_cont use the same linear interpolation, so
+    even these float results compare bit-exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.25).alias("p25"),
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
     "histogram_totalprice",
     """
     SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS BIGINT) AS bucket,

@@ -43,6 +43,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column, round_digits: int | None = None) -> Column:
+    """Unit-normalize a double vector (optionally rounding elements for
+    cross-engine comparison)."""
+    n = l2_norm(a)
+    out = F.transform(a, lambda x: x / n)
+    if round_digits is not None:
+        out = F.transform(out, lambda x: F.round(x, round_digits))
+    return out
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -287,6 +287,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """The deduplicated corpus: group near-dup pairs into connected
+    components and keep one representative per component (the min id);
+    documents with no near-dup edges survive untouched. This is the
+    final step of the pairs → clusters → pruned-corpus dedup flow."""
+    from etl_rj_spark.operators.components import connected_components
+
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
