@@ -112,6 +112,54 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, events_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Across two microbatches, a row older than the advanced watermark
+    must be dropped from the append-mode windowed aggregation."""
+    import datetime
+
+    from etl_rj_spark.streaming.events import windowed_event_counts_stream
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ts = lambda s: int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1e9)  # noqa: E731
+    cols = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: events far enough ahead to advance the watermark past 10:00
+    write_batch("b1", [(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+                       (2, ts("2024-01-01 11:00:00"), 1, "click", 1.0, "{}")])
+
+    stream = read_event_stream(spark, str(src / "*"))
+    agg = windowed_event_counts_stream(stream, watermark="10 minutes", window="5 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("late_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time row and one very late row (before the
+        # watermark, whose window already closed)
+        write_batch("b2", [(3, ts("2024-01-01 11:30:00"), 1, "click", 1.0, "{}"),
+                           (4, ts("2024-01-01 10:00:01"), 1, "click", 99.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: push event time forward so open windows finalize
+        write_batch("b3", [(5, ts("2024-01-01 13:00:00"), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.window_start.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 10:00 window emitted exactly 1 event — the late row (event 4)
+    # fell behind the watermark and was dropped, not re-counted
+    assert ("2024-01-01T10:00:00", 1) in got
+    assert ("2024-01-01T10:00:00", 2) not in got
+
+
 def test_snapshot_stream_drains_once(spark, events_dir, tmp_path):
     out = str(tmp_path / "snap_out")
     ck = str(tmp_path / "ck2")
