@@ -1,0 +1,119 @@
+"""Oracle-checked queries for fuzzy name matching (operators/fuzzy.py)
+— the scale generalization of the reference's exact-match dim lookup,
+whose unmapped-client drop (ventas_totales.py:154-158, cartera.py:126)
+is the motivating defect.
+
+Misspellings are synthesized in-query (delete one character at a
+custkey-derived position from the cleaned name) so both engines see
+identical inputs and every query has a known dist-1 true match.
+Levenshtein is classic edit distance in both engines; inputs are
+lowercased first, so case conventions can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _q, _t
+from etl_rj_spark.functions.strings import clean_customer_name
+from etl_rj_spark.operators.fuzzy import fuzzy_best_match, fuzzy_dim_lookup
+
+# DuckDB fragment: clean_customer_name (X3) on c_name.
+_CLEAN = (
+    r"trim(regexp_replace(regexp_replace(lower(trim(c_name)), "
+    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+)
+# delete one char at position (c_custkey % 10) + 2 of the cleaned name
+_PERTURB = "substr(cn, 1, c_custkey % 10 + 1) || substr(cn, c_custkey % 10 + 3)"
+
+
+@_q(
+    "fuzzy_name_best_match",
+    f"""
+    WITH base AS (SELECT c_custkey, {_CLEAN} AS cn FROM customer),
+    q AS (
+      SELECT c_custkey AS q_custkey, {_PERTURB} AS qn
+      FROM base WHERE c_custkey % 7 = 0
+    ),
+    cand AS (
+      SELECT q_custkey, b.c_custkey AS matched_c_custkey,
+             levenshtein(qn, b.cn) AS dist
+      FROM q CROSS JOIN base b
+      WHERE levenshtein(qn, b.cn) <= 2
+    )
+    SELECT q_custkey, matched_c_custkey, dist
+    FROM (
+      SELECT q_custkey, matched_c_custkey, dist,
+             row_number() OVER (PARTITION BY q_custkey
+                                ORDER BY dist, matched_c_custkey) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+    tags=("fuzzy-match", "J2-generalized"),
+)
+def fuzzy_name_best_match(spark, sf_dir):
+    """Best levenshtein match (≤ 2 edits) of misspelled customer names
+    against the customer dimension; deterministic min-(dist, id) pick."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", clean_customer_name("c_name").alias("cn"))
+    queries = base.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("q_custkey"), F.expr(_PERTURB).alias("qn")
+    )
+    return fuzzy_best_match(
+        queries, c, "q_custkey", "qn", "c_custkey", "c_name", max_dist=2
+    )
+
+
+@_q(
+    "fuzzy_rescued_lookup",
+    f"""
+    WITH base AS (SELECT c_custkey, {_CLEAN} AS cn FROM customer),
+    f AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN {_PERTURB} ELSE cn END AS fn
+      FROM base
+    ),
+    exact AS (
+      SELECT f.c_custkey, b.c_custkey AS matched_c_custkey,
+             0 AS dist, 'exact' AS tier
+      FROM f JOIN base b ON f.fn = b.cn
+    ),
+    um AS (SELECT c_custkey, fn FROM f
+           WHERE fn NOT IN (SELECT cn FROM base)),
+    fz AS (
+      SELECT c_custkey, matched_c_custkey, dist, 'fuzzy' AS tier
+      FROM (
+        SELECT um.c_custkey, b.c_custkey AS matched_c_custkey,
+               levenshtein(um.fn, b.cn) AS dist,
+               row_number() OVER (PARTITION BY um.c_custkey
+                                  ORDER BY levenshtein(um.fn, b.cn),
+                                           b.c_custkey) AS rn
+        FROM um CROSS JOIN base b
+        WHERE levenshtein(um.fn, b.cn) <= 2
+      ) WHERE rn = 1
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM fz
+    """,
+    tags=("fuzzy-match", "J1-generalized"),
+)
+def fuzzy_rescued_lookup(spark, sf_dir):
+    """Tiered lookup over a fact feed where every third name carries a
+    one-char deletion (wrapped in case/whitespace dirt the cleaner
+    strips): exact tier for clean names, fuzzy tier rescues the
+    misspelled — zero rows silently dropped."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", clean_customer_name("c_name").alias("cn"))
+    facts = base.select(
+        "c_custkey",
+        F.concat(
+            F.lit("  "),
+            F.upper(
+                F.when(F.col("c_custkey") % 3 == 0, F.expr(_PERTURB)).otherwise(
+                    F.col("cn")
+                )
+            ),
+            F.lit(" !"),
+        ).alias("fname"),
+    )
+    out = fuzzy_dim_lookup(facts, c, "fname", "c_custkey", "c_name", max_dist=2)
+    return out.select("c_custkey", "matched_c_custkey", "dist", "tier")

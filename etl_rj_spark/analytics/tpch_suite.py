@@ -372,3 +372,41 @@ def upper_trim_recode_kernel(spark, sf_dir):
         normed.alias("nombre_norm"),
         recode_values(normed, {"SUPPLIER_0": "PRIMARY"}, default=F.lit("OTHER")).alias("clase"),
     )
+
+
+@_q(
+    "cube_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_msum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A3", "cube"),
+)
+def cube_flag_status(spark, sf_dir):
+    """CUBE over both grouping dimensions — all 4 grouping sets
+    (detail, per-flag, per-status, grand total) in one pass; null
+    group-key encoding is identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), money_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_q("approx_distinct_stats", None, tags=("approx-sketch", "bench-scale"))
+def approx_distinct_stats(spark, sf_dir):
+    """Sketch-based profiling for the 100 TB path: HyperLogLog++
+    distinct counts and a bounded-memory approximate median — constant
+    state per group instead of an exact-distinct shuffle of every key.
+    Rows-only check (sketch estimates are engine-specific);
+    tests/test_scale_ops.py bounds the error against exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

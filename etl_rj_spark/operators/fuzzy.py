@@ -1,0 +1,110 @@
+"""Fuzzy name matching for dimension lookups.
+
+The reference enriches facts by EXACT cleaned-name equality against the
+``Clientes`` dimension (J1/J2 — cartera.py:121-122, ventas_totales.py:146-152)
+and silently drops every row whose name doesn't match, emitting only a
+console warning (ventas_totales.py:154-158, cartera.py:126). A one-char
+typo in an upstream export loses the row. These operators are the scale
+generalization: exact match first, then a bounded-edit-distance
+(levenshtein) best match for the remainder.
+
+Scale design:
+- The dimension is small (a customer list) → broadcast. The fuzzy tier
+  is a broadcast nested-loop join with a cheap per-pair predicate;
+  ``block_prefix`` adds an equi-key on the first N cleaned characters,
+  cutting comparisons ~|alphabet|^N× on real name data (a typo inside
+  the blocked prefix then escapes matching — recall/cost knob).
+- The tiered lookup fuzzy-matches DISTINCT unmatched names only (the
+  reference's dict-map insight): facts can be billions of rows, but the
+  set of distinct misspelled names is tiny, and the resulting mapping
+  broadcasts back onto the facts.
+- ``F.levenshtein``'s threshold argument bounds the DP computation per
+  pair (early exit at max_dist+1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_rj_spark.functions.strings import clean_customer_name
+
+
+def fuzzy_best_match(
+    queries: DataFrame,
+    dim: DataFrame,
+    q_id: str,
+    q_name: str,
+    d_id: str,
+    d_name: str,
+    max_dist: int = 2,
+    block_prefix: int = 0,
+) -> DataFrame:
+    """Best dimension match per query row: minimum levenshtein distance
+    over cleaned names, bounded by ``max_dist``; ties broken by the
+    smaller dimension id (deterministic). Queries with no candidate
+    within ``max_dist`` are absent from the output.
+
+    Returns (q_id, matched_<d_id>, dist).
+    """
+    q = queries.select(
+        F.col(q_id).alias("__qid"), clean_customer_name(q_name).alias("__qn")
+    )
+    d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
+    if block_prefix > 0:
+        q = q.withColumn("__blk", F.substring("__qn", 1, block_prefix))
+        d = d.withColumn("__blk", F.substring("__dn", 1, block_prefix))
+        cand = q.join(F.broadcast(d), "__blk")
+    else:
+        cand = q.crossJoin(F.broadcast(d))
+    cand = cand.withColumn(
+        "dist", F.levenshtein("__qn", "__dn", max_dist)
+    ).filter(F.col("dist") >= 0)  # threshold form returns -1 beyond max_dist
+    w = Window.partitionBy("__qid").orderBy("dist", "__did")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__qid").alias(q_id),
+            F.col("__did").alias(f"matched_{d_id}"),
+            "dist",
+        )
+    )
+
+
+def fuzzy_dim_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_name: str,
+    d_id: str,
+    d_name: str,
+    max_dist: int = 2,
+    block_prefix: int = 0,
+) -> DataFrame:
+    """Tiered dimension lookup: exact cleaned-name equality first
+    (tier 'exact', dist 0), then best fuzzy match within ``max_dist``
+    for the rest (tier 'fuzzy'). Rows matching neither keep null
+    ``matched_<d_id>``/``dist``/``tier`` — reported, never silently
+    dropped (the reference's defect).
+
+    The mapping is built over DISTINCT cleaned names and broadcast back
+    onto the facts, so fact cardinality never enters the fuzzy join.
+    """
+    matched_id = f"matched_{d_id}"
+    f = facts.withColumn("__cn", clean_customer_name(fact_name))
+    d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
+    names = f.select("__cn").distinct()
+    exact = names.join(F.broadcast(d), names["__cn"] == d["__dn"], "left")
+    exact_map = exact.filter(F.col("__did").isNotNull()).select(
+        "__cn",
+        F.col("__did").alias(matched_id),
+        F.lit(0).alias("dist"),
+        F.lit("exact").alias("tier"),
+    )
+    unmatched = exact.filter(F.col("__did").isNull()).select("__cn")
+    # cleaned input: clean_customer_name is idempotent, reuse __cn as both id+name
+    fuzzy_map = fuzzy_best_match(
+        unmatched, dim, "__cn", "__cn", d_id, d_name, max_dist, block_prefix
+    ).select("__cn", matched_id, "dist", F.lit("fuzzy").alias("tier"))
+    mapping = exact_map.unionByName(fuzzy_map)
+    return f.join(F.broadcast(mapping), "__cn", "left").drop("__cn")

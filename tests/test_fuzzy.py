@@ -1,0 +1,75 @@
+"""Fuzzy name matching (operators/fuzzy.py): tier semantics, no-match
+reporting, blocking recall tradeoff, and approx-sketch error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.fuzzy import fuzzy_best_match, fuzzy_dim_lookup
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "Acme Foods"), (2, "Ricky Joy Candy"), (3, "Walmart")],
+        "id int, name string",
+    )
+
+
+def test_fuzzy_best_match_picks_min_distance(spark):
+    q = spark.createDataFrame([(10, "ricky joi candy"), (11, "walmrat")], "qid int, qn string")
+    got = {
+        r.qid: (r.matched_id, r.dist)
+        for r in fuzzy_best_match(q, _dim(spark), "qid", "qn", "id", "name").collect()
+    }
+    assert got == {10: (2, 1), 11: (3, 2)}
+
+
+def test_fuzzy_best_match_beyond_max_dist_absent(spark):
+    q = spark.createDataFrame([(10, "zzzzzzzzzz")], "qid int, qn string")
+    assert fuzzy_best_match(q, _dim(spark), "qid", "qn", "id", "name").count() == 0
+
+
+def test_fuzzy_dim_lookup_tiers_and_unmatched_kept(spark):
+    facts = spark.createDataFrame(
+        [(100, "  ACME FOODS!"), (101, "wallmart"), (102, "no such co whatsoever")],
+        "fact_id int, cust string",
+    )
+    out = fuzzy_dim_lookup(facts, _dim(spark), "cust", "id", "name").collect()
+    by_id = {r.fact_id: r for r in out}
+    assert len(out) == 3  # unmatched row kept, not dropped
+    assert (by_id[100].matched_id, by_id[100].tier, by_id[100].dist) == (1, "exact", 0)
+    assert (by_id[101].matched_id, by_id[101].tier, by_id[101].dist) == (3, "fuzzy", 1)
+    assert by_id[102].matched_id is None and by_id[102].tier is None
+
+
+def test_block_prefix_trades_recall_for_cost(spark):
+    # typo in the first character escapes a prefix-1 block but not the
+    # unblocked path
+    q = spark.createDataFrame([(10, "ralmart")], "qid int, qn string")
+    full = fuzzy_best_match(q, _dim(spark), "qid", "qn", "id", "name", block_prefix=0)
+    blocked = fuzzy_best_match(q, _dim(spark), "qid", "qn", "id", "name", block_prefix=1)
+    assert full.count() == 1 and blocked.count() == 0
+
+
+def test_approx_distinct_stats_error_bounds(spark, sf_dir):
+    from etl_rj_spark.analytics import REGISTRY
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    approx = {r.l_returnflag: r for r in REGISTRY["approx_distinct_stats"].build(spark, sf_dir).collect()}
+    li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+            F.percentile("l_extendedprice", 0.5).alias("median"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_orders - e.orders) <= 0.05 * e.orders
+        assert abs(a.approx_parts - e.parts) <= 0.05 * e.parts
+        assert abs(a.approx_median - e.median) <= 0.02 * abs(e.median)
