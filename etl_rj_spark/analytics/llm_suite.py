@@ -393,6 +393,21 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5)
 
 
+@_q("ann_lsh_topk", None, tags=("similarity-lsh",))
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN #2: multi-table random-hyperplane LSH (8 tables
+    x 4 planes, deterministic md5-seeded hyperplanes), exact cosine
+    rescoring of the bucket-union candidates. Rows-only check — the
+    bucket sign of a float dot product near zero is not guaranteed
+    stable across engines; tests/test_fuzzy.py pins recall >= 0.5
+    against the brute-force ground truth instead."""
+    from etl_rj_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    return lsh_topk(e, queries, k=10, dim=64, bits=4, tables=8)
+
+
 @_q(
     "embedding_norm_stats",
     """

@@ -115,3 +115,75 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (multi-table)
+# ---------------------------------------------------------------------------
+
+def _lsh_planes(dim: int, bits: int, tables: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived
+    from md5 of (table, plane, dim-index) — no RNG state, identical on
+    every run/engine/partitioning."""
+    import hashlib
+
+    def comp(t: int, p: int, d: int) -> float:
+        h = hashlib.md5(f"lsh:{t}:{p}:{d}".encode()).hexdigest()
+        return (int(h[:8], 16) % 2001 - 1000) / 1000.0
+
+    return [
+        [[comp(t, p, d) for d in range(dim)] for p in range(bits)]
+        for t in range(tables)
+    ]
+
+
+def lsh_buckets(c: Column | str, dim: int, bits: int = 8, tables: int = 4) -> Column:
+    """Array of (table, bucket) structs: bucket = sign pattern of the
+    vector against that table's ``bits`` hyperplanes. Vectors at cosine
+    angle θ agree on one plane with prob 1-θ/π; ``tables`` OR-ed tables
+    trade compute for recall."""
+    v = vec_double(c)
+    entries = []
+    for t, planes in enumerate(_lsh_planes(dim, bits, tables)):
+        bucket = F.lit(0)
+        for p, plane in enumerate(planes):
+            d = dot(v, F.array(*[F.lit(x) for x in plane]))
+            bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: candidates
+    share a bucket in ≥1 table (union via distinct), then exact cosine
+    rescoring. At scale the corpus bucket table is computed once and
+    bucketed/bucket-joined; each query probes ``tables`` buckets of
+    ~N/2^bits vectors instead of scanning N."""
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col),
+        vec_double(vec_col).alias("__qv"),
+        F.explode(lsh_buckets(vec_col, dim, bits, tables)).alias("tb"),
+    ).select(query_id_col, "__qv", "tb.table", "tb.bucket")
+    cb = corpus.select(
+        F.col(id_col),
+        F.explode(lsh_buckets(vec_col, dim, bits, tables)).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+    cand = (
+        F.broadcast(qb).join(cb, ["table", "bucket"]).select(query_id_col, "__qv", id_col).distinct()
+    )
+    c = corpus.select(F.col(id_col), vec_double(vec_col).alias("__cv"))
+    scored = cand.join(c, id_col).select(
+        query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -73,3 +73,20 @@ def test_approx_distinct_stats_error_bounds(spark, sf_dir):
         assert abs(a.approx_orders - e.orders) <= 0.05 * e.orders
         assert abs(a.approx_parts - e.parts) <= 0.05 * e.parts
         assert abs(a.approx_median - e.median) <= 0.02 * abs(e.median)
+
+
+def test_lsh_topk_recall_and_self_match(spark, sf_dir):
+    import pyspark.sql.functions as F2
+
+    from etl_rj_spark.operators.similarity import cosine_topk, lsh_topk
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F2.col("vec_id") < 20)
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(e, q, 10).collect()}
+    got = lsh_topk(e, q, 10, dim=64, bits=4, tables=8).collect()
+    gset = {(r.query_id, r.vec_id) for r in got}
+    assert len(gset & truth) / len(truth) >= 0.5  # measured 0.65 on this corpus
+    # a query vector always collides with itself in every table → rank 1
+    self_rank1 = {r.query_id for r in got if r.rank == 1 and r.vec_id == r.query_id}
+    assert self_rank1 == set(range(20))
