@@ -70,3 +70,37 @@ def stream_snapshot_append(
         .outputMode("append")
         .start()
     )
+
+
+def view_purchase_stream_join(
+    events: DataFrame, max_gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's views from the preceding ``max_gap_minutes`` — the streaming
+    twin of the batch range join (range_join_error_clicks pattern).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can size the join state and evict
+    rows older than watermark + gap (unbounded state otherwise)."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {max_gap_minutes} MINUTES"
+        ),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")

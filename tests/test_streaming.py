@@ -175,3 +175,44 @@ def test_snapshot_stream_drains_once(spark, events_dir, tmp_path):
     q2 = stream_snapshot_append(read_event_stream(spark, events_dir), out, ck)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    from etl_rj_spark.streaming.events import view_purchase_stream_join
+
+    stream = read_event_stream(spark, events_dir)
+    joined = view_purchase_stream_join(stream, max_gap_minutes=30)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    batch = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    v = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "user_id = p_user AND purchase_ts >= view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
