@@ -62,8 +62,8 @@ def binary_features(df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_md5": md5s,
-                    "fake_width": md5s.map(lambda h: 1 + int(h[:2], 16) % 512).astype("int32"),
-                    "fake_height": md5s.map(lambda h: 1 + int(h[2:4], 16) % 512).astype("int32"),
+                    "fake_width": md5s.map(lambda h: _fake_dims(h)[0]).astype("int32"),
+                    "fake_height": md5s.map(lambda h: _fake_dims(h)[1]).astype("int32"),
                 }
             )
 
@@ -79,3 +79,79 @@ def decode_image(df: DataFrame) -> DataFrame:
             "use binary_features for the deterministic stand-in path"
         )
     raise NotImplementedError("real decode path: wire PIL.Image.open per payload here")
+
+
+def _fake_dims(md5hex: str) -> tuple[int, int]:
+    """Deterministic decode stand-in: 'image dimensions' derived from
+    the content hash (1..512 each)."""
+    return 1 + int(md5hex[:2], 16) % 512, 1 + int(md5hex[2:4], 16) % 512
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, out_width int, out_height int, resized_md5 string"
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving downscale to ``max_side`` via mapInPandas.
+    The decode is the stubbed stand-in (_fake_dims of the content
+    hash); the scaling arithmetic, fixed output schema, and Arrow batch
+    path are exactly what a PIL-backed resize would use — swap the two
+    marked lines for `Image.open`/`img.resize` when the codec library
+    exists."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            dims = md5s.map(_fake_dims)  # STUB: real path decodes the payload here
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            ow = (w * scale).round().clip(lower=1).astype("int32")
+            oh = (h * scale).round().clip(lower=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": ow,
+                    "out_height": oh,
+                    # STUB: real path re-encodes pixels; hash stands in
+                    "resized_md5": [
+                        hashlib.md5(f"{m}:{a}x{b}".encode()).hexdigest()
+                        for m, a, b in zip(md5s, ow, oh)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one OUTPUT ROW per sampled frame
+    (row-expanding mapInPandas — the batch shape real frame extraction
+    needs). Fake frame count = 1 + hash-derived (1..64); frame content
+    hash = md5(content_md5:frame_idx). Swap the marked lines for a real
+    demuxer when the codec library exists."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fmd5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = 1 + int(m[4:6], 16) % 64  # STUB: real path probes the container
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    # STUB: real path decodes frame i; hash stands in
+                    fmd5.append(hashlib.md5(f"{m}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(fmd5, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FRAMES_SCHEMA)

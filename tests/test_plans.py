@@ -61,3 +61,17 @@ def test_topk_single_shuffle(spark, sf_dir):
     counts = explain_counts(REGISTRY["topk_orders_per_customer"].build(spark, sf_dir))
     # one hash-partition exchange on o_custkey feeds the window
     assert counts["exchange"] == 1, counts
+
+
+def test_fuzzy_lookup_broadcasts_dim_and_mapping(spark, sf_dir):
+    """The tiered fuzzy lookup must broadcast both the dimension and
+    the name→id mapping back onto the facts — fact cardinality never
+    enters a shuffle join."""
+    counts = explain_counts(REGISTRY["fuzzy_rescued_lookup"].build(spark, sf_dir))
+    assert counts["sort_merge_join"] == 0, counts
+    assert counts["broadcast_hash_join"] >= 2, counts
+
+
+def test_lsh_topk_no_sort_merge(spark, sf_dir):
+    counts = explain_counts(REGISTRY["ann_lsh_topk"].build(spark, sf_dir))
+    assert counts["sort_merge_join"] == 0, counts
