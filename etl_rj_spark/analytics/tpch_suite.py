@@ -410,3 +410,69 @@ def approx_distinct_stats(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "small_qty_revenue_q17",
+    f"""
+    SELECT p_size, {_msum('l_extendedprice', 'small_qty_revenue')}, COUNT(*) AS n
+    FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY p_size ORDER BY p_size
+    """,
+    tags=("correlated-subquery", "sql-surface"),
+)
+def small_qty_revenue_q17(spark, sf_dir):
+    """TPC-H Q17 shape through the SQL surface: correlated scalar
+    subquery (per-part average), decorrelated by Catalyst into an
+    aggregate + join — no per-row re-execution. AVG of integer-valued
+    quantities is an exact double regardless of partial-agg order, so
+    the threshold compare is engine-stable."""
+    from etl_rj_spark.analytics.sql_surface import register_tables
+
+    register_tables(spark, sf_dir)
+    # Spark SQL: BIGINT/100.0 is DECIMAL — cast to double to match the
+    # DataFrame-path money_sum (and the oracle's DOUBLE result)
+    return spark.sql(
+        """
+        SELECT p_size,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS DOUBLE)
+                 AS small_qty_revenue,
+               COUNT(*) AS n
+        FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p_size ORDER BY p_size
+        """
+    )
+
+
+@_q(
+    "ntile_acctbal_quartiles",
+    """
+    SELECT quartile, COUNT(*) AS n,
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0 AS bal_sum
+    FROM (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    ) GROUP BY quartile ORDER BY quartile
+    """,
+    tags=("window-ntile",),
+)
+def ntile_acctbal_quartiles(spark, sf_dir):
+    """ntile quartiles over a deterministic total order (unique
+    c_custkey tiebreaker), rolled up per quartile."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(F.count("*").alias("n"), money_sum("c_acctbal").alias("bal_sum"))
+        .orderBy("quartile")
+    )
