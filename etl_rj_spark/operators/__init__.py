@@ -20,7 +20,14 @@ from etl_rj_spark.operators.dedup import anti_join_new_rows  # noqa: F401
 from etl_rj_spark.operators.grouped_pandas import zscore_by_group  # noqa: F401
 from etl_rj_spark.operators.profiling import profile_columns  # noqa: F401
 from etl_rj_spark.operators.scd import merge_upsert  # noqa: F401
-from etl_rj_spark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
+from etl_rj_spark.operators.fuzzy import fuzzy_best_match, fuzzy_dim_lookup  # noqa: F401
+from etl_rj_spark.operators.multimodal import (  # noqa: F401
+    binary_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
+from etl_rj_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk  # noqa: F401
 from etl_rj_spark.operators.skew import salted_join  # noqa: F401
 from etl_rj_spark.operators.text_dedup import (  # noqa: F401
     exact_dedup,
