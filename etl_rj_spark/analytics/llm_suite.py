@@ -674,6 +674,46 @@ def cosine_topk_scaled(spark, sf_dir):
     return cosine_topk(rep.filter(F.col("vec_id") >= 20), queries, k=10)
 
 
+# --- embedding-cosine near-dup (dedup by embedding) ------------------------
+
+@_q(
+    "embedding_cosine_near_pairs",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END)
+      FROM base
+    ),
+    a AS (SELECT vec_id AS id_a, v AS qv FROM corpus),
+    b AS (SELECT vec_id AS id_b, v AS cv FROM corpus)
+    SELECT id_a, id_b, {{_SQL_COS}} AS score
+    FROM a JOIN b ON id_a < id_b
+    WHERE {{_SQL_COS}} >= 0.99
+    """.format(_SQL_COS=_SQL_COS),
+    tags=("dedup-embedding-cosine",),
+)
+def embedding_cosine_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (ground truth): the corpus is
+    embeddings plus one perturbed copy of each vector (+0.05 on the
+    first component, id+100000); every original/copy pair lands at
+    cosine ~1 and must be the exact pair set at threshold 0.99.
+    Brute-force all-pairs — the oracle-checkable baseline whose scale
+    path is cosine_near_pairs_lsh (recall-tested in test_fuzzy)."""
+    from etl_rj_spark.operators.similarity import cosine_near_pairs, vec_double
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    perturbed = F.transform(v, lambda x, i: F.when(i == 0, x + 0.05).otherwise(x))
+    corpus = e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding"))
+    )
+    return cosine_near_pairs(corpus, threshold=0.99)
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @_q(

@@ -187,3 +187,66 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup by embedding)
+# ---------------------------------------------------------------------------
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding near-dup detection: (id_a < id_b, score) for
+    every pair at cosine ≥ threshold. Quadratic — the correctness
+    baseline; use ``cosine_near_pairs_lsh`` at corpus scale."""
+    a = corpus.select(F.col(id_col).alias("id_a"), vec_double(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), vec_double(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 9).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def cosine_near_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Scale path for embedding dedup: candidate pairs share a
+    hyperplane-LSH bucket in ≥1 of ``tables`` tables, then exact cosine
+    rescoring. A near-dup pair at angle θ misses one table's bucket
+    with prob 1-(1-θ/π)^bits — for true near-duplicates (θ→0) the
+    collision probability per table approaches 1, so recall is ~1 while
+    the candidate set stays ~N·tables/2^bits per bucket instead of N²."""
+    cb = corpus.select(
+        F.col(id_col), F.explode(lsh_buckets(vec_col, dim, bits, tables)).alias("tb")
+    ).select(id_col, "tb.table", "tb.bucket")
+    a = cb.toDF("id_a", "table", "bucket")
+    b = cb.toDF("id_b", "table", "bucket")
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col), vec_double(vec_col).alias("__v"))
+    va = vecs.toDF("id_a", "__va")
+    vb = vecs.toDF("id_b", "__vb")
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 9).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )

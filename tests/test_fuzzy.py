@@ -90,3 +90,30 @@ def test_lsh_topk_recall_and_self_match(spark, sf_dir):
     # a query vector always collides with itself in every table → rank 1
     self_rank1 = {r.query_id for r in got if r.rank == 1 and r.vec_id == r.query_id}
     assert self_rank1 == set(range(20))
+
+
+def test_cosine_near_pairs_lsh_recall(spark, sf_dir):
+    import pyspark.sql.functions as F2
+
+    from etl_rj_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_lsh,
+        vec_double,
+    )
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    v = vec_double("embedding")
+    perturbed = F2.transform(v, lambda x, i: F2.when(i == 0, x + 0.05).otherwise(x))
+    corpus = e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select((F2.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding"))
+    )
+    truth = {(r.id_a, r.id_b) for r in cosine_near_pairs(corpus, 0.99).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs_lsh(corpus, 0.99, dim=64).collect()
+    }
+    assert got <= truth  # rescoring is exact: no false positives
+    # near-parallel pairs collide in ~every table → near-total recall
+    assert len(got & truth) / len(truth) >= 0.95
+    assert len(truth) >= e.count()  # every original/copy pair is present
