@@ -68,13 +68,24 @@ def _shingles(c: Column | str, shingle_k: int, token_ngrams_n: int | None) -> Co
 
 
 def shingle_hashes(
-    c: Column | str, shingle_k: int = 5, token_ngrams_n: int | None = None
+    c: Column | str,
+    shingle_k: int = 5,
+    token_ngrams_n: int | None = None,
+    fast: bool = False,
 ) -> Column:
     """28-bit hashes of the document's shingles. Materialize this as
     its own column before fanning out to the hash family — as a
     subexpression of each of the num_hashes lambdas it would be
-    recomputed (md5 per shingle) once per hash function."""
-    return F.transform(_shingles(c, shingle_k, token_ngrams_n), shingle_hash)
+    recomputed (md5 per shingle) once per hash function.
+
+    ``fast=True`` swaps the engine-portable md5 hash for xxhash64
+    (one JVM intrinsic vs md5 + hex parse per shingle) — use it on
+    rows-only/at-scale paths; oracle-checked paths keep md5, the
+    cross-engine contract."""
+    sh = _shingles(c, shingle_k, token_ngrams_n)
+    if fast:
+        return F.transform(sh, lambda x: F.pmod(F.xxhash64(x), F.lit(1 << 28)))
+    return F.transform(sh, shingle_hash)
 
 
 def minhash_signature_from_hashes(hashes: Column | str, num_hashes: int = 32) -> Column:
@@ -183,6 +194,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 8,
     hashed_sets: bool = False,
     token_ngrams_n: int | None = None,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
     at ``threshold``. Probabilistic recall (tune bands/rows to τ);
@@ -201,7 +213,8 @@ def minhash_lsh_dedup_pairs(
 
     rows_per_band = num_hashes // bands
     base = df.select(
-        F.col(id_col), shingle_hashes(text_col, shingle_k, token_ngrams_n).alias("__h")
+        F.col(id_col),
+        shingle_hashes(text_col, shingle_k, token_ngrams_n, fast=fast_hash).alias("__h"),
     ).persist()
     base.count()  # materialization barrier: hash the corpus exactly once
 
