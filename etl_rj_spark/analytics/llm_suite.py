@@ -623,6 +623,33 @@ def keep_latest_events(spark, sf_dir):
     return keep_latest(e, ["user_id", "event_type"], ["ts", "event_id"])
 
 
+@_q(
+    "stratified_sample_events",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                  AS INTEGER) AS bucket
+      FROM events
+    )
+    WHERE bucket < CASE event_type WHEN 'click' THEN 20
+                                   WHEN 'view' THEN 50 ELSE 100 END
+    """,
+    tags=("curation-rebalance",),
+)
+def stratified_sample_events(spark, sf_dir):
+    """Class rebalancing: hash-deterministic per-stratum downsampling
+    (clicks to 20%, views to 50%, everything else kept) — the sample
+    is a pure filter, stable across runs/engines/partitionings."""
+    from etl_rj_spark.operators.curation import stratified_sample
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(
+        e, "event_type", "event_id", {"click": 20, "view": 50}
+    )
+
+
 # --- bench-scale variants (rows-only: the ground-truth oracle is
 # all-pairs-quadratic, which is exactly what these paths avoid) -------------
 

@@ -94,3 +94,84 @@ def salted_customer_rollup(spark, sf_dir):
     return joined.groupBy(F.col("c_name").alias("nombre_cliente")).agg(
         F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("total")
     )
+
+
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_custkey % 5 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_custkey % 3 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           COALESCE(new.o_totalprice, old.o_totalprice) AS o_totalprice,
+           COALESCE(new.o_orderstatus, old.o_orderstatus) AS o_orderstatus
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice <> new.o_totalprice
+       OR old.o_orderstatus <> new.o_orderstatus
+    """,
+    tags=("cdc-snapshot-diff",),
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC between two synthesized order snapshots: keys present only
+    in one side → added/removed; shared keys with a perturbed price →
+    changed; unchanged rows suppressed. The +10.0 is exact in double,
+    so the changed-set is engine-stable."""
+    from etl_rj_spark.operators.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_custkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_custkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@_q(
+    "incremental_trend_merge",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS fecha,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    tags=("incremental-agg",),
+)
+def incremental_trend_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: the stored partial
+    state (orders before 1996-01-01) merged with a delta batch (the
+    rest) must equal the full-history aggregation — additive integer
+    state (cents + counts), so the merge is order-independent."""
+    from etl_rj_spark.operators.aggregates import merge_partial_sums
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("fecha"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = F.lit("1996-01-01").cast("date")
+
+    def partials(df):
+        return df.groupBy("fecha").agg(
+            F.sum("cents").alias("total_cents"), F.count("*").alias("n")
+        )
+
+    state = partials(o.filter(F.col("fecha") < cut))
+    delta = partials(o.filter(F.col("fecha") >= cut))
+    return merge_partial_sums(state, delta, ["fecha"], ["total_cents", "n"])

@@ -9,17 +9,22 @@ LLM-data-pipeline extensions (SURVEY §7 step 9): ``text_dedup``,
 
 from etl_rj_spark.operators.aggregates import (  # noqa: F401
     distinct_topk,
+    merge_partial_sums,
     distinct_values,
     latest_snapshot,
     money_sum,
 )
 from etl_rj_spark.operators.asof import asof_join, range_join_count  # noqa: F401
 from etl_rj_spark.operators.components import connected_components  # noqa: F401
-from etl_rj_spark.operators.curation import hash_split, keep_latest  # noqa: F401
+from etl_rj_spark.operators.curation import (  # noqa: F401
+    hash_split,
+    keep_latest,
+    stratified_sample,
+)
 from etl_rj_spark.operators.dedup import anti_join_new_rows  # noqa: F401
 from etl_rj_spark.operators.grouped_pandas import zscore_by_group  # noqa: F401
 from etl_rj_spark.operators.profiling import profile_columns  # noqa: F401
-from etl_rj_spark.operators.scd import merge_upsert  # noqa: F401
+from etl_rj_spark.operators.scd import merge_upsert, snapshot_diff  # noqa: F401
 from etl_rj_spark.operators.fuzzy import fuzzy_best_match, fuzzy_dim_lookup  # noqa: F401
 from etl_rj_spark.operators.multimodal import (  # noqa: F401
     binary_features,
@@ -27,7 +32,13 @@ from etl_rj_spark.operators.multimodal import (  # noqa: F401
     sample_frames,
     with_binary_payload,
 )
-from etl_rj_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk  # noqa: F401
+from etl_rj_spark.operators.similarity import (  # noqa: F401
+    cosine_near_pairs,
+    cosine_near_pairs_lsh,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from etl_rj_spark.operators.skew import salted_join  # noqa: F401
 from etl_rj_spark.operators.text_dedup import (  # noqa: F401
     exact_dedup,

@@ -45,3 +45,19 @@ def money_sum(c: Column | str, scale: int = 2) -> Column:
     col = F.col(c) if isinstance(c, str) else c
     factor = 10 ** scale
     return F.sum(F.round(col * factor).cast("long")) / F.lit(float(factor))
+
+
+def merge_partial_sums(state, delta, keys, sum_cols):
+    """Incremental materialized-view maintenance: merge a stored
+    partial-aggregate state (sums/counts per key) with a new batch's
+    partials — each refresh costs O(|delta|) + one shuffle of the
+    (small) key space, never a full-history recompute. Keep additive
+    aggregates in exact integer form (counts, integer cents) so the
+    merge is order-independent; derive averages at read time."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

@@ -60,3 +60,21 @@ def keep_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    pct_by_stratum: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (class rebalancing for
+    training corpora): keep a hash-stable ``pct`` of each stratum —
+    never ``rand()``, so the sample is identical across runs, engines,
+    and partitionings, and re-running a pipeline stage cannot shift
+    the training distribution. A pure filter: no shuffle."""
+    thresh = F.lit(default_pct)
+    for stratum, pct in pct_by_stratum.items():
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(thresh)
+    return df.filter(split_bucket(key) < thresh)

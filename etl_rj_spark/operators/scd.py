@@ -29,3 +29,47 @@ def merge_upsert(
     existing keys update — MERGE INTO semantics as a pure dataflow."""
     unioned = existing.unionByName(updates)
     return keep_latest(unioned, keys, version_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one row per key that
+    was added, removed, or changed (null-safe compare on
+    ``compare_cols``), with the surviving values (new side for
+    added/changed, old side for removed). The generalization of the
+    reference docs' two-snapshot LAG comparison (Cartera PDF §8) from
+    one balance column to whole-row diffs.
+
+    One shuffle (the full-outer join on the keys); at scale both
+    snapshots come from the same fecha_carga-partitioned sink, so the
+    join is between two partition-pruned reads."""
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    ).withColumn("__in_o", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    ).withColumn("__in_n", F.lit(1))
+    j = o.join(n, list(keys), "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out_vals = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in compare_cols
+    ]
+    return (
+        j.select(*keys, change.alias("change_type"), *out_vals)
+        .filter(F.col("change_type") != "unchanged")
+    )

@@ -117,3 +117,17 @@ def test_cosine_near_pairs_lsh_recall(spark, sf_dir):
     # near-parallel pairs collide in ~every table → near-total recall
     assert len(got & truth) / len(truth) >= 0.95
     assert len(truth) >= e.count()  # every original/copy pair is present
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from etl_rj_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 1.0), (4, 2.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, 1.0), (5, 9.0)], "k int, v double"
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # k=1: null == null → unchanged (suppressed); k=3 equal → suppressed
+    assert got == {2: "changed", 4: "removed", 5: "added"}
