@@ -650,6 +650,91 @@ def stratified_sample_events(spark, sf_dir):
     )
 
 
+@_q(
+    "curated_corpus_splits",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS}),
+    feats AS (
+      SELECT doc_id, text,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS ws_tokens,
+             least((CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0, 1.0) * 0.3
+               + (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
+                              / greatest(length(text)::DOUBLE, 1.0) * 5.0, 1.0)) * 0.3
+               + least({_sql_stop_count('en')}
+                       / greatest((CASE WHEN trim(text) = '' THEN 0
+                                        ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE, 1.0)
+                       * 5.0, 1.0) * 0.4 AS quality_score,
+             CASE
+               WHEN {_sql_stop_count('en')} > 0
+                    AND {_sql_stop_count('en')} >= {_sql_stop_count('es')}
+                    AND {_sql_stop_count('en')} >= {_sql_stop_count('fr')} THEN 'en'
+               WHEN {_sql_stop_count('es')} > 0
+                    AND {_sql_stop_count('es')} >= {_sql_stop_count('fr')} THEN 'es'
+               WHEN {_sql_stop_count('fr')} > 0 THEN 'fr'
+               ELSE 'unknown'
+             END AS lang_pred
+      FROM corpus
+    ),
+    kept AS (SELECT doc_id, text, ws_tokens FROM feats
+             WHERE lang_pred = 'en' AND quality_score >= 0.5),
+    keyed AS (SELECT doc_id, ws_tokens, md5({_NT}) AS key FROM kept),
+    canon AS (SELECT key, MIN(doc_id) AS canonical FROM keyed GROUP BY key),
+    survivors AS (
+      SELECT k.doc_id, k.ws_tokens FROM keyed k JOIN canon c USING (key)
+      WHERE k.doc_id = c.canonical
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT ws_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                  AS INTEGER) AS bucket
+      FROM survivors
+    ) GROUP BY 1 ORDER BY 1
+    """,
+    tags=("curation-pipeline",),
+)
+def curated_corpus_splits(spark, sf_dir):
+    """The end-to-end training-corpus curation pipeline as ONE lazy
+    plan: language filter (en) -> quality threshold (>= 0.5) ->
+    exact-dedup survivors -> deterministic hash split -> per-split
+    doc/token totals. Every stage is an operator proven by its own
+    oracle query; this one proves the composition."""
+    from etl_rj_spark.operators.curation import hash_split
+    from etl_rj_spark.operators.text_analysis import (
+        lang_id,
+        quality_features,
+        token_count,
+    )
+    from etl_rj_spark.operators.text_dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    feats = quality_features("text")
+    kept = corpus.filter(
+        (lang_id("text") == "en") & (feats["quality_score"] >= 0.5)
+    )
+    survivors = exact_dedup(kept, "doc_id", "text")
+    return (
+        hash_split(survivors, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 # --- bench-scale variants (rows-only: the ground-truth oracle is
 # all-pairs-quadratic, which is exactly what these paths avoid) -------------
 

@@ -831,3 +831,70 @@ def json_extract_props(spark, sf_dir):
     return e.select(
         "event_id", F.get_json_object("props", "$.k").try_cast("int").alias("k")
     )
+
+
+@_q(
+    "session_window_native",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("session-window-native",),
+)
+def session_window_native(spark, sf_dir):
+    """Spark's native session_window aggregation (merge-on-overlap
+    state, streaming-ready) against the gaps-and-islands oracle.
+    Boundary semantics: a gap of exactly the timeout starts a NEW
+    session (session_window ends are exclusive), hence >= in the
+    oracle's island test."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "unpivot_flag_measures",
+    f"""
+    WITH base AS (
+      SELECT l_returnflag, {_msum('l_quantity', 'sum_qty')},
+             {_msum('l_extendedprice', 'sum_price')}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM base
+    """,
+    tags=("unpivot",),
+)
+def unpivot_flag_measures(spark, sf_dir):
+    """Native DataFrame unpivot (melt): wide per-flag measures to long
+    (flag, measure, value) — the inverse of the pivot query."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
+    )
+    return base.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value"
+    )
