@@ -145,3 +145,45 @@ def test_parse_date_strict(spark, cells):
 
     got = _spark_map(spark, lambda c: parse_date(c, "MM/dd/yyyy"), cells)
     assert got == [py(c) for c in cells]
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_NAME = st.text(alphabet="abcdefg 0123", min_size=1, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(queries=st.lists(_NAME, min_size=1, max_size=6, unique=True),
+       dim=st.lists(_NAME, min_size=1, max_size=6, unique=True))
+def test_fuzzy_best_match_equals_bruteforce(spark, queries, dim):
+    """fuzzy_best_match returns exactly the brute-force argmin
+    (levenshtein ≤ 2, ties to the smaller dim id) over cleaned names."""
+    from etl_rj_spark.operators.fuzzy import fuzzy_best_match
+
+    clean = lambda s: re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", s.lower().strip())).strip()  # noqa: E731
+    qdf = spark.createDataFrame(list(enumerate(queries)), "qid int, qn string")
+    ddf = spark.createDataFrame(list(enumerate(dim)), "did int, dn string")
+    got = {
+        r.qid: (r.matched_did, r.dist)
+        for r in fuzzy_best_match(qdf, ddf, "qid", "qn", "did", "dn").collect()
+    }
+    expected = {}
+    for qi, q in enumerate(queries):
+        cands = sorted(
+            (
+                (_py_levenshtein(clean(q), clean(d)), di)
+                for di, d in enumerate(dim)
+                if _py_levenshtein(clean(q), clean(d)) <= 2
+            )
+        )
+        if cands:
+            expected[qi] = (cands[0][1], cands[0][0])
+    assert got == expected
