@@ -1,0 +1,514 @@
+"""TPC-H hard shapes — the classically difficult join/subquery patterns
+(Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q18/Q21/Q22), adapted to the driver's schema
+(no partsupp / l_receiptdate / c_phone / o_comment columns, so Q21/Q22
+use documented stand-in predicates with identical plan shapes).
+
+These exercise what the earlier tpch_suite does not: OR'd join-pair
+predicates (Q7), conditional-ratio aggregates (Q8/Q14), outer-join count
+distributions that must keep zero groups (Q13), scalar-subquery equality
+against an aggregate (Q15/Q22), IN-subquery on a grouped HAVING (Q18),
+and the exactly-one-late-supplier double-filter (Q21).
+
+Scale notes (100 TB posture): every query keeps filters against base
+scans (pushdown), joins dims via broadcast, and does big-big joins only
+on orders⋈lineitem where AQE picks SMJ/shuffled-hash by size. The Q13
+distribution and Q21 per-order flags are two-level aggregations that
+combine map-side partials before the second shuffle.
+
+Reference tie-in: the reference's star schema implies exactly these
+read patterns at warehouse scale (SURVEY §2.10 generalized); the
+incremental loaders' anti-join (ventas_totales.py:205-209) is the same
+plan family as Q21/Q22's NOT EXISTS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _msum, _q, _t
+from etl_rj_spark.operators.aggregates import money_sum
+
+# Exact integer-cents column (shared determinism contract with _msum).
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+@_q(
+    "forecast_revenue_q6",
+    f"""
+    SELECT {_msum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+    """,
+    tags=("A3", "tpch-q6", "pushdown"),
+)
+def forecast_revenue_q6(spark, sf_dir):
+    """TPC-H Q6: single-scan conditional revenue — the pure
+    filter-pushdown benchmark (all three predicates reach the parquet
+    scan; no joins, no shuffle beyond the final 1-row agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@_q(
+    "volume_shipping_q7",
+    f"""
+    SELECT supp_region, cust_region, l_year, {_msum('volume', 'revenue')}
+    FROM (
+      SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+             YEAR(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      WHERE ((rs.r_name = 'EUROPE' AND rc.r_name = 'ASIA')
+          OR (rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_region, cust_region, l_year
+    ORDER BY supp_region, cust_region, l_year
+    """,
+    tags=("J1", "A3", "tpch-q7"),
+)
+def volume_shipping_q7(spark, sf_dir):
+    """TPC-H Q7 (region-pair variant — the 10-supplier small SF can
+    lack any given nation, regions always exist): revenue shipped
+    between two regions in either direction. The OR'd pair predicate
+    cannot become a join key — it is applied post-join on broadcast dim
+    columns, so the only shuffle is orders⋈lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    ns = n.alias("ns")
+    nc = n.alias("nc")
+    rs = r.alias("rs")
+    rc = r.alias("rc")
+    j = (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(rs), F.col("ns.n_regionkey") == F.col("rs.r_regionkey"))
+        .join(F.broadcast(rc), F.col("nc.n_regionkey") == F.col("rc.r_regionkey"))
+        .select(
+            F.col("rs.r_name").alias("supp_region"),
+            F.col("rc.r_name").alias("cust_region"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .filter(
+            ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+        )
+    )
+    return (
+        j.groupBy("supp_region", "cust_region", "l_year")
+        .agg(money_sum(F.col("volume")).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@_q(
+    "market_share_q8",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_region = 'EUROPE'
+                    THEN CAST(ROUND(volume*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(volume*100) AS BIGINT)) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT YEAR(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             rs.r_name AS supp_region
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region rcr ON nc.n_regionkey = rcr.r_regionkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      WHERE rcr.r_name = 'ASIA' AND p_type = 'PROMO'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("J1", "A3", "tpch-q8", "conditional-ratio"),
+)
+def market_share_q8(spark, sf_dir):
+    """TPC-H Q8 (region market share): fraction of ASIA-customer PROMO
+    revenue supplied from EUROPE, per order year. The ratio divides two
+    exact cent sums (deterministic under any partial-agg order); the
+    division is double/double in BOTH engines (Spark SQL BIGINT/BIGINT
+    would yield DECIMAL — hence the explicit casts in the oracle)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nc = n.alias("nc")
+    ns = n.alias("ns")
+    rcr = r.alias("rcr").filter(F.col("r_name") == "ASIA")
+    rs = r.alias("rs")
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(rcr), F.col("nc.n_regionkey") == F.col("rcr.r_regionkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(rs), F.col("ns.n_regionkey") == F.col("rs.r_regionkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol_c"),
+            F.col("rs.r_name").alias("supp_region"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_region") == "EUROPE", F.col("vol_c")).otherwise(F.lit(0))).alias("num_c"),
+        F.sum("vol_c").alias("den_c"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("num_c").cast("double") / F.col("den_c").cast("double")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@_q(
+    "returned_item_reporting_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           {_msum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    bench=True,
+    tags=("J1", "A3", "O1", "O2", "tpch-q10"),
+)
+def returned_item_reporting_q10(spark, sf_dir):
+    """TPC-H Q10: customers who returned the most revenue in a half-year
+    window — date filter pushes into the orders scan, returnflag into
+    lineitem, nation broadcasts; unique c_custkey breaks revenue ties."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "order_count_distribution_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J1", "A3", "tpch-q13", "outer-join"),
+)
+def order_count_distribution_q13(spark, sf_dir):
+    """TPC-H Q13 (priority stand-in for the o_comment NOT LIKE filter —
+    column absent here): distribution of non-urgent order counts per
+    customer. The left join + COUNT(o_orderkey) keeps zero-order
+    customers (COUNT of the null right side is 0, not 1) — the shape
+    an inner join silently gets wrong."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "promo_revenue_q14",
+    """
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)
+           AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("J1", "A3", "tpch-q14", "conditional-ratio"),
+)
+def promo_revenue_q14(spark, sf_dir):
+    """TPC-H Q14: percent of one month's revenue from PROMO parts —
+    conditional cent-sum over a broadcast part join; the 100.0 factor
+    stays in double on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("p_type"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0))).alias("num_c"),
+        F.sum("rev_c").alias("den_c"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("num_c").cast("double") / F.col("den_c").cast("double")).alias(
+            "promo_share_pct"
+        )
+    )
+
+
+@_q(
+    "top_supplier_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_msum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("A3", "scalar-subquery", "tpch-q15"),
+)
+def top_supplier_q15(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the max quarterly revenue. The MAX
+    scalar subquery is a broadcast cross-join of a 1-row aggregate (kept
+    lazy — no driver-side collect); equality compares identical
+    cent-exact doubles so ties and float drift cannot diverge."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "large_volume_customers_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS fecha, o_totalprice,
+           {_msum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    bench=True,
+    tags=("J1", "J-semi", "A3", "tpch-q18"),
+)
+def large_volume_customers_q18(spark, sf_dir):
+    """TPC-H Q18: customers with orders totalling > 180 units. The IN
+    subquery is a left-semi join against a grouped HAVING — at scale the
+    semi side is itself a shuffle agg over lineitem, so AQE decides
+    broadcast vs shuffled semi by the surviving key count. l_quantity is
+    integer-valued; the cent-sum keeps the shared determinism contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "big_orderkey"),
+        F.col("o_orderkey") == F.col("big_orderkey"),
+        "left_semi",
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("fecha"),
+            "o_totalprice",
+        )
+        .agg(money_sum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "exclusive_late_supplier_q21",
+    """
+    WITH flags AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    culprit AS (
+      SELECT l_orderkey FROM flags
+      GROUP BY l_orderkey HAVING COUNT(*) >= 2 AND SUM(late) = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flags
+    JOIN culprit USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    bench=True,
+    tags=("J-semi", "J-anti", "A3", "tpch-q21"),
+)
+def exclusive_late_supplier_q21(spark, sf_dir):
+    """TPC-H Q21 (l_receiptdate absent — "late" = shipped >180 days
+    after order date): suppliers who were the SOLE late supplier on
+    multi-supplier orders. The classic EXISTS/NOT-EXISTS pair is
+    re-expressed as one per-(order,supplier) flag aggregation plus a
+    per-order HAVING — two map-side-combinable aggs and one reused
+    intermediate instead of three correlated scans of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flags = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAY"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("late")
+        )
+    )
+    culprit = (
+        flags.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        flags.filter(F.col("late") == 1)
+        .join(culprit, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@_q(
+    "dormant_customers_q22",
+    """
+    WITH threshold AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_c
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name AS nation, COUNT(*) AS numcust,
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE) > (SELECT avg_c FROM threshold)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("J-anti", "scalar-subquery", "A3", "tpch-q22"),
+)
+def dormant_customers_q22(spark, sf_dir):
+    """TPC-H Q22 (no c_phone → country-code filter dropped; "no orders"
+    → "no orders since 2000-01-01", because every customer has some
+    order in this dataset): wealthy-but-dormant customers per nation.
+    The average threshold is computed in exact cents then divided as
+    double (identical in both engines regardless of sum order); the
+    NOT EXISTS is a left-anti join against the date-filtered orders."""
+    c = _t(spark, sf_dir, "customer")
+    bal_c = _cents(F.col("c_acctbal"))
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(bal_c).cast("double") / F.count(F.lit(1))).alias("avg_c")
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(thr))
+        .filter(bal_c.cast("double") > F.col("avg_c"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_c) / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
