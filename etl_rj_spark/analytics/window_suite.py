@@ -1,0 +1,152 @@
+"""Window-function family beyond the reference's single LAG citation
+(SURVEY §2.7 W1): frame-based rolling aggregates, distribution ranks,
+first/last frame values, and the groupwise-min join shape.
+
+The reference's docs prescribe only LAG (Cartera PDF §8); these queries
+exercise the rest of the `pyspark.sql.Window` surface the engine
+exposes, each with a DuckDB oracle. Scale posture: every window here
+partitions before ordering (no global single-partition window except
+the bounded per-day rolling series, which is pre-aggregated to one row
+per day — ~2.4k rows at any SF — before the unpartitioned frame walk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _msum, _q, _t
+
+
+@_q(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dia,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT dia,
+           SUM(rev_c) OVER (ORDER BY dia RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             / 100.0 AS rev_7d,
+           COUNT(*) OVER (ORDER BY dia RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             AS days_present
+    FROM daily ORDER BY dia
+    """,
+    tags=("W-frame", "A3", "rolling"),
+)
+def rolling_7day_revenue(spark, sf_dir):
+    """Rolling 7-day revenue: pre-aggregate to one row per day (exact
+    cents — that shuffle is the scalable part), then a RANGE frame over
+    the ~2.4k-row daily series. The frame sums BIGINT cents, so the
+    rolling total is order-exact; division to money happens after the
+    frame. Spark's rangeBetween needs a numeric ordering key — days
+    since epoch via unix_date mirrors DuckDB's DATE RANGE semantics."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("dia")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = Window.orderBy(F.unix_date("dia")).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "dia",
+            (F.sum("rev_c").over(w) / F.lit(100.0)).alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("days_present"),
+        )
+        .orderBy("dia")
+    )
+
+
+@_q(
+    "acctbal_distribution_ranks",
+    """
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank,
+           CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cume,
+           RANK()         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rnk
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("W-rank", "distribution"),
+)
+def acctbal_distribution_ranks(spark, sf_dir):
+    """PERCENT_RANK / CUME_DIST / RANK per market segment. Ordering by
+    the raw double is safe: both engines assign tied doubles the same
+    rank, and the rank ratios are exact small-integer divisions."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "first_last_order_span",
+    """
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(CAST(o_orderdate AS DATE)) OVER w AS first_fecha,
+           LAST_VALUE(CAST(o_orderdate AS DATE))  OVER w AS last_fecha,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey)  OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    tags=("W-frame", "first-last"),
+)
+def first_last_order_span(spark, sf_dir):
+    """First/last order per customer via an unbounded ROWS frame — the
+    o_orderkey tiebreaker makes same-day first/last deterministic (the
+    default frame would silently return CURRENT ROW for LAST_VALUE;
+    the explicit unbounded frame is the correct idiom both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first(F.to_date("o_orderdate")).over(w).alias("first_fecha"),
+            F.last(F.to_date("o_orderdate")).over(w).alias("last_fecha"),
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "cheapest_part_per_type",
+    """
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM (
+      SELECT p_type, p_partkey, p_name, p_retailprice,
+             MIN(p_retailprice) OVER (PARTITION BY p_type) AS mn
+      FROM part
+    ) WHERE p_retailprice = mn
+    ORDER BY p_type, p_partkey
+    """,
+    tags=("W-agg", "groupwise-min", "tpch-q2-shape"),
+)
+def cheapest_part_per_type(spark, sf_dir):
+    """TPC-H-Q2-shaped groupwise minimum (no partsupp table — retail
+    price stands in for supply cost): parts matching their type's
+    minimum price. One window-agg pass instead of the classic
+    correlated subquery's second scan; equality compares the same
+    stored double, so float drift cannot diverge. Ties all survive
+    (same both engines) and p_partkey orders them."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("mn", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("mn"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
