@@ -16,3 +16,4 @@ from etl_rj_spark.streaming.events import (  # noqa: F401
     stream_snapshot_append,
     windowed_event_counts_stream,
 )
+from etl_rj_spark.streaming.incremental import stream_incremental_append  # noqa: F401

@@ -216,3 +216,52 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_incremental_stream_dedup_append(spark, sf_dir, tmp_path):
+    """foreachBatch incremental sink: overlapping input files append
+    only unseen keys; a fresh-checkpoint re-delivery of everything
+    appends nothing (the anti-join makes redelivery idempotent)."""
+    import pyspark.sql.types as T
+
+    from etl_rj_spark.streaming.incremental import stream_incremental_append
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet")
+    schema = orders.schema
+    ink = str(tmp_path / "orders_in")
+    out = str(tmp_path / "orders_fact")
+
+    def drop_file(lo, hi, name):
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1).write.mode("append").parquet(ink + "/" + name)
+
+    drop_file(0, 100, "a")
+    drop_file(50, 150, "b")  # 50-key overlap with a
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(ink)
+
+    q = stream_incremental_append(
+        stream(), out, ["o_orderkey"], str(tmp_path / "ck_a")
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 150
+
+    drop_file(100, 200, "c")  # 50 new keys
+    q2 = stream_incremental_append(
+        stream(), out, ["o_orderkey"], str(tmp_path / "ck_a")
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("o_orderkey").distinct().count() == 200
+
+    # full redelivery under a NEW checkpoint: nothing is new
+    q3 = stream_incremental_append(
+        stream(), out, ["o_orderkey"], str(tmp_path / "ck_b")
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == 200
