@@ -512,3 +512,36 @@ def dormant_customers_q22(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@_q(
+    "grouping_sets_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {_msum('l_extendedprice', 'total_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    tags=("A3", "grouping-sets"),
+)
+def grouping_sets_flag_status(spark, sf_dir):
+    """Explicit GROUPING SETS (completes the rollup/cube family —
+    SURVEY §2.6 extension) with GROUPING_ID disambiguating the
+    super-aggregate null rows. Spark's expand-based plan computes all
+    three sets in one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

@@ -2,3 +2,4 @@
 
 from etl_rj_spark.sinks.incremental import append_incremental  # noqa: F401
 from etl_rj_spark.sinks.snapshot import append_snapshot  # noqa: F401
+from etl_rj_spark.sinks.layout import write_clustered_parquet  # noqa: F401

@@ -75,3 +75,48 @@ def test_salted_join_equals_plain(spark, sf_dir):
     salted = salted_join(o, c, on="c_custkey", salt=4)
     plain = o.join(c, "c_custkey")
     assert sorted(map(str, salted.collect())) == sorted(map(str, plain.collect()))
+
+
+def test_clustered_layout_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """Range-clustered writes must produce row-group min/max stats that
+    skip most groups for a narrow predicate; the same data written
+    unclustered skips (nearly) none. Also: the clustered file count is
+    bounded and rows survive exactly."""
+    from etl_rj_spark.sinks.layout import (
+        row_group_ranges,
+        skipped_fraction,
+        write_clustered_parquet,
+    )
+
+    li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+
+    clustered = str(tmp_path / "clustered")
+    baseline = str(tmp_path / "baseline")
+    write_clustered_parquet(li, clustered, ["l_shipdate"], num_files=8)
+    # baseline: same data, hash-scattered layout
+    li.repartition(8).write.mode("overwrite").parquet(baseline)
+
+    assert spark.read.parquet(clustered).count() == n
+    assert len(row_group_ranges(clustered, "l_shipdate")) >= 8
+
+    import datetime
+
+    lo = datetime.datetime(1996, 6, 1)
+    hi = datetime.datetime(1996, 6, 30)
+    skip_clustered = skipped_fraction(clustered, "l_shipdate", lo, hi)
+    skip_baseline = skipped_fraction(baseline, "l_shipdate", lo, hi)
+    # ~6.5 years of dates in 8+ sorted ranges → a one-month window
+    # should miss the vast majority of row groups
+    assert skip_clustered >= 0.7, skip_clustered
+    assert skip_baseline <= 0.1, skip_baseline
+    # and the Spark scan agrees with an unclustered scan
+    got = (
+        spark.read.parquet(clustered)
+        .filter((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi)))
+        .count()
+    )
+    want = li.filter(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+    ).count()
+    assert got == want
