@@ -8,3 +8,4 @@ from etl_rj_spark.analytics import temporal_suite  # noqa: F401  (registers quer
 from etl_rj_spark.analytics import fuzzy_suite  # noqa: F401  (registers queries)
 from etl_rj_spark.analytics import tpch_hard_suite  # noqa: F401  (registers queries)
 from etl_rj_spark.analytics import window_suite  # noqa: F401  (registers queries)
+from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queries)

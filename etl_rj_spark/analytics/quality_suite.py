@@ -1,0 +1,106 @@
+"""Data-quality queries: quarantine-split accounting and TF-IDF
+keyword extraction — the structured forms of the reference's console
+diagnostics (SURVEY §5: non-numeric counts, unmapped-name lists) and
+the text-analysis extension's scoring family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _q, _t
+from etl_rj_spark.operators.validate import with_validation_reasons
+
+
+@_q(
+    "quarantine_reason_counts",
+    """
+    SELECT reasons, COUNT(*) AS n_rows
+    FROM (
+      SELECT concat_ws(',',
+               CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_gt_45' END,
+               CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE) THEN 'discount_gt_8pct' END,
+               CASE WHEN NOT coalesce(l_tax < 0.08, FALSE) THEN 'tax_ge_8pct' END
+             ) AS reasons
+      FROM lineitem
+    ) WHERE reasons <> ''
+    GROUP BY reasons ORDER BY reasons
+    """,
+    tags=("validation", "quarantine", "F1-generalized"),
+)
+def quarantine_reason_counts(spark, sf_dir):
+    """Dead-letter accounting: how many rows fail which rule
+    combinations. One scan computes every rule; the reasons array keeps
+    rule order, so the joined string is deterministic. (The rules here
+    are demonstration thresholds over clean synthetic data — the
+    operator is the contract, the thresholds are arbitrary.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_gt_45": F.col("l_quantity") <= 45,
+        "discount_gt_8pct": F.col("l_discount") <= 0.08,
+        "tax_ge_8pct": F.col("l_tax") < 0.08,
+    }
+    flagged = with_validation_reasons(li, rules)
+    return (
+        flagged.filter(F.size("reasons") > 0)
+        .select(F.array_join("reasons", ",").alias("reasons"))
+        .groupBy("reasons")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("reasons")
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.token FROM documents,
+             UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, token, tf, df, score_ppm FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * ((n.n * 1000000) // df.df) AS score_ppm,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ((n.n * 1000000) // df.df) DESC,
+                                         tf.token) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rn <= 3
+    ORDER BY doc_id, score_ppm DESC, token
+    """,
+    tags=("text-analysis", "tfidf", "topk"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF. The IDF is a
+    scaled-integer inverse frequency ``(N*1e6) div df`` rather than the
+    usual log-damped form: integer arithmetic is bit-identical across
+    engines, where ``ln`` could differ in the last ulp and flip a
+    ranking tie (both engines' orderings stay identical either way for
+    a top-k CONTRACT — the log variant belongs in scoring pipelines,
+    not cross-engine oracles). df is computed from the (doc, token)
+    level — one shuffle on token over data already shrunk by the tf
+    aggregation, never a second pass over the raw token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .withColumn("score_ppm", F.col("tf") * F.expr("(n * CAST(1000000 AS BIGINT)) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_ppm")
+        .orderBy("doc_id", F.desc("score_ppm"), "token")
+    )

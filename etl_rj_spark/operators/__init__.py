@@ -61,3 +61,4 @@ from etl_rj_spark.operators.projection import (  # noqa: F401
 )
 from etl_rj_spark.operators.setops import union_all_by_name  # noqa: F401
 from etl_rj_spark.operators.windows import with_lag_delta  # noqa: F401
+from etl_rj_spark.operators.validate import quarantine_split, with_validation_reasons  # noqa: F401,E402
