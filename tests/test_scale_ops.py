@@ -120,3 +120,53 @@ def test_clustered_layout_enables_row_group_skipping(spark, sf_dir, tmp_path):
         (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
     ).count()
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine leaves big-big skew to AQE (session sets
+    spark.sql.adaptive.skewJoin.enabled) — prove AQE actually splits a
+    hot key's partition under local thresholds, and that the split join
+    is still correct. (salted_join above is the manual fallback for
+    aggregation-level skew; this pins the join-level runtime path.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0: 200k rows; 1k cold keys with 50 rows each
+        left = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        ).unionAll(
+            spark.range(50_000).select(
+                (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+        )
+        # agg AFTER the join keeps the skewed SMJ in this exact plan;
+        # collect() executes THIS DataFrame's QueryExecution, so its
+        # adaptive plan finalizes (count() would run a separate one)
+        joined = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dim_val").alias("s"),
+            F.sum("payload").alias("p"),  # keeps the wide column live through the join
+        )
+        [row] = joined.collect()
+        assert row["n"] == 250_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
