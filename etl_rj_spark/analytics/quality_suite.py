@@ -104,3 +104,108 @@ def tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "token", "tf", "df", "score_ppm")
         .orderBy("doc_id", F.desc("score_ppm"), "token")
     )
+
+
+@_q(
+    "repetition_filter_docs",
+    """
+    WITH tf AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> '' GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT doc_id, MAX(tf) AS max_tf, SUM(tf) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_frac,
+           (CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 0.12 AS is_repetitive
+    FROM stats ORDER BY doc_id
+    """,
+    tags=("text-analysis", "quality-filter", "gopher-rules"),
+)
+def repetition_filter_docs(spark, sf_dir):
+    """Gopher-style repetition screen: a document dominated by one
+    token (or with low distinct-token fraction) is boilerplate, not
+    prose. Both fractions are ratios of exact counts (deterministic
+    double division); the 0.12 threshold flags the repetitive tail of
+    this corpus. One tokenize→tf pass feeds all stats."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("doc_id").agg(
+        F.max("tf").alias("max_tf"),
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top_frac = F.col("max_tf").cast("double") / F.col("n_tokens").cast("double")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        top_frac.alias("top_token_frac"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "distinct_frac"
+        ),
+        (top_frac > 0.12).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "pii_scrub_docs",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean,
+           LENGTH(dirty)
+             - LENGTH(regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+             AS email_chars_removed
+    FROM (
+      SELECT doc_id,
+             concat('contact user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 010-',
+                    CAST(1000 + doc_id % 9000 AS VARCHAR), ' re: ', substr(text, 1, 40)) AS dirty
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+    tags=("text-analysis", "pii", "curation"),
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII scrubbing pass (emails, phone numbers → typed placeholders)
+    — the redaction step of a training-data curation pipeline. The
+    corpus is synthetic words, so the PII is injected deterministically
+    from doc_id, then scrubbed; the chars-removed audit column is the
+    quarantine-style accounting of what was redacted. Pure regexp_replace
+    chains — JVM-side, codegen'd, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    return (
+        docs.select("doc_id", dirty.alias("dirty"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("dirty", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+            ).alias("clean"),
+            (
+                F.length("dirty")
+                - F.length(F.regexp_replace("dirty", email_re, ""))
+            ).alias("email_chars_removed"),
+        )
+        .orderBy("doc_id")
+    )
