@@ -209,3 +209,87 @@ def pii_scrub_docs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "pack_sequences_budget",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS batch_id
+      FROM sized
+    )
+    SELECT shard, batch_id, COUNT(*) AS n_docs, SUM(n_tokens) AS batch_tokens
+    FROM packed GROUP BY shard, batch_id ORDER BY shard, batch_id
+    """,
+    tags=("curation", "sequence-packing", "llm-batch"),
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Sequence packing for training batches: contiguous greedy fill of
+    a 256-token budget per shard (batch = token-offset div budget — a
+    doc belongs to the batch its first token lands in). Sharding is the
+    scale story: packing is an inherently sequential prefix-sum, so it
+    runs per-shard (shards ≈ training data-parallel ranks), keeping
+    every window partition bounded instead of one global ordering. All
+    integers — deterministic at any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = sized.withColumn(
+        "batch_id", F.expr("(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+                           "ROWS UNBOUNDED PRECEDING) - n_tokens) div 256")
+    )
+    return (
+        packed.groupBy("shard", "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("batch_tokens"))
+        .orderBy("shard", "batch_id")
+    )
+
+
+@_q(
+    "embedding_int8_quantized",
+    """
+    SELECT vec_id, maxabs,
+           list_transform(emb_d, x -> CAST(ROUND(x * 127.0 / maxabs) AS INTEGER)) AS qvec
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ) ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization", "llm-embeddings"),
+)
+def embedding_int8_quantized(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale) — the storage/bandwidth step before ANN serving: 4×
+    smaller vectors, int8 dot products. float32 → double is exact, the
+    scale divide is one IEEE op, so qvec is engine-identical. Assumes
+    no all-zero vectors (unit-norm corpus); serving-side dequantize is
+    q * maxabs / 127. Pure array transforms — no UDF, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    return (
+        emb.select("vec_id", emb_d.alias("emb_d"), maxabs.alias("maxabs"))
+        .select(
+            "vec_id",
+            "maxabs",
+            F.transform(
+                "emb_d", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int")
+            ).alias("qvec"),
+        )
+        .orderBy("vec_id")
+    )
