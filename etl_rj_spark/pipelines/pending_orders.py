@@ -41,8 +41,8 @@ FINAL_COLUMNS = [
 ]
 
 
-def clean_pending_orders(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (snapshot_rows, unmapped_names)."""
+def _enrich(df: DataFrame, clientes: DataFrame) -> DataFrame:
+    """Shared front half: rename → defaults/temporal dims → dim join."""
     estado_src = first_present_column(df, ESTADO_CANDIDATES)
     df = rename_map(df, {**PENDING_RENAME, estado_src: "estado_raw"})
 
@@ -63,12 +63,13 @@ def clean_pending_orders(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame,
         clean_customer_name("nombre_cliente").alias("__name_key"), "id_cliente", "id_zone"
     )
     probe = df.withColumn("__name_key", clean_customer_name("nombre_cliente"))
-    enriched = dim_lookup(probe, dim, "__name_key")            # J1
-    unmapped = unmapped_rows(enriched, "id_cliente").select("nombre_cliente").distinct()
+    return dim_lookup(probe, dim, "__name_key")                # J1
 
-    out = (
-        drop_null_rows(enriched, ["id_cliente"])
-        .withColumns(
+
+def _finish(enriched: DataFrame) -> DataFrame:
+    """Shared back half: casts, defaults, truncation, final projection."""
+    return (
+        enriched.withColumns(
             {
                 "id_cliente": F.col("id_cliente").cast("int"),
                 "id_zone": F.coalesce(F.col("id_zone"), F.lit(1)).cast("int"),  # N6 default zone
@@ -80,4 +81,36 @@ def clean_pending_orders(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame,
         )
         .select(*FINAL_COLUMNS)
     )
-    return out, unmapped
+
+
+def clean_pending_orders(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (snapshot_rows, unmapped_names)."""
+    enriched = _enrich(df, clientes)
+    unmapped = unmapped_rows(enriched, "id_cliente").select("nombre_cliente").distinct()
+    return _finish(drop_null_rows(enriched, ["id_cliente"])), unmapped
+
+
+def clean_pending_orders_quarantined(
+    df: DataFrame, clientes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """``clean_pending_orders`` with a dead-letter channel instead of a
+    silent drop/default: returns (snapshot_rows, quarantine). Quarantine
+    rows keep their RAW source columns plus a ``reasons`` array saying
+    why each row was rejected (unmapped client; unparseable raw date or
+    quantity — values the standard path silently defaults). The
+    reference only prints these diagnostics to the console
+    (pending_orders.py:116, SURVEY §5); at warehouse scale the
+    quarantine table is the reprocessing queue, and the valid side is
+    strictly clean (no defaulted dates/quantities)."""
+    from etl_rj_spark.operators.validate import quarantine_split
+
+    enriched = _enrich(df, clientes)
+    rules = {
+        "client_unmapped": F.col("id_cliente").isNotNull(),
+        "fecha_invalid": F.col("fecha_raw").isNull()
+        | parse_date_lenient("fecha_raw").isNotNull(),
+        "cantidad_invalid": F.col("cantidad_raw").isNull()
+        | parse_int_thousands("cantidad_raw").isNotNull(),
+    }
+    ok, quarantine = quarantine_split(enriched, rules)
+    return _finish(ok), quarantine

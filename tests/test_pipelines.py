@@ -251,3 +251,33 @@ def test_wor_classification_and_pipelines(spark):
     assert crows[0].id_producto == 11 and crows[0].cuota_dinero == 111.5
     assert crows[0].cuota_volumen == 40 and crows[0].id_zone == 2
     assert [r.nombre_producto for r in cat_unmapped.collect()] == ["Producto Desconocido"]
+
+
+def test_pending_orders_quarantine_channel(spark, clientes, tmp_path):
+    """Quarantined variant: unmapped clients and unparseable raw cells
+    land in the dead-letter side with their reasons; the valid side is
+    strictly clean (no defaulted dates), and valid ∪ quarantine
+    accounts for every input row."""
+    from etl_rj_spark.pipelines.pending_orders import clean_pending_orders_quarantined
+
+    junk = "\n".join(f"junk {i}" for i in range(6))
+    hdr = "Customer ,Amount (Net) ,Document Number ,Date ,Class Item ,Quantity ,Status "
+    rows = "\n".join(
+        [
+            'ACME corp,"$1,500.00",DOC1,2024-03-05,Item,"1,234",Validated',
+            "Nobody Known,100,DOC2,2024-03-06,Item,5,Validated",  # unmapped client
+            "GAMMA-llc.,250,DOC3,bad date,Item,junkqty,Validated",  # bad date + qty
+        ]
+    )
+    p = tmp_path / "pending_quarantine.csv"
+    p.write_text(f"{junk}\n{hdr}\n{rows}\ntotal row,,,,,,\n")
+
+    src = read_csv_trimmed(spark, str(p))
+    valid, quarantine = clean_pending_orders_quarantined(src, clientes)
+
+    v = valid.collect()
+    assert [r.id_cliente for r in v] == [1]           # only the clean ACME row
+    q = {r.document_number: r.reasons for r in quarantine.collect()}
+    assert q["DOC2"] == ["client_unmapped"]
+    assert q["DOC3"] == ["fecha_invalid", "cantidad_invalid"]
+    assert valid.count() + quarantine.count() == 3
