@@ -265,3 +265,57 @@ def test_incremental_stream_dedup_append(spark, sf_dir, tmp_path):
     )
     q3.awaitTermination()
     assert spark.read.parquet(out).count() == 200
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark removes
+    key repeats across microbatches while the key is inside the
+    watermark window — the streaming twin of exact_dedup_docs, with
+    state bounded by the watermark (SCALE.md §5)."""
+    import pyspark.sql.types as T
+
+    ink = str(tmp_path / "dedup_in")
+    out = str(tmp_path / "dedup_out")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            f"{ink}/{name}"
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(ink)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.k for r in spark.read.parquet(out).collect())
+
+    # batch a: duplicate key 1 within one drain → emitted once
+    write_batch("a", [(1, t0, "x"), (2, t0, "y"), (1, t0, "x-dup")])
+    assert drain() == [1, 2]
+
+    # batch b: key 1 again (state kept across the restart via the
+    # checkpoint) plus a genuinely new key — only key 3 is added
+    write_batch("b", [(1, t0 + datetime.timedelta(minutes=1), "x-again"), (3, t0, "z")])
+    assert drain() == [1, 2, 3]
