@@ -187,3 +187,50 @@ def test_fuzzy_best_match_equals_bruteforce(spark, queries, dim):
         if cands:
             expected[qi] = (cands[0][1], cands[0][0])
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                           min_value=-1e6, max_value=1e6)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_quarantine_split_partitions_exactly(spark, rows):
+    """quarantine_split is an exact partition of the input: every row
+    lands on exactly one side, quarantine reasons equal the per-row
+    failing rules in rule order, and nulls count as failures."""
+    from etl_rj_spark.operators.validate import quarantine_split
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i int, a int, b double"
+    )
+    rules = {
+        "a_nonneg": F.col("a") >= 0,
+        "b_small": F.col("b") < 100.0,
+    }
+    valid, quar = quarantine_split(df, rules)
+    got_valid = {r.i for r in valid.collect()}
+    got_quar = {r.i: list(r.reasons) for r in quar.collect()}
+
+    def expect(a, b):
+        out = []
+        if not (a is not None and a >= 0):
+            out.append("a_nonneg")
+        if not (b is not None and b < 100.0):
+            out.append("b_small")
+        return out
+
+    for i, (a, b) in enumerate(rows):
+        want = expect(a, b)
+        if want:
+            assert got_quar[i] == want, (i, a, b)
+            assert i not in got_valid
+        else:
+            assert i in got_valid
+            assert i not in got_quar
