@@ -175,3 +175,65 @@ def incremental_trend_merge(spark, sf_dir):
     state = partials(o.filter(F.col("fecha") < cut))
     delta = partials(o.filter(F.col("fecha") >= cut))
     return merge_partial_sums(state, delta, ["fecha"], ["total_cents", "n"])
+
+
+@_q(
+    "date_spine_gap_fill",
+    """
+    WITH spine AS (
+      SELECT CAST(d.d AS DATE) AS dia
+      FROM generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY) AS d(d)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dia, COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.dia, COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           d.n_orders IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.dia = d.dia
+    ORDER BY s.dia
+    """,
+    tags=("temporal", "gap-fill", "date-spine"),
+)
+def date_spine_gap_fill(spark, sf_dir):
+    """Gap-filled daily series: a generated date spine left-joined to
+    the observed daily aggregate, so missing days appear as explicit
+    zeros (the shape every downstream window/trend query needs — a LAG
+    over a gappy series silently compares non-adjacent days). The spine
+    is sequence()+explode — generated, never collected. Scale note:
+    after the daily pre-aggregation BOTH join sides are bounded by the
+    calendar range, not the data volume, so the outer join broadcasts
+    its build side regardless of table size (a left-side broadcast
+    hint on the preserved side would be ignored — the planner picks
+    the agg side)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("dia")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    spine = _t(spark, sf_dir, "orders").sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("dia")
+    )
+    return (
+        spine.join(daily, "dia", "left")
+        .select(
+            "dia",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("n_orders").isNull().alias("is_gap"),
+        )
+        .orderBy("dia")
+    )

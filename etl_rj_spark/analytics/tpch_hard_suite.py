@@ -545,3 +545,94 @@ def grouping_sets_flag_status(spark, sf_dir):
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+@_q(
+    "product_profit_q9",
+    f"""
+    SELECT nation, o_year, {_msum('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("J1", "A3", "tpch-q9"),
+)
+def product_profit_q9(spark, sf_dir):
+    """TPC-H Q9 (no partsupp → supply cost modeled as 60% of retail
+    price): per-nation, per-year profit on widget parts. Negative
+    amounts are routine here — the cent-sum contract is signed, so the
+    aggregate stays order-exact. The LIKE filter pushes into the part
+    scan; part and every dim broadcast, orders⋈lineitem is the big-big
+    join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(money_sum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@_q(
+    "parts_supplier_counts_q16",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("J-anti", "distinct-agg", "tpch-q16"),
+)
+def parts_supplier_counts_q16(spark, sf_dir):
+    """TPC-H Q16 (lineitem stands in for partsupp as the part↔supplier
+    relation; negative account balance stands in for the complaints
+    filter): distinct supplier count per brand/size, excluding
+    blacklisted suppliers. The NOT IN is a left_anti join — safe here
+    because s_suppkey is non-null; with nullable keys NOT IN's
+    three-valued logic would need the null-safe variant
+    (operators.dedup on_null_key='match')."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
