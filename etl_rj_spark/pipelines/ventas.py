@@ -81,3 +81,40 @@ def load_ventas(
     facts, unmapped = clean_ventas(df, clientes)
     inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
     return inserted, unmapped
+
+
+def load_ventas_observed(
+    spark: SparkSession, df: DataFrame, clientes: DataFrame, warehouse_path: str
+) -> tuple[int, DataFrame, dict]:
+    """``load_ventas`` with in-flight metrics via ``DataFrame.observe``
+    — the reference's progress counters (``len(df)`` at
+    ventas_totales.py:215-216 and the non-numeric diagnostics at
+    127-128) collected as a side effect of the sink action instead of
+    extra full passes. Each reference ``len(df)``/``isna().sum()`` was
+    another scan of the in-memory frame; at 100 TB every extra pass is
+    a table scan, so counters must ride the write.
+
+    Returns (rows_inserted, unmapped_names, metrics) where metrics has
+    ``rows_in`` (raw rows entering), ``rows_valid`` (facts surviving
+    cleaning), ``amount_nonnumeric`` (cells N1 coerced to null), and
+    ``amount_total`` (exact-cents sum of the valid facts).
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("ventas_in")
+    df = df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+
+    facts, unmapped = clean_ventas(df, clientes)
+
+    obs_valid = Observation("ventas_valid")
+    facts = facts.observe(
+        obs_valid,
+        F.count(F.lit(1)).alias("rows_valid"),
+        F.sum(F.when(F.col("amount").isNull(), 1).otherwise(0)).alias("amount_nonnumeric"),
+        (F.sum(F.round(F.col("amount") * 100).cast("long")) / F.lit(100.0)).alias(
+            "amount_total"
+        ),
+    )
+    inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
+    metrics = {**obs_in.get, **obs_valid.get}
+    return inserted, unmapped, metrics

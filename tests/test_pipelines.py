@@ -281,3 +281,24 @@ def test_pending_orders_quarantine_channel(spark, clientes, tmp_path):
     assert q["DOC2"] == ["client_unmapped"]
     assert q["DOC3"] == ["fecha_invalid", "cantidad_invalid"]
     assert valid.count() + quarantine.count() == 3
+
+
+def test_ventas_observed_metrics(spark, clientes, ventas_csv, tmp_path):
+    """observe()-based progress counters: the reference's len(df) /
+    non-numeric diagnostics ride the single write action — metrics
+    must equal the independently-counted values, with no extra scan
+    in the pipeline itself."""
+    from etl_rj_spark.pipelines.ventas import load_ventas_observed
+
+    src = spark.read.option("header", True).csv(ventas_csv)
+    wh = str(tmp_path / "ventas_wh_obs")
+    inserted, unmapped, metrics = load_ventas_observed(spark, src, clientes, wh)
+    assert inserted == 3
+    assert metrics["rows_in"] == src.count()
+    assert metrics["rows_valid"] == 3
+    assert metrics["amount_nonnumeric"] == 1          # the junk INV-2 cell
+    facts, _ = clean_ventas(src, clientes)
+    want_total = facts.agg(
+        (F.sum(F.round(F.col("amount") * 100).cast("long")) / F.lit(100.0)).alias("t")
+    ).first().t
+    assert metrics["amount_total"] == want_total
