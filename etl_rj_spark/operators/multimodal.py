@@ -155,3 +155,49 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+def parse_image_header(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Native-expression image-header sniffing: format, width, height
+    parsed from the first bytes of an opaque ``binary`` column — PNG
+    (IHDR big-endian dims at offsets 17/21) and GIF (little-endian
+    dims at 7/9) — entirely with built-in byte/conv functions, no
+    Python and no imaging library. Unknown magic → nulls (rows keep
+    flowing; a quarantine rule can catch them downstream).
+
+    This is the cheap metadata pass a multimodal pipeline runs BEFORE
+    deciding what to decode: filtering 100 TB of images by dimensions
+    must not decode pixels. JPEG dims live in variable-position SOF
+    markers — that genuinely needs the (gated) decoder path, so JPEG
+    reports format only.
+    """
+    c = F.col(content_col)
+
+    def be32(offset: int):  # 4-byte big-endian uint at 1-based offset
+        return F.conv(F.hex(F.substring(c, offset, 4)), 16, 10).cast("long")
+
+    def le16(offset: int):  # 2-byte little-endian uint16 at 1-based offset
+        lo = F.conv(F.hex(F.substring(c, offset, 1)), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.substring(c, offset + 1, 1)), 16, 10).cast("long")
+        return lo + hi * 256
+
+    magic4 = F.hex(F.substring(c, 1, 4))
+    fmt = (
+        F.when(magic4 == "89504E47", F.lit("png"))
+        .when(F.substring(c, 1, 3).cast("string") == "GIF", F.lit("gif"))
+        .when(F.hex(F.substring(c, 1, 2)) == "FFD8", F.lit("jpeg"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(fmt == "png", be32(17))
+        .when(fmt == "gif", le16(7))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    height = (
+        F.when(fmt == "png", be32(21))
+        .when(fmt == "gif", le16(9))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.withColumns(
+        {"img_format": fmt, "img_width": width, "img_height": height}
+    )

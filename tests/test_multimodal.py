@@ -53,3 +53,34 @@ def test_multimodal_partitioning_invariance(spark, sf_dir):
         for r in sample_frames(p.repartition(7)).collect()
     }
     assert one == many and len(one) > 0
+
+
+def test_parse_image_header_native(spark):
+    """PNG/GIF dims parsed from raw bytes with built-in functions only
+    — no imaging library, unknown magic yields nulls."""
+    import struct
+
+    from etl_rj_spark.operators.multimodal import parse_image_header
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"crc0"
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(gif(320, 200))),
+        (3, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    got = {r.doc_id: r for r in parse_image_header(df).collect()}
+    assert (got[1].img_format, got[1].img_width, got[1].img_height) == ("png", 640, 480)
+    assert (got[2].img_format, got[2].img_width, got[2].img_height) == ("gif", 320, 200)
+    assert got[3].img_format == "jpeg" and got[3].img_width is None
+    assert got[4].img_format is None and got[4].img_height is None
