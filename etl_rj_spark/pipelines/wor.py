@@ -156,3 +156,51 @@ def clean_category_tables(
                 "nombre_mes", "mes", "anio")
     )
     return facts, unmapped
+
+
+def clean_cuota_forecast(
+    df: DataFrame, clientes_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The DORMANT fourth WOR pipeline (wor2.py:410-460;
+    ``ingest_cuota_forecast_data`` is defined but commented out of the
+    run at wor2.py:469 — SURVEY §3 note). Implemented for parity,
+    deliberately not wired to a sink by default, mirroring the
+    reference.
+
+    Per-client quota facts: upper-trim name map → id_cliente (J2/X2),
+    zone recode with default 1 (J3), drop unmapped (F1), TOTAL → cuota
+    lenient-numeric with 0 default (N1+N2), final projection
+    (id_zone, id_cliente, cuota, nombre_mes, mes, anio). Dedup keys for
+    the eventual sink are (id_cliente, id_zone, mes, anio)
+    (wor2.py:441-446) — pass them to ``append_incremental`` when
+    wiring. Returns (facts, unmapped_names)."""
+    if "TOTAL" not in df.columns:  # wor2.py:412 guard
+        empty = df.sparkSession.createDataFrame(
+            [], "id_zone int, id_cliente int, cuota double, nombre_mes string, mes int, anio int"
+        )
+        return empty, df.sparkSession.createDataFrame([], "nombre_cliente string")
+
+    df = _with_zone_id(df)
+    dim = clientes_map.select(
+        norm_upper("nombre_cliente").alias("__name_key"), "id_cliente"
+    )
+    probe = df.withColumn("__name_key", norm_upper("nombre_cliente"))
+    enriched = probe.join(F.broadcast(dim), "__name_key", "left")   # J2
+    unmapped = (
+        enriched.filter(F.col("id_cliente").isNull()).select("nombre_cliente").distinct()
+    )
+    facts = (
+        drop_null_rows(enriched, ["id_cliente"])                    # F1
+        .withColumns(
+            {
+                "id_cliente": F.col("id_cliente").cast("int"),
+                "cuota": to_number_default("TOTAL"),                # N1+N2
+            }
+        )
+        .select("id_zone", "id_cliente", "cuota", "nombre_mes", "mes", "anio")  # P4
+    )
+    return facts, unmapped
+
+
+#: wor2.py:441-446 — dedup keys for the dormant pipeline's sink.
+CUOTA_FORECAST_DEDUP_KEYS = ["id_cliente", "id_zone", "mes", "anio"]

@@ -302,3 +302,32 @@ def test_ventas_observed_metrics(spark, clientes, ventas_csv, tmp_path):
         (F.sum(F.round(F.col("amount") * 100).cast("long")) / F.lit(100.0)).alias("t")
     ).first().t
     assert metrics["amount_total"] == want_total
+
+
+def test_cuota_forecast_dormant_pipeline(spark, clientes):
+    """The dormant wor2.py:410-460 pipeline: name-mapped quota facts
+    with zone recode and unmapped drop; missing TOTAL column returns
+    empty (the reference's guard)."""
+    from etl_rj_spark.pipelines.wor import clean_cuota_forecast
+
+    src = spark.createDataFrame(
+        [
+            ("ACME CORP.", "Zone 1", "1,000.5", "March", 3, 2024),
+            ("Nobody Known", "Zone 2", "50", "March", 3, 2024),
+            ("gamma-llc", "Weird Zone", "junk", "April", 4, 2024),
+        ],
+        "nombre_cliente string, zone string, TOTAL string, nombre_mes string, mes int, anio int",
+    )
+    facts, unmapped = clean_cuota_forecast(src, clientes)
+    rows = {r.id_cliente: r for r in facts.collect()}
+    assert set(rows) == {1, 3}                        # Nobody Known dropped
+    assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Known"]
+    assert rows[3].id_zone == 1                       # unknown zone → default
+    assert rows[3].cuota == 0.0                       # junk → 0 (N1+N2)
+    # pd.to_numeric(errors='coerce') rejects thousands separators; the
+    # kernel must match the reference, not "improve" it (SURVEY §4)
+    assert rows[1].cuota == 0.0
+
+    nototal = src.drop("TOTAL")
+    f2, u2 = clean_cuota_forecast(nototal, clientes)
+    assert f2.count() == 0 and u2.count() == 0
