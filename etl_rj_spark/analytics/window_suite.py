@@ -150,3 +150,70 @@ def cheapest_part_per_type(spark, sf_dir):
         .select("p_type", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "p_partkey")
     )
+
+
+@_q(
+    "orders_array_per_customer",
+    """
+    SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           len(list(o_orderkey)) AS n_orders
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("A3", "array-agg"),
+)
+def orders_array_per_customer(spark, sf_dir):
+    """Deterministic array aggregation: collect_list has no inherent
+    order (partial-agg arrival order), so the engine contract is
+    sort_array after collect — the only way an array-valued aggregate
+    is stable across partitionings/engines. Arrays compare as values
+    in the oracle harness."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+         ) AS t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    tags=("J-lateral", "topk", "sql-surface"),
+)
+def lateral_top2_orders(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 orders per BUILDING customer)
+    through the SQL surface — Spark 4 plans LATERAL ... LIMIT as a
+    ranked window under the hood, the same physical shape as the
+    DataFrame row_number top-k (topk_orders_per_customer); this pins
+    the SQL spelling. Ties broken by o_orderkey in the sort AND the
+    limit ordering, so both engines pick identical rows."""
+    from etl_rj_spark.analytics.sql_surface import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+             ) AS t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
