@@ -237,3 +237,45 @@ def date_spine_gap_fill(spark, sf_dir):
         )
         .orderBy("dia")
     )
+
+
+@_q(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           SUM(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+                    THEN 1 ELSE 0 END) AS n_converted_after_view
+    FROM per_user
+    """,
+    tags=("temporal", "funnel", "A3"),
+)
+def funnel_conversion(spark, sf_dir):
+    """View→purchase funnel: users whose first purchase followed their
+    first view. One conditional-MIN aggregation per user (no join, no
+    window) then one global rollup — the two-shuffle funnel shape that
+    scales linearly; NULL first_purchase compares false in both
+    engines, so non-purchasers fall out of the conversion count
+    without explicit handling."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_after_view"),
+    )
