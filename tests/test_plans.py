@@ -75,3 +75,27 @@ def test_fuzzy_lookup_broadcasts_dim_and_mapping(spark, sf_dir):
 def test_lsh_topk_no_sort_merge(spark, sf_dir):
     counts = explain_counts(REGISTRY["ann_lsh_topk"].build(spark, sf_dir))
     assert counts["sort_merge_join"] == 0, counts
+
+
+def test_q19_disjunctive_pushdown_reaches_both_scans(spark, sf_dir):
+    """Catalyst must factor the single-table disjunct projections of
+    the OR-of-ANDs predicate down to BOTH parquet scans (brand/size
+    groups → part, quantity ranges → lineitem) — losing this turns a
+    pre-filtered broadcast join into a full-scan join at 100 TB."""
+    df = REGISTRY["disjunctive_revenue_q19"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_q21_flags_aggregate_reused_once(spark, sf_dir):
+    """The exclusive-late-supplier plan must keep the big-big
+    orders⋈lineitem as its ONLY sort-merge join — the culprit filter
+    and the per-supplier count reuse the per-(order,supplier) flags
+    aggregation instead of rescanning lineitem."""
+    counts = explain_counts(REGISTRY["exclusive_late_supplier_q21"].build(spark, sf_dir))
+    assert counts["sort_merge_join"] <= 1, counts
+    assert counts["parquet_scans"] <= 5, counts
