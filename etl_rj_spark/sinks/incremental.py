@@ -69,8 +69,9 @@ def append_incremental_jdbc(
     """JDBC variant of K1: key projection pushed into the source query
     (column pruning at the database), 1,000-row JDBC batches like the
     reference, single partition for single-transaction-per-connection
-    semantics. Untestable in this container (no database) — the parquet
-    path above carries the tested semantics."""
+    semantics. Live-tested against embedded Derby
+    (tests/test_jdbc.py): 100-key-overlap batch inserts only the new
+    50; re-run inserts 0."""
     spark = df.sparkSession
     existing = (
         spark.read.format("jdbc")

@@ -7,10 +7,10 @@ projection/predicate pushed into the ``query`` option, so the database
 does the pruning (the reference hand-writes the same optimization —
 SURVEY §4).
 
-No database exists in this container; these are thin, untested-live
-wrappers whose semantics (column pruning, predicate pushdown,
-partitioned reads) are carried by Spark's built-in JDBC source. Tests
-substitute parquet dimensions (TESTDATA.md).
+Live-tested against embedded Apache Derby (bundled in the Spark
+distribution) — tests/test_jdbc.py drives projection pushdown, WHERE
+pushdown, and the partitioned fan-out read against a real SQL
+database in-JVM; pipelines use parquet dimensions (TESTDATA.md).
 """
 
 from __future__ import annotations
@@ -56,17 +56,20 @@ def read_key_projection(
     instead of one cursor (the at-scale posture; the reference
     single-streams this, BASELINE.md dedup-cost row)."""
     where = f" WHERE {predicate}" if predicate else ""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", f"SELECT {', '.join(keys)} FROM {table}{where}")
-        .options(**(properties or {}))
-    )
+    projection = f"SELECT {', '.join(keys)} FROM {table}{where}"
+    reader = spark.read.format("jdbc").option("url", url).options(**(properties or {}))
     if num_partitions and partition_column is not None:
+        # Spark rejects query+partitionColumn together — the fanned-out
+        # read must ship the projection as a dbtable subquery alias
+        # (each of the numPartitions cursors appends its own bound
+        # predicate against the alias).
         reader = (
-            reader.option("numPartitions", num_partitions)
+            reader.option("dbtable", f"({projection}) T")
+            .option("numPartitions", num_partitions)
             .option("partitionColumn", partition_column)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
         )
+    else:
+        reader = reader.option("query", projection)
     return reader.load()

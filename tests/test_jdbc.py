@@ -1,0 +1,107 @@
+"""Live JDBC tests against embedded Apache Derby (bundled with the
+Spark distribution) — the S5/S6 source reads and the K1 JDBC
+incremental append, previously gated on "no database in container".
+Derby is a real SQL database in the same JVM, so Spark's JDBC source/
+sink runs its genuine code path: query pushdown, batched writes,
+type mapping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rj_spark.sinks.incremental import append_incremental_jdbc
+from etl_rj_spark.sources.jdbc import read_dim_table, read_key_projection
+from etl_rj_spark.sources.parquet import read_parquet_table
+
+PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def _seed(spark, derby_url, table, df):
+    df.write.format("jdbc").option("url", derby_url).option("dbtable", table).options(
+        **PROPS
+    ).mode("overwrite").save()
+
+
+def test_jdbc_dim_read_projects_columns(spark, sf_dir, derby_url):
+    """S5: the dimension read pushes its projection into the query —
+    only the requested columns come back."""
+    cust = read_parquet_table(spark, f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("ID_CLIENTE"),
+        F.col("c_name").alias("NOMBRE_CLIENTE"),
+        F.col("c_nationkey").alias("ID_ZONE"),
+        F.col("c_acctbal").alias("BAL"),
+    )
+    _seed(spark, derby_url, "CLIENTES", cust)
+
+    dim = read_dim_table(
+        spark, derby_url, "CLIENTES", ["ID_CLIENTE", "NOMBRE_CLIENTE", "ID_ZONE"], PROPS
+    )
+    assert dim.columns == ["ID_CLIENTE", "NOMBRE_CLIENTE", "ID_ZONE"]  # BAL pruned at the DB
+    assert dim.count() == cust.count()
+
+
+def test_jdbc_key_projection_pushes_predicate(spark, sf_dir, derby_url):
+    """S6: key projection with a WHERE clause evaluated by the
+    database (wor2.py:232's `WHERE id_cliente = 0` move), and the
+    partitioned-read path fans the cursor out across bounds."""
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("K1"),
+        F.col("o_custkey").alias("K2"),
+        F.col("o_totalprice").alias("PRICE"),
+    )
+    _seed(spark, derby_url, "FACTS", orders)
+
+    keys = read_key_projection(
+        spark, derby_url, "FACTS", ["K1", "K2"], predicate="K2 = 0", properties=PROPS
+    )
+    want = orders.filter(F.col("K2") == 0).count()
+    assert keys.count() == want and keys.columns == ["K1", "K2"]
+
+    fanned = read_key_projection(
+        spark, derby_url, "FACTS", ["K1", "K2"], properties=PROPS,
+        num_partitions=4, partition_column="K1", lower_bound=0, upper_bound=2000,
+    )
+    assert fanned.rdd.getNumPartitions() == 4
+    assert fanned.count() == orders.count()
+
+
+def test_jdbc_incremental_append_idempotent(spark, sf_dir, derby_url):
+    """K1 (JDBC variant): anti-join against the database's key
+    projection, batched append; re-running the same batch inserts 0
+    (the reference's recovery invariant, Ventas PDF §9)."""
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("K"),
+        F.col("o_totalprice").alias("PRICE"),
+    )
+    first = orders.filter(F.col("K") < 100)
+    batch = orders.filter(F.col("K") < 150)  # 100-key overlap + 50 new
+    _seed(spark, derby_url, "VENTAS", first)
+
+    append_incremental_jdbc(batch, derby_url, "VENTAS", ["K"], properties=PROPS)
+    n = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "VENTAS")
+        .options(**PROPS)
+        .load()
+        .count()
+    )
+    assert n == 150
+
+    append_incremental_jdbc(batch, derby_url, "VENTAS", ["K"], properties=PROPS)
+    n2 = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "VENTAS")
+        .options(**PROPS)
+        .load()
+        .count()
+    )
+    assert n2 == 150  # idempotent: nothing new inserted
