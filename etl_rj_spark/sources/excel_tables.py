@@ -103,12 +103,13 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> Da
     Arrow path. Requires openpyxl (absent in this container — gated)."""
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as exc:  # pragma: no cover - openpyxl absent here
-        raise NotImplementedError(
-            "Excel sheet source requires openpyxl/xlrd; not available in "
-            "this container"
-        ) from exc
-    return spark.createDataFrame(pdf)  # pragma: no cover
+    except ImportError:
+        # stdlib fallback: zipfile+ElementTree parser (values only —
+        # what data_only=True reads anyway)
+        from etl_rj_spark.sources.xlsx_native import read_xlsx_sheet
+
+        pdf = read_xlsx_sheet(path, sheet if isinstance(sheet, int) else 0)
+    return spark.createDataFrame(pdf)
 
 
 def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
@@ -117,11 +118,12 @@ def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
     the header). Requires openpyxl."""
     try:
         from openpyxl import load_workbook
-    except ImportError as exc:  # pragma: no cover - openpyxl absent here
-        raise NotImplementedError(
-            "Excel named-table source requires openpyxl (not in this "
-            "container); use classify_tables on pre-extracted frames"
-        ) from exc
+    except ImportError:
+        # stdlib fallback (sources/xlsx_native.py): same contract —
+        # {table_name: frame with first range row as header}
+        from etl_rj_spark.sources.xlsx_native import read_xlsx_tables
+
+        return read_xlsx_tables(path)
 
     wb = load_workbook(path, data_only=True)  # pragma: no cover
     tables: dict[str, pd.DataFrame] = {}
