@@ -331,3 +331,50 @@ def test_cuota_forecast_dormant_pipeline(spark, clientes):
     nototal = src.drop("TOTAL")
     f2, u2 = clean_cuota_forecast(nototal, clientes)
     assert f2.count() == 0 and u2.count() == 0
+
+
+def test_wor_end_to_end_from_xlsx_file(spark, tmp_path):
+    """The complete S4 path from an actual .xlsx FILE (stdlib parser —
+    openpyxl absent): discover named tables, classify, lift, and run
+    the forecast pipeline — same assertions as the pre-extracted-frame
+    test, now covering the file layer too."""
+    from etl_rj_spark.sources.excel_tables import read_workbook_tables
+    from tests.xlsx_util import write_xlsx
+
+    def forecast_grid():
+        return [
+            ["ZONA/CLIENTE", "WEEK 1", "WEEK 2", "WEEK 3", "WEEK 4", "WEEK 5", "TOTAL", "Py %"],
+            ["Zone totals", 10.0, 10.0, 10.0, 10.0, 10.0, 50.0, 1.0],
+            ["ACME CORP.", 1.0, 1.0, 1.0, 1.0, 1.0, 5.0, 1.0],
+            ["Total Q", 99.0, 99.0, 99.0, 99.0, 99.0, 99.0, 1.0],
+            ["0", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+            ["BETA  INDUSTRIES", 2.0, 2.0, None, 2.0, 2.0, 8.0, 1.0],
+        ]
+
+    path = write_xlsx(
+        str(tmp_path / "wor.xlsx"),
+        [
+            ("Forecast_Zone1_Enero", forecast_grid()),
+            ("Proyeccion_Vendedor_KamEast_Febrero", forecast_grid()),
+            ("NotATable_Zone9_Enero", [["x", "y"], [1, 2]]),  # distractor
+        ],
+    )
+
+    classified = classify_tables(read_workbook_tables(path))
+    assert sorted((t.kind, t.zone, t.mes) for t in classified) == [
+        ("Forecast", "Zone1", 1),
+        ("Proyeccion_Vendedor", "KamEast", 2),
+    ]
+    lifted = tables_to_spark(spark, classified, anio=2024)
+    forecast_dfs = [df for _, df in lifted]
+    clientes_map = spark.createDataFrame(
+        [("ACME Corp.", 1), ("Beta  Industries", 2)], "nombre_cliente string, id_cliente int"
+    )
+    facts, unmapped = clean_forecast_tables(forecast_dfs, clientes_map)
+    got = facts.collect()
+    assert len(got) == 4 and unmapped.count() == 0
+    beta = [r for r in got if r.id_cliente == 2][0]
+    assert beta.semana_3 == 0.0  # None cell in the FILE → N5 default
+
+    quotas = harvest_zone_quotas(forecast_dfs).collect()
+    assert {q.id_zone for q in quotas} == {1, 7} and all(q.cuota == 50.0 for q in quotas)
