@@ -118,3 +118,17 @@ def load_ventas_observed(
     inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
     metrics = {**obs_in.get, **obs_valid.get}
     return inserted, unmapped, metrics
+
+
+def read_sales_export(spark: SparkSession, path: str) -> DataFrame:
+    """Extension dispatch (ventas_totales.py:80-90): .csv → header CSV
+    scan [S1]; .xlsx/.xls → whole-first-sheet Excel scan [S3]. The
+    reference pops an error dialog for anything else; here it raises."""
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        return spark.read.option("header", True).csv(path)
+    if lower.endswith((".xlsx", ".xls")):
+        from etl_rj_spark.sources.excel_tables import read_excel_sheet
+
+        return read_excel_sheet(spark, path)
+    raise ValueError(f"unsupported sales export format: {path}")

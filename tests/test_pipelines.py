@@ -378,3 +378,31 @@ def test_wor_end_to_end_from_xlsx_file(spark, tmp_path):
 
     quotas = harvest_zone_quotas(forecast_dfs).collect()
     assert {q.id_zone for q in quotas} == {1, 7} and all(q.cuota == 50.0 for q in quotas)
+
+
+def test_ventas_from_excel_file(spark, clientes, tmp_path):
+    """S3 end-to-end: the ventas load from an .xlsx export through the
+    extension dispatch (ventas_totales.py:80-90) and the native sheet
+    reader — same invariants as the CSV path."""
+    from etl_rj_spark.pipelines.ventas import read_sales_export
+    from tests.xlsx_util import write_xlsx
+
+    grid = [
+        ["Company Name", "Date", "Document Number", "Type", "Item", "Description",
+         "Class", "Quantity", "UOM", "Amount", "Created From", "Status"],
+        ["acme corp.", "01/15/2024", "INV-1 ", "Invoice", "SKU1", "d", "C", 2, "EA", 100.5, "", "ok"],
+        ["Nobody Inc", "01/17/2024", "INV-3", "Invoice", "SKU3", "d", "C", 3, "EA", 30, "", "ok"],
+        ["Beta  industries", "02/01/2024", "INV-4", "Invoice", "SKU4", "d", "C", 1, "EA", 7.25, "", "ok"],
+    ]
+    path = write_xlsx(str(tmp_path / "ventas.xlsx"), [("SalesExport", grid)])
+
+    src = read_sales_export(spark, path)
+    wh = str(tmp_path / "ventas_xlsx_wh")
+    inserted, unmapped = load_ventas(spark, src, clientes, wh)
+    assert inserted == 2
+    assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Inc"]
+    got = spark.read.parquet(wh)
+    assert got.filter(F.col("document_number") == "INV-1").first().amount == 100.5
+
+    with pytest.raises(ValueError):
+        read_sales_export(spark, str(tmp_path / "ventas.parquet"))
