@@ -41,10 +41,17 @@ MINHASH_P = 1_000_000_007
 
 def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, canonical_id) mapping: canonical = MIN(id) among rows whose
-    normalized text hashes equal. Two shuffles on the 32-hex key."""
+    normalized text hashes equal. ONE shuffle on the 32-hex key — the
+    group minimum is a window aggregate over the same partitioning the
+    rows already need, not a separate groupBy re-joined back (which
+    costs a second shuffle plus the join)."""
+    from pyspark.sql import Window
+
     keyed = df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__key"))
-    canon = keyed.groupBy("__key").agg(F.min(id_col).alias("canonical_id"))
-    return keyed.join(canon, "__key").select(id_col, "canonical_id")
+    w = Window.partitionBy("__key")
+    return keyed.select(
+        id_col, F.min(id_col).over(w).alias("canonical_id")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
