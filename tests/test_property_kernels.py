@@ -234,3 +234,35 @@ def test_quarantine_split_partitions_exactly(spark, rows):
         else:
             assert i in got_valid
             assert i not in got_quar
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_mapping_invariants(spark, texts):
+    """The window-min canonical mapping: every id maps to the MINIMUM
+    id of its normalized-text group, canonicals map to themselves, and
+    group membership matches a direct Python computation."""
+    from etl_rj_spark.operators.text_dedup import exact_dedup_mapping
+    from etl_rj_spark.operators.text_analysis import normalized_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.canonical_id for r in exact_dedup_mapping(df, "doc_id", "text").collect()}
+
+    # python mirror of normalized_text: trim+lower+collapse whitespace
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    groups = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    want = {i: min(g) for g in groups.values() for i in g}
+    assert got == want
+    assert all(got[c] == c for c in set(got.values()))  # canonicals are fixed points
