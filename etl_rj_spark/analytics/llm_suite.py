@@ -847,3 +847,120 @@ def multimodal_meta(spark, sf_dir):
     real media decoder uses, with a fully SQL-checkable output."""
     d = _t(spark, sf_dir, "documents")
     return binary_features(with_binary_payload(d, "doc_id", "text"))
+
+
+# --- C4-style span dedup / decontamination / mix resampling ----------------
+
+_SQL_TOKS = rf"string_split({_NT}, ' ')"
+
+
+@_q(
+    "span_dedup_docs",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    positions AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / 3.0) AS INT))) AS pos
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(t[(pos * 3 + 1):(pos * 3 + 3)], ' ') AS span
+      FROM positions
+    ),
+    ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
+                    '') AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup-span",),
+)
+def span_dedup_docs(spark, sf_dir):
+    """C4-style repeated-span removal: non-overlapping 3-token spans;
+    a span seen before anywhere in the corpus (first occurrence =
+    lowest (doc_id, pos)) is dropped; docs reassembled from surviving
+    spans in order. The small-vocabulary corpus makes spans genuinely
+    collide across documents, so the operator does real work here."""
+    from etl_rj_spark.operators.text_dedup import span_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_tokens=3)
+
+
+@_q(
+    "decontaminate_docs",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    ctoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM corpus),
+    cgrams AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i + 7], ' ')
+                     for i in range(1, len(t) - 6)]) AS gram
+      FROM ctoks WHERE len(t) >= 8
+    ),
+    btoks AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 10 = 0),
+    bgrams AS (SELECT DISTINCT array_to_string(t[5:12], ' ') AS gram
+               FROM btoks WHERE len(t) >= 12)
+    SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams
+    FROM cgrams JOIN bgrams USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("decontamination",),
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: the 'benchmark' is an 8-token passage
+    (tokens 5-12) lifted from every 10th document; the corpus
+    (documents ∪ shifted-id copies) is scanned for any shared token
+    8-gram. Each passage must flag its origin doc AND the copy —
+    exactly the train/eval-overlap hygiene pass of an LLM pipeline,
+    with the benchmark side broadcast."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+    from etl_rj_spark.operators.text_dedup import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    toks = whitespace_tokens(normalized_text("text"))
+    bench = d.filter(F.col("doc_id") % 10 == 0).filter(F.size(toks) >= 12).select(
+        F.array_join(F.slice(toks, 5, 8), " ").alias("text")
+    )
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=8)
+
+
+@_q(
+    "resample_source_mix",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
+    """,
+    tags=("curation-mix",),
+)
+def resample_source_mix(spark, sf_dir):
+    """Target data-mixture resampling: cap each source at a prescribed
+    row budget (5/10/15 by source index mod 3), rows chosen by md5-hash
+    rank — deterministic across runs/engines/partitionings, the
+    'downsample over-represented sources' step of corpus assembly."""
+    from etl_rj_spark.operators.curation import hash_ranked_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    caps = {f"src{i}": 5 + 5 * (i % 3) for i in range(20)}
+    return hash_ranked_resample(d, "source", "doc_id", caps)

@@ -78,3 +78,34 @@ def stratified_sample(
     for stratum, pct in pct_by_stratum.items():
         thresh = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(thresh)
     return df.filter(split_bucket(key) < thresh)
+
+
+def hash_ranked_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    caps: dict[str, int],
+) -> DataFrame:
+    """Resample to a target source mix: keep at most ``caps[group]``
+    rows per group, chosen by md5-hash rank of the key — a
+    deterministic stand-in for random sampling that is stable across
+    runs, engines, and partitionings. This is the "data mixture"
+    step of a training pipeline (downsample over-represented sources
+    to a prescribed budget).
+
+    Scale: one shuffle (window by group). Per-group hash ranking
+    assumes groups fit a partition after AQE splits; for billions of
+    rows per group, swap row_number for the two-pass quantile cut on
+    the same hash (threshold = approx cap/count percentile) — same
+    contract, no single-partition rank.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(key_col).cast("string")))
+    cap = F.lit(None).cast("int")
+    for g, c in caps.items():
+        cap = F.when(F.col(group_col) == g, F.lit(c)).otherwise(cap)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__cap", cap)
+        .filter(F.col("__rk") <= F.coalesce(F.col("__cap"), F.lit(2**31 - 1)))
+        .drop("__rk", "__cap")
+    )

@@ -409,3 +409,82 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicated-span removal
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 3
+) -> DataFrame:
+    """C4-style repeated-span removal: split each document into
+    non-overlapping spans of ``span_tokens`` whitespace tokens; a span
+    occurring more than once in the corpus survives only at its first
+    occurrence (lowest ``(id, position)``); documents are reassembled
+    from surviving spans in order.
+
+    Generalizes the reference's row-level dedup (ventas_totales.py:
+    205-209) to sub-document granularity, the form used to clean web
+    corpora (C4's "three-sentence span" rule).
+
+    Scale: two shuffles — one window partitioned by the span string to
+    rank occurrences, one groupBy(id) to reassemble. Span strings are
+    short (a few tokens), so the shuffle key stays small; no
+    collect-to-driver anywhere. Returns (id, n_spans, n_kept,
+    cleaned_text).
+    """
+    from pyspark.sql import Window
+
+    toks = whitespace_tokens(normalized_text(text_col))
+    k = span_tokens
+    spans = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("pos"))
+    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("__rn") == 1, F.struct("pos", "span"))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least one token ``n``-gram with ANY benchmark document — the
+    standard train-set hygiene pass before evaluation (the benchmark
+    side is the eval set). Returns (id, n_hit_grams).
+
+    Scale: the benchmark side is tiny relative to the corpus, so its
+    distinct-gram set is broadcast — the corpus side explodes its
+    n-grams and probes the broadcast hash map with NO shuffle of
+    corpus data; only the per-doc hit counts aggregate (keys = the
+    contaminated subset, normally a sliver of the corpus).
+    """
+    c = corpus.select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram"))
+    b = benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram")).distinct()
+    return (
+        c.join(F.broadcast(b), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
