@@ -393,14 +393,55 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5)
 
 
-@_q("ann_lsh_topk", None, tags=("similarity-lsh",))
+def _lsh_oracle_sql(k: int = 10, dim: int = 64, bits: int = 4, tables: int = 8) -> str:
+    """DuckDB twin of ``lsh_topk``. Possible only because bucket
+    assignment is exact int64 arithmetic (see ``lsh_buckets``): both
+    engines quantize components with floor(x·2^20) and dot against the
+    same integer hyperplanes, so the candidate sets are provably
+    identical — no float sign instability to hedge against."""
+    from etl_rj_spark.operators.similarity import _lsh_planes
+
+    planes = _lsh_planes(dim, bits, tables)
+    bcols = []
+    for t in range(tables):
+        terms = []
+        for p in range(bits):
+            lst = "[" + ",".join(str(x) for x in planes[t][p]) + "]"
+            d = f"list_sum(list_transform(range(1,{dim + 1}), i -> iv[i] * ({lst})[i]))"
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+        bcols.append(" + ".join(terms) + f" AS b{t}")
+    blist = ", ".join(f"b{t}" for t in range(tables))
+    on = " OR ".join(f"q.b{t} = c.b{t}" for t in range(tables))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1048576) AS BIGINT)) AS iv
+      FROM embeddings
+    ), bk AS (
+      SELECT vec_id, cv, {", ".join(bcols)} FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, cv AS qv, {blist} FROM bk WHERE vec_id < 20
+    ), cand AS (
+      SELECT q.query_id, q.qv, c.vec_id, c.cv FROM q JOIN bk c ON {on}
+    ), scored AS (
+      SELECT query_id, vec_id, {_SQL_COS} AS score FROM cand
+    )
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@_q("ann_lsh_topk", _lsh_oracle_sql(), tags=("similarity-lsh",))
 def ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN #2: multi-table random-hyperplane LSH (8 tables
-    x 4 planes, deterministic md5-seeded hyperplanes), exact cosine
-    rescoring of the bucket-union candidates. Rows-only check — the
-    bucket sign of a float dot product near zero is not guaranteed
-    stable across engines; tests/test_fuzzy.py pins recall >= 0.5
-    against the brute-force ground truth instead."""
+    x 4 planes, deterministic md5-seeded INTEGER hyperplanes over
+    floor(x*2^20)-quantized components — bucket assignment is exact
+    int64 arithmetic, hence engine-stable and fully oracled), exact
+    cosine rescoring of the bucket-union candidates.
+    tests/test_fuzzy.py additionally pins recall >= 0.5 against the
+    brute-force ground truth."""
     from etl_rj_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -557,20 +598,34 @@ def dedup_corpus_survivors(spark, sf_dir):
     "embedding_l2_normalized",
     """
     SELECT vec_id,
-           list_transform(cv, x -> round(x / sqrt(list_sum(
-             list_transform(range(1, 65), i -> cv[i] * cv[i]))), 7)) AS unit_vec
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 100)
+           list_aggregate(
+             list_transform(cv, x -> CAST(CAST(ROUND(x / nrm * 1000000) AS BIGINT) AS VARCHAR)),
+             'string_agg', ',') AS unit_vec_csv
+    FROM (
+      SELECT vec_id, cv,
+             sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS nrm
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 100)
+    )
     """,
     tags=("similarity-normalize",),
 )
 def embedding_l2_normalized(spark, sf_dir):
-    """L2 unit-normalization of embedding vectors (elements rounded to
-    7 dp for cross-engine comparison)."""
+    """L2 unit-normalization of embedding vectors. The driver contract
+    is a hashable scalar per row (its canonicalizer cannot hash list
+    cells), so components are scaled to exact integers (×1e6, the same
+    trick ``embedding_norm_stats`` uses) and comma-joined; the raw
+    ``array<double>`` path is :func:`l2_normalize` itself, exercised
+    directly in tests."""
     from etl_rj_spark.operators.similarity import l2_normalize, vec_double
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    unit = l2_normalize(vec_double("embedding"))
     return e.select(
-        "vec_id", l2_normalize(vec_double("embedding"), round_digits=7).alias("unit_vec")
+        "vec_id",
+        F.array_join(
+            F.transform(unit, lambda x: F.round(x * 1000000).cast("long").cast("string")),
+            ",",
+        ).alias("unit_vec_csv"),
     )
 
 

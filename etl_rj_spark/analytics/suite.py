@@ -789,7 +789,7 @@ def windowed_event_counts(spark, sf_dir):
     WITH o AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
@@ -839,7 +839,7 @@ def json_extract_props(spark, sf_dir):
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (

@@ -121,15 +121,18 @@ def ivf_topk(
 # Random-hyperplane LSH (multi-table)
 # ---------------------------------------------------------------------------
 
-def _lsh_planes(dim: int, bits: int, tables: int) -> list[list[list[float]]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived
-    from md5 of (table, plane, dim-index) — no RNG state, identical on
-    every run/engine/partitioning."""
+def _lsh_planes(dim: int, bits: int, tables: int) -> list[list[list[int]]]:
+    """Deterministic pseudo-random INTEGER hyperplanes with components
+    in [-1000, 1000], derived from md5 of (table, plane, dim-index) —
+    no RNG state, identical on every run/engine/partitioning. Integer
+    components (not floats) so the bucket sign test below is exact
+    integer arithmetic: no summation-order ulp can ever flip a bucket
+    bit between engines."""
     import hashlib
 
-    def comp(t: int, p: int, d: int) -> float:
+    def comp(t: int, p: int, d: int) -> int:
         h = hashlib.md5(f"lsh:{t}:{p}:{d}".encode()).hexdigest()
-        return (int(h[:8], 16) % 2001 - 1000) / 1000.0
+        return int(h[:8], 16) % 2001 - 1000
 
     return [
         [[comp(t, p, d) for d in range(dim)] for p in range(bits)]
@@ -137,17 +140,35 @@ def _lsh_planes(dim: int, bits: int, tables: int) -> list[list[list[float]]]:
     ]
 
 
+def quantize_vec(c: Column | str, scale_pow2: int = 20) -> Column:
+    """Exact integer quantization of a float/double vector:
+    ``floor(x * 2^scale_pow2)`` per component. The power-of-two multiply
+    of a float32-exact double is exact, and floor is unambiguous in
+    every engine — so two engines ALWAYS agree on the result, unlike
+    any float rounding near a tie."""
+    return F.transform(
+        vec_double(c), lambda x: F.floor(x * F.lit(float(1 << scale_pow2))).cast("long")
+    )
+
+
 def lsh_buckets(c: Column | str, dim: int, bits: int = 8, tables: int = 4) -> Column:
     """Array of (table, bucket) structs: bucket = sign pattern of the
-    vector against that table's ``bits`` hyperplanes. Vectors at cosine
-    angle θ agree on one plane with prob 1-θ/π; ``tables`` OR-ed tables
-    trade compute for recall."""
-    v = vec_double(c)
+    (integer-quantized) vector against that table's ``bits`` integer
+    hyperplanes. Vectors at cosine angle θ agree on one plane with prob
+    1-θ/π; ``tables`` OR-ed tables trade compute for recall. The dot
+    product is pure int64 arithmetic (|component| ≤ 2^20, |plane| ≤
+    1000, 64 dims → |sum| < 2^37), so bucket assignment is bit-exact
+    across engines — the property the DuckDB oracle relies on."""
+    v = quantize_vec(c)
     entries = []
     for t, planes in enumerate(_lsh_planes(dim, bits, tables)):
         bucket = F.lit(0)
         for p, plane in enumerate(planes):
-            d = dot(v, F.array(*[F.lit(x) for x in plane]))
+            d = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
             bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     return F.array(*entries)

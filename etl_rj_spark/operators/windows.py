@@ -46,11 +46,13 @@ def sessionize(
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    # fractional-second epoch (timestamp→double keeps µs; unix_timestamp
-    # would truncate to seconds and misclassify sub-second gaps)
-    epoch = F.col(ts_col).cast("double")
+    # integer-microsecond epoch: exact arithmetic, so a gap of exactly
+    # ``gap_seconds`` can never ulp-flip across engines (a float epoch
+    # did, at the 1800 s boundary); unix_timestamp alone would truncate
+    # to seconds and misclassify sub-second gaps
+    epoch = F.unix_micros(F.col(ts_col))
     gap = epoch - F.lag(epoch).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
