@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 # importable regardless of the harness's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_rj_spark.analytics import REGISTRY  # noqa: E402
+from etl_rj_spark.analytics import REGISTRY, ordered_registry  # noqa: E402
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -28,10 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.build for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    a prefix sample maximizes §2 + changed-contract coverage."""
+    return {name: q.build for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in ordered_registry().items() if q.oracle is not None
+    }

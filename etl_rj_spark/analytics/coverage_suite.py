@@ -1,0 +1,391 @@
+"""Driver-visible coverage queries for the SURVEY §2 plumbing the
+query harness cannot otherwise see: sources and sinks get
+self-contained WRITE → READ-BACK roundtrips (the roundtrip of shared
+parquet data is lossless, so the oracle is plain SQL over the same
+tables), and the small projection/filter/cast operators get one
+canonical kernel query each.
+
+Each roundtrip builds its fixture under a private temp dir per run —
+the sink/source under test does real distributed I/O; only fixture
+*construction* (25-row dimension tables) is driver-side.
+
+Reference parity citations live on the operators themselves
+(sources/trimmed_csv.py, sinks/incremental.py, ...); these queries are
+the driver-checkable contracts for them.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.analytics.suite import _q, _t
+from etl_rj_spark.operators.filters import drop_leading_rows
+from etl_rj_spark.operators.projection import (
+    first_present_column,
+    rename_map,
+    rename_positional,
+    select_present,
+    with_literals,
+)
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _scratch(name: str) -> str:
+    """Fresh fixed-name scratch dir (idempotent across re-runs)."""
+    d = os.path.join(tempfile.gettempdir(), f"etl_rj_cov_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Sources (S1, S2+F5, S3/S4, S5/S6) — write → read-back roundtrips
+# ---------------------------------------------------------------------------
+
+@_q(
+    "s1_csv_scan_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S1",),
+)
+def s1_csv_scan_roundtrip(spark, sf_dir):
+    """S1 — plain CSV scan (ventas_totales.py:84-88): nation → CSV
+    files → header CSV read with post-read casts (the reference's
+    types-after-read posture). Lossless, so the oracle is the table."""
+    d = _scratch("s1")
+    n = _t(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(d)
+    out = spark.read.option("header", True).csv(d)
+    return out.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@_q(
+    "s2_trimmed_csv_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_nationkey AS _row_idx
+    FROM nation WHERE n_nationkey >= 1
+    """,
+    tags=("S2", "F5"),
+)
+def s2_trimmed_csv_roundtrip(spark, sf_dir):
+    """S2+F5 — report CSV with 6 junk header lines and a footer line
+    (cartera.py:68 ``skiprows=6, skipfooter=1``), read with
+    ``read_csv_trimmed``, then F5 drop-first-data-row via the carried
+    ``_row_idx`` (wor2.py:268). Rows written in n_nationkey order, so
+    ``_row_idx == n_nationkey`` (nation keys are dense 0..24)."""
+    from etl_rj_spark.sources.trimmed_csv import read_csv_trimmed
+
+    d = _scratch("s2")
+    os.makedirs(d)
+    rows = sorted(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    )  # 25-row dimension: fixture construction, not a data path
+    path = os.path.join(d, "export.csv")
+    with open(path, "w") as f:
+        for i in range(6):
+            f.write(f"Report junk line {i}\n")
+        f.write("n_nationkey,n_name\n")
+        for k, name in rows:
+            f.write(f"{k},{name}\n")
+        f.write("Total,25\n")
+    df = read_csv_trimmed(spark, path, skiprows=6, skipfooter=1)
+    df = drop_leading_rows(df, "_row_idx", 1)
+    return df.select(F.col("n_nationkey").cast("int"), "n_name", "_row_idx")
+
+
+@_q(
+    "s4_excel_named_tables_roundtrip",
+    """
+    SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,
+           1 AS mes, 2024 AS anio
+    FROM region
+    """,
+    tags=("S3", "S4"),
+)
+def s4_excel_named_tables_roundtrip(spark, sf_dir):
+    """S3/S4 — regex-discovered Excel named tables (wor2.py:95-160):
+    write region as table ``Forecast_Zone1_Enero`` (plus a distractor)
+    into a real .xlsx, rediscover via the stdlib parser, classify by
+    name regex, lift to Spark with name-derived metadata columns."""
+    from etl_rj_spark.sinks.xlsx import write_xlsx
+    from etl_rj_spark.sources.excel_tables import (
+        classify_tables,
+        read_workbook_tables,
+        tables_to_spark,
+    )
+
+    d = _scratch("s4")
+    os.makedirs(d)
+    rows = sorted(_t(spark, sf_dir, "region").collect())
+    grid = [["r_regionkey", "r_name"]] + [[int(k), n] for k, n in rows]
+    path = os.path.join(d, "wor.xlsx")
+    write_xlsx(
+        path,
+        [("Forecast_Zone1_Enero", grid), ("Quarterly_Totals", [["x", "y"], [1, 2]])],
+    )
+    tables = classify_tables(read_workbook_tables(path))
+    assert len(tables) == 1  # the distractor must NOT classify
+    [(_, df)] = tables_to_spark(spark, tables, anio=2024)
+    return df.select(
+        F.col("r_regionkey").cast("int"),
+        "r_name",
+        "zone",
+        "nombre_mes",
+        F.col("mes").cast("int"),
+        F.col("anio").cast("int"),
+    )
+
+
+@_q(
+    "s5_jdbc_dim_roundtrip",
+    "SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2",
+    tags=("S5", "S6"),
+)
+def s5_jdbc_dim_roundtrip(spark, sf_dir):
+    """S5/S6 — JDBC dim read + key projection with WHERE pushdown
+    against a live embedded Derby database: seed region over JDBC,
+    read the dim back with the projection pushed into the query, read
+    the key projection with the predicate pushed, and join. Unique db
+    dir per run (Derby boots a db per path per JVM)."""
+    from etl_rj_spark.sources.jdbc import read_dim_table, read_key_projection
+
+    d = tempfile.mkdtemp(prefix="etl_rj_cov_s5_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    # uppercase aliases: Spark quotes identifiers on JDBC write, and
+    # Derby folds unquoted query identifiers to uppercase
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("R_REGIONKEY"), F.col("r_name").alias("R_NAME")
+    )
+    (
+        r.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "REGION_DIM")
+        .options(**_DERBY_PROPS)
+        .mode("overwrite")
+        .save()
+    )
+    dim = read_dim_table(
+        spark, url, "REGION_DIM", ["R_REGIONKEY", "R_NAME"], _DERBY_PROPS
+    )
+    keys = read_key_projection(
+        spark,
+        url,
+        "REGION_DIM",
+        ["R_REGIONKEY"],
+        predicate="R_REGIONKEY >= 2",
+        properties=_DERBY_PROPS,
+    )
+    return (
+        dim.join(keys, "R_REGIONKEY")
+        .select(
+            F.col("R_REGIONKEY").alias("r_regionkey"),
+            F.col("R_NAME").alias("r_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks (K1, K2) — append → read-back roundtrips
+# ---------------------------------------------------------------------------
+
+@_q(
+    "k1_incremental_append_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("K1", "J4", "J5"),
+)
+def k1_incremental_append_roundtrip(spark, sf_dir):
+    """K1 — transactional incremental append with anti-join dedup
+    (ventas_totales.py:223-262): seed keys <100, append an overlapping
+    batch (<200 → only the new rows land), re-run the same batch (0
+    rows land — the reference's recovery invariant), read the sink."""
+    from etl_rj_spark.sinks.incremental import append_incremental
+
+    d = _scratch("k1")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    append_incremental(spark, o.filter(F.col("o_orderkey") < 100), d, ["o_orderkey"])
+    batch = o.filter(F.col("o_orderkey") < 200)
+    append_incremental(spark, batch, d, ["o_orderkey"])
+    rerun_inserted = append_incremental(spark, batch, d, ["o_orderkey"])
+    assert rerun_inserted == 0  # idempotent re-run
+    return spark.read.parquet(d)
+
+
+@_q(
+    "k2_snapshot_roundtrip",
+    """
+    SELECT r_regionkey, r_name, DATE '2024-01-02' AS fecha_carga FROM region
+    """,
+    tags=("K2", "A4", "D7"),
+)
+def k2_snapshot_roundtrip(spark, sf_dir):
+    """K2+A4 — daily snapshot append partitioned by the load stamp
+    (cartera.py:179) followed by the latest-snapshot read, which
+    resolves to static partition pruning: two snapshots land, only the
+    2024-01-02 partition is scanned back."""
+    from etl_rj_spark.sinks.snapshot import append_snapshot, read_latest_snapshot
+
+    d = _scratch("k2")
+    r = _t(spark, sf_dir, "region")
+    append_snapshot(r, d, snapshot_date=datetime.date(2024, 1, 1))
+    append_snapshot(r, d, snapshot_date=datetime.date(2024, 1, 2))
+    return read_latest_snapshot(spark, d).select("r_regionkey", "r_name", "fecha_carga")
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / cast kernels (P1-P5, J2, X9, N3, N5, D7)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "projection_ops_kernel",
+    """
+    SELECT c_custkey AS id_cliente, c_name AS nombre_cliente, c_acctbal,
+           2024 AS anio, 'cov' AS origen
+    FROM customer
+    """,
+    tags=("P1", "P2", "P3", "P4", "P5"),
+)
+def projection_ops_kernel(spark, sf_dir):
+    """P1-P5 in one chain: rename-by-map with a missing key ignored
+    (P2), positional rename of column 0 (P3), drop with a missing
+    column ignored (P1), keep-if-present projection with a ghost
+    column (P4), literal columns (P5)."""
+    c = _t(spark, sf_dir, "customer")
+    df = rename_map(c, {"c_name": "nombre_cliente", "Missing Col ": "x"})
+    df = rename_positional(df, {0: "id_cliente"})
+    df = df.drop("c_mktsegment", "no_such_column")
+    df = select_present(df, ["id_cliente", "nombre_cliente", "c_acctbal", "ghost"])
+    return with_literals(df, anio=2024, origen="cov")
+
+
+@_q(
+    "flexible_status_kernel",
+    "SELECT o_orderstatus AS estado, COUNT(*) AS n FROM orders GROUP BY 1",
+    tags=("P4", "A3"),
+)
+def flexible_status_kernel(spark, sf_dir):
+    """Flexible column detection (pending_orders.py:74-77): the estado
+    column is the first present of the candidate list, then a grouped
+    count over it."""
+    o = _t(spark, sf_dir, "orders")
+    col = first_present_column(o, ["Validated Status ", "o_orderstatus"])
+    return o.groupBy(F.col(col).alias("estado")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "dict_map_lookup_kernel",
+    """
+    SELECT n_nationkey,
+           CASE n_regionkey WHEN 0 THEN 'AFRICA-ES' WHEN 1 THEN 'AMERICA-ES'
+                WHEN 2 THEN 'ASIA-ES' WHEN 3 THEN 'EUROPA'
+                WHEN 4 THEN 'ORIENTE-MEDIO' END AS region_es
+    FROM nation
+    """,
+    tags=("J2",),
+)
+def dict_map_lookup_kernel(spark, sf_dir):
+    """J2 — static dict-map lookup (ventas_totales.py:55-59 name maps)
+    as a literal MAP expression — no join, no shuffle, pure scan-stage
+    work at any scale."""
+    mapping = {
+        0: "AFRICA-ES",
+        1: "AMERICA-ES",
+        2: "ASIA-ES",
+        3: "EUROPA",
+        4: "ORIENTE-MEDIO",
+    }
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_nationkey", m[F.col("n_regionkey")].alias("region_es"))
+
+
+@_q(
+    "regex_extract_kernel",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '#([0-9]+)$', 1) AS BIGINT) AS name_serial
+    FROM customer
+    """,
+    tags=("X9",),
+)
+def regex_extract_kernel(spark, sf_dir):
+    """X9 — regex token extraction (wor2.py:42 zone tokens): pull the
+    numeric serial out of 'Customer#000000001'-shaped names."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "#([0-9]+)$", 1).cast("long").alias("name_serial"),
+    )
+
+
+@_q(
+    "hard_casts_kernel",
+    """
+    SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS fecha,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor
+    FROM orders
+    """,
+    tags=("N3",),
+)
+def hard_casts_kernel(spark, sf_dir):
+    """N3 — hard ``astype`` casts (ventas_totales.py:162): int→string,
+    timestamp→date, and double→int via explicit FLOOR (a bare
+    fractional-double→int cast truncates in Spark but rounds in other
+    engines — never shared bare; SURVEY §4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("fecha"),
+        F.floor("o_totalprice").cast("long").alias("total_floor"),
+    )
+
+
+@_q(
+    "fillna_zero_kernel",
+    """
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc
+    FROM lineitem
+    """,
+    tags=("N5",),
+)
+def fillna_zero_kernel(spark, sf_dir):
+    """N5 — whole-frame fillna (wor2.py:51 ``fillna(0)``): nulls are
+    manufactured via NULLIF (the shared tables have none), then the
+    frame-level ``na.fill`` closes them."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+    )
+    return df.na.fill(-1.0)
+
+
+@_q(
+    "load_stamp_kernel",
+    """
+    SELECT r_regionkey, CAST(year(current_date) AS INTEGER) AS anio_carga
+    FROM region
+    """,
+    tags=("D7",),
+)
+def load_stamp_kernel(spark, sf_dir):
+    """D7 — current-date/year load stamp (cartera.py:179,
+    ``datetime.now().year`` wor2.py:216): both engines evaluate
+    current_date at check time (same day)."""
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey", F.year(F.current_date()).cast("int").alias("anio_carga")
+    )
