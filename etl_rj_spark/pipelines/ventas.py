@@ -123,7 +123,10 @@ def load_ventas_observed(
 def read_sales_export(spark: SparkSession, path: str) -> DataFrame:
     """Extension dispatch (ventas_totales.py:80-90): .csv → header CSV
     scan [S1]; .xlsx/.xls → whole-first-sheet Excel scan [S3]. The
-    reference pops an error dialog for anything else; here it raises."""
+    reference pops an error dialog for anything else; here it raises.
+    A true legacy BIFF .xls (OLE2 magic) gets a clear convert-to-xlsx
+    error from ``read_excel_sheet`` instead of an opaque zip failure;
+    zip-content files mislabeled .xls still load."""
     lower = path.lower()
     if lower.endswith(".csv"):
         return spark.read.option("header", True).csv(path)

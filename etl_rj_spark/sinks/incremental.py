@@ -58,6 +58,25 @@ def append_incremental(
     return inserted
 
 
+class JdbcBatchInsertError(RuntimeError):
+    """A transactional JDBC batch failed; carries the source-row range
+    so the operator can be pointed at the offending file lines — the
+    reference's error handler does the same arithmetic to map a failed
+    1,000-row batch back to CSV line numbers
+    (ventas_totales.py:236-262, the ``+6`` skiprows offset)."""
+
+    def __init__(self, table: str, row_idx_range: tuple[int, int],
+                 source_lines: tuple[int, int], cause: Exception):
+        self.table = table
+        self.row_idx_range = row_idx_range
+        self.source_lines = source_lines
+        super().__init__(
+            f"INSERT into {table} failed for batch _row_idx "
+            f"{row_idx_range[0]}..{row_idx_range[1]} "
+            f"(source file lines {source_lines[0]}-{source_lines[1]}): {cause}"
+        )
+
+
 def append_incremental_jdbc(
     df: DataFrame,
     url: str,
@@ -65,13 +84,26 @@ def append_incremental_jdbc(
     keys: Sequence[str],
     batchsize: int = 1000,
     properties: dict | None = None,
+    row_idx_col: str | None = None,
+    source_line_offset: int = 0,
 ) -> None:
     """JDBC variant of K1: key projection pushed into the source query
     (column pruning at the database), 1,000-row JDBC batches like the
     reference, single partition for single-transaction-per-connection
     semantics. Live-tested against embedded Derby
     (tests/test_jdbc.py): 100-key-overlap batch inserts only the new
-    50; re-run inserts 0."""
+    50; re-run inserts 0.
+
+    With ``row_idx_col`` (the source-row index ``sources.trimmed_csv``
+    attaches), batches are written per ``batchsize`` row-index range,
+    each its own transaction, and a failing batch raises
+    :class:`JdbcBatchInsertError` naming the source file lines
+    (``row_idx + source_line_offset`` — pass skiprows+2 for a trimmed
+    CSV: junk lines + header line + 1-based). This is the reference's
+    operator-facing error contract (ventas_totales.py:236-262); it is
+    a deliberately driver-coordinated slow path, exactly as
+    single-connection transactional JDBC ingest always is — leave
+    ``row_idx_col=None`` for the bulk write."""
     spark = df.sparkSession
     existing = (
         spark.read.format("jdbc")
@@ -81,13 +113,44 @@ def append_incremental_jdbc(
         .load()
     )
     new = anti_join_new_rows(df, existing, keys)
-    (
-        new.coalesce(1)
-        .write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", batchsize)
-        .options(**(properties or {}))
-        .mode("append")
-        .save()
-    )
+
+    def write(batch: DataFrame) -> None:
+        (
+            batch.coalesce(1)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", batchsize)
+            .options(**(properties or {}))
+            .mode("append")
+            .save()
+        )
+
+    if row_idx_col is None:
+        write(new)
+        return
+
+    from pyspark.sql import functions as F
+
+    new = new.persist()  # anti-join once, not once per batch
+    try:
+        bounds = new.agg(
+            F.min(row_idx_col).alias("lo"), F.max(row_idx_col).alias("hi")
+        ).first()
+        if bounds is None or bounds["lo"] is None:
+            return
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        for start in range(lo, hi + 1, batchsize):
+            end = min(start + batchsize - 1, hi)
+            batch = new.filter(F.col(row_idx_col).between(start, end)).drop(row_idx_col)
+            try:
+                write(batch)
+            except Exception as ex:
+                raise JdbcBatchInsertError(
+                    table,
+                    (start, end),
+                    (start + source_line_offset, end + source_line_offset),
+                    ex,
+                ) from ex
+    finally:
+        new.unpersist()

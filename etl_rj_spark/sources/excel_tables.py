@@ -97,10 +97,35 @@ def tables_to_spark(
     return out
 
 
+#: OLE2 compound-file magic — the container of legacy BIFF .xls files.
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _reject_legacy_xls(path: str) -> None:
+    """The reference's extension dispatch accepts ``.xls`` via
+    ``pd.read_excel`` (ventas_totales.py:80-90); this engine's XLSX
+    parsers (zip-XML) cannot read BIFF, and silently hitting a zip
+    error would be opaque. Sniff the magic bytes: an OLE2 container is
+    a real legacy .xls → clear, actionable error. (Files merely
+    *named* .xls that are actually zip/XLSX pass through — a common
+    export-tool mislabel.)"""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(8)
+    except OSError:
+        return  # let the real reader produce its own error
+    if magic == _OLE2_MAGIC:
+        raise ValueError(
+            f"{path}: legacy BIFF .xls workbooks are not supported — "
+            "re-export as .xlsx (or .csv) and retry"
+        )
+
+
 def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """S3 — whole-sheet Excel scan (``pd.read_excel``,
     ventas_totales.py:87): driver-side pandas read lifted through the
     Arrow path. Requires openpyxl (absent in this container — gated)."""
+    _reject_legacy_xls(path)
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
     except ImportError:
@@ -116,6 +141,7 @@ def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
     """Discover named tables in a workbook (wor2.py:95,119-144:
     ``load_workbook(data_only=True)``; first row of each table range is
     the header). Requires openpyxl."""
+    _reject_legacy_xls(path)
     try:
         from openpyxl import load_workbook
     except ImportError:

@@ -105,3 +105,63 @@ def test_jdbc_incremental_append_idempotent(spark, sf_dir, derby_url):
         .count()
     )
     assert n2 == 150  # idempotent: nothing new inserted
+
+
+def test_jdbc_batch_error_localizes_source_rows(spark, derby_url):
+    """A poisoned batch (VARCHAR overflow) raises JdbcBatchInsertError
+    naming the batch's _row_idx range and the mapped source file lines
+    (ventas_totales.py:236-262 parity), and the batches before the
+    poisoned one stay committed (per-batch transactions)."""
+    from etl_rj_spark.sinks.incremental import JdbcBatchInsertError
+
+    # constrained target: V VARCHAR(5) (created empty via overwrite)
+    empty = spark.createDataFrame([], "K INT, V STRING")
+    (
+        empty.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "FACTS_LOC")
+        .option("createTableColumnTypes", "K INT, V VARCHAR(5)")
+        .options(**PROPS)
+        .mode("overwrite")
+        .save()
+    )
+    rows = [(i, "ok", i) for i in range(25)]
+    rows[17] = (17, "way too long for varchar5", 17)  # poison in 2nd batch
+    batch = spark.createDataFrame(rows, "K INT, V STRING, _row_idx INT")
+
+    with pytest.raises(JdbcBatchInsertError) as exc:
+        append_incremental_jdbc(
+            batch, derby_url, "FACTS_LOC", ["K"],
+            batchsize=10, properties=PROPS,
+            row_idx_col="_row_idx", source_line_offset=8,
+        )
+    err = exc.value
+    assert err.row_idx_range == (10, 19)
+    assert err.source_lines == (18, 27)  # +8: 6 junk + header + 1-based
+    assert "FACTS_LOC" in str(err) and "lines 18-27" in str(err)
+
+    committed = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "FACTS_LOC")
+        .options(**PROPS)
+        .load()
+    )
+    assert committed.count() == 10  # batch 0..9 committed before the failure
+
+
+def test_legacy_xls_rejected_with_clear_error(spark, tmp_path):
+    """A true BIFF .xls (OLE2 magic) gets an actionable error, not an
+    opaque zip failure; a zip-content file mislabeled .xls loads."""
+    from etl_rj_spark.pipelines.ventas import read_sales_export
+    from etl_rj_spark.sinks.xlsx import write_xlsx
+
+    biff = tmp_path / "legacy.xls"
+    biff.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="legacy BIFF .xls.*re-export"):
+        read_sales_export(spark, str(biff))
+
+    mislabeled = tmp_path / "mislabeled.xls"
+    write_xlsx(str(mislabeled), [("T1", [["a", "b"], [1, "x"]])])
+    df = read_sales_export(spark, str(mislabeled))
+    assert df.columns == ["a", "b"] and df.count() == 1
