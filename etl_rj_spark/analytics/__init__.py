@@ -70,6 +70,7 @@ _PRIORITY = [
     "repetition_filter_docs",
     "span_dedup_docs",
     "multimodal_meta",
+    "png_decode_stats",
     "decontaminate_docs",
     "embedding_cosine_near_pairs",
     "pack_sequences_budget",

@@ -904,6 +904,49 @@ def multimodal_meta(spark, sf_dir):
     return binary_features(with_binary_payload(d, "doc_id", "text"))
 
 
+@_q(
+    "png_decode_stats",
+    """
+    SELECT doc_id, 8 AS width, 8 AS height, 'L' AS mode,
+           CAST((SELECT SUM((doc_id * 31 + (k // 8) * 7 + (k % 8)) % 256)
+                 FROM range(64) t(k)) AS BIGINT) AS pixel_sum
+    FROM documents WHERE doc_id < 64
+    """,
+    tags=("multimodal", "png-decode"),
+)
+def png_decode_stats(spark, sf_dir):
+    """REAL image decode, oracle-proven: an 8×8 grayscale gradient
+    (pixel[i,j] = (doc_id*31 + i*7 + j) % 256) is PNG-encoded per doc —
+    cycling through all five PNG scanline filters (doc_id % 5) — then
+    decoded back by ``operators.multimodal.decode_image`` (the
+    dependency-free codec in functions/png.py). The oracle recomputes
+    the pixel sums arithmetically, so a wrong decode cannot match."""
+    from etl_rj_spark.operators.multimodal import decode_image
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_rj_spark.functions.png import encode_png
+
+        i = np.arange(8).reshape(8, 1)
+        j = np.arange(8).reshape(1, 8)
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    ((int(doc_id) * 31 + i * 7 + j) % 256).astype("uint8"),
+                    filter_type=int(doc_id) % 5,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(make, "doc_id long, payload binary")
+    return decode_image(payloads).select("doc_id", "width", "height", "mode", "pixel_sum")
+
+
 # --- C4-style span dedup / decontamination / mix resampling ----------------
 
 _SQL_TOKS = rf"string_split({_NT}, ' ')"

@@ -3,13 +3,14 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs
 (``mapInPandas``).
 
 The Spark-side plumbing — schema, batch iteration, partitioning — is
-real and tested. The actual media decode is STUBBED: the container has
-no image/audio libraries, so ``decode_image`` raises
-``NotImplementedError`` unless PIL is importable, and
-``binary_features`` computes deterministic byte-level features
-(length, md5, fake dimensions derived from the hash) that stand in for
-a decode step while exercising the exact same execution path a real
-decoder would use.
+real and tested. Image decode is REAL for PNG via the dependency-free
+codec in :mod:`etl_rj_spark.functions.png` (PIL is used instead when
+importable, which also unlocks JPEG); payloads in formats with no
+available codec yield null decode columns so rows keep flowing and a
+quarantine rule can catch them. Audio/video decode remains a
+deterministic byte-level stand-in (``sample_frames``) — no A/V codec
+exists in this container — over the same row-expanding batch shape a
+demuxer would use.
 """
 
 from __future__ import annotations
@@ -70,15 +71,71 @@ def binary_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Decode image payloads to (width, height, mode). Requires PIL —
-    STUB in this container (SURVEY north-star multimodal note)."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; not available in this container — "
-            "use binary_features for the deterministic stand-in path"
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, mode string, pixel_md5 string, pixel_sum long"
+)
+
+
+def _decode_payload(b: bytes):
+    """Decode one image payload → (width, height, mode, pixel_md5,
+    pixel_sum) or all-None when no available codec handles the bytes.
+    ``pixel_sum`` (total brightness) is the cheap QC statistic a
+    training-data filter thresholds on — and, being pure integer
+    arithmetic over the decoded pixels, it is what the SQL oracle
+    recomputes to prove the decode is real."""
+    try:
+        if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+            import io
+
+            import numpy as np
+
+            img = Image.open(io.BytesIO(b))
+            arr = np.asarray(img)
+            return (
+                img.width,
+                img.height,
+                img.mode,
+                hashlib.md5(arr.tobytes()).hexdigest(),
+                int(arr.astype("int64").sum()),
+            )
+        from etl_rj_spark.functions.png import decode_png
+
+        arr, mode = decode_png(b)
+        h, w = arr.shape[:2]
+        return (
+            w,
+            h,
+            mode,
+            hashlib.md5(arr.tobytes()).hexdigest(),
+            int(arr.astype("int64").sum()),
         )
-    raise NotImplementedError("real decode path: wire PIL.Image.open per payload here")
+    except (ValueError, OSError):
+        return None, None, None, None, None
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Decode image payloads to (width, height, mode, md5-of-pixels)
+    via mapInPandas. PNG decodes with the stdlib+numpy codec
+    (functions/png.py); PIL, when importable, widens the codec set
+    (JPEG etc.). Undecodable payloads yield nulls — rows keep flowing
+    so a quarantine rule can catch them downstream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_payload(bytes(b)) for b in pdf["payload"]]
+            w, h, mode, pmd5, psum = zip(*decoded) if decoded else ((), (), (), (), ())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "mode": pd.Series(mode, dtype="object"),
+                    "pixel_md5": pd.Series(pmd5, dtype="object"),
+                    "pixel_sum": pd.array(psum, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
 def _fake_dims(md5hex: str) -> tuple[int, int]:
@@ -90,35 +147,45 @@ def _fake_dims(md5hex: str) -> tuple[int, int]:
 RESIZE_SCHEMA = "doc_id long, width int, height int, out_width int, out_height int, resized_md5 string"
 
 
+def _out_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    scale = min(1.0, max_side / max(w, h))
+    return max(1, round(w * scale)), max(1, round(h * scale))
+
+
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     """Aspect-preserving downscale to ``max_side`` via mapInPandas.
-    The decode is the stubbed stand-in (_fake_dims of the content
-    hash); the scaling arithmetic, fixed output schema, and Arrow batch
-    path are exactly what a PIL-backed resize would use — swap the two
-    marked lines for `Image.open`/`img.resize` when the codec library
-    exists."""
+    Payloads that decode (PNG via functions/png.py, more with PIL) take
+    the REAL path: decode → nearest-neighbor resample → re-encode PNG,
+    ``resized_md5`` = md5 of the re-encoded bytes. Undecodable payloads
+    keep the deterministic hash-derived stand-in (same schema), so the
+    operator is total over mixed binary columns."""
+    from etl_rj_spark.functions.png import decode_png, encode_png, resize_nearest
+
+    def one(b: bytes) -> tuple[int, int, int, int, str]:
+        m = hashlib.md5(b).hexdigest()
+        try:
+            arr, _mode = decode_png(b)
+        except ValueError:
+            w, h = _fake_dims(m)  # stand-in for undecodable payloads
+            ow, oh = _out_dims(w, h, max_side)
+            return w, h, ow, oh, hashlib.md5(f"{m}:{ow}x{oh}".encode()).hexdigest()
+        h, w = arr.shape[:2]
+        ow, oh = _out_dims(w, h, max_side)
+        resized = encode_png(resize_nearest(arr, ow, oh))
+        return w, h, ow, oh, hashlib.md5(resized).hexdigest()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            dims = md5s.map(_fake_dims)  # STUB: real path decodes the payload here
-            w = dims.map(lambda d: d[0]).astype("int32")
-            h = dims.map(lambda d: d[1]).astype("int32")
-            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
-            ow = (w * scale).round().clip(lower=1).astype("int32")
-            oh = (h * scale).round().clip(lower=1).astype("int32")
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            w, h, ow, oh, md5s = zip(*rows) if rows else ((), (), (), (), ())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "out_width": ow,
-                    "out_height": oh,
-                    # STUB: real path re-encodes pixels; hash stands in
-                    "resized_md5": [
-                        hashlib.md5(f"{m}:{a}x{b}".encode()).hexdigest()
-                        for m, a, b in zip(md5s, ow, oh)
-                    ],
+                    "width": pd.array(w, dtype="int32"),
+                    "height": pd.array(h, dtype="int32"),
+                    "out_width": pd.array(ow, dtype="int32"),
+                    "out_height": pd.array(oh, dtype="int32"),
+                    "resized_md5": pd.Series(md5s, dtype="object"),
                 }
             )
 
