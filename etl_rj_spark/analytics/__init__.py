@@ -61,9 +61,10 @@ _PRIORITY = [
     "union_schema_drift",
     "pricing_summary",
     "sessionization",
-    # -- round-2 contract fixes (need fresh driver rows)
+    # -- round-2 contract fixes / new operators (need fresh driver rows)
     "embedding_l2_normalized",
     "ann_lsh_topk",
+    "dup_clusters_star",
     # -- extensions with oracles but no round-1 driver row
     "tfidf_top_terms",
     "pii_scrub_docs",

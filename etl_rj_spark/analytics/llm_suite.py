@@ -487,9 +487,7 @@ _CLUSTER_CORPUS = (
     "FROM documents WHERE doc_id < 50"
 )
 
-@_q(
-    "dup_clusters",
-    f"""
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS}),
     sets AS (
       SELECT doc_id,
@@ -511,9 +509,10 @@ _CLUSTER_CORPUS = (
       SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
     )
     SELECT node, MIN(label) AS component FROM reach GROUP BY node
-    """,
-    tags=("dedup-clusters",),
-)
+    """
+
+
+@_q("dup_clusters", _CLUSTER_ORACLE, tags=("dedup-clusters",))
 def dup_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end: exact n-gram-Jaccard pairs →
     connected components by iterative min-label propagation. Each
@@ -527,6 +526,22 @@ def dup_clusters(spark, sf_dir):
     corpus = d.unionByName(dup1).unionByName(dup2)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6, n=3)
     return connected_components(pairs.select("id_a", "id_b")).select("node", "component")
+
+
+@_q("dup_clusters_star", _CLUSTER_ORACLE, tags=("dedup-clusters",))
+def dup_clusters_star(spark, sf_dir):
+    """Same clusters via the O(log² n)-round large-star/small-star
+    contraction — the scale path for chain-shaped dup graphs whose
+    diameter would starve plain propagation. Same oracle as
+    ``dup_clusters``: the component sets are identical by definition."""
+    from etl_rj_spark.operators.components import connected_components_star
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dup1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text"))
+    dup2 = d.select((F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zz zz")).alias("text"))
+    corpus = d.unionByName(dup1).unionByName(dup2)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6, n=3)
+    return connected_components_star(pairs.select("id_a", "id_b")).select("node", "component")
 
 
 @_q(

@@ -1,14 +1,29 @@
-"""Connected components by iterative min-label propagation — the
-cluster step of near-duplicate detection (pair lists → dup clusters,
-each labeled by its minimum member id).
+"""Connected components — the cluster step of near-duplicate detection
+(pair lists → dup clusters, each labeled by its minimum member id).
 
-Each iteration is one join + one aggregation; convergence is checked
-with a count per round (a driver action, but O(iterations) of them and
-each reads only the label frame). Label frames are cached per round
-and the previous round unpersisted, so lineage stays bounded. For
-graphs with huge diameters use hash-to-min doubling or GraphFrames;
-dup graphs are dense cliques with tiny diameters, where plain
-propagation converges in 2-3 rounds.
+Two implementations:
+
+- :func:`connected_components` — plain min-label propagation,
+  O(diameter) rounds. Each iteration is one join + one aggregation;
+  convergence is checked with a count per round (a driver action, but
+  O(iterations) of them and each reads only the label frame). Right
+  for dup graphs: dense cliques with tiny diameters converge in 2-3
+  rounds.
+
+Both loops truncate lineage each round with an eager
+``localCheckpoint()`` — an iterative plan that references the previous
+round's frame twice would otherwise double in size every round and OOM
+the driver on plan *construction* long before data size matters. On a
+real cluster with executor loss to worry about, swap in
+``sc.setCheckpointDir`` + ``.checkpoint()`` (durable, same lineage
+truncation); localCheckpoint trades fault tolerance for speed, the
+right call for a handful of rounds.
+- :func:`connected_components_star` — alternating large-star /
+  small-star contraction (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", public algorithm), O(log² n) rounds
+  regardless of diameter. The scale path for path/chain-shaped graphs
+  (e.g. transitive near-dup chains) where plain propagation would need
+  O(diameter) shuffles.
 """
 
 from __future__ import annotations
@@ -26,15 +41,17 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable. Raises if not converged within
     ``max_iterations`` (dup graphs converge in a handful)."""
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         candidates = sym.join(
@@ -45,7 +62,7 @@ def connected_components(
             .union(candidates)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -53,8 +70,95 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
+
+
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """(count, xor-ish hash-sum) fingerprint of an edge multiset — one
+    aggregate action; equal signatures on consecutive rounds = fixed
+    point (hash-collision odds negligible and a false "converged" is
+    caught by the star-shape invariant of the final assembly)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star edge
+    contraction — O(log² n) rounds independent of graph diameter.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its neighborhood; small-star: every node points its smaller
+    neighbors (and itself) at that minimum. Both strictly shrink a
+    potential function, and the fixed point is a forest of stars
+    (v → root); components read off directly.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_signature(e)
+    for _ in range(max_rounds):
+        # large-star over the symmetric view
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over max→min directed edges
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(smins.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components_star: no fixed point in {max_rounds} rounds")
+    # fixed point is stars (node → root, root < node): components read off
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    # nodes isolated by contraction (singletons in the original edge list
+    # never lose their component: they appear as their own root)
+    all_nodes = (
+        edges.select(F.col(id_a).alias("node"))
+        .union(edges.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    known = comp.union(roots)
+    leftover = all_nodes.join(known.select("node"), "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return known.union(leftover).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

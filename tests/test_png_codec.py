@@ -142,3 +142,40 @@ def test_resize_images_operator_real_png(spark):
     assert (r.out_width, r.out_height) == (8, 16)
     expected = encode_png(resize_nearest(arr, 8, 16))
     assert r.resized_md5 == hashlib.md5(expected).hexdigest()
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    channels=st.sampled_from([None, 3, 4]),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 10_000),
+)
+def test_property_roundtrip_any_shape_filter(h, w, channels, filter_type, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels is None else (h, w, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out, _ = decode_png(encode_png(arr, filter_type=filter_type))
+    assert (out == arr).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    oh=st.integers(1, 40),
+    ow=st.integers(1, 40),
+)
+def test_property_resize_dims_and_value_membership(h, w, oh, ow):
+    rng = np.random.default_rng(h * 1000 + w * 100 + oh * 10 + ow)
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = resize_nearest(arr, ow, oh)
+    assert out.shape == (oh, ow)
+    # nearest-neighbor never invents pixel values
+    assert set(np.unique(out)) <= set(np.unique(arr))
