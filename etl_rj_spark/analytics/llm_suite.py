@@ -842,10 +842,28 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
     )
 
 
-@_q("cosine_topk_scaled", None, bench=True, tags=("similarity-bruteforce", "bench-scale"))
+@_q(
+    "cosine_topk_scaled",
+    f"""
+    WITH rep AS (
+      SELECT e.vec_id + g.i * 1000000 AS vec_id, e.embedding::DOUBLE[] AS v
+      FROM embeddings e CROSS JOIN range(0, 20) g(i)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM rep WHERE vec_id < 20),
+    c AS (SELECT vec_id, v AS cv FROM rep WHERE vec_id >= 20),
+    scored AS (SELECT query_id, vec_id, {_SQL_COS} AS score FROM q CROSS JOIN c)
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    bench=True,
+    tags=("similarity-bruteforce", "bench-scale"),
+)
 def cosine_topk_scaled(spark, sf_dir):
     """Brute-force cosine top-10 for 20 queries against a 20×-replicated
-    corpus (10k vectors × 64 dims)."""
+    corpus (10k vectors × 64 dims). Fully oracled: scores round to 9 dp
+    on both sides and replica ties (bit-identical vectors) break on
+    vec_id, so the top-k set is engine-deterministic."""
     e = _t(spark, sf_dir, "embeddings")
     rep = (
         e.select(
