@@ -65,13 +65,16 @@ _PRIORITY = [
     "embedding_l2_normalized",
     "ann_lsh_topk",
     "dup_clusters_star",
-    # -- extensions with oracles but no round-1 driver row
+    "kmeans_cells",
+    "ann_kmeans_ivf_topk",
+    # -- extensions with oracles but no round-1 driver row (png/multimodal
+    #    first: they clear round-1 'weak' citations)
+    "png_decode_stats",
+    "multimodal_meta",
     "tfidf_top_terms",
     "pii_scrub_docs",
     "repetition_filter_docs",
     "span_dedup_docs",
-    "multimodal_meta",
-    "png_decode_stats",
     "decontaminate_docs",
     "embedding_cosine_near_pairs",
     "pack_sequences_budget",

@@ -393,6 +393,128 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5)
 
 
+def _kmeans_oracle_ctes(k: int = 8, dim: int = 64, fit_filter: str = "TRUE") -> str:
+    """CTE chain replaying ``operators/kmeans.kmeans_fit`` (2 Lloyd
+    iterations) in DuckDB — possible only because the fit is exact
+    int64 arithmetic end to end: floor(x·2^20) quantization, integer
+    squared distances, and an explicit positive-mod floor division for
+    the centroid means (see kmeans.py docstring). Ends with centroids
+    ``c2(cid, cv)`` over ``base(vec_id, iv, dv)``."""
+    q = 1 << 20
+    rng = f"range(1, {dim + 1})"
+
+    def assign(cents: str, pts: str) -> str:
+        return f"""(
+          SELECT vec_id, iv, cid FROM (
+            SELECT p.vec_id, p.iv, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     list_sum(list_transform({rng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+            FROM {pts} p CROSS JOIN {cents} c
+          ) WHERE rn = 1
+        )"""
+
+    def update(assigned: str, prev: str) -> str:
+        return f"""(
+          SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+          FROM {prev} c LEFT JOIN (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+              SELECT cid, idx, (s - ((s % n + n) % n)) // n AS m
+              FROM (
+                SELECT a.cid, r.idx, SUM(a.iv[r.idx]) AS s, COUNT(*) AS n
+                FROM {assigned} a CROSS JOIN {rng} r(idx)
+                GROUP BY a.cid, r.idx
+              )
+            ) GROUP BY cid
+          ) u USING (cid)
+        )"""
+
+    return f"""
+    base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT)) AS iv,
+             embedding::DOUBLE[] AS dv
+      FROM embeddings
+    ),
+    fitpts AS (SELECT * FROM base WHERE {fit_filter}),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, iv AS cv
+      FROM (SELECT vec_id, iv FROM fitpts ORDER BY vec_id LIMIT {k})
+    ),
+    a1 AS {assign('c0', 'fitpts')},
+    c1 AS {update('a1', 'c0')},
+    a2 AS {assign('c1', 'fitpts')},
+    c2 AS {update('a2', 'c1')}
+    """
+
+
+@_q(
+    "kmeans_cells",
+    f"""
+    WITH {_kmeans_oracle_ctes()},
+    final AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cid AS cell FROM final
+    """,
+    tags=("similarity-kmeans",),
+)
+def kmeans_cells(spark, sf_dir):
+    """Trained IVF partitioning: integer k-means (k=8, 2 Lloyd
+    iterations, deterministic by construction — see operators/kmeans.py)
+    then nearest-centroid cell assignment of the whole corpus. The
+    oracle replays the full iterative fit in SQL and must match
+    bit-for-bit; at scale this is the layout step — write the corpus
+    bucketed by ``cell`` and ANN queries scan one bucket."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=2)
+    return kmeans_assign(e, centroids)
+
+
+@_q(
+    "ann_kmeans_ivf_topk",
+    f"""
+    WITH {_kmeans_oracle_ctes(fit_filter="vec_id >= 5")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT b.vec_id AS query_id, b.dv AS qv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id < 5),
+    c AS (SELECT b.vec_id, b.dv AS cv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id >= 5),
+    scored AS (SELECT query_id, c.vec_id, {{_SQL_COS}} AS score
+               FROM q JOIN c USING (cell))
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """.format(_SQL_COS=_SQL_COS),
+    tags=("similarity-kmeans",),
+)
+def ann_kmeans_ivf_topk(spark, sf_dir):
+    """ANN top-5 through the trained k-means cells (fit on the corpus
+    side only), exact cosine rescoring inside the probed cell — the
+    trained-partitioning upgrade of ``ann_ivf_topk``'s static sign-bit
+    cells."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit, kmeans_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    centroids = kmeans_fit(corpus, k=8, iters=2)
+    return kmeans_ivf_topk(corpus, queries, centroids, k=5)
+
+
 def _lsh_oracle_sql(k: int = 10, dim: int = 64, bits: int = 4, tables: int = 8) -> str:
     """DuckDB twin of ``lsh_topk``. Possible only because bucket
     assignment is exact int64 arithmetic (see ``lsh_buckets``): both

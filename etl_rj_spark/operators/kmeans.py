@@ -1,0 +1,181 @@
+"""Deterministic distributed k-means — the trained-partitioning IVF
+path for ANN at scale (cluster the corpus once, probe one cell per
+query), built so the *training loop itself* is engine-exact.
+
+Float k-means is not reproducible on a cluster: float addition is not
+associative, so per-partition sum order changes the centroids between
+runs, let alone between engines. Here every component is quantized to
+int64 (``floor(x * 2^20)`` — the same quantization the LSH bucket
+oracle uses), so
+
+- distances are exact integer sums of squared diffs (max 64 dims ×
+  (2^21)^2 ≈ 2.8e14, comfortably inside int64),
+- centroid updates are exact integer column sums followed by an
+  explicit floor division (``(s - posmod(s, n)) / n`` — both Spark and
+  DuckDB ``%`` truncate toward the dividend's sign, so the positive
+  mod and hence the floor are identical in both engines),
+
+making the fit a pure function of (data, k, iters): bit-identical
+across partitionings, run orders, and engines. The DuckDB oracle for
+``kmeans_cells`` replays the same two Lloyd iterations in SQL and must
+match exactly — a correctness gate most engines can't offer for an
+iterative algorithm.
+
+Scale shape: each iteration is one broadcast of k×dim centroid ints to
+the executors, one scan computing argmin-assignment (codegen'd integer
+expressions), and one (cell, dim)-keyed partial-agg shuffle of
+64·k running sums — no all-pairs stage anywhere. Assignment output is
+the IVF layout: write the corpus bucketed by ``cell`` and a query
+probes exactly one bucket.
+
+Reference parity: the reference has no ANN at all (four pandas ETL
+scripts); this extends SURVEY §2's similarity-search north star
+alongside ``operators/similarity.py`` (sign-bit IVF, hyperplane LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize_vec(c: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<double> → array<bigint> by floor(x·scale): engine-exact."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col.cast("array<double>"), lambda x: F.floor(x * scale).cast("long"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two int64 vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _floor_div(s: str, n: str) -> Column:
+    """Exact floor(s / n) for int64 column ``s``, positive int64 column
+    ``n``, identical in Spark and DuckDB: subtract the positive mod
+    (both engines' % truncates toward the dividend's sign), then the
+    ``div`` is an exact integer division — never a double, so it stays
+    exact past 2^53 where float division would round."""
+    return F.expr(f"(({s} - (({s} % {n} + {n}) % {n})) div {n})")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Train integer k-means; returns (cid, cv: array<bigint>).
+
+    Deterministic by construction: init = the k rows with smallest
+    ``id_col`` (data-defined, no RNG), fixed iteration count, exact
+    integer updates. A cluster that loses all members keeps its
+    previous centroid (deterministic, and keeps k stable).
+    """
+    pts = df.select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
+    ).localCheckpoint()
+
+    centroids = (
+        pts.orderBy("__id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__id")).alias("cid"),
+            F.col("__iv").alias("cv"),
+        )
+        .localCheckpoint()
+    )
+
+    for _ in range(iters):
+        assigned = _assign(pts, centroids)
+        sums = (
+            assigned.select("cid", F.posexplode("__iv").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select("cid", "idx", _floor_div("s", "n").alias("m"))
+        )
+        new_cv = (
+            sums.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("cv"))
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.select("cid", F.col("cv").alias("old_cv"))
+            .join(new_cv, "cid", "left")
+            .select("cid", F.coalesce("cv", "old_cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return centroids
+
+
+def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, tie-break on smallest cid."""
+    scored = pts.crossJoin(F.broadcast(centroids)).select(
+        "__id", "__iv", "cid", _sqdist(F.col("__iv"), F.col("cv")).alias("__d")
+    )
+    w = Window.partitionBy("__id").orderBy("__d", "cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__d")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) for every row — the IVF bucketing layout. At scale,
+    write the corpus partitioned/bucketed by ``cell`` so a query scans
+    exactly one bucket."""
+    pts = df.select(F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv"))
+    return _assign(pts, centroids).select(
+        F.col("__id").alias(id_col), F.col("cid").alias("cell")
+    )
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k through trained cells: assign both sides to their
+    nearest centroid, equi-join on cell, exact cosine rescoring (9 dp,
+    id tie-break — the contract shared by every top-k in
+    ``operators/similarity.py``)."""
+    from etl_rj_spark.operators.similarity import cosine, vec_double
+
+    c_cells = kmeans_assign(corpus, centroids, vec_col, id_col)
+    q_cells = kmeans_assign(queries, centroids, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col), vec_double(vec_col).alias("__cv")
+    ).join(c_cells, id_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), vec_double(vec_col).alias("__qv")
+        ).join(
+            q_cells.select(F.col(id_col).alias(query_id_col), "cell"), query_id_col
+        )
+    )
+    scored = q.join(c, "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

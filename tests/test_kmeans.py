@@ -1,0 +1,74 @@
+"""Deterministic integer k-means: bit-identical fits regardless of
+partitioning, assignment pinned to a NumPy replica of the same integer
+algorithm, and empty-cluster survival."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.kmeans import (
+    QUANT_SCALE,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _np_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Driver-side replica: quantize, init from k smallest ids, exact
+    integer Lloyd updates with floor-division means."""
+    order = np.argsort(ids)
+    iv = np.floor(vecs.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    cents = iv[order[:k]].copy()
+    for _ in range(iters):
+        d = ((iv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes first (smallest cid) on ties
+        for c in range(k):
+            members = iv[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                cents[c] = (s - ((s % n + n) % n)) // n
+    d = ((iv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return cents, d.argmin(axis=1) + 1  # cids are 1-based
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    ids = np.arange(60)
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs, ids
+
+
+def test_fit_partitioning_invariant(spark, toy):
+    df, _, _ = toy
+    a = kmeans_fit(df.repartition(7), k=4, iters=2).collect()
+    b = kmeans_fit(df.repartition(3, "vec_id"), k=4, iters=2).collect()
+    assert {r.cid: list(r.cv) for r in a} == {r.cid: list(r.cv) for r in b}
+
+
+def test_fit_and_assign_match_numpy_replica(spark, toy):
+    df, vecs, ids = toy
+    cents = kmeans_fit(df, k=4, iters=2)
+    got_c = {r.cid: np.array(r.cv) for r in cents.collect()}
+    exp_c, exp_assign = _np_kmeans(vecs, ids, k=4, iters=2)
+    for c in range(4):
+        assert (got_c[c + 1] == exp_c[c]).all(), f"centroid {c}"
+    got_a = {r.vec_id: r.cell for r in kmeans_assign(df, cents).collect()}
+    assert got_a == {int(i): int(a) for i, a in zip(ids, exp_assign)}
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # all points identical: clusters 2..k empty after round 1, their
+    # init centroids must survive (deterministic, k stays k)
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, k=3, iters=2).collect()
+    assert len(cents) == 3
+    expected = [int(np.floor(x * QUANT_SCALE)) for x in (1.0, 2.0, 3.0)]
+    for r in cents:
+        assert list(r.cv) == expected
