@@ -118,15 +118,29 @@ def kmeans_fit(
 
 
 def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment, tie-break on smallest cid."""
-    scored = pts.crossJoin(F.broadcast(centroids)).select(
-        "__id", "__iv", "cid", _sqdist(F.col("__iv"), F.col("cv")).alias("__d")
+    """Nearest-centroid assignment, tie-break on smallest cid.
+
+    Zero-shuffle: the k centroids are packed into ONE broadcast row
+    (array of (cid, cv) structs) and argmin is ``array_min`` over
+    ``struct(dist, cid)`` — lexicographic struct ordering IS the
+    (distance, cid) tie-break, and min over a set is independent of
+    ``collect_list``'s nondeterministic order. Assignment is a pure
+    map over the corpus scan; the naive alternative (explode k rows
+    per point + row_number window) would shuffle the whole corpus
+    once per Lloyd iteration."""
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
     )
-    w = Window.partitionBy("__id").orderBy("__d", "cid")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__d")
+    best = F.array_min(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                _sqdist(F.col("__iv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return pts.crossJoin(packed).select(
+        "__id", "__iv", best["cid"].alias("cid")
     )
 
 
