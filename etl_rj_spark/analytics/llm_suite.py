@@ -1147,9 +1147,7 @@ def span_dedup_docs(spark, sf_dir):
     return span_dedup(d, "doc_id", "text", span_tokens=3)
 
 
-@_q(
-    "decontaminate_docs",
-    rf"""
+_DECONTAM_ORACLE = rf"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
@@ -1167,9 +1165,10 @@ def span_dedup_docs(spark, sf_dir):
     SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams
     FROM cgrams JOIN bgrams USING (gram)
     GROUP BY doc_id
-    """,
-    tags=("decontamination",),
-)
+    """
+
+
+@_q("decontaminate_docs", _DECONTAM_ORACLE, tags=("decontamination",))
 def decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination: the 'benchmark' is an 8-token passage
     (tokens 5-12) lifted from every 10th document; the corpus
@@ -1191,6 +1190,29 @@ def decontaminate_docs(spark, sf_dir):
         F.array_join(F.slice(toks, 5, 8), " ").alias("text")
     )
     return contaminated_docs(corpus, bench, "doc_id", "text", n=8)
+
+
+@_q("decontaminate_docs_hashed", _DECONTAM_ORACLE, tags=("decontamination",))
+def decontaminate_docs_hashed(spark, sf_dir):
+    """Same decontamination through the Bloom-style two-phase probe:
+    broadcast 8-byte xxhash64 gram hashes (for when the benchmark gram
+    strings outgrow broadcast), exact-verify only the candidate sliver.
+    Collisions can only add candidates, so post-verification output is
+    byte-identical to the exact path — proven by sharing its oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+    from etl_rj_spark.operators.text_dedup import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    toks = whitespace_tokens(normalized_text("text"))
+    bench = d.filter(F.col("doc_id") % 10 == 0).filter(F.size(toks) >= 12).select(
+        F.array_join(F.slice(toks, 5, 8), " ").alias("text")
+    )
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=8, hashed_probe=True)
 
 
 @_q(

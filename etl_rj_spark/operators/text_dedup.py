@@ -476,6 +476,7 @@ def contaminated_docs(
     id_col: str,
     text_col: str,
     n: int = 8,
+    hashed_probe: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing at
     least one token ``n``-gram with ANY benchmark document — the
@@ -487,11 +488,26 @@ def contaminated_docs(
     n-grams and probes the broadcast hash map with NO shuffle of
     corpus data; only the per-doc hit counts aggregate (keys = the
     contaminated subset, normally a sliver of the corpus).
+
+    ``hashed_probe=True`` is the Bloom-style variant for when the
+    benchmark gram STRINGS outgrow broadcast (a large eval suite at
+    8-gram granularity): phase 1 broadcasts only ``xxhash64(gram)``
+    (8 bytes/gram, ~10× smaller than the strings) and probes it from
+    the corpus scan; phase 2 exact-verifies the candidate sliver
+    against the gram strings with an ordinary shuffle join, which now
+    touches only candidates, not the corpus. Hash collisions can only
+    add candidates, so after verification the result is byte-identical
+    to the exact path — both variants share one oracle.
     """
     c = corpus.select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram"))
     b = benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram")).distinct()
+    if hashed_probe:
+        bh = b.select(F.xxhash64("gram").alias("__gh")).distinct()
+        cand = c.withColumn("__gh", F.xxhash64("gram")).join(F.broadcast(bh), "__gh")
+        hits = cand.join(b, "gram")  # exact verify: candidates only
+    else:
+        hits = c.join(F.broadcast(b), "gram")
     return (
-        c.join(F.broadcast(b), "gram")
-        .groupBy(id_col)
+        hits.groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
