@@ -99,3 +99,30 @@ def test_q21_flags_aggregate_reused_once(spark, sf_dir):
     counts = explain_counts(REGISTRY["exclusive_late_supplier_q21"].build(spark, sf_dir))
     assert counts["sort_merge_join"] <= 1, counts
     assert counts["parquet_scans"] <= 5, counts
+
+
+def test_kmeans_assignment_is_pure_map(spark, sf_dir):
+    """The packed-centroid argmin assignment must be a single pruned
+    corpus scan feeding a broadcast cross-join — NO data exchange: at
+    100 TB a per-iteration corpus shuffle is the dominant cost the
+    packed-array design removes."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(e, k=4, iters=1)
+    counts = explain_counts(kmeans_assign(e, cents))
+    assert counts["parquet_scans"] == 1, counts
+    plan = kmeans_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
+    # broadcast of the packed centroids is the ONLY exchange
+    assert "BroadcastExchange" in plan
+    import re
+
+    # the only non-broadcast exchange allowed is the SinglePartition
+    # collect of the k packed centroids (k rows, metadata not data);
+    # a hashpartitioning exchange would mean the corpus shuffles
+    data_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", l)
+    ]
+    assert not data_exchanges, data_exchanges
