@@ -1,7 +1,9 @@
 """TPC-H hard shapes — the classically difficult join/subquery patterns
-(Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q18/Q21/Q22), adapted to the driver's schema
-(no partsupp / l_receiptdate / c_phone / o_comment columns, so Q21/Q22
-use documented stand-in predicates with identical plan shapes).
+(Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q18/Q21/Q22, plus the partsupp family
+Q2/Q11/Q20 over an in-query derived partsupp), adapted to the driver's
+schema (no partsupp / l_receiptdate / c_phone / o_comment columns, so
+Q21/Q22 use documented stand-in predicates with identical plan shapes
+and Q2/Q11/Q20 synthesize partsupp deterministically from part × {0..3}).
 
 These exercise what the earlier tpch_suite does not: OR'd join-pair
 predicates (Q7), conditional-ratio aggregates (Q8/Q14), outer-join count
@@ -713,4 +715,213 @@ def disjunctive_revenue_q19(spark, sf_dir):
     )
     return j.filter(cond).agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# --- Q2 / Q11 / Q20: the partsupp family over a derived partsupp -----------
+#
+# The driver schema has no partsupp table, so these three shapes run on a
+# partsupp DERIVED deterministically from part × {0..3} with pure integer
+# arithmetic — identical expressions in Spark and DuckDB, the same
+# synthesize-in-query pattern the dup-corpus queries use. Columns:
+#   ps_suppkey        = (p_partkey + i) % (#suppliers)   (4 distinct/part)
+#   ps_availqty       = (p_partkey*7 + i*13) % 9999 + 1
+#   ps_supplycost_c   = (p_partkey*31 + i*17) % 100000 + 100   (integer cents)
+# Supply cost stays in exact integer cents everywhere (the repo-wide money
+# determinism contract), so every aggregate below is engine-exact.
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + g.i) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+             (p_partkey * 7 + g.i * 13) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 31 + g.i * 17) % 100000 + 100 AS ps_supplycost_c
+      FROM part CROSS JOIN range(0, 4) g(i)
+    )
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    nsupp = F.broadcast(
+        _t(spark, sf_dir, "supplier").agg(F.count("*").alias("__nsupp"))
+    )
+    return (
+        p.crossJoin(nsupp)
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__i"),
+            "__nsupp",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("__i")) % F.col("__nsupp")).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("__i") * 13) % 9999 + 1).alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("__i") * 17) % 100000 + 100).alias(
+                "ps_supplycost_c"
+            ),
+        )
+    )
+
+
+@_q(
+    "min_cost_supplier_q2",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    cand AS (
+      SELECT p.p_partkey, p.p_type, ps.ps_supplycost_c, s.s_name, s.s_acctbal,
+             n.n_name,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY ps.ps_supplycost_c, ps.ps_suppkey) AS rn
+      FROM part p
+      JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size <= 25 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, n_name, s_acctbal, ps_supplycost_c AS min_cost_c
+    FROM cand WHERE rn = 1
+    """,
+    tags=("tpch-q2", "groupwise-min", "partsupp-derived"),
+)
+def min_cost_supplier_q2(spark, sf_dir):
+    """TPC-H Q2 on the derived partsupp: cheapest in-region supplier
+    per filtered part — the groupwise-min join with deterministic
+    (cost, suppkey) tie-break. Plan: partsupp derives from the part
+    scan (no extra table), supplier/nation/region broadcast, one
+    window over the filtered candidates."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(p.select("p_partkey"), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("ps_supplycost_c", "ps_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "s_name", "n_name", "s_acctbal",
+            F.col("ps_supplycost_c").alias("min_cost_c"),
+        )
+    )
+
+
+@_q(
+    "important_stock_q11",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_c * ps.ps_availqty AS value_c
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+    )
+    SELECT ps_partkey, SUM(value_c) AS stock_value_c
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING SUM(value_c) > (SELECT SUM(value_c) * 0.001 FROM scoped)
+    """,
+    tags=("tpch-q11", "having-scalar-subquery", "partsupp-derived"),
+)
+def important_stock_q11(spark, sf_dir):
+    """TPC-H Q11 on the derived partsupp: per-part stock value for a
+    nation group, kept only when above a fraction of the TOTAL value —
+    the grouped-HAVING-against-global-scalar shape. The total is a
+    1-row broadcast (never a driver collect); all value arithmetic is
+    exact integer cents, the 0.001 threshold compare is
+    integer × literal on both engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    scoped = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("value_c"),
+        )
+    )
+    total = F.broadcast(scoped.agg(F.sum("value_c").alias("__total_c")))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("value_c").alias("stock_value_c"))
+        .crossJoin(total)
+        .filter(F.col("stock_value_c") > F.col("__total_c") * 0.001)
+        .select("ps_partkey", "stock_value_c")
+    )
+
+
+@_q(
+    "promotion_suppliers_q20",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = 'SMALL'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+      WHERE 2.0 * ps.ps_availqty > sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+      AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    """,
+    tags=("tpch-q20", "nested-semi-join", "partsupp-derived"),
+)
+def promotion_suppliers_q20(spark, sf_dir):
+    """TPC-H Q20 on the derived partsupp: suppliers holding excess
+    stock (availqty > half the year's shipped quantity) of SMALL parts,
+    in a nation group — the nested-semi-join shape (partsupp semi
+    lineitem-agg, supplier semi the result). l_quantity values are
+    small integers, so SUM is exact in double and the half-compare is
+    written 2·availqty > qty to stay away from .5 rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    excess = (
+        ps.join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(2.0 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
     )
