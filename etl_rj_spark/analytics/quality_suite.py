@@ -115,7 +115,9 @@ def tfidf_top_terms(spark, sf_dir):
       WHERE t.token <> '' GROUP BY 1, 2
     ),
     stats AS (
-      SELECT doc_id, MAX(tf) AS max_tf, SUM(tf) AS n_tokens,
+      -- CAST: DuckDB SUM(int) is HUGEINT → float64 in pandas; the
+      -- driver hashes that differently from Spark's int64
+      SELECT doc_id, MAX(tf) AS max_tf, CAST(SUM(tf) AS BIGINT) AS n_tokens,
              COUNT(*) AS n_distinct
       FROM tf GROUP BY doc_id
     )
@@ -221,11 +223,13 @@ def pii_scrub_docs(spark, sf_dir):
     ),
     packed AS (
       SELECT doc_id, shard, n_tokens,
-             (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS batch_id
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                  AS BIGINT) AS batch_id
       FROM sized
     )
-    SELECT shard, batch_id, COUNT(*) AS n_docs, SUM(n_tokens) AS batch_tokens
+    SELECT shard, batch_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
     FROM packed GROUP BY shard, batch_id ORDER BY shard, batch_id
     """,
     tags=("curation", "sequence-packing", "llm-batch"),
@@ -262,7 +266,9 @@ def pack_sequences_budget(spark, sf_dir):
     "embedding_int8_quantized",
     """
     SELECT vec_id, maxabs,
-           list_transform(emb_d, x -> CAST(ROUND(x * 127.0 / maxabs) AS INTEGER)) AS qvec
+           array_to_string(
+             list_transform(emb_d, x -> CAST(ROUND(x * 127.0 / maxabs) AS INTEGER)),
+             ',') AS qvec
     FROM (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
@@ -287,8 +293,12 @@ def embedding_int8_quantized(spark, sf_dir):
         .select(
             "vec_id",
             "maxabs",
-            F.transform(
-                "emb_d", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int")
+            F.array_join(
+                F.transform(
+                    "emb_d",
+                    lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int").cast("string"),
+                ),
+                ",",
             ).alias("qvec"),
         )
         .orderBy("vec_id")

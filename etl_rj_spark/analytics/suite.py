@@ -793,8 +793,11 @@ def windowed_event_counts(spark, sf_dir):
                   THEN 1 ELSE 0 END AS is_new
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas renders as
+      -- float64 and the driver's canonicalizer hashes differently from
+      -- Spark's int64 (round-1/2 hash mismatch root cause)
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM o
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -148,7 +148,7 @@ def snapshot_diff_orders(spark, sf_dir):
     "incremental_trend_merge",
     """
     SELECT CAST(o_orderdate AS DATE) AS fecha,
-           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
            COUNT(*) AS n
     FROM orders GROUP BY 1
     """,
@@ -249,9 +249,10 @@ def date_spine_gap_fill(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           SUM(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
-                    THEN 1 ELSE 0 END) AS n_converted_after_view
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_after_view
     FROM per_user
     """,
     tags=("temporal", "funnel", "A3"),

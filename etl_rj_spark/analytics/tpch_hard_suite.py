@@ -644,10 +644,10 @@ def parts_supplier_counts_q16(spark, sf_dir):
     "shipping_priority_counts_q12",
     """
     SELECT YEAR(l_shipdate) AS ship_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
     GROUP BY YEAR(l_shipdate) ORDER BY ship_year
@@ -826,7 +826,7 @@ def min_cost_supplier_q2(spark, sf_dir):
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
     )
-    SELECT ps_partkey, SUM(value_c) AS stock_value_c
+    SELECT ps_partkey, CAST(SUM(value_c) AS BIGINT) AS stock_value_c
     FROM scoped
     GROUP BY ps_partkey
     HAVING SUM(value_c) > (SELECT SUM(value_c) * 0.001 FROM scoped)

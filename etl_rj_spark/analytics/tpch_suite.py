@@ -237,11 +237,14 @@ def zscore_events_by_type(spark, sf_dir):
     "profile_lineitem",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity_nulls,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_quantity_nulls,
            COUNT(DISTINCT l_quantity) AS l_quantity_distinct,
-           SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS l_extendedprice_nulls,
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_extendedprice_nulls,
            COUNT(DISTINCT l_extendedprice) AS l_extendedprice_distinct,
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS l_returnflag_nulls,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_returnflag_nulls,
            COUNT(DISTINCT l_returnflag) AS l_returnflag_distinct,
            MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
            MIN(l_extendedprice) AS l_extendedprice_min,

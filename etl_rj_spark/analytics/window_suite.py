@@ -155,7 +155,8 @@ def cheapest_part_per_type(spark, sf_dir):
 @_q(
     "orders_array_per_customer",
     """
-    SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
            len(list(o_orderkey)) AS n_orders
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_custkey ORDER BY o_custkey
@@ -166,13 +167,20 @@ def orders_array_per_customer(spark, sf_dir):
     """Deterministic array aggregation: collect_list has no inherent
     order (partial-agg arrival order), so the engine contract is
     sort_array after collect — the only way an array-valued aggregate
-    is stable across partitionings/engines. Arrays compare as values
-    in the oracle harness."""
+    is stable across partitionings/engines. The driver canonicalizer
+    cannot hash array cells, so the contract emits the sorted array
+    string-joined (exact int64 renderings — engine-identical)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_custkey")

@@ -44,10 +44,32 @@ def normalize_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _check_driver_hashable(spark_df, rel):
+    """The round driver canonicalizes via pandas: DuckDB HUGEINT (bare
+    SUM over integers) and DECIMAL become float64/Decimal while Spark
+    emits int64 — equal values, different hashes (round-1/2
+    `sessionization` + `repetition_filter_docs` root cause). Array/map/
+    struct cells are unhashable for it entirely. Fail fast on both."""
+    import pyspark.sql.types as T
+
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        assert "HUGEINT" not in ts and "DECIMAL" not in ts, (
+            f"oracle column {c!r} has driver-hostile type {ts}: "
+            "CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+        )
+    for f in spark_df.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+            f"spark column {f.name!r} is {f.dataType.simpleString()}: the driver "
+            "canonicalizer cannot hash complex cells — string-join or explode"
+        )
+
+
 def compare_spark_duck(spark_df, con, sql):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
+    _check_driver_hashable(spark_df, rel)
     d_cols = list(rel.columns)
     d_rows = rel.fetchall()
 
