@@ -105,7 +105,10 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
         chunk = data[pos : pos + ln]
         pos += ln + 4  # chunk + CRC
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
+            try:
+                ihdr = struct.unpack(">IIBBBBB", chunk)
+            except struct.error as ex:  # truncated IHDR: length field lied
+                raise ValueError(f"truncated IHDR chunk: {ex}") from ex
         elif tag == b"IDAT":
             idat.append(chunk)
         elif tag == b"PLTE":
@@ -123,7 +126,10 @@ def decode_png(data: bytes) -> tuple[np.ndarray, str]:
         raise ValueError(f"unsupported color type {ctype}")
     bpp = _CHANNELS[ctype]
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:  # corrupt deflate stream inside IDAT
+        raise ValueError(f"corrupt IDAT deflate stream: {ex}") from ex
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)

@@ -95,9 +95,10 @@ def append_incremental_jdbc(
     50; re-run inserts 0.
 
     With ``row_idx_col`` (the source-row index ``sources.trimmed_csv``
-    attaches), batches are written per ``batchsize`` row-index range,
-    each its own transaction, and a failing batch raises
-    :class:`JdbcBatchInsertError` naming the source file lines
+    attaches), surviving rows are written in batches of ``batchsize``
+    (dense row_number batching — sparse post-anti-join indices never
+    produce empty jobs), each its own transaction, and a failing batch
+    raises :class:`JdbcBatchInsertError` naming the source file lines
     (``row_idx + source_line_offset`` — pass skiprows+2 for a trimmed
     CSV: junk lines + header line + 1-based). This is the reference's
     operator-facing error contract (ventas_totales.py:236-262); it is
@@ -130,18 +131,29 @@ def append_incremental_jdbc(
         write(new)
         return
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     new = new.persist()  # anti-join once, not once per batch
     try:
-        bounds = new.agg(
-            F.min(row_idx_col).alias("lo"), F.max(row_idx_col).alias("hi")
-        ).first()
-        if bounds is None or bounds["lo"] is None:
-            return
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
-        for start in range(lo, hi + 1, batchsize):
-            end = min(start + batchsize - 1, hi)
+        # Batch by SURVIVING rows, not raw index ranges: after the
+        # anti-join _row_idx is sparse, and range-stepping lo..hi would
+        # launch one job per range — most of them empty — with job
+        # count scaling as (hi-lo)/batchsize instead of rows/batchsize.
+        # row_number over the row-idx order gives dense batch ids; one
+        # small aggregate yields each batch's REAL index bounds, so a
+        # failing batch reports the min/max of rows actually in it.
+        rn = F.row_number().over(Window.orderBy(F.col(row_idx_col)))
+        batch_bounds = (
+            new.select(F.col(row_idx_col).alias("__ri"))
+            .withColumn("__batch", ((rn - F.lit(1)) / batchsize).cast("long"))
+            .groupBy("__batch")
+            .agg(F.min("__ri").alias("lo"), F.max("__ri").alias("hi"))
+            .orderBy("__batch")
+            .collect()
+        )
+        for b in batch_bounds:
+            start, end = int(b["lo"]), int(b["hi"])
             batch = new.filter(F.col(row_idx_col).between(start, end)).drop(row_idx_col)
             try:
                 write(batch)

@@ -1,14 +1,29 @@
 """Minimal .xlsx writer (stdlib zipfile — no openpyxl):
 one named table per sheet, grid anchored at A1. Numbers are written as
-numeric cells, strings as inline strings, None as omitted cells."""
+numeric cells, strings as inline strings, None as omitted cells.
+
+The archive is a conformant OPC package — ``[Content_Types].xml``,
+root ``_rels/.rels``, workbook/sheet/table relationships, and
+``<tableParts>`` binding each sheet to its named table — so the output
+opens in Excel/openpyxl, not just this repo's own stdlib parser
+(``sources/xlsx_native.py``). All cell values and table names are
+XML-escaped; a value containing ``&``, ``<`` or ``>`` roundtrips
+verbatim instead of corrupting the member XML.
+"""
 
 from __future__ import annotations
 
 import zipfile
+from xml.sax.saxutils import escape, quoteattr
 
 NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 NS_REL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 NS_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
+NS_CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+CT_WORKBOOK = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"
+CT_SHEET = "application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"
+CT_TABLE = "application/vnd.openxmlformats-officedocument.spreadsheetml.table+xml"
+CT_RELS = "application/vnd.openxmlformats-package.relationships+xml"
 
 
 def _col_letter(i: int) -> str:
@@ -24,7 +39,7 @@ def _cell_xml(ref: str, v) -> str:
     if v is None:
         return ""
     if isinstance(v, str):
-        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
     return f'<c r="{ref}"><v>{v}</v></c>'
 
 
@@ -32,7 +47,7 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
     """tables = [(table_name, grid)] — each on its own sheet, grid[0]
     is the header row; the named-table ref spans the grid."""
     members: dict[str, str] = {}
-    sheet_entries, rel_entries = [], []
+    sheet_entries, rel_entries, ct_overrides = [], [], []
     for idx, (name, grid) in enumerate(tables, start=1):
         rows_xml = []
         for r, row in enumerate(grid):
@@ -40,14 +55,27 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
                 _cell_xml(f"{_col_letter(c)}{r + 1}", v) for c, v in enumerate(row)
             )
             rows_xml.append(f'<row r="{r + 1}">{cells}</row>')
-        members[f"xl/worksheets/sheet{idx}.xml"] = (
-            f'<?xml version="1.0"?><worksheet xmlns="{NS_MAIN}">'
-            f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
-        )
         ref = f"A1:{_col_letter(len(grid[0]) - 1)}{len(grid)}"
+        members[f"xl/worksheets/sheet{idx}.xml"] = (
+            f'<?xml version="1.0"?>'
+            f'<worksheet xmlns="{NS_MAIN}" xmlns:r="{NS_REL}">'
+            f'<dimension ref="{ref}"/>'
+            f"<sheetData>{''.join(rows_xml)}</sheetData>"
+            f'<tableParts count="1"><tablePart r:id="rIdT"/></tableParts>'
+            "</worksheet>"
+        )
+        cols = "".join(
+            f'<tableColumn id="{c + 1}" name={quoteattr(str(h))}/>'
+            for c, h in enumerate(grid[0])
+        )
         members[f"xl/tables/table{idx}.xml"] = (
             f'<?xml version="1.0"?><table xmlns="{NS_MAIN}" id="{idx}" '
-            f'name="{name}" displayName="{name}" ref="{ref}"/>'
+            f"name={quoteattr(name)} displayName={quoteattr(name)} "
+            f'ref="{ref}" headerRowCount="1">'
+            f'<autoFilter ref="{ref}"/>'
+            f'<tableColumns count="{len(grid[0])}">{cols}</tableColumns>'
+            '<tableStyleInfo showRowStripes="1"/>'
+            "</table>"
         )
         members[f"xl/worksheets/_rels/sheet{idx}.xml.rels"] = (
             f'<?xml version="1.0"?><Relationships xmlns="{NS_PKG}">'
@@ -59,6 +87,10 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
             f'<Relationship Id="rId{idx}" Type="{NS_REL}/worksheet" '
             f'Target="worksheets/sheet{idx}.xml"/>'
         )
+        ct_overrides.append(
+            f'<Override PartName="/xl/worksheets/sheet{idx}.xml" ContentType="{CT_SHEET}"/>'
+            f'<Override PartName="/xl/tables/table{idx}.xml" ContentType="{CT_TABLE}"/>'
+        )
     members["xl/workbook.xml"] = (
         f'<?xml version="1.0"?><workbook xmlns="{NS_MAIN}" xmlns:r="{NS_REL}">'
         f"<sheets>{''.join(sheet_entries)}</sheets></workbook>"
@@ -66,6 +98,18 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
     members["xl/_rels/workbook.xml.rels"] = (
         f'<?xml version="1.0"?><Relationships xmlns="{NS_PKG}">'
         f"{''.join(rel_entries)}</Relationships>"
+    )
+    members["_rels/.rels"] = (
+        f'<?xml version="1.0"?><Relationships xmlns="{NS_PKG}">'
+        f'<Relationship Id="rId1" Type="{NS_REL}/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    members["[Content_Types].xml"] = (
+        f'<?xml version="1.0"?><Types xmlns="{NS_CT}">'
+        f'<Default Extension="rels" ContentType="{CT_RELS}"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        f'<Override PartName="/xl/workbook.xml" ContentType="{CT_WORKBOOK}"/>'
+        f"{''.join(ct_overrides)}</Types>"
     )
     with zipfile.ZipFile(path, "w") as z:
         for name, content in members.items():
