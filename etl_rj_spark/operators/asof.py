@@ -22,6 +22,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_us(df: DataFrame, col_name: str) -> Column:
+    """Integer-microsecond epoch for a timestamp column — exact
+    arithmetic for bucketing/tolerance (a float epoch ulp-flipped a
+    boundary comparison in round 1). TIMESTAMP_NTZ is cast first (exact
+    under the pinned UTC session tz); numeric columns are taken as
+    epoch seconds."""
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col(col_name).cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col_name))
+    return (F.col(col_name).cast("double") * 1_000_000).cast("long")
 
 
 def asof_join(
@@ -67,9 +82,9 @@ def asof_join(
     )
     out = matched.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        in_tol = (_epoch_us(out, "__ts") - _epoch_us(out, "__m_ts")) <= F.lit(
+            int(round(tolerance_seconds * 1_000_000))
+        )
         out = out.withColumns(
             {f"__m_{c}": F.when(in_tol, F.col(f"__m_{c}")) for c in rv}
             | {"__m_ts": F.when(in_tol, F.col("__m_ts"))}
@@ -93,13 +108,18 @@ def range_join_count(
     per left row (0 when none). Exact; the bucketized equi-join is only
     a candidate filter."""
     on = list(on)
-    bucket_l = F.floor(F.col(left_ts).cast("double") / window_seconds).cast("long")
+    window_us = window_seconds * 1_000_000
+    # integer-µs bucketing: floor-div on exact epochs, never a float
+    # (ulp at a bucket edge would route a candidate to the wrong bucket)
+    bucket_l = F.floor(_epoch_us(left, left_ts) / F.lit(window_us)).cast("long")
 
     l = left.withColumn(
         "__bucket", F.explode(F.array(bucket_l, bucket_l + 1))
     )
-    r = right.select(*on, F.col(right_ts).alias("__rts")).withColumn(
-        "__bucket", F.floor(F.col("__rts").cast("double") / window_seconds).cast("long")
+    r_proj = right.select(*on, F.col(right_ts).alias("__rts"))
+    r = r_proj.withColumn(
+        "__bucket",
+        F.floor(_epoch_us(r_proj, "__rts") / F.lit(window_us)).cast("long"),
     )
 
     upper = F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECOND")

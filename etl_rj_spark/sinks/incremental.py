@@ -134,27 +134,33 @@ def append_incremental_jdbc(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    new = new.persist()  # anti-join once, not once per batch
+    # Batch by SURVIVING rows, not raw index ranges: after the
+    # anti-join _row_idx is sparse, and range-stepping lo..hi would
+    # launch one job per range — most of them empty — with job count
+    # scaling as (hi-lo)/batchsize instead of rows/batchsize.
+    # row_number over the row-idx order gives dense batch ids, and each
+    # row is written by the batch id ATTACHED to it — never by
+    # re-filtering on the sparse index, where a tied row_idx split
+    # across a batch boundary would be written twice (once per
+    # neighboring [lo,hi] range).
+    rn = F.row_number().over(Window.orderBy(F.col(row_idx_col)))
+    new = new.withColumn(
+        "__batch", ((rn - F.lit(1)) / batchsize).cast("long")
+    ).persist()  # anti-join + batch assignment once, not once per batch
     try:
-        # Batch by SURVIVING rows, not raw index ranges: after the
-        # anti-join _row_idx is sparse, and range-stepping lo..hi would
-        # launch one job per range — most of them empty — with job
-        # count scaling as (hi-lo)/batchsize instead of rows/batchsize.
-        # row_number over the row-idx order gives dense batch ids; one
-        # small aggregate yields each batch's REAL index bounds, so a
-        # failing batch reports the min/max of rows actually in it.
-        rn = F.row_number().over(Window.orderBy(F.col(row_idx_col)))
+        # one small aggregate yields each batch's REAL index bounds, so
+        # a failing batch reports the min/max of rows actually in it
         batch_bounds = (
-            new.select(F.col(row_idx_col).alias("__ri"))
-            .withColumn("__batch", ((rn - F.lit(1)) / batchsize).cast("long"))
-            .groupBy("__batch")
-            .agg(F.min("__ri").alias("lo"), F.max("__ri").alias("hi"))
+            new.groupBy("__batch")
+            .agg(F.min(row_idx_col).alias("lo"), F.max(row_idx_col).alias("hi"))
             .orderBy("__batch")
             .collect()
         )
         for b in batch_bounds:
             start, end = int(b["lo"]), int(b["hi"])
-            batch = new.filter(F.col(row_idx_col).between(start, end)).drop(row_idx_col)
+            batch = new.filter(F.col("__batch") == int(b["__batch"])).drop(
+                "__batch", row_idx_col
+            )
             try:
                 write(batch)
             except Exception as ex:

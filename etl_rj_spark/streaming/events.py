@@ -1,37 +1,35 @@
 """Streaming event ingestion and aggregation.
 
 ``read_event_stream`` reads the events table shape as a file-source
-stream (parquet dirs with TIMESTAMP(NANOS) read as long then converted,
-matching sources.parquet). ``windowed_event_counts_stream`` is the
-streaming twin of the batch ``windowed_event_counts`` oracle query —
-identical grouping expressions, plus a watermark for state eviction.
+stream. File streams need an explicit schema, which the reader takes
+from a batch read of the same path — never hard-coded, so a testdata
+regeneration that changes the parquet timestamp encoding (ns-as-long →
+µs-NTZ did exactly this) cannot silently shift every timestamp 1000×.
+Normalization then goes through the same ``normalize_timestamps`` the
+batch source uses, so stream and batch agree bit-for-bit.
+``windowed_event_counts_stream`` is the streaming twin of the batch
+``windowed_event_counts`` oracle query — identical grouping
+expressions, plus a watermark for state eviction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long; converted below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from etl_rj_spark.sources.parquet import normalize_timestamps
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over event parquet files; ns-long timestamps
-    converted to TimestampType (µs truncation, same as batch)."""
+    """File-source stream over event parquet files; schema inferred
+    from a batch read of the path, timestamps normalized to
+    TimestampType exactly as the batch source does (µs truncation for
+    ns-as-long, exact UTC cast for TIMESTAMP_NTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(raw_schema).parquet(path)
+    return normalize_timestamps(raw)
 
 
 def windowed_event_counts_stream(

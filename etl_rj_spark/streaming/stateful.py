@@ -37,7 +37,9 @@ def _make_sessionizer(gap_seconds: int):
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.sort_values(["ts", "event_id"])
-            ts_us = batch["ts"].astype("int64") // 1000  # ns → µs
+            # unit-independent epoch-µs: Arrow may hand pandas ns- or
+            # µs-resolution datetimes depending on the source encoding
+            ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
             for t, v in zip(ts_us.tolist(), batch["value"].tolist()):
                 if last is not None and t - last > gap_us:
                     closed.append((user_id, start, last, n, vsum))

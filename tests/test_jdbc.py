@@ -165,3 +165,38 @@ def test_legacy_xls_rejected_with_clear_error(spark, tmp_path):
     write_xlsx(str(mislabeled), [("T1", [["a", "b"], [1, "x"]])])
     df = read_sales_export(spark, str(mislabeled))
     assert df.columns == ["a", "b"] and df.count() == 1
+
+
+def test_jdbc_batch_tied_row_idx_never_double_inserts(spark, derby_url):
+    """Duplicate _row_idx values (per-file indices from a multi-file
+    source) split by row_number across a batch boundary must each be
+    written exactly once — batching attaches the dense batch id to the
+    rows instead of re-filtering sparse index ranges, where adjacent
+    [lo,hi] ranges would both match the tied boundary value."""
+    empty = spark.createDataFrame([], "K INT, V STRING")
+    (
+        empty.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "FACTS_TIED")
+        .options(**PROPS)
+        .mode("overwrite")
+        .save()
+    )
+    # 20 rows, every _row_idx duplicated (two "files" of 10): with
+    # batchsize=4 each tied pair straddles a boundary somewhere
+    rows = [(i, f"v{i}", i % 10) for i in range(20)]
+    batch = spark.createDataFrame(rows, "K INT, V STRING, _row_idx INT")
+
+    append_incremental_jdbc(
+        batch, derby_url, "FACTS_TIED", ["K"],
+        batchsize=4, properties=PROPS, row_idx_col="_row_idx",
+    )
+    written = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "FACTS_TIED")
+        .options(**PROPS)
+        .load()
+    )
+    assert written.count() == 20
+    assert written.select("K").distinct().count() == 20
