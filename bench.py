@@ -46,12 +46,18 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # warm-up: session/codegen/readers/JIT, per query (not recorded)
+    # Fault-isolated per query: one broken query must cost exactly one
+    # entry (recorded as {"err": ...}), never the round's whole perf
+    # signal — round 3 lost all 19 numbers to a single AnalysisException
+    # raised during warm-up.
+    timings: dict[str, float | dict] = {}
     for name in bench_queries:
-        run(name)
-
-    timings = {name: round(run(name), 4) for name in bench_queries}
-    total = round(sum(timings.values()), 4)
+        try:
+            run(name)  # warm-up: session/codegen/readers/JIT (not recorded)
+            timings[name] = round(run(name), 4)
+        except Exception as ex:  # noqa: BLE001
+            timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:500]}
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
     print(
         json.dumps(
             {
@@ -60,6 +66,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "errors": sum(1 for t in timings.values() if isinstance(t, dict)),
             }
         )
     )
