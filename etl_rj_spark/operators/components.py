@@ -143,6 +143,20 @@ def connected_components_star(
         sig = new_sig
     else:
         raise RuntimeError(f"connected_components_star: no fixed point in {max_rounds} rounds")
+    # star-forest invariant (the check _edge_signature's collision note
+    # relies on): at a true fixed point every edge points node → root
+    # and no node is both — a residual chain (u→v, v→w) means the
+    # signature equality was a hash collision on a still-contracting
+    # edge set, and silently reading components off it would mislabel
+    chained = (
+        e.select("u").join(e.select(F.col("v").alias("u")), "u", "left_semi").count()
+    )
+    if chained:
+        raise RuntimeError(
+            "connected_components_star: fixed-point signature matched but the "
+            f"edge set is not a star forest ({chained} chained nodes) — "
+            "signature hash collision; rerun with a different max_rounds"
+        )
     # fixed point is stars (node → root, root < node): components read off
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(

@@ -39,13 +39,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-QUANT_SCALE = 1 << 20
-
-
-def quantize_vec(c: Column | str, scale: int = QUANT_SCALE) -> Column:
-    """array<double> → array<bigint> by floor(x·scale): engine-exact."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.transform(col.cast("array<double>"), lambda x: F.floor(x * scale).cast("long"))
+# the ONE quantization contract (floor(x·2^20) → int64) lives in
+# operators.similarity; k-means and LSH must never drift apart on it —
+# their oracles replay the same definition
+from etl_rj_spark.operators.similarity import QUANT_SCALE, quantize_vec  # noqa: F401
 
 
 def _sqdist(a: Column, b: Column) -> Column:

@@ -140,14 +140,19 @@ def _lsh_planes(dim: int, bits: int, tables: int) -> list[list[list[int]]]:
     ]
 
 
-def quantize_vec(c: Column | str, scale_pow2: int = 20) -> Column:
-    """Exact integer quantization of a float/double vector:
-    ``floor(x * 2^scale_pow2)`` per component. The power-of-two multiply
-    of a float32-exact double is exact, and floor is unambiguous in
-    every engine — so two engines ALWAYS agree on the result, unlike
-    any float rounding near a tie."""
+QUANT_SCALE = 1 << 20
+
+
+def quantize_vec(c: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """THE engine-wide quantization contract — shared by hyperplane LSH
+    here and the k-means IVF trainer (``operators.kmeans`` imports this
+    definition), and replayed verbatim by their DuckDB oracles:
+    ``floor(x * scale)`` per component, ``scale`` a power of two. The
+    power-of-two multiply of a float32-exact double is exact, and floor
+    is unambiguous in every engine — so two engines ALWAYS agree on the
+    result, unlike any float rounding near a tie."""
     return F.transform(
-        vec_double(c), lambda x: F.floor(x * F.lit(float(1 << scale_pow2))).cast("long")
+        vec_double(c), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
     )
 
 

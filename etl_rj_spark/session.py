@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write TimestampType as INT64 micros, not legacy INT96 — INT96
+        # row groups carry no min/max statistics, so every clustered
+        # layout's data skipping (sinks/layout.py) would silently die
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -57,4 +61,6 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # TIMESTAMP(NANOS) parquet columns (e.g. testdata events.ts) read as
     # long nanos; sources.read_parquet_table converts them to micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # INT64-micros timestamp writes (INT96 has no row-group stats)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

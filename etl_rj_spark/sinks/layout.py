@@ -61,6 +61,16 @@ def row_group_ranges(path: str, column: str) -> list[tuple]:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    def naive(v):
+        # TIMESTAMP(MICROS, adjusted=UTC) stats decode tz-aware; strip
+        # to naive UTC so callers compare against plain datetimes
+        import datetime
+
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
     out: list[tuple] = []
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -69,7 +79,7 @@ def row_group_ranges(path: str, column: str) -> list[tuple]:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 if col.path_in_schema == column and col.statistics is not None:
-                    out.append((col.statistics.min, col.statistics.max))
+                    out.append((naive(col.statistics.min), naive(col.statistics.max)))
     return out
 
 

@@ -65,3 +65,18 @@ def test_long_path_star_converges_plain_does_not(spark):
         connected_components(df, max_iterations=20)
     got = _comp_map(connected_components_star(df).collect())
     assert got == {i: 0 for i in range(161)}
+
+
+def test_star_forest_invariant_catches_false_fixed_point(spark, monkeypatch):
+    """If the edge-multiset signature ever collided (false "converged"
+    on a still-contracting edge set), the star-forest check must refuse
+    to read components off the chained edges instead of mislabeling.
+    Simulated by forcing the signature to a constant so the loop breaks
+    after round 1 on a path graph that needs several rounds."""
+    from etl_rj_spark.operators import components as C
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    monkeypatch.setattr(C, "_edge_signature", lambda e: (0, 0))
+    with pytest.raises(RuntimeError, match="not a star forest"):
+        C.connected_components_star(df)
