@@ -22,6 +22,7 @@ _PRIORITY = [
     # -- §2 sources/sinks/plumbing roundtrips + kernels (coverage_suite)
     "s1_csv_scan_roundtrip",
     "s2_trimmed_csv_roundtrip",
+    "s3_xls_biff_roundtrip",
     "s4_excel_named_tables_roundtrip",
     "s5_jdbc_dim_roundtrip",
     "k1_incremental_append_roundtrip",

@@ -102,6 +102,30 @@ def s2_trimmed_csv_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "s3_xls_biff_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+    tags=("S3",),
+)
+def s3_xls_biff_roundtrip(spark, sf_dir):
+    """S3 over legacy .xls — the reference's extension dispatch accepts
+    ``.xls`` via ``pd.read_excel`` (ventas_totales.py:80-90): write
+    region into a real BIFF8 workbook (OLE2 container, SST, RK/NUMBER
+    cells) with the legacy sink, read it back through the native BIFF
+    reader via the same ``read_excel_sheet`` dispatch as .xlsx."""
+    from etl_rj_spark.sinks.xls_legacy import write_xls
+    from etl_rj_spark.sources.excel_tables import read_excel_sheet
+
+    d = _scratch("s3xls")
+    os.makedirs(d)
+    rows = sorted(_t(spark, sf_dir, "region").collect())
+    grid = [["r_regionkey", "r_name"]] + [[int(k), n] for k, n in rows]
+    path = os.path.join(d, "export.xls")
+    write_xls(path, {"Ventas": grid})
+    df = read_excel_sheet(spark, path)
+    return df.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+@_q(
     "s4_excel_named_tables_roundtrip",
     """
     SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,

@@ -101,31 +101,35 @@ def tables_to_spark(
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
-def _reject_legacy_xls(path: str) -> None:
-    """The reference's extension dispatch accepts ``.xls`` via
-    ``pd.read_excel`` (ventas_totales.py:80-90); this engine's XLSX
-    parsers (zip-XML) cannot read BIFF, and silently hitting a zip
-    error would be opaque. Sniff the magic bytes: an OLE2 container is
-    a real legacy .xls → clear, actionable error. (Files merely
-    *named* .xls that are actually zip/XLSX pass through — a common
-    export-tool mislabel.)"""
+def _is_legacy_xls(path: str) -> bool:
+    """Magic-byte sniff: an OLE2 container is a real legacy BIFF .xls.
+    (Files merely *named* .xls that are actually zip/XLSX return False
+    — a common export-tool mislabel — and flow to the XLSX parsers.)"""
     try:
         with open(path, "rb") as f:
-            magic = f.read(8)
+            return f.read(8) == _OLE2_MAGIC
     except OSError:
-        return  # let the real reader produce its own error
-    if magic == _OLE2_MAGIC:
-        raise ValueError(
-            f"{path}: legacy BIFF .xls workbooks are not supported — "
-            "re-export as .xlsx (or .csv) and retry"
-        )
+        return False  # let the real reader produce its own error
 
 
 def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """S3 — whole-sheet Excel scan (``pd.read_excel``,
-    ventas_totales.py:87): driver-side pandas read lifted through the
-    Arrow path. Requires openpyxl (absent in this container — gated)."""
-    _reject_legacy_xls(path)
+    ventas_totales.py:87): driver-side read lifted through the Arrow
+    path. True legacy BIFF .xls goes through the native BIFF8 reader
+    (sources/xls_biff.py — the reference accepts .xls via pd.read_excel,
+    ventas_totales.py:80-90); a corrupt OLE2 container gets a clear
+    error from it rather than an opaque zip failure."""
+    if _is_legacy_xls(path):
+        from etl_rj_spark.sources.xls_biff import XlsFormatError, read_xls_sheet
+
+        try:
+            pdf = read_xls_sheet(path, sheet if isinstance(sheet, int) else 0)
+        except XlsFormatError as ex:
+            raise ValueError(
+                f"{path}: unreadable legacy BIFF .xls ({ex}) — "
+                "re-export as .xlsx (or .csv) and retry"
+            ) from ex
+        return spark.createDataFrame(pdf)
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
     except ImportError:
@@ -141,7 +145,14 @@ def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:
     """Discover named tables in a workbook (wor2.py:95,119-144:
     ``load_workbook(data_only=True)``; first row of each table range is
     the header). Requires openpyxl."""
-    _reject_legacy_xls(path)
+    if _is_legacy_xls(path):
+        # BIFF8 has no Table (ListObject) parts — the S4 named-table
+        # workflow is an .xlsx-only concept; sheets of a legacy .xls
+        # still load via read_excel_sheet
+        raise ValueError(
+            f"{path}: named-table discovery needs .xlsx (legacy BIFF .xls "
+            "has no table objects) — re-export as .xlsx and retry"
+        )
     try:
         from openpyxl import load_workbook
     except ImportError:
