@@ -72,6 +72,7 @@ _PRIORITY = [
     #    first: they clear round-1 'weak' citations)
     "png_decode_stats",
     "multimodal_meta",
+    "avi_frame_sampling",
     "tfidf_top_terms",
     "pii_scrub_docs",
     "repetition_filter_docs",

@@ -1102,6 +1102,46 @@ def png_decode_stats(spark, sf_dir):
     return decode_image(payloads).select("doc_id", "width", "height", "mode", "pixel_sum")
 
 
+@_q(
+    "avi_frame_sampling",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(doc_id || ':' || i) AS frame_md5
+    FROM documents, LATERAL unnest(range(0, 1 + doc_id % 7)) t(i)
+    WHERE doc_id < 50 AND i % 2 = 0
+    """,
+    tags=("multimodal", "avi-demux"),
+)
+def avi_frame_sampling(spark, sf_dir):
+    """REAL video-container demux, oracle-proven: each doc gets a valid
+    RIFF/AVI muxed from 1 + doc_id % 7 frames whose payload bytes are
+    ``"{doc_id}:{i}"`` (functions/riff.build_avi), then
+    ``operators.multimodal.sample_frames`` demuxes the container and
+    hashes every 2nd frame's raw chunk payload. The oracle regenerates
+    the frame set and its md5s arithmetically — a wrong chunk walk,
+    frame count, or sampling stride cannot match."""
+    from etl_rj_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from etl_rj_spark.functions.riff import build_avi
+
+        for pdf in batches:
+            payloads = [
+                build_avi(
+                    [f"{int(doc_id)}:{i}".encode() for i in range(1 + int(doc_id) % 7)]
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(make, "doc_id long, payload binary")
+    return sample_frames(payloads, every_n=2)
+
+
 # --- C4-style span dedup / decontamination / mix resampling ----------------
 
 _SQL_TOKS = rf"string_split({_NT}, ' ')"

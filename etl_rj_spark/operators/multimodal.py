@@ -7,10 +7,11 @@ real and tested. Image decode is REAL for PNG via the dependency-free
 codec in :mod:`etl_rj_spark.functions.png` (PIL is used instead when
 importable, which also unlocks JPEG); payloads in formats with no
 available codec yield null decode columns so rows keep flowing and a
-quarantine rule can catch them. Audio/video decode remains a
-deterministic byte-level stand-in (``sample_frames``) — no A/V codec
-exists in this container — over the same row-expanding batch shape a
-demuxer would use.
+quarantine rule can catch them. Video frame sampling is REAL for
+RIFF/AVI containers via the dependency-free demuxer in
+:mod:`etl_rj_spark.functions.riff` (frame-chunk payload hashing — no
+pixel codec needed); non-AVI payloads keep a deterministic byte-level
+stand-in over the same row-expanding batch shape.
 """
 
 from __future__ import annotations
@@ -196,22 +197,34 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one OUTPUT ROW per sampled frame
-    (row-expanding mapInPandas — the batch shape real frame extraction
-    needs). Fake frame count = 1 + hash-derived (1..64); frame content
-    hash = md5(content_md5:frame_idx). Swap the marked lines for a real
-    demuxer when the codec library exists."""
+    """Video frame sampling: one OUTPUT ROW per sampled frame
+    (row-expanding mapInPandas — the batch shape frame extraction
+    needs). RIFF/AVI payloads take the REAL path: the container is
+    demuxed (functions/riff.py), the frame count is the container's,
+    and ``frame_md5`` is the md5 of each sampled frame's raw chunk
+    payload — the per-frame dedup/QC hash a training pipeline computes.
+    Non-AVI payloads keep the deterministic hash-derived stand-in
+    (same schema), so the operator is total over mixed binary columns
+    — the same posture as decode_image's unknown-format nulls."""
+    from etl_rj_spark.functions.riff import is_riff_avi, parse_avi_frames
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, fmd5 = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                m = hashlib.md5(bytes(payload)).hexdigest()
-                n_frames = 1 + int(m[4:6], 16) % 64  # STUB: real path probes the container
+                b = bytes(payload)
+                if is_riff_avi(b):
+                    frames = parse_avi_frames(b)
+                    for i in range(0, len(frames), every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        fmd5.append(hashlib.md5(frames[i]).hexdigest())
+                    continue
+                m = hashlib.md5(b).hexdigest()
+                n_frames = 1 + int(m[4:6], 16) % 64  # stand-in frame count
                 for i in range(0, n_frames, every_n):
                     ids.append(doc_id)
                     idxs.append(i)
-                    # STUB: real path decodes frame i; hash stands in
                     fmd5.append(hashlib.md5(f"{m}:{i}".encode()).hexdigest())
             yield pd.DataFrame(
                 {

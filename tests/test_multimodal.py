@@ -84,3 +84,41 @@ def test_parse_image_header_native(spark):
     assert (got[2].img_format, got[2].img_width, got[2].img_height) == ("gif", 320, 200)
     assert got[3].img_format == "jpeg" and got[3].img_width is None
     assert got[4].img_format is None and got[4].img_height is None
+
+
+def test_riff_avi_mux_demux_roundtrip():
+    """build_avi → parse_avi_frames is exact for arbitrary frame
+    payloads (odd lengths exercise RIFF even-padding)."""
+    import pytest
+
+    from etl_rj_spark.functions.riff import build_avi, is_riff_avi, parse_avi_frames
+
+    frames = [b"x", b"frame-2", b"", b"odd\x00len7", b"\xff" * 100]
+    avi = build_avi(frames)
+    assert is_riff_avi(avi)
+    assert parse_avi_frames(avi) == frames
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi_frames(b"MOOV not riff")
+
+
+def test_sample_frames_demuxes_real_avi(spark):
+    """AVI payloads take the real path: frame count and md5s come from
+    the demuxed chunk payloads; non-AVI payloads in the same column
+    keep the stand-in — the operator is total over mixed columns."""
+    import hashlib
+
+    from etl_rj_spark.functions.riff import build_avi
+
+    frames_a = [b"a0", b"a1", b"a2", b"a3", b"a4"]
+    frames_b = [b"b0"]
+    rows = [
+        (1, bytearray(build_avi(frames_a))),
+        (2, bytearray(build_avi(frames_b))),
+        (3, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r.doc_id, r.frame_idx): r.frame_md5 for r in sample_frames(df, every_n=2).collect()}
+    assert {(d, i) for d, i in got if d == 1} == {(1, 0), (1, 2), (1, 4)}
+    assert got[(1, 2)] == hashlib.md5(b"a2").hexdigest()
+    assert got[(2, 0)] == hashlib.md5(b"b0").hexdigest()
+    assert any(d == 3 for d, _ in got)  # stand-in rows still flow
