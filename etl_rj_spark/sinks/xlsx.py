@@ -13,8 +13,37 @@ verbatim instead of corrupting the member XML.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.sax.saxutils import escape, quoteattr
+
+#: Characters illegal in XML 1.0 even when escaped (C0 controls except
+#: tab/newline/carriage-return) — a cell containing them would produce
+#: member XML every parser rejects.
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_clean(s: str) -> str:
+    return _XML_ILLEGAL.sub("", s)
+
+
+def _normalize_headers(header_row: list) -> list[str]:
+    """Unique, non-empty header names — Excel requires each tableColumn
+    name to be unique AND match its header cell text, or it flags the
+    workbook for repair. None/empty → ColumnN; duplicates → suffixed."""
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for i, h in enumerate(header_row):
+        name = _xml_clean(str(h)).strip() if h is not None else ""
+        if not name:
+            name = f"Column{i + 1}"
+        base = name
+        while name.casefold() in seen:
+            seen[base.casefold()] += 1
+            name = f"{base}_{seen[base.casefold()]}"
+        seen.setdefault(name.casefold(), 1)
+        out.append(name)
+    return out
 
 NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 NS_REL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -39,7 +68,7 @@ def _cell_xml(ref: str, v) -> str:
     if v is None:
         return ""
     if isinstance(v, str):
-        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(_xml_clean(v))}</t></is></c>'
     return f'<c r="{ref}"><v>{v}</v></c>'
 
 
@@ -49,6 +78,10 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
     members: dict[str, str] = {}
     sheet_entries, rel_entries, ct_overrides = [], [], []
     for idx, (name, grid) in enumerate(tables, start=1):
+        # normalized header names go into BOTH the header row cells and
+        # the tableColumn entries — they must match exactly
+        headers = _normalize_headers(grid[0])
+        grid = [list(headers)] + [list(r) for r in grid[1:]]
         rows_xml = []
         for r, row in enumerate(grid):
             cells = "".join(
@@ -65,8 +98,8 @@ def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:
             "</worksheet>"
         )
         cols = "".join(
-            f'<tableColumn id="{c + 1}" name={quoteattr(str(h))}/>'
-            for c, h in enumerate(grid[0])
+            f'<tableColumn id="{c + 1}" name={quoteattr(h)}/>'
+            for c, h in enumerate(headers)
         )
         members[f"xl/tables/table{idx}.xml"] = (
             f'<?xml version="1.0"?><table xmlns="{NS_MAIN}" id="{idx}" '

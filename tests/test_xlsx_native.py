@@ -102,3 +102,20 @@ def test_whole_sheet_scan(workbook):
     pdf = read_xlsx_sheet(workbook)
     assert list(pdf.columns)[:3] == ["ZONA/CLIENTE", "WEEK 1", "TOTAL"]
     assert pdf.shape[0] == 3
+
+
+def test_write_xlsx_normalizes_headers_and_strips_illegal_chars(tmp_path):
+    """Duplicate / None headers are uniquified (same text in header
+    cells and tableColumn names — Excel repairs the file otherwise);
+    XML-1.0-illegal control chars are stripped from string cells."""
+    from etl_rj_spark.sinks.xlsx import write_xlsx
+    from etl_rj_spark.sources.xlsx_native import read_xlsx_tables
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        path,
+        [("T1", [["a", "a", None, "a"], ["x\x00y", 1, 2, "ok\x07"]])],
+    )
+    [(name, pdf)] = read_xlsx_tables(path).items()
+    assert list(pdf.columns) == ["a", "a_2", "Column3", "a_3"]
+    assert pdf.iloc[0].tolist() == ["xy", 1, 2, "ok"]
