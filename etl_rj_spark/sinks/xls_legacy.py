@@ -34,12 +34,14 @@ def _bof(dt: int) -> bytes:
 
 
 def _xl_string_payload(s: str) -> tuple[bytes, bytes, bool]:
-    """(header cch+flags, char bytes, is_utf16)."""
+    """(header cch+flags, char bytes, is_utf16). BIFF cch counts UTF-16
+    code units, not code points — astral-plane chars are 2 units."""
     try:
         raw = s.encode("latin-1")
-        return struct.pack("<HB", len(s), 0), raw, False
+        return struct.pack("<HB", len(raw), 0), raw, False
     except UnicodeEncodeError:
-        return struct.pack("<HB", len(s), 1), s.encode("utf-16-le"), True
+        raw = s.encode("utf-16-le")
+        return struct.pack("<HB", len(raw) // 2, 1), raw, True
 
 
 def _sst_records(strings: list[str], split_mid_string: int | None = None) -> bytes:

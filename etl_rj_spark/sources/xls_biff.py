@@ -246,8 +246,12 @@ class _SegReader:
         c_run = self.read_u16() if flags & 0x08 else 0
         cb_ext = self.read_u32() if flags & 0x04 else 0
         high = bool(flags & 0x01)
-        chars: list[str] = []
-        need = cch
+        # accumulate UTF-16LE bytes and decode ONCE at the end: a
+        # CONTINUE split between the halves of a surrogate pair (legal
+        # — splits happen at code-unit granularity) would break
+        # per-segment decoding
+        buf = bytearray()
+        need = cch  # cch counts UTF-16 code units
         while need > 0:
             if self.remaining_in_seg() == 0:
                 # crossing into a CONTINUE: it restates the flag byte
@@ -259,14 +263,17 @@ class _SegReader:
             per = 2 if high else 1
             take = min(need, avail // per)
             if take == 0:
-                # a lone byte of a utf16 pair can't split per spec
-                raise XlsFormatError("SST continuation split inside a character")
+                # a code unit's bytes can't split across segments
+                raise XlsFormatError("SST continuation split inside a code unit")
             raw = self.read(take * per)
-            chars.append(raw.decode("utf-16-le" if high else "latin-1"))
+            if high:
+                buf += raw
+            else:
+                buf += raw.decode("latin-1").encode("utf-16-le")
             need -= take
         self.read(c_run * 4)  # rich formatting runs (FormatRun = 4 bytes)
         self.read(cb_ext)  # ExtRst
-        return "".join(chars)
+        return buf.decode("utf-16-le")
 
 
 def _parse_sst(segments: list[bytes]) -> list[str]:

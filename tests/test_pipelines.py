@@ -406,3 +406,30 @@ def test_ventas_from_excel_file(spark, clientes, tmp_path):
 
     with pytest.raises(ValueError):
         read_sales_export(spark, str(tmp_path / "ventas.parquet"))
+
+
+def test_ventas_from_legacy_xls_file(spark, clientes, tmp_path):
+    """S3 end-to-end over legacy BIFF: the same ventas load from a true
+    .xls (OLE2/BIFF8) export through the extension dispatch and the
+    native BIFF reader — same invariants as the .xlsx and CSV paths
+    (ventas_totales.py:80-90 accepts .xls via pd.read_excel)."""
+    from etl_rj_spark.pipelines.ventas import read_sales_export
+    from tests.xls_util import write_xls
+
+    grid = [
+        ["Company Name", "Date", "Document Number", "Type", "Item", "Description",
+         "Class", "Quantity", "UOM", "Amount", "Created From", "Status"],
+        ["acme corp.", "01/15/2024", "INV-1 ", "Invoice", "SKU1", "d", "C", 2, "EA", 100.5, "", "ok"],
+        ["Nobody Inc", "01/17/2024", "INV-3", "Invoice", "SKU3", "d", "C", 3, "EA", 30, "", "ok"],
+        ["Beta  industries", "02/01/2024", "INV-4", "Invoice", "SKU4", "d", "C", 1, "EA", 7.25, "", "ok"],
+    ]
+    path = str(tmp_path / "ventas.xls")
+    write_xls(path, {"SalesExport": grid})
+
+    src = read_sales_export(spark, path)
+    wh = str(tmp_path / "ventas_xls_wh")
+    inserted, unmapped = load_ventas(spark, src, clientes, wh)
+    assert inserted == 2
+    assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Inc"]
+    got = spark.read.parquet(wh)
+    assert got.filter(F.col("document_number") == "INV-1").first().amount == 100.5
