@@ -24,6 +24,8 @@ _PRIORITY = [
     "s2_trimmed_csv_roundtrip",
     "s3_xls_biff_roundtrip",
     "s4_excel_named_tables_roundtrip",
+    "jsonl_docs_roundtrip",
+    "jsonl_corrupt_quarantine",
     "s5_jdbc_dim_roundtrip",
     "k1_incremental_append_roundtrip",
     "k2_snapshot_roundtrip",
@@ -34,7 +36,8 @@ _PRIORITY = [
     "hard_casts_kernel",
     "fillna_zero_kernel",
     "load_stamp_kernel",
-    "count_rows",
+    # count_rows rotated out of the 50-query driver sample (A2 trivial,
+    # green r01-r03; pytest covers it) for the round-4 contracts
     "upper_trim_recode_kernel",
     # -- §2 canonical queries (driver-green round 1; keep inside prefix)
     "trend_total_by_snapshot",
@@ -94,8 +97,9 @@ _PRIORITY = [
     "incremental_trend_merge",
     "date_spine_gap_fill",
     "funnel_conversion",
-    "fuzzy_name_best_match",
-    "fuzzy_rescued_lookup",
+    # fuzzy_name_best_match / fuzzy_rescued_lookup rotated out of the
+    # 50-query driver sample (green since r01; pytest still covers
+    # them) to make room for the round-4 contracts above
 ]
 
 

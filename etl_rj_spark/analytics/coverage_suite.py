@@ -126,6 +126,61 @@ def s3_xls_biff_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "jsonl_docs_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=("jsonl", "llm-ingest"),
+)
+def jsonl_docs_roundtrip(spark, sf_dir):
+    """JSONL ingest — the LLM-corpus interchange format: documents →
+    distributed ``write.json`` (one shard per partition) → explicit-
+    schema PERMISSIVE read (no inference pass; see sources/jsonl.py for
+    the 100 TB posture). Lossless, so the oracle is the table."""
+    from etl_rj_spark.sources.jsonl import DOCUMENTS_SCHEMA, quarantine_corrupt, read_jsonl
+
+    d = _scratch("jsonl")
+    _t(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+    good, bad = quarantine_corrupt(read_jsonl(spark, d, DOCUMENTS_SCHEMA))
+    assert bad.count() == 0  # clean write: nothing quarantined
+    return good.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@_q(
+    "jsonl_corrupt_quarantine",
+    "SELECT n_nationkey, n_name FROM nation",
+    tags=("jsonl", "quarantine", "llm-ingest"),
+)
+def jsonl_corrupt_quarantine(spark, sf_dir):
+    """PERMISSIVE JSONL ingest with dead-letter quarantine: the
+    fixture interleaves valid lines with truncated JSON, bare text and
+    schema-violating rows; good rows must survive exactly and every
+    broken line must land in quarantine with its raw text (the
+    validate.py dead-letter posture at the source boundary)."""
+    from etl_rj_spark.sources.jsonl import quarantine_corrupt, read_jsonl
+    from pyspark.sql import types as T
+
+    d = _scratch("jsonl_bad")
+    os.makedirs(d)
+    rows = sorted(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    )  # 25-row dimension: fixture construction, not a data path
+    corrupt = ['{"n_nationkey": 99, "n_name": "tru', "not json at all", '{"n_nationkey": "NaN-key"}']
+    with open(os.path.join(d, "shard-0.jsonl"), "w") as f:
+        for i, (k, name) in enumerate(rows):
+            f.write('{"n_nationkey": %d, "n_name": "%s"}\n' % (k, name))
+            if i < len(corrupt):
+                f.write(corrupt[i] + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    good, bad = quarantine_corrupt(read_jsonl(spark, d, schema))
+    assert bad.count() == len(corrupt)  # every broken line quarantined
+    return good.select(F.col("n_nationkey").cast("int"), "n_name")
+
+
+@_q(
     "s4_excel_named_tables_roundtrip",
     """
     SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,

@@ -1,0 +1,69 @@
+"""JSONL source: explicit-schema PERMISSIVE reads, corrupt-record
+quarantine with raw-line preservation, and the gz splittability
+mitigation (repartition after non-splittable read)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rj_spark.sources.jsonl import (
+    DOCUMENTS_SCHEMA,
+    quarantine_corrupt,
+    read_jsonl,
+)
+from etl_rj_spark.sources.parquet import read_parquet_table
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "docs_jsonl")
+    docs = read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").json(d)
+    good, bad = quarantine_corrupt(read_jsonl(spark, d, DOCUMENTS_SCHEMA))
+    assert bad.count() == 0
+    assert good.count() == docs.count()
+    a = {r.doc_id: r.n_chars for r in good.collect()}
+    b = {r.doc_id: r.n_chars for r in docs.collect()}
+    assert a == b
+
+
+def test_jsonl_quarantine_preserves_raw_lines(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    lines = [
+        '{"k": 1, "v": "a"}',
+        '{"k": 2, "v": "b"',  # truncated
+        "garbage line",
+        '{"k": "not-a-long", "v": "c"}',  # type violation
+        '{"k": 4, "v": "d"}',
+    ]
+    (d / "s0.jsonl").write_text("\n".join(lines) + "\n")
+    good, bad = quarantine_corrupt(read_jsonl(spark, str(d), SCHEMA))
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, "a"), (4, "d")]
+    raw = sorted(r.raw_line for r in bad.collect())
+    assert raw == sorted([lines[1], lines[2], lines[3]])
+
+
+def test_jsonl_gz_reads_and_repartitions(spark, tmp_path):
+    """A .gz shard is non-splittable (one task per file); min_partitions
+    restores parallelism right after the read."""
+    d = tmp_path / "gz"
+    d.mkdir()
+    with gzip.open(d / "shard.jsonl.gz", "wt") as f:
+        for i in range(1000):
+            f.write('{"k": %d, "v": "x%d"}\n' % (i, i))
+    df = read_jsonl(spark, str(d), SCHEMA, min_partitions=8)
+    assert df.rdd.getNumPartitions() >= 8
+    good, bad = quarantine_corrupt(df)
+    assert bad.count() == 0 and good.count() == 1000
+    assert good.agg(F.sum("k")).first()[0] == 499500
