@@ -145,6 +145,30 @@ def jsonl_docs_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "jsonl_shard_export",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=("jsonl", "llm-ingest", "shard-export"),
+)
+def jsonl_shard_export(spark, sf_dir):
+    """Shard-export roundtrip: documents → hash-routed, record-capped
+    gzip JSONL shards (sinks/jsonl_shards.py — the deterministic
+    membership a re-run-diffable corpus export needs) → explicit-schema
+    read-back. Lossless, so the oracle is the table."""
+    from etl_rj_spark.sinks.jsonl_shards import write_jsonl_shards
+    from etl_rj_spark.sources.jsonl import DOCUMENTS_SCHEMA, quarantine_corrupt, read_jsonl
+
+    d = _scratch("jsonl_shards")
+    docs = _t(spark, sf_dir, "documents")
+    write_jsonl_shards(
+        docs, d, num_shards=4, max_records_per_file=200,
+        compression="gzip", shard_by="doc_id",
+    )
+    good, bad = quarantine_corrupt(read_jsonl(spark, d, DOCUMENTS_SCHEMA))
+    assert bad.count() == 0
+    return good.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@_q(
     "jsonl_corrupt_quarantine",
     "SELECT n_nationkey, n_name FROM nation",
     tags=("jsonl", "quarantine", "llm-ingest"),

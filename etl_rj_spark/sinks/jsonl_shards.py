@@ -1,0 +1,54 @@
+"""JSONL shard export — the write twin of ``sources/jsonl.py``: a
+curated corpus leaves the engine as size-bounded, optionally
+compressed ``.jsonl`` shards that downstream tokenizer/loader workers
+consume one-per-task.
+
+Shard sizing is the scale decision: readers of compressed shards get
+one task per file (gzip is non-splittable), so the WRITER must bound
+shard size — ``max_records_per_file`` caps rows per shard and
+``num_shards`` sets a floor on shard count via repartition. Rows can
+optionally be routed round-robin by a hash of a key column so re-runs
+produce identical shard membership (deterministic, unlike Spark's
+default task-split assignment under AQE coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+    shard_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as JSONL shards.
+
+    ``shard_by``: deterministic shard assignment — rows are routed by
+    ``xxhash64(key) % num_shards`` (stable across re-runs and
+    partitionings), so incremental consumers can diff shard-by-shard.
+    Without it, ``repartition(num_shards)`` balances by round-robin.
+    """
+    out = df
+    if shard_by is not None:
+        if not num_shards:
+            raise ValueError("shard_by requires num_shards")
+        shard = F.pmod(F.xxhash64(F.col(shard_by)), F.lit(num_shards))
+        out = (
+            out.withColumn("__shard", shard)
+            .repartition(num_shards, "__shard")
+            .drop("__shard")
+        )
+    elif num_shards:
+        out = out.repartition(num_shards)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

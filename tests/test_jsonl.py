@@ -67,3 +67,40 @@ def test_jsonl_gz_reads_and_repartitions(spark, tmp_path):
     good, bad = quarantine_corrupt(df)
     assert bad.count() == 0 and good.count() == 1000
     assert good.agg(F.sum("k")).first()[0] == 499500
+
+
+def test_jsonl_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    """Shard-export → source roundtrip: record caps bound shard size,
+    gzip shards read back losslessly, and hash-routing by key yields
+    identical shard membership across re-runs."""
+    import glob
+
+    from etl_rj_spark.sinks.jsonl_shards import write_jsonl_shards
+
+    docs = read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+    n = docs.count()
+
+    d1 = str(tmp_path / "shards1")
+    write_jsonl_shards(
+        docs, d1, num_shards=4, max_records_per_file=100, compression="gzip"
+    )
+    files = glob.glob(os.path.join(d1, "*.json.gz"))
+    assert len(files) >= max(4, n // 100)  # caps respected
+    good, bad = quarantine_corrupt(read_jsonl(spark, d1, DOCUMENTS_SCHEMA))
+    assert bad.count() == 0 and good.count() == n
+
+    # deterministic routing: same key → same shard on every run
+    d2, d3 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    for d in (d2, d3):
+        write_jsonl_shards(docs, d, num_shards=3, shard_by="doc_id")
+
+    def membership(d):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(d, "part-*.json"))):
+            ids = frozenset(
+                r.doc_id for r in read_jsonl(spark, f, DOCUMENTS_SCHEMA).collect()
+            )
+            out[ids] = out.get(ids, 0) + 1
+        return out
+
+    assert membership(d2) == membership(d3)
