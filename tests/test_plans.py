@@ -126,3 +126,42 @@ def test_kmeans_assignment_is_pure_map(spark, sf_dir):
         if re.search(r"\bExchange hashpartitioning", l)
     ]
     assert not data_exchanges, data_exchanges
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    """Both stacked windows share the (user, ts) sort: ONE exchange,
+    and the epoch arithmetic stays on the normalized TimestampType (no
+    extra projection-stage casts blocking codegen)."""
+    counts = explain_counts(REGISTRY["sessionization"].build(spark, sf_dir))
+    assert counts["exchange"] == 1, counts
+    assert counts["sort_merge_join"] == 0
+
+
+def test_range_join_bucketized_not_nested_loop(spark, sf_dir):
+    """The time-bucket equi-join must plan as a hash/merge join —
+    never BroadcastNestedLoopJoin, which is the O(n·m) trap a naive
+    inequality join falls into."""
+    df = REGISTRY["range_join_error_clicks"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] + counts["broadcast_hash_join"] >= 1
+
+
+def test_jsonl_read_prunes_parse_schema(spark, sf_dir, tmp_path):
+    """A projection over the JSONL source must narrow the scan's
+    ReadSchema to the selected fields (+ the corrupt column) — parsing
+    all fields of every line to serve a 2-column projection is the
+    JSON analog of reading all parquet columns."""
+    from etl_rj_spark.sources.jsonl import DOCUMENTS_SCHEMA, read_jsonl
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    d = str(tmp_path / "docs_jsonl")
+    read_parquet_table(spark, f"{sf_dir}/documents.parquet").write.mode(
+        "overwrite"
+    ).json(d)
+    df = read_jsonl(spark, d, DOCUMENTS_SCHEMA).select("doc_id", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "Scan json" in l)
+    assert "doc_id" in scan_line and "lang" in scan_line
+    assert "text" not in scan_line, "unused text field must be pruned from the parse"
