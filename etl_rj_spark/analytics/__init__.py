@@ -36,9 +36,10 @@ _PRIORITY = [
     "hard_casts_kernel",
     "fillna_zero_kernel",
     "load_stamp_kernel",
-    # count_rows rotated out of the 50-query driver sample (A2 trivial,
-    # green r01-r03; pytest covers it) for the round-4 contracts
-    "upper_trim_recode_kernel",
+    # count_rows / upper_trim_recode_kernel rotated out of the 50-query
+    # driver sample (trivial kernels, green r01-r03; pytest covers
+    # them) for the round-4 contracts
+    "incremental_near_dup",
     # -- §2 canonical queries (driver-green round 1; keep inside prefix)
     "trend_total_by_snapshot",
     "latest_snapshot",

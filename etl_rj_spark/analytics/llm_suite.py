@@ -126,6 +126,58 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     return minhash_lsh_dedup_pairs(corpus, "doc_id", "text", threshold=0.8)
 
 
+_INC_OLD = "SELECT doc_id, text FROM documents WHERE doc_id < 100"
+_INC_NEW = (
+    "SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text "
+    "FROM documents WHERE doc_id < 50 "
+    "UNION ALL SELECT doc_id, text FROM documents "
+    "WHERE doc_id >= 100 AND doc_id < 150"
+)
+
+@_q(
+    "incremental_near_dup",
+    f"""
+    WITH corpus AS ({_INC_OLD} UNION ALL {_INC_NEW}),
+    sets AS ({_sql_shingle_sets('SELECT * FROM corpus')})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD} >= 0.8
+      AND (a.doc_id >= 100 OR b.doc_id >= 100)
+    """,
+    tags=("dedup-minhash-lsh", "incremental-index"),
+)
+def incremental_near_dup(spark, sf_dir):
+    """Incremental near-dup: the existing corpus (docs < 100) is
+    touched only through its persisted MinHash index — (band, bucket)
+    rows for candidates, id-keyed shingle sets for verification —
+    while the NEW batch (near-dup replicas of half the corpus + fresh
+    docs 100–149) is shingled once and probed against it. K1's
+    anti-join posture at the LLM layer: a daily batch never re-scans
+    the corpus. Oracle is all-pairs ground truth restricted to pairs
+    touching the new batch (recall-1 at 32 hashes × 8 bands)."""
+    from etl_rj_spark.operators.text_dedup import (
+        incremental_near_dup_pairs,
+        minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    buckets, sets = minhash_index(old, "doc_id", "text")
+    return incremental_near_dup_pairs(new, buckets, sets, "doc_id", "text", threshold=0.8)
+
+
 # --- n-gram Jaccard (exact inverted index) ---------------------------------
 
 @_q(

@@ -511,3 +511,112 @@ def contaminated_docs(
         hits.groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted index + per-batch probe
+# ---------------------------------------------------------------------------
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    token_ngrams_n: int | None = None,
+    hashed_sets: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable near-dup index of a corpus: ``(buckets, sets)``.
+
+    ``buckets`` = (id, band, bucket) rows for candidate generation;
+    ``sets`` = (id, __set) shingle sets for exact-Jaccard verification
+    (string shingles by default; 28-bit hash sets via ``hashed_sets``
+    for corpus scale — see jaccard_on_pairs).
+
+    At 100 TB both are WRITTEN ONCE as tables — buckets bucketed by
+    (band, bucket), sets by id — and every incoming batch probes them
+    without ever re-shingling the existing corpus: the LLM-layer form
+    of K1's key-projection-of-the-existing-table posture
+    (sinks/incremental.py, ventas_totales.py:223-262)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_from_hashes(
+            shingle_hashes(text_col, shingle_k, token_ngrams_n), num_hashes
+        ).alias("__sig"),
+    )
+    buckets = sig.select(
+        "id", F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+    shingle_col = (
+        F.array_distinct(shingle_hashes(text_col, shingle_k, token_ngrams_n))
+        if hashed_sets
+        else F.array_distinct(_shingles(text_col, shingle_k, token_ngrams_n))
+    )
+    sets = df.select(F.col(id_col).alias("id"), shingle_col.alias("__set"))
+    return buckets, sets
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    token_ngrams_n: int | None = None,
+    hashed_sets: bool = False,
+) -> DataFrame:
+    """Near-dup pairs involving a NEW batch against an existing
+    corpus index: (new × existing) ∪ (new × new), verified by exact
+    Jaccard at ``threshold``. Ids must be disjoint between batch and
+    index (append-only corpus ids). Output pairs are normalized
+    id_a < id_b.
+
+    Cost shape: the new batch is shingled once; the existing corpus
+    contributes only (band, bucket) index rows to the candidate join
+    and id-keyed sets to verification — at 100 TB the daily batch
+    never triggers a corpus re-scan."""
+    nb, ns = minhash_index(
+        new_df, id_col, text_col, shingle_k, num_hashes, bands,
+        token_ngrams_n, hashed_sets,
+    )
+    # the plan references nb three times (probe + both self-join
+    # sides); the new batch is the SMALL side by construction, so the
+    # lazy recompute is cheap — callers with a heavy batch should
+    # persist new_df before calling (the operator stays lazy like the
+    # rest of the registry)
+    ext = (
+        nb.toDF("id_n", "band", "bucket")
+        .join(index_buckets.toDF("id_e", "band", "bucket"), ["band", "bucket"])
+        .select("id_n", "id_e")
+    )
+    self_ = (
+        nb.toDF("id_a", "band", "bucket")
+        .join(nb.toDF("id_b", "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = (
+        ext.select(
+            F.least("id_n", "id_e").alias("id_a"),
+            F.greatest("id_n", "id_e").alias("id_b"),
+        )
+        .unionByName(self_)
+        .distinct()
+    )
+    all_sets = index_sets.unionByName(ns)
+    a = all_sets.toDF("id_a", "__set_a")
+    b = all_sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

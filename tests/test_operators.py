@@ -101,3 +101,35 @@ class TestFiltersSetops:
         out = union_all_by_name([a, b])
         assert set(out.columns) == {"k", "s", "v"}
         assert out.count() == 2
+
+
+def test_incremental_near_dup_probes_index_without_corpus_rescan(spark):
+    """Incremental near-dup: pairs touching the new batch are found
+    via the persisted index (new x existing and new x new); pairs
+    entirely inside the existing corpus are NOT re-reported."""
+    from etl_rj_spark.operators.text_dedup import (
+        incremental_near_dup_pairs,
+        minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    old_rows = [(i, base % (i // 2)) for i in range(6)]  # 3 internal dup pairs
+    new_rows = [
+        (100, old_rows[0][1] + " zz"),   # near-dup of docs 0/1
+        (101, "completely unrelated text about spark shuffles and parquet"),
+        (102, old_rows[0][1] + " zz"),   # near-dup of 0/1 AND of 100
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    buckets, sets = minhash_index(old, "doc_id", "text")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_near_dup_pairs(
+            new, buckets, sets, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert (0, 100) in pairs and (1, 100) in pairs     # new x existing
+    assert (100, 102) in pairs                          # new x new
+    assert all(a >= 100 or b >= 100 for a, b in pairs)  # no old x old re-report
+    assert not any(101 in p for p in pairs)             # unrelated stays clean
