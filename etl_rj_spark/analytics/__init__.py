@@ -13,94 +13,105 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 
 #: The driver's correctness harness checks a PREFIX of the registry in
 #: iteration order (confirmed round 1: exactly the first 50 names).
-#: Order queries so the prefix maximizes verification value:
-#:   1. one canonical query per SURVEY §2 operator (sources/sinks
-#:      roundtrips first — they have no other driver-visible contract),
-#:   2. queries whose contract changed or that had no round-1 row,
-#:   3. everything already driver-verified green in round 1.
+#:
+#: ROUND-5 ROTATION: after four rounds, 78 distinct queries have earned
+#: green driver verdicts but 62 registered queries have never been in
+#: the 50-query sample (they are locally DuckDB-verified by
+#: tests/test_oracle_parity.py, which checks ALL registry queries).
+#: This prefix now leads with 44 of those never-sampled queries — the
+#: TPC-H-shape tier (q2–q22), as-of/range joins, fuzzy suite, set ops,
+#: merge-upsert/snapshot-diff, jsonl shard export, grouping sets, and
+#: the window/temporal suite — plus 6 canaries: one per already-green
+#: §2 family and every query whose contract changed this round
+#: (avi_frame_sampling quarantine semantics, multimodal_meta JPEG dims,
+#: the new minhash_index_probe).
+#:
+#: ROUND-6 ROTATION PLAN (for whoever edits this next): the remaining
+#: never-sampled tier is the LLM-curation block — cube_flag_status,
+#: intersect_customers, zscore_events_by_type, profile_lineitem,
+#: histogram_totalprice, approx_distinct_stats, quarantine_reason_counts,
+#: stratified_sample_events, curated_corpus_splits, resample_source_mix,
+#: span_dedup_docs, decontaminate_docs, decontaminate_docs_hashed,
+#: embedding_cosine_near_pairs, pack_sequences_budget,
+#: embedding_int8_quantized (+ rows-only minhash_lsh_pairs_scaled /
+#: bench-twin cosine_topk_scaled). Lead with those next round.
 _PRIORITY = [
-    # -- §2 sources/sinks/plumbing roundtrips + kernels (coverage_suite)
+    # -- canaries: changed contracts this round, must be re-sampled
+    "avi_frame_sampling",      # non-AVI payloads now quarantine, not fabricate
+    "multimodal_meta",         # now reports JPEG SOF dimensions
+    "minhash_index_probe",     # NEW r5: probe over persisted bucketed index
+    # -- canaries: one per long-green §2 family (source / sink / window)
     "s1_csv_scan_roundtrip",
-    "s2_trimmed_csv_roundtrip",
-    "s3_xls_biff_roundtrip",
-    "s4_excel_named_tables_roundtrip",
-    "jsonl_docs_roundtrip",
-    "jsonl_corrupt_quarantine",
-    "s5_jdbc_dim_roundtrip",
     "k1_incremental_append_roundtrip",
-    "k2_snapshot_roundtrip",
-    "projection_ops_kernel",
-    "flexible_status_kernel",
-    "dict_map_lookup_kernel",
-    "regex_extract_kernel",
-    "hard_casts_kernel",
-    "fillna_zero_kernel",
-    "load_stamp_kernel",
-    # count_rows / upper_trim_recode_kernel rotated out of the 50-query
-    # driver sample (trivial kernels, green r01-r03; pytest covers
-    # them) for the round-4 contracts
-    "incremental_near_dup",
-    # -- §2 canonical queries (driver-green round 1; keep inside prefix)
-    "trend_total_by_snapshot",
-    "latest_snapshot",
-    "monthly_order_stats",
-    "lag_day_over_day",
-    "last_two_snapshots_delta",
-    "client_zone_rollup",
-    "distinct_topk_dates",
-    "dim_enrich_left",
-    "unmapped_clients_report",
-    "incremental_anti_join",
-    "clean_name_kernel",
-    "money_parse_kernel",
-    "thousands_int_kernel",
-    "date_parse_kernel",
-    "temporal_dims_kernel",
-    "recode_static_map",
-    "month_es_en_recode",
-    "ecommerce_rewrite",
-    "truncate_fields",
-    "contains_scrub_filter",
-    "threshold_filter",
-    "zone_coalesce_default",
-    "union_schema_drift",
-    "pricing_summary",
     "sessionization",
-    # -- round-2 contract fixes / new operators (need fresh driver rows)
-    "embedding_l2_normalized",
-    "ann_lsh_topk",
-    "dup_clusters_star",
-    "kmeans_cells",
-    "ann_kmeans_ivf_topk",
-    # -- extensions with oracles but no round-1 driver row (png/multimodal
-    #    first: they clear round-1 'weak' citations)
-    "png_decode_stats",
-    "multimodal_meta",
-    "avi_frame_sampling",
-    "tfidf_top_terms",
-    "pii_scrub_docs",
-    "repetition_filter_docs",
+    # -- TPC-H-shape tier: never driver-sampled before round 5
+    "revenue_by_nation",
+    "min_cost_supplier_q2",
+    "forecast_revenue_q6",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "product_profit_q9",
+    "returned_item_reporting_q10",
+    "important_stock_q11",
+    "shipping_priority_counts_q12",
+    "order_count_distribution_q13",
+    "promo_revenue_q14",
+    "top_supplier_q15",
+    "parts_supplier_counts_q16",
+    "small_qty_revenue_q17",
+    "large_volume_customers_q18",
+    "disjunctive_revenue_q19",
+    "promotion_suppliers_q20",
+    "exclusive_late_supplier_q21",
+    "dormant_customers_q22",
+    "top_unshipped_revenue",
+    "late_order_priority_counts",
+    "supplier_part_distincts",
+    # -- as-of / range joins: never driver-sampled before round 5
+    "asof_purchase_last_view",
+    "range_join_error_clicks",
+    # -- fuzzy suite: never driver-sampled (rotated out r4 before sampling)
+    "fuzzy_name_best_match",
+    "fuzzy_rescued_lookup",
+    # -- set ops / grouping sets: never driver-sampled before round 5
+    "set_ops_customers",
+    "grouping_sets_flag_status",
+    "rollup_flag_status",
+    # -- merge-upsert / snapshot diff / incremental: never driver-sampled
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "incremental_trend_merge",
+    "jsonl_shard_export",
+    # -- window/temporal suite: never driver-sampled before round 5
+    "rolling_7day_revenue",
+    "ntile_acctbal_quartiles",
+    "acctbal_distribution_ranks",
+    "first_last_order_span",
+    "cheapest_part_per_type",
+    "orders_array_per_customer",
+    "lateral_top2_orders",
+    "date_spine_gap_fill",
+    "funnel_conversion",
+    "salted_customer_rollup",
+    "quantile_stats",
+    # ---- 50-query driver prefix ends here ----
+    # -- round-6 tier (never sampled; see rotation plan above)
+    "cube_flag_status",
+    "intersect_customers",
+    "zscore_events_by_type",
+    "profile_lineitem",
+    "histogram_totalprice",
+    "approx_distinct_stats",
+    "quarantine_reason_counts",
+    "stratified_sample_events",
+    "curated_corpus_splits",
+    "resample_source_mix",
     "span_dedup_docs",
     "decontaminate_docs",
+    "decontaminate_docs_hashed",
     "embedding_cosine_near_pairs",
     "pack_sequences_budget",
     "embedding_int8_quantized",
-    "resample_source_mix",
-    "stratified_sample_events",
-    "curated_corpus_splits",
-    "quarantine_reason_counts",
-    "zscore_events_by_type",
-    "profile_lineitem",
-    "merge_upsert_orders",
-    "quantile_stats",
-    "histogram_totalprice",
-    "snapshot_diff_orders",
-    "incremental_trend_merge",
-    "date_spine_gap_fill",
-    "funnel_conversion",
-    # fuzzy_name_best_match / fuzzy_rescued_lookup rotated out of the
-    # 50-query driver sample (green since r01; pytest still covers
-    # them) to make room for the round-4 contracts above
 ]
 
 
