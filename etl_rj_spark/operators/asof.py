@@ -101,31 +101,45 @@ def range_join_count(
     on: Sequence[str],
     left_ts: str,
     right_ts: str,
-    window_seconds: int,
+    window_seconds: int | float,
     count_alias: str = "n_in_range",
 ) -> DataFrame:
     """Count right rows with ``left_ts <= right_ts < left_ts + window``
     per left row (0 when none). Exact; the bucketized equi-join is only
     a candidate filter."""
     on = list(on)
-    window_us = window_seconds * 1_000_000
-    # integer-µs bucketing: floor-div on exact epochs, never a float
-    # (ulp at a bucket edge would route a candidate to the wrong bucket)
-    bucket_l = F.floor(_epoch_us(left, left_ts) / F.lit(window_us)).cast("long")
+    window_us = int(round(window_seconds * 1_000_000))
+    if window_us <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds!r}")
+    if abs(window_seconds * 1_000_000 - window_us) > 1e-6:
+        raise ValueError(
+            f"window_seconds={window_seconds!r} is not representable in whole "
+            "microseconds — the bucket grid would drift from the predicate"
+        )
 
-    l = left.withColumn(
-        "__bucket", F.explode(F.array(bucket_l, bucket_l + 1))
-    )
-    r_proj = right.select(*on, F.col(right_ts).alias("__rts"))
-    r = r_proj.withColumn(
-        "__bucket",
-        F.floor(_epoch_us(r_proj, "__rts") / F.lit(window_us)).cast("long"),
-    )
+    # Integer-µs bucketing with LONG floor-division (SQL `div` truncates
+    # toward zero, and `/` on longs is double division — either would
+    # mis-bucket a boundary candidate at extreme epochs, and the bucket
+    # join is the candidate filter, so a miss is silent). floor(a/b) for
+    # b>0 as exact long arithmetic: (a - pmod(a, b)) div b.
+    def _floor_bucket(us_col: str) -> Column:
+        return F.expr(
+            f"({us_col} - pmod({us_col}, {window_us})) div {window_us}"
+        )
 
-    upper = F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECOND")
+    l = left.withColumn("__lus", _epoch_us(left, left_ts))
+    bucket_l = _floor_bucket("__lus")
+    l = l.withColumn("__bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
+    r_proj = right.select(*on, _epoch_us(right, right_ts).alias("__rus"))
+    r = r_proj.withColumn("__bucket", _floor_bucket("__rus"))
+
+    # exact predicate in the same integer-µs space as the bucket grid
     hits = (
         l.join(r, on=[*on, "__bucket"])
-        .filter((F.col("__rts") >= F.col(left_ts)) & (F.col("__rts") < upper))
+        .filter(
+            (F.col("__rus") >= F.col("__lus"))
+            & (F.col("__rus") < F.col("__lus") + F.lit(window_us))
+        )
         .groupBy(*[F.col(c) for c in left.columns])
         .agg(F.count("*").alias(count_alias))
     )

@@ -24,6 +24,13 @@ _NOSTREAM = 0xFFFFFFFF
 OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
+class FormulaString(str):
+    """Grid-cell marker: emit this value as a FORMULA record whose
+    cached string result follows in a trailing STRING record (how a
+    text formula's ``data_only`` value is stored) instead of a
+    LABELSST — exercises the reader's pending-STRING path."""
+
+
 def _record(op: int, payload: bytes) -> bytes:
     return struct.pack("<HH", op, len(payload)) + payload
 
@@ -64,16 +71,25 @@ def _sst_records(strings: list[str], split_mid_string: int | None = None) -> byt
 
 
 def build_workbook_stream(
-    sheets: dict[str, list[list]], split_sst_mid_string: int | None = None
+    sheets: dict[str, list[list]],
+    split_sst_mid_string: int | None = None,
+    hidden: frozenset[str] | set[str] = frozenset(),
+    split_string_result: bool = False,
 ) -> bytes:
     """BIFF8 Workbook stream: globals (BOF, BOUNDSHEETs, SST, EOF) then
-    one worksheet substream per sheet."""
+    one worksheet substream per sheet. Sheets named in ``hidden`` get
+    the BOUNDSHEET hidden state; ``split_string_result`` splits each
+    FORMULA cached-string STRING record into STRING + CONTINUE."""
     strings: list[str] = []
     str_idx: dict[str, int] = {}
     for grid in sheets.values():
         for row in grid:
             for v in row:
-                if isinstance(v, str) and v not in str_idx:
+                if (
+                    isinstance(v, str)
+                    and not isinstance(v, FormulaString)
+                    and v not in str_idx
+                ):
                     str_idx[v] = len(strings)
                     strings.append(v)
 
@@ -84,7 +100,26 @@ def build_workbook_stream(
             for c, v in enumerate(row):
                 if v is None:
                     continue
-                if isinstance(v, str):
+                if isinstance(v, FormulaString):
+                    # FORMULA: string-result marker (kind 0, tail 0xFFFF),
+                    # empty rgce — the cached value rides in STRING
+                    result = b"\x00\x00\x00\x00\x00\x00\xff\xff"
+                    body += _record(
+                        0x0006,
+                        struct.pack("<HHH", r, c, 0)
+                        + result
+                        + struct.pack("<HIH", 0, 0, 0),
+                    )
+                    hdr, raw, utf16 = _xl_string_payload(str(v))
+                    if split_string_result and len(v) >= 2:
+                        per = 2 if utf16 else 1
+                        body += _record(0x0207, hdr + raw[:per])
+                        body += _record(
+                            0x003C, bytes([1 if utf16 else 0]) + raw[per:]
+                        )
+                    else:
+                        body += _record(0x0207, hdr + raw)
+                elif isinstance(v, str):
                     body += _record(
                         0x00FD, struct.pack("<HHHI", r, c, 0, str_idx[v])
                     )
@@ -104,7 +139,8 @@ def build_workbook_stream(
     bs_payloads = []
     for name in sheets:
         raw = name.encode("latin-1")
-        bs_payloads.append(struct.pack("<IHBB", 0, 0, len(raw), 0) + raw)
+        grbit = 0x0001 if name in hidden else 0  # hsState: hidden
+        bs_payloads.append(struct.pack("<IHBB", 0, grbit, len(raw), 0) + raw)
     globals_len = (
         len(_bof(0x0005))
         + sum(4 + len(p) for p in bs_payloads)
@@ -213,7 +249,11 @@ def write_xls(
     sheets: dict[str, list[list]],
     force_large: bool = False,
     split_sst_mid_string: int | None = None,
+    hidden: frozenset[str] | set[str] = frozenset(),
+    split_string_result: bool = False,
 ) -> None:
-    stream = build_workbook_stream(sheets, split_sst_mid_string)
+    stream = build_workbook_stream(
+        sheets, split_sst_mid_string, hidden=hidden, split_string_result=split_string_result
+    )
     with open(path, "wb") as f:
         f.write(wrap_cfb(stream, force_large=force_large))

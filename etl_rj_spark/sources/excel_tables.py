@@ -123,7 +123,7 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> Da
         from etl_rj_spark.sources.xls_biff import XlsFormatError, read_xls_sheet
 
         try:
-            pdf = read_xls_sheet(path, sheet if isinstance(sheet, int) else 0)
+            pdf = read_xls_sheet(path, sheet)
         except XlsFormatError as ex:
             raise ValueError(
                 f"{path}: unreadable legacy BIFF .xls ({ex}) — "
@@ -137,7 +137,7 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> Da
         # what data_only=True reads anyway)
         from etl_rj_spark.sources.xlsx_native import read_xlsx_sheet
 
-        pdf = read_xlsx_sheet(path, sheet if isinstance(sheet, int) else 0)
+        pdf = read_xlsx_sheet(path, sheet)
     return spark.createDataFrame(pdf)
 
 

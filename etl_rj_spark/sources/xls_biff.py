@@ -310,9 +310,30 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]) -> dict[tuple[int, i
     cells: dict[tuple[int, int], object] = {}
     depth = 0
     pending_formula_cell: tuple[int, int] | None = None
+    pending_string: list[bytes] | None = None
+
+    def _flush_pending_string() -> None:
+        """Decode a FORMULA's cached STRING (+ trailing CONTINUEs)."""
+        nonlocal pending_formula_cell, pending_string
+        if pending_string is None or pending_formula_cell is None:
+            pending_string = None
+            return
+        try:
+            cells[pending_formula_cell] = _SegReader(pending_string).read_xl_unicode_string()
+        except XlsFormatError:
+            # truncated cached result: lose the one cell, not the workbook
+            cells[pending_formula_cell] = None
+        pending_formula_cell = None
+        pending_string = None
+
     for op, off, p in _records(stream):
         if off < start:
             continue
+        if pending_string is not None:
+            if op == _CONTINUE:
+                pending_string.append(p)
+                continue
+            _flush_pending_string()
         if op == _BOF:
             depth += 1
             if depth > 1:
@@ -362,9 +383,10 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]) -> dict[tuple[int, i
             else:
                 cells[(r, c)] = struct.unpack("<d", result)[0]
         elif op == _STRING and pending_formula_cell is not None:
-            reader = _SegReader([p])
-            cells[pending_formula_cell] = reader.read_xl_unicode_string()
-            pending_formula_cell = None
+            # a long cached result spills into CONTINUE records; collect
+            # them before decoding (same segment model as the SST pass)
+            pending_string = [p]
+    _flush_pending_string()
     return cells
 
 
@@ -382,9 +404,10 @@ def read_xls_sheets(path: str) -> dict[str, dict[tuple[int, int], object]]:
     for op, _off, p in _records(stream):
         if op == _BOUNDSHEET:
             pos = _u32(p, 0)
-            hidden = _u16(p, 4) & 0x03
-            if hidden == 0:
-                sheets.append((_short_unicode_string(p, 6), pos))
+            # hidden sheets (grbit & 0x03) stay in the catalog: they
+            # parse fine, and dropping them would shift integer sheet
+            # indices relative to pd.read_excel/xlrd, which count them
+            sheets.append((_short_unicode_string(p, 6), pos))
             collecting_sst = False
         elif op == _SST:
             sst_segments = [p]
@@ -400,15 +423,23 @@ def read_xls_sheets(path: str) -> dict[str, dict[tuple[int, int], object]]:
     return {name: _parse_sheet(stream, pos, sst) for name, pos in sheets}
 
 
-def read_xls_sheet(path: str, sheet: int = 0) -> pd.DataFrame:
+def read_xls_sheet(path: str, sheet: int | str = 0) -> pd.DataFrame:
     """S3 whole-sheet scan for legacy .xls: first row = header (the
     ``pd.read_excel`` default the reference relies on,
     ventas_totales.py:87) — same contract as
-    ``xlsx_native.read_xlsx_sheet``."""
+    ``xlsx_native.read_xlsx_sheet``. ``sheet`` selects by workbook
+    index or by name (both forms ``pd.read_excel`` honors)."""
     all_sheets = read_xls_sheets(path)
-    if sheet >= len(all_sheets):
+    if isinstance(sheet, str):
+        if sheet not in all_sheets:
+            raise XlsFormatError(
+                f"workbook has no sheet named {sheet!r} (sheets: {list(all_sheets)})"
+            )
+        cells = all_sheets[sheet]
+    elif sheet >= len(all_sheets):
         raise XlsFormatError(f"workbook has {len(all_sheets)} sheets, wanted index {sheet}")
-    cells = list(all_sheets.values())[sheet]
+    else:
+        cells = list(all_sheets.values())[sheet]
     if not cells:
         return pd.DataFrame()
     max_r = max(r for r, _ in cells)

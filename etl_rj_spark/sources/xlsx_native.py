@@ -95,6 +95,11 @@ def _sheet_cells(z: zipfile.ZipFile, sheet_path: str, shared: list[str]) -> dict
 
 def _sheet_paths(z: zipfile.ZipFile) -> list[str]:
     """Worksheet part paths in workbook order (via workbook rels)."""
+    return [p for _, p in _named_sheet_paths(z)]
+
+
+def _named_sheet_paths(z: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet name, worksheet part path)] in workbook order."""
     wb = ElementTree.fromstring(z.read("xl/workbook.xml"))
     rels = ElementTree.fromstring(z.read("xl/_rels/workbook.xml.rels"))
     target_by_id = {
@@ -106,7 +111,8 @@ def _sheet_paths(z: zipfile.ZipFile) -> list[str]:
             continue
         rid = next(v for k, v in s.attrib.items() if k.endswith("}id") or k == "id")
         target = target_by_id[rid]
-        out.append(target if target.startswith("xl/") else f"xl/{target.lstrip('/')}")
+        path = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+        out.append((s.get("name") or path, path))
     return out
 
 
@@ -157,12 +163,22 @@ def read_xlsx_tables(path: str) -> dict[str, pd.DataFrame]:
     return out
 
 
-def read_xlsx_sheet(path: str, sheet: int = 0) -> pd.DataFrame:
+def read_xlsx_sheet(path: str, sheet: int | str = 0) -> pd.DataFrame:
     """S3 whole-sheet scan without openpyxl: first row = header
-    (``pd.read_excel`` default, ventas_totales.py:87)."""
+    (``pd.read_excel`` default, ventas_totales.py:87). ``sheet``
+    selects by workbook index or by name, matching pd.read_excel."""
     with zipfile.ZipFile(path) as z:
         shared = _shared_strings(z)
-        sheet_path = _sheet_paths(z)[sheet]
+        named = _named_sheet_paths(z)
+        if isinstance(sheet, str):
+            by_name = dict(named)
+            if sheet not in by_name:
+                raise ValueError(
+                    f"{path}: no sheet named {sheet!r} (sheets: {[n for n, _ in named]})"
+                )
+            sheet_path = by_name[sheet]
+        else:
+            sheet_path = named[sheet][1]
         cells = _sheet_cells(z, sheet_path, shared)
     if not cells:
         return pd.DataFrame()

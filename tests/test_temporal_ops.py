@@ -53,3 +53,36 @@ def test_asof_tolerance(spark, sides):
     assert out["L1"].asof_v == 100          # 0s gap: inside tolerance
     assert out["L2"].asof_v is None         # 3600s gap: outside 1800s
     assert out["L2"].asof_ts is None
+
+
+def test_range_join_fractional_window_and_negative_epoch(spark):
+    """Bucketing must be exact LONG floor-division: fractional windows
+    round to whole µs, and pre-1970 (negative-epoch) timestamps floor
+    toward -inf — `div`-style truncation would mis-bucket them."""
+    from etl_rj_spark.operators.asof import range_join_count
+
+    ts = datetime.datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, ts("1969-12-31 23:59:59.800")), (1, ts("2024-01-01 00:00:00"))],
+        "k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("1969-12-31 23:59:59.900")),  # inside 0.5s of the 1969 row
+            (1, ts("1970-01-01 00:00:00.400")),  # outside it
+            (1, ts("2024-01-01 00:00:00.499")),  # inside 0.5s of the 2024 row
+            (1, ts("2024-01-01 00:00:00.500")),  # exactly at upper bound: out
+        ],
+        "k int, rts timestamp",
+    )
+    out = {
+        r.lts: r.n_in_range
+        for r in range_join_count(left, right, ["k"], "lts", "rts", 0.5).collect()
+    }
+    assert out[ts("1969-12-31 23:59:59.800")] == 1
+    assert out[ts("2024-01-01 00:00:00")] == 1
+
+    with pytest.raises(ValueError, match="positive"):
+        range_join_count(left, right, ["k"], "lts", "rts", 0)
+    with pytest.raises(ValueError, match="microseconds"):
+        range_join_count(left, right, ["k"], "lts", "rts", 1.5e-6)

@@ -97,3 +97,59 @@ def test_dispatch_loads_real_xls_into_spark(spark, tmp_path):
     bad.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     with pytest.raises(ValueError, match="re-export"):
         read_sales_export(spark, str(bad))
+
+
+def test_sheet_selection_by_name(tmp_path):
+    p = str(tmp_path / "named.xls")
+    write_xls(p, {"Primero": [["a"], [1]], "Ventas": [["b"], [2]]})
+    assert read_xls_sheet(p, "Ventas").columns.tolist() == ["b"]
+    with pytest.raises(XlsFormatError, match="no sheet named 'Nope'"):
+        read_xls_sheet(p, "Nope")
+
+
+def test_hidden_sheets_keep_index_parity(tmp_path):
+    """A hidden first sheet still occupies index 0 — pd.read_excel/xlrd
+    count hidden sheets, so dropping them would return the wrong sheet
+    for every integer index after it."""
+    p = str(tmp_path / "hidden.xls")
+    write_xls(
+        p,
+        {"Oculta": [["h"], [0]], "Visible": [["v"], [9]]},
+        hidden={"Oculta"},
+    )
+    sheets = read_xls_sheets(p)
+    assert list(sheets) == ["Oculta", "Visible"]
+    assert read_xls_sheet(p, 0).columns.tolist() == ["h"]
+    assert read_xls_sheet(p, 1).columns.tolist() == ["v"]
+
+
+def test_formula_cached_string_with_continue(tmp_path):
+    """A FORMULA whose cached STRING result spills into a CONTINUE
+    record must reassemble (and a plain one must still work) — before
+    round 5 the CONTINUE case threw and lost the whole workbook."""
+    from etl_rj_spark.sinks.xls_legacy import FormulaString
+
+    long_text = "Almacén Ñandú y algo más largo todavía"
+    grid = [["name"], [FormulaString(long_text)], [FormulaString("corto")], ["plain"]]
+    p = str(tmp_path / "formula.xls")
+    write_xls(p, {"S": grid}, split_string_result=True)
+    pdf = read_xls_sheet(p)
+    assert pdf.iloc[0, 0] == long_text
+    assert pdf.iloc[1, 0] == "corto"
+    assert pdf.iloc[2, 0] == "plain"
+
+    p2 = str(tmp_path / "formula_nosplit.xls")
+    write_xls(p2, {"S": grid})
+    assert read_xls_sheet(p2).iloc[0, 0] == long_text
+
+
+def test_excel_dispatch_sheet_name_on_xls(spark, tmp_path):
+    """read_excel_sheet(path, 'name') on a legacy .xls must honor the
+    name (it used to silently coerce to index 0)."""
+    from etl_rj_spark.sources.excel_tables import read_excel_sheet
+
+    p = str(tmp_path / "byname.xls")
+    write_xls(p, {"Primero": [["a"], [1]], "Ventas": [["b"], [2]]})
+    assert read_excel_sheet(spark, p, "Ventas").columns == ["b"]
+    with pytest.raises(ValueError, match="Ventas2"):
+        read_excel_sheet(spark, p, "Ventas2")
