@@ -1158,20 +1158,30 @@ def png_decode_stats(spark, sf_dir):
     "avi_frame_sampling",
     """
     SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-           md5(doc_id || ':' || i) AS frame_md5
+           md5(doc_id || ':' || i) AS frame_md5,
+           CAST(NULL AS VARCHAR) AS skip_reason
     FROM documents, LATERAL unnest(range(0, 1 + doc_id % 7)) t(i)
-    WHERE doc_id < 50 AND i % 2 = 0
+    WHERE doc_id < 50 AND doc_id % 10 != 9 AND i % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS VARCHAR) AS frame_md5,
+           'not_riff_avi' AS skip_reason
+    FROM documents
+    WHERE doc_id < 50 AND doc_id % 10 = 9
     """,
     tags=("multimodal", "avi-demux"),
 )
 def avi_frame_sampling(spark, sf_dir):
-    """REAL video-container demux, oracle-proven: each doc gets a valid
-    RIFF/AVI muxed from 1 + doc_id % 7 frames whose payload bytes are
-    ``"{doc_id}:{i}"`` (functions/riff.build_avi), then
-    ``operators.multimodal.sample_frames`` demuxes the container and
-    hashes every 2nd frame's raw chunk payload. The oracle regenerates
-    the frame set and its md5s arithmetically — a wrong chunk walk,
-    frame count, or sampling stride cannot match."""
+    """REAL video-container demux over a MIXED binary column,
+    oracle-proven: docs with doc_id % 10 != 9 get a valid RIFF/AVI
+    muxed from 1 + doc_id % 7 frames whose payload bytes are
+    ``"{doc_id}:{i}"`` (functions/riff.build_avi); every 10th doc gets
+    non-container bytes. ``operators.multimodal.sample_frames`` demuxes
+    the AVIs and hashes every 2nd frame's raw chunk payload, and emits
+    one ``skip_reason='not_riff_avi'`` quarantine row (no fabricated
+    frames) for the undemuxable payloads. The oracle regenerates both
+    branches arithmetically — a wrong chunk walk, frame count, sampling
+    stride, or an invented frame row cannot match."""
     from etl_rj_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id")
@@ -1183,7 +1193,9 @@ def avi_frame_sampling(spark, sf_dir):
 
         for pdf in batches:
             payloads = [
-                build_avi(
+                b"these bytes are no container at all"
+                if int(doc_id) % 10 == 9
+                else build_avi(
                     [f"{int(doc_id)}:{i}".encode() for i in range(1 + int(doc_id) % 7)]
                 )
                 for doc_id in pdf["doc_id"]

@@ -10,8 +10,8 @@ available codec yield null decode columns so rows keep flowing and a
 quarantine rule can catch them. Video frame sampling is REAL for
 RIFF/AVI containers via the dependency-free demuxer in
 :mod:`etl_rj_spark.functions.riff` (frame-chunk payload hashing — no
-pixel codec needed); non-AVI payloads keep a deterministic byte-level
-stand-in over the same row-expanding batch shape.
+pixel codec needed); a non-AVI payload yields a single quarantine row
+(``skip_reason``), never fabricated frames.
 """
 
 from __future__ import annotations
@@ -193,7 +193,7 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     return df.mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
-FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, skip_reason string"
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
@@ -203,14 +203,19 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     demuxed (functions/riff.py), the frame count is the container's,
     and ``frame_md5`` is the md5 of each sampled frame's raw chunk
     payload — the per-frame dedup/QC hash a training pipeline computes.
-    Non-AVI payloads keep the deterministic hash-derived stand-in
-    (same schema), so the operator is total over mixed binary columns
-    — the same posture as decode_image's unknown-format nulls."""
+
+    A payload that is NOT a demuxable container yields ZERO frame rows
+    and exactly one quarantine row (null frame_idx/frame_md5,
+    ``skip_reason='not_riff_avi'``) — the engine never invents frames
+    for bytes it can't demux. Same posture as decode_image's
+    unknown-format nulls and the JSONL corrupt-record quarantine:
+    every input doc stays visible downstream, nothing is fabricated.
+    """
     from etl_rj_spark.functions.riff import is_riff_avi, parse_avi_frames
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, fmd5 = [], [], []
+            ids, idxs, fmd5, reason = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 if is_riff_avi(b):
@@ -219,18 +224,18 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                         ids.append(doc_id)
                         idxs.append(i)
                         fmd5.append(hashlib.md5(frames[i]).hexdigest())
-                    continue
-                m = hashlib.md5(b).hexdigest()
-                n_frames = 1 + int(m[4:6], 16) % 64  # stand-in frame count
-                for i in range(0, n_frames, every_n):
+                        reason.append(None)
+                else:
                     ids.append(doc_id)
-                    idxs.append(i)
-                    fmd5.append(hashlib.md5(f"{m}:{i}".encode()).hexdigest())
+                    idxs.append(None)
+                    fmd5.append(None)
+                    reason.append("not_riff_avi")
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
                     "frame_md5": pd.Series(fmd5, dtype="object"),
+                    "skip_reason": pd.Series(reason, dtype="object"),
                 }
             )
 

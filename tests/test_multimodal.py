@@ -4,10 +4,7 @@ extraction, aspect-preserving resize, and row-expanding frame sampling
 
 from __future__ import annotations
 
-import math
-
 from etl_rj_spark.operators.multimodal import (
-    binary_features,
     resize_images,
     sample_frames,
     with_binary_payload,
@@ -34,15 +31,15 @@ def test_resize_preserves_aspect_and_bounds(spark, sf_dir):
             assert r.out_height == max(1, round(r.height * scale))
 
 
-def test_sample_frames_expansion_count(spark, sf_dir):
+def test_sample_frames_quarantines_non_containers(spark, sf_dir):
+    """Text payloads are not demuxable containers: each doc yields
+    exactly one quarantine row and ZERO frame rows — no fabricated
+    frames for bytes the engine can't demux."""
     p = _payloads(spark, sf_dir)
-    feats = {r.doc_id: r.content_md5 for r in binary_features(p).collect()}
     got = sample_frames(p, every_n=10).collect()
-    expected_rows = sum(
-        math.ceil((1 + int(m[4:6], 16) % 64) / 10) for m in feats.values()
-    )
-    assert len(got) == expected_rows
-    assert all(r.frame_idx % 10 == 0 for r in got)
+    assert len(got) == p.count()
+    assert all(r.skip_reason == "not_riff_avi" for r in got)
+    assert all(r.frame_idx is None and r.frame_md5 is None for r in got)
 
 
 def test_multimodal_partitioning_invariance(spark, sf_dir):
@@ -103,8 +100,9 @@ def test_riff_avi_mux_demux_roundtrip():
 
 def test_sample_frames_demuxes_real_avi(spark):
     """AVI payloads take the real path: frame count and md5s come from
-    the demuxed chunk payloads; non-AVI payloads in the same column
-    keep the stand-in — the operator is total over mixed columns."""
+    the demuxed chunk payloads; a non-AVI payload in the same column
+    gets one quarantine row with no frame data — the operator is total
+    over mixed columns without inventing frames."""
     import hashlib
 
     from etl_rj_spark.functions.riff import build_avi
@@ -117,8 +115,13 @@ def test_sample_frames_demuxes_real_avi(spark):
         (3, bytearray(b"not a video")),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    got = {(r.doc_id, r.frame_idx): r.frame_md5 for r in sample_frames(df, every_n=2).collect()}
+    out = sample_frames(df, every_n=2).collect()
+    got = {(r.doc_id, r.frame_idx): r.frame_md5 for r in out}
     assert {(d, i) for d, i in got if d == 1} == {(1, 0), (1, 2), (1, 4)}
     assert got[(1, 2)] == hashlib.md5(b"a2").hexdigest()
     assert got[(2, 0)] == hashlib.md5(b"b0").hexdigest()
-    assert any(d == 3 for d, _ in got)  # stand-in rows still flow
+    quarantined = [r for r in out if r.doc_id == 3]
+    assert len(quarantined) == 1
+    assert quarantined[0].skip_reason == "not_riff_avi"
+    assert quarantined[0].frame_idx is None and quarantined[0].frame_md5 is None
+    assert all(r.skip_reason is None for r in out if r.doc_id != 3)
