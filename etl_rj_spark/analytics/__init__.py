@@ -40,6 +40,7 @@ _PRIORITY = [
     "avi_frame_sampling",      # non-AVI payloads now quarantine, not fabricate
     "multimodal_meta",         # now reports JPEG SOF dimensions
     "minhash_index_probe",     # NEW r5: probe over persisted bucketed index
+    "image_header_sniff",      # NEW r5: expression-only PNG/GIF/JPEG dims
     # -- canaries: one per long-green §2 family (source / sink / window)
     "s1_csv_scan_roundtrip",
     "k1_incremental_append_roundtrip",
@@ -93,9 +94,9 @@ _PRIORITY = [
     "date_spine_gap_fill",
     "funnel_conversion",
     "salted_customer_rollup",
-    "quantile_stats",
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
+    "quantile_stats",
     "cube_flag_status",
     "intersect_customers",
     "zscore_events_by_type",

@@ -1206,6 +1206,86 @@ def avi_frame_sampling(spark, sf_dir):
     return sample_frames(payloads, every_n=2)
 
 
+@_q(
+    "image_header_sniff",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'jpeg' ELSE NULL END AS img_format,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                     ELSE 100 + doc_id END AS BIGINT) AS img_width,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                     ELSE 50 + doc_id END AS BIGINT) AS img_height
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("multimodal", "header-sniff"),
+)
+def image_header_sniff(spark, sf_dir):
+    """Pure-expression image-header metadata pass, oracle-proven over a
+    mixed binary column: each doc gets a synthesized PNG, GIF, JPEG, or
+    non-image payload (doc_id % 4) with dims (100+doc_id, 50+doc_id).
+    JPEGs vary their pre-SOF segment layout per doc — EXIF-style APP1
+    padding, fill bytes, baseline SOF0 vs progressive SOF2 — so the
+    bounded SOF marker walk (operators/multimodal._jpeg_sof_dims, a
+    single JVM-side ``aggregate`` expression, zero Python per row) is
+    exercised at every position. The oracle recomputes format and dims
+    arithmetically; a wrong walk cannot match."""
+    import struct as _struct
+
+    from etl_rj_spark.operators.multimodal import parse_image_header
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        def png(w, h):
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _struct.pack(">I", 13) + b"IHDR"
+                + _struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"crc0"
+            )
+
+        def gif(w, h):
+            return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00" * 5
+
+        def jpeg(w, h, doc_id):
+            b = b"\xff\xd8"
+            b += b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            app1 = (doc_id % 5) * 37
+            if app1:
+                b += b"\xff\xe1" + _struct.pack(">H", app1 + 2) + b"\x00" * app1
+            if doc_id % 3 == 0:
+                b += b"\xff"  # fill byte before the next marker
+            b += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" * 65
+            sof = b"\xff\xc2" if doc_id % 2 == 0 else b"\xff\xc0"
+            return b + sof + _struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+
+        def build(doc_id):
+            w, h = 100 + doc_id, 50 + doc_id
+            kind = doc_id % 4
+            if kind == 0:
+                return png(w, h)
+            if kind == 1:
+                return gif(w, h)
+            if kind == 2:
+                return jpeg(w, h, doc_id)
+            return b"plain text, no image magic here"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [build(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    payloads = d.mapInPandas(make, "doc_id long, content binary")
+    return parse_image_header(payloads).select(
+        "doc_id", "img_format", "img_width", "img_height"
+    )
+
+
 # --- C4-style span dedup / decontamination / mix resampling ----------------
 
 _SQL_TOKS = rf"string_split({_NT}, ' ')"

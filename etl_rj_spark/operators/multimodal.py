@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - PIL absent in this container
@@ -242,19 +242,83 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(op, schema=FRAMES_SCHEMA)
 
 
+#: JPEG frame (SOF) markers that carry dimensions — every 0xCn except
+#: C4 (DHT), C8 (JPG reserved), CC (DAC).
+_JPEG_SOF_MARKERS = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+#: Segments to walk before giving up on finding a SOF. Real JPEGs put
+#: SOF within the first handful of segments (APPn, COM, DQT, DHT);
+#: the cap bounds the unrolled expression, not the bytes skipped —
+#: length-prefixed segments (e.g. a 64 KB EXIF APP1) are jumped over
+#: in one step.
+_JPEG_MAX_SEGMENTS = 16
+
+
+def _jpeg_sof_dims(c: Column) -> tuple[Column, Column]:
+    """(width, height) from a JPEG's SOF marker — a bounded marker walk
+    as a single JVM-side expression (``aggregate`` over a constant
+    sequence; each step is O(1) struct arithmetic). SOF position varies
+    per file, so the walk follows the segment length chain from SOI;
+    nulls when no SOF surfaces within the cap (or the chain breaks).
+    No Python, no decode — exactly what a filter-by-dims pass over
+    100 TB of images needs."""
+
+    def u8(pos: Column) -> Column:
+        return F.conv(F.hex(c.substr(pos.cast("int"), F.lit(1))), 16, 10).cast("long")
+
+    def be16(pos: Column) -> Column:
+        return F.conv(F.hex(c.substr(pos.cast("int"), F.lit(2))), 16, 10).cast("long")
+
+    nil = F.lit(None).cast("long")
+
+    def step(st: Column, _i: Column) -> Column:
+        off = st["off"]
+        m0, m1 = u8(off), u8(off + 1)
+        live = (
+            st["w"].isNull()
+            & (off > 0)
+            & (off + 1 <= F.octet_length(c))
+            & (m0 == 0xFF)
+        )
+        is_sof = m1.isin(_JPEG_SOF_MARKERS)
+        halt = m1 == 0xDA  # SOS: entropy-coded data follows, no SOF seen
+        next_off = (
+            F.when(m1 == 0xFF, off + 1)  # fill byte before a marker
+            .when(is_sof | halt, F.lit(-1).cast("long"))
+            .otherwise(off + 2 + be16(off + 2))
+        )
+        return F.when(
+            live,
+            F.struct(
+                next_off.alias("off"),
+                F.when(is_sof, be16(off + 7)).otherwise(nil).alias("w"),
+                F.when(is_sof, be16(off + 5)).otherwise(nil).alias("h"),
+            ),
+        ).otherwise(st)
+
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"),  # 1-based: first marker after SOI
+        nil.alias("w"),
+        nil.alias("h"),
+    )
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)), init, step
+    )
+    return walked["w"], walked["h"]
+
+
 def parse_image_header(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Native-expression image-header sniffing: format, width, height
-    parsed from the first bytes of an opaque ``binary`` column — PNG
-    (IHDR big-endian dims at offsets 17/21) and GIF (little-endian
-    dims at 7/9) — entirely with built-in byte/conv functions, no
-    Python and no imaging library. Unknown magic → nulls (rows keep
-    flowing; a quarantine rule can catch them downstream).
+    parsed from the bytes of an opaque ``binary`` column — PNG (IHDR
+    big-endian dims at offsets 17/21), GIF (little-endian dims at 7/9),
+    and JPEG (bounded SOF marker walk, see ``_jpeg_sof_dims``) —
+    entirely with built-in byte/conv expressions, no Python and no
+    imaging library. Unknown magic → nulls (rows keep flowing; a
+    quarantine rule can catch them downstream).
 
     This is the cheap metadata pass a multimodal pipeline runs BEFORE
     deciding what to decode: filtering 100 TB of images by dimensions
-    must not decode pixels. JPEG dims live in variable-position SOF
-    markers — that genuinely needs the (gated) decoder path, so JPEG
-    reports format only.
+    must not decode pixels.
     """
     c = F.col(content_col)
 
@@ -273,14 +337,17 @@ def parse_image_header(df: DataFrame, content_col: str = "content") -> DataFrame
         .when(F.hex(F.substring(c, 1, 2)) == "FFD8", F.lit("jpeg"))
         .otherwise(F.lit(None).cast("string"))
     )
+    jw, jh = _jpeg_sof_dims(c)
     width = (
         F.when(fmt == "png", be32(17))
         .when(fmt == "gif", le16(7))
+        .when(fmt == "jpeg", jw)
         .otherwise(F.lit(None).cast("long"))
     )
     height = (
         F.when(fmt == "png", be32(21))
         .when(fmt == "gif", le16(9))
+        .when(fmt == "jpeg", jh)
         .otherwise(F.lit(None).cast("long"))
     )
     return df.withColumns(

@@ -69,18 +69,41 @@ def test_parse_image_header_native(spark):
     def gif(w, h):
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
 
+    def jpeg(w, h, *, app1_len=0, progressive=False, fill=False, truncated=False):
+        """SOI + APP0(JFIF) [+ big APP1] [+ fill byte] + DQT + SOF."""
+        b = b"\xff\xd8"
+        b += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        if app1_len:  # EXIF-style segment, skipped via its length chain
+            b += b"\xff\xe1" + struct.pack(">H", app1_len + 2) + b"\x00" * app1_len
+        if fill:
+            b += b"\xff"  # fill byte before the next marker
+        b += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        if truncated:
+            return b + b"\xff\xda"  # SOS with no SOF ever seen
+        sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+        b += sof + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b
+
     rows = [
         (1, bytearray(png(640, 480))),
         (2, bytearray(gif(320, 200))),
-        (3, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
+        (3, bytearray(jpeg(1024, 768))),
         (4, bytearray(b"not an image at all")),
+        (5, bytearray(jpeg(800, 600, app1_len=3000, progressive=True, fill=True))),
+        (6, bytearray(jpeg(0, 0, truncated=True))),
+        (7, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg")),
     ]
     df = spark.createDataFrame(rows, "doc_id int, content binary")
     got = {r.doc_id: r for r in parse_image_header(df).collect()}
     assert (got[1].img_format, got[1].img_width, got[1].img_height) == ("png", 640, 480)
     assert (got[2].img_format, got[2].img_width, got[2].img_height) == ("gif", 320, 200)
-    assert got[3].img_format == "jpeg" and got[3].img_width is None
+    assert (got[3].img_format, got[3].img_width, got[3].img_height) == ("jpeg", 1024, 768)
     assert got[4].img_format is None and got[4].img_height is None
+    # progressive SOF2 behind a 3 KB APP1 and a fill byte still resolves
+    assert (got[5].img_width, got[5].img_height) == (800, 600)
+    # SOS before any SOF, or a broken chain → nulls, never garbage
+    assert got[6].img_format == "jpeg" and got[6].img_width is None
+    assert got[7].img_format == "jpeg" and got[7].img_width is None
 
 
 def test_riff_avi_mux_demux_roundtrip():
