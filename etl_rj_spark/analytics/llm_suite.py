@@ -178,6 +178,59 @@ def incremental_near_dup(spark, sf_dir):
     return incremental_near_dup_pairs(new, buckets, sets, "doc_id", "text", threshold=0.8)
 
 
+@_q(
+    "minhash_index_probe",
+    f"""
+    WITH corpus AS ({_INC_OLD} UNION ALL {_INC_NEW}),
+    sets AS ({_sql_shingle_sets('SELECT * FROM corpus')})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD} >= 0.8
+      AND (a.doc_id >= 100 OR b.doc_id >= 100)
+    """,
+    tags=("dedup-minhash-lsh", "incremental-index", "bucketed-layout"),
+)
+def minhash_index_probe(spark, sf_dir):
+    """incremental_near_dup's PERSISTED twin at the documented scale
+    layout: the corpus index is WRITTEN as bucketed+sorted tables —
+    buckets by (band, bucket), sets by (id) — and the batch probe
+    reads them back through the catalog
+    (operators/text_dedup.persist_minhash_index / probe_minhash_index).
+    Same all-pairs ground-truth oracle as incremental_near_dup; the
+    bucketed layout's zero-Exchange-on-index property is pinned by
+    tests/test_scale_ops.py."""
+    import os
+    import tempfile
+
+    from etl_rj_spark.operators.text_dedup import (
+        persist_minhash_index,
+        probe_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    prefix = "etl_rj_mh_probe"
+    for suffix in ("buckets", "sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+    persist_minhash_index(
+        old, "doc_id", "text", prefix, num_buckets=4,
+        path_prefix=os.path.join(tempfile.gettempdir(), "etl_rj_mh_probe_idx"),
+    )
+    return probe_minhash_index(spark, new, prefix, "doc_id", "text", threshold=0.8)
+
+
 # --- n-gram Jaccard (exact inverted index) ---------------------------------
 
 @_q(

@@ -609,14 +609,103 @@ def incremental_near_dup_pairs(
         .unionByName(self_)
         .distinct()
     )
-    all_sets = index_sets.unionByName(ns)
-    a = all_sets.toDF("id_a", "__set_a")
-    b = all_sets.toDF("id_b", "__set_b")
+    # Verification fetches each side's shingle set from the index OR
+    # the new batch via separate left joins + coalesce — NOT by
+    # unioning the two sets tables: a union would discard the index
+    # table's (bucketed-by-id) layout and reshuffle the corpus-sized
+    # sets relation on every probe. Separate joins keep the index side
+    # Exchange-free (candidates, a sliver, shuffle to meet it).
+    a_idx = index_sets.toDF("id_a", "__ia")
+    a_new = ns.toDF("id_a", "__na")
+    b_idx = index_sets.toDF("id_b", "__ib")
+    b_new = ns.toDF("id_b", "__nb")
+    verified = (
+        cand.join(a_idx, "id_a", "left")
+        .join(a_new, "id_a", "left")
+        .join(b_idx, "id_b", "left")
+        .join(b_new, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__ia", "__na").alias("__set_a"),
+            F.coalesce("__ib", "__nb").alias("__set_b"),
+        )
+    )
     inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
     union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        verified.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def persist_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    num_buckets: int = 8,
+    path_prefix: str | None = None,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    token_ngrams_n: int | None = None,
+    hashed_sets: bool = False,
+) -> tuple[str, str]:
+    """Write the corpus near-dup index as bucketed+sorted tables:
+    ``{prefix}_buckets`` bucketed by (band, bucket) and
+    ``{prefix}_sets`` bucketed by (id) — the physical layout under
+    which every later probe join reads the index with ZERO Exchange
+    (the probe batch, tiny by construction, shuffles to meet the
+    index's bucketing; the corpus-sized index never moves again).
+    Returns the two table names. Probe with the SAME minhash
+    parameters (shingle_k/num_hashes/bands/...) or candidates are
+    meaningless."""
+    from etl_rj_spark.sinks.bucketed import write_bucketed
+
+    buckets, sets = minhash_index(
+        df, id_col, text_col, shingle_k, num_hashes, bands,
+        token_ngrams_n, hashed_sets,
+    )
+    bt, st = f"{table_prefix}_buckets", f"{table_prefix}_sets"
+    write_bucketed(
+        buckets, bt, ["band", "bucket"], num_buckets,
+        path=f"{path_prefix}/{bt}" if path_prefix else None,
+    )
+    write_bucketed(
+        sets, st, ["id"], num_buckets,
+        path=f"{path_prefix}/{st}" if path_prefix else None,
+    )
+    return bt, st
+
+
+def probe_minhash_index(
+    spark,
+    new_df: DataFrame,
+    table_prefix: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    token_ngrams_n: int | None = None,
+    hashed_sets: bool = False,
+) -> DataFrame:
+    """Near-dup pairs of a new batch against a PERSISTED bucketed index
+    (``persist_minhash_index``), from any session — the incremental
+    daily-batch entry point: the corpus contributes only catalog reads
+    of its two index tables, never a re-shingle or a re-shuffle."""
+    return incremental_near_dup_pairs(
+        new_df,
+        spark.table(f"{table_prefix}_buckets"),
+        spark.table(f"{table_prefix}_sets"),
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        token_ngrams_n=token_ngrams_n,
+        hashed_sets=hashed_sets,
     )

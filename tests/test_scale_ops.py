@@ -170,3 +170,65 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_index_bucketed_probe_zero_exchange_on_index(spark, sf_dir, tmp_path):
+    """The persisted near-dup index's 100 TB posture, pinned: with the
+    index written bucketed — buckets by (band, bucket), sets by (id) —
+    a batch probe's candidate join reads the index scan WITHOUT an
+    Exchange (only the tiny batch side shuffles to meet the bucketing),
+    and the probe's results equal the in-memory incremental path."""
+    from etl_rj_spark.operators.text_dedup import (
+        incremental_near_dup_pairs,
+        minhash_index,
+        persist_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    new = old.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    tag = uuid.uuid4().hex[:8]
+    prefix = f"mh_idx_{tag}"
+    try:
+        persist_minhash_index(
+            old, "doc_id", "text", prefix, num_buckets=4, path_prefix=str(tmp_path)
+        )
+
+        # candidate join in isolation, broadcast disabled: exactly one
+        # Exchange (the batch side) and a bucketed index-side scan
+        nb, _ns = minhash_index(new, "doc_id", "text")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe_join = spark.table(f"{prefix}_buckets").join(
+                nb.toDF("id_n", "band", "bucket"), ["band", "bucket"]
+            )
+            counts = explain_counts(probe_join)
+            assert counts["exchange"] == 1, counts
+            assert counts["sort_merge_join"] == 1, counts
+            plan = probe_join._sc._jvm.PythonSQLUtils.explainString(
+                probe_join._jdf.queryExecution(), "formatted"
+            )
+            assert "Bucketed: true" in plan, plan[:3000]
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # full probe through the catalog equals the in-memory path
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in probe_minhash_index(spark, new, prefix, "doc_id", "text").collect()
+        )
+        buckets, sets = minhash_index(old, "doc_id", "text")
+        want = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in incremental_near_dup_pairs(
+                new, buckets, sets, "doc_id", "text"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sets")
