@@ -1059,13 +1059,81 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
     ~300k near-dup pair candidates) — the throughput path the
     oracle-checked small variant proves correct. At-scale
     configuration: token-3-gram shingles, 16 hashes, hashed-set
-    verification, xxhash64 shingle hashing (~1.4x the md5 path's
-    throughput; the md5 contract stays on the oracle-checked
-    variant)."""
+    verification, xxhash64 shingle hashing.
+
+    All-pairs ground truth is infeasible at this scale, so the query
+    carries its own contract (the ``approx_distinct_stats`` pattern):
+    the ×25-replica construction makes the within-base-group truth
+    computable exactly in O(groups × 25²) — the same hashed shingle
+    sets, self-joined per base group. The summary row compares the LSH
+    path's within-base pair count against it and ``assert_true`` turns
+    a violation into a query ERROR the driver's rows-only check cannot
+    miss. The bound is two-sided: count ≤ exact truth EXACTLY (every
+    emitted pair is Jaccard-verified, so a within-base surplus means a
+    broken verifier) and count ≥ 99.99 % of truth (banding theory at
+    16 hashes/8 bands predicts ~4e-6 missed mass here; measured 6 of
+    1.5M at sf0.1. The pre-round-5 affine hash family's correlated
+    minima missed 0.16 % — 40× outside this bound, which is how the
+    contract caught it)."""
+    from etl_rj_spark.operators.text_dedup import shingle_hashes
+
     corpus = _scaled_docs(spark, sf_dir, 25)
-    return minhash_lsh_dedup_pairs(
+    pairs = minhash_lsh_dedup_pairs(
         corpus, "doc_id", "text", threshold=0.8,
         num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True,
+    )
+    base = lambda c: F.col(c) % 1000000  # noqa: E731 — replica id offset
+    got = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((base("id_a") == base("id_b")).cast("long")).alias("n_within_base"),
+    )
+    # exact within-base truth: ONE shuffle of the 25 shingle sets per
+    # base group, then all C(25,2) Jaccards evaluated row-locally with
+    # higher-order functions — no pairwise join carrying arrays (that
+    # shape cost as much as the LSH path it was checking)
+    sets = corpus.select(
+        base("doc_id").alias("__base"),
+        F.array_distinct(shingle_hashes("text", 5, 3, fast=True)).alias("__set"),
+    )
+    m = F.col("ms")
+    n = F.size(m)
+
+    def jacc_ge(x, y):
+        i = F.size(F.array_intersect(x, y)).cast("double")
+        u = (F.size(x) + F.size(y)).cast("double") - i
+        return (i / u >= 0.8).cast("long")
+
+    pair_flags = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n.cast("long")),
+                    lambda j: jacc_ge(
+                        F.element_at(m, i.cast("int")), F.element_at(m, j.cast("int"))
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    expected = (
+        sets.groupBy("__base")
+        .agg(F.collect_list("__set").alias("ms"))
+        .select(
+            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
+        )
+        .agg(F.sum("c").alias("n_within_base_expected"))
+    )
+    n, exp = F.col("n_within_base"), F.col("n_within_base_expected")
+    return got.crossJoin(expected).select(
+        "n_pairs",
+        "n_within_base",
+        "n_within_base_expected",
+        F.assert_true(
+            (n <= exp) & (n >= F.ceil(exp * 0.9999)),
+            F.lit("minhash_lsh_pairs_scaled: within-base recall/precision regression"),
+        ).cast("string").alias("recall_check"),
     )
 
 

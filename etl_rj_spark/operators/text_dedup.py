@@ -123,14 +123,21 @@ def _fast_token_ngram_hashes(c: Column | str, n: int) -> Column:
 
 def minhash_signature_from_hashes(hashes: Column | str, num_hashes: int = 32) -> Column:
     """num_hashes-wide MinHash signature from precomputed shingle
-    hashes. h_i(x) = ((37+2i)*x + (101+i)) mod P — exact int64
-    arithmetic, engine-portable."""
+    hashes. h_i(x) = xxhash64(i, x) — an independently mixed 64-bit
+    coordinate per hash index, exact int64 arithmetic.
+
+    (History: the previous affine family ((37+2i)·x + (101+i)) mod P
+    had CORRELATED minima over the 28-bit shingle-hash domain — small
+    consecutive multipliers made many coordinates elect the same
+    argmin shingle, so per-coordinate agreement ran well below the
+    true Jaccard and ~0.16 % of jaccard≥0.95 pairs missed every LSH
+    band at 16 hashes. Caught by minhash_lsh_pairs_scaled's in-query
+    within-base recall contract; a full-width mix per coordinate
+    restores the Pr[agree] = J(A,B) minhash property.)"""
     h = F.col(hashes) if isinstance(hashes, str) else hashes
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(h, lambda x: ((F.lit(37) + F.lit(2) * i) * x + (F.lit(101) + i)) % F.lit(MINHASH_P))
-        ),
+        lambda i: F.array_min(F.transform(h, lambda x: F.xxhash64(i, x))),
     )
 
 
