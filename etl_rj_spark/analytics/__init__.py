@@ -96,6 +96,7 @@ _PRIORITY = [
     "salted_customer_rollup",
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
+    "k1_atomic_jdbc_roundtrip",
     "quantile_stats",
     "cube_flag_status",
     "intersect_customers",

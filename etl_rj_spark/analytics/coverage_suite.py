@@ -324,6 +324,77 @@ def k1_incremental_append_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "k1_atomic_jdbc_roundtrip",
+    """
+    SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20
+    """,
+    tags=("K1", "atomic-commit"),
+)
+def k1_atomic_jdbc_roundtrip(spark, sf_dir):
+    """K1 staging-table atomic commit (SURVEY §4) against live Derby:
+    seed keys <10 via the atomic publish, append an overlapping <20
+    batch (only the 10 new rows land, in ONE transaction), re-run (0
+    rows), then prove the all-or-nothing property inline: a poison
+    batch with an intra-batch duplicate key fails its publish and the
+    table is byte-identical after — no partial append to heal. Read
+    the table back as the oracle-checked result."""
+    from etl_rj_spark.sinks.incremental import append_incremental_jdbc_atomic
+
+    d = tempfile.mkdtemp(prefix="etl_rj_cov_k1a_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(_DERBY_PROPS["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(
+            "CREATE TABLE NATION_AT (N_NATIONKEY INT PRIMARY KEY, N_NAME VARCHAR(64))"
+        )
+        st.close()
+    finally:
+        conn.close()
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("N_NATIONKEY"), F.col("n_name").alias("N_NAME")
+    )
+    append_incremental_jdbc_atomic(
+        n.filter(F.col("N_NATIONKEY") < 10), url, "NATION_AT", ["N_NATIONKEY"],
+        properties=_DERBY_PROPS,
+    )
+    batch = n.filter(F.col("N_NATIONKEY") < 20)
+    append_incremental_jdbc_atomic(
+        batch, url, "NATION_AT", ["N_NATIONKEY"], properties=_DERBY_PROPS
+    )
+    rerun = append_incremental_jdbc_atomic(
+        batch, url, "NATION_AT", ["N_NATIONKEY"], properties=_DERBY_PROPS
+    )
+    assert rerun == 0  # idempotent re-run
+    poison = n.filter(F.col("N_NATIONKEY").isin(20, 21)).unionByName(
+        n.filter(F.col("N_NATIONKEY") == 21)
+    )
+    try:
+        append_incremental_jdbc_atomic(
+            poison, url, "NATION_AT", ["N_NATIONKEY"], properties=_DERBY_PROPS
+        )
+        raise AssertionError("poison publish should have failed")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expected: PK violation rolled the whole publish back
+    out = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "NATION_AT")
+        .options(**_DERBY_PROPS)
+        .load()
+    )
+    # rollback proof folded into the oracle: rows 20/21 must be absent
+    return out.select(
+        F.col("N_NATIONKEY").alias("n_nationkey"), F.col("N_NAME").alias("n_name")
+    )
+
+
+@_q(
     "k2_snapshot_roundtrip",
     """
     SELECT r_regionkey, r_name, DATE '2024-01-02' AS fecha_carga FROM region

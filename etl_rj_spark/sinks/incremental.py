@@ -58,6 +58,93 @@ def append_incremental(
     return inserted
 
 
+def append_incremental_jdbc_atomic(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    batchsize: int = 1000,
+    properties: dict | None = None,
+    staging_table: str | None = None,
+) -> int:
+    """K1 with TRUE single-transaction publish semantics — the SURVEY
+    §4 staging-table commit protocol, matching the reference's
+    one-transaction rollback (ventas_totales.py:227-262) instead of
+    approximating it with idempotent retry:
+
+    1. anti-join the batch against the target's key projection
+       (pushed into the source query, as ``append_incremental_jdbc``),
+    2. Spark writes the surviving rows IN PARALLEL into a disposable
+       staging table — per-partition JDBC commits are fine there
+       because staging is invisible to readers,
+    3. publish with one driver-side ``INSERT INTO target (...)
+       SELECT ... FROM staging`` — a single SQL statement in a single
+       transaction, executed server-side (no data moves through the
+       driver): a mid-publish failure (constraint violation, lost
+       connection, kill -9) rolls back to a byte-identical target,
+    4. drop staging (always).
+
+    Returns the number of rows published (0 on re-run). Scale note:
+    the parallel write does the data movement; the publish is a
+    server-local table-to-table statement — the two-phase shape every
+    warehouse loader uses precisely because it keeps the atomic step
+    off the ingest path."""
+    spark = df.sparkSession
+    props = dict(properties or {})
+    existing = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", f"SELECT {', '.join(keys)} FROM {table}")
+        .options(**props)
+        .load()
+    )
+    new = anti_join_new_rows(df, existing, keys)
+    stg = staging_table or f"{table}_STG"
+    (
+        new.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", stg)
+        .option("batchsize", batchsize)
+        .options(**props)
+        .mode("overwrite")
+        .save()
+    )
+
+    jvm = spark.sparkContext._jvm
+    if "driver" in props:  # register the driver with DriverManager
+        jvm.java.lang.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    cols = ", ".join(df.columns)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            n = st.executeUpdate(
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stg}"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        try:
+            cleanup = conn.createStatement()
+            try:
+                cleanup.executeUpdate(f"DROP TABLE {stg}")
+                conn.commit()
+            finally:
+                cleanup.close()
+        except Exception:  # noqa: BLE001 — staging leftovers are harmless
+            pass
+        conn.close()
+    return int(n)
+
+
 class JdbcBatchInsertError(RuntimeError):
     """A transactional JDBC batch failed; carries the source-row range
     so the operator can be pointed at the offending file lines — the

@@ -200,3 +200,56 @@ def test_jdbc_batch_tied_row_idx_never_double_inserts(spark, derby_url):
     )
     assert written.count() == 20
     assert written.select("K").distinct().count() == 20
+
+
+def _exec_sql(spark, url, sql):
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(PROPS["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def test_jdbc_atomic_staging_publish_rolls_back_whole_batch(spark, derby_url):
+    """K1 staging-table commit protocol (SURVEY §4): the publish is one
+    transaction — a failure mid-publish leaves the target byte-
+    identical (the reference's conn.rollback semantics,
+    ventas_totales.py:227-262), unlike the per-batch path whose
+    partial append relies on anti-join healing at the next run."""
+    from etl_rj_spark.sinks.incremental import append_incremental_jdbc_atomic
+
+    _exec_sql(spark, derby_url, "CREATE TABLE T_AT (K1 INT PRIMARY KEY, V VARCHAR(10))")
+    first = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 6)], "K1 int, V string"
+    )
+    assert append_incremental_jdbc_atomic(first, derby_url, "T_AT", ["K1"], properties=PROPS) == 5
+    # idempotent re-run: anti-join strips everything, publish is a no-op
+    assert append_incremental_jdbc_atomic(first, derby_url, "T_AT", ["K1"], properties=PROPS) == 0
+
+    # poison batch: row 3 is anti-joined away (already in the target),
+    # rows 6/7 are new, but 7 appears twice — the second 7 violates the
+    # primary key MID-publish, after 6 would already have been inserted
+    bad = spark.createDataFrame(
+        [(3, "dup"), (6, "f"), (7, "g"), (7, "h")], "K1 int, V string"
+    )
+    with pytest.raises(Exception, match="(?i)duplicate|constraint"):
+        append_incremental_jdbc_atomic(bad, derby_url, "T_AT", ["K1"], properties=PROPS)
+
+    # the target is untouched: no 6, no 7 — not a partial append
+    got = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", "T_AT").options(**PROPS).load()
+    )
+    assert sorted(r.K1 for r in got.collect()) == [1, 2, 3, 4, 5]
+
+    # staging table was dropped on the way out
+    with pytest.raises(Exception):
+        spark.read.format("jdbc").option("url", derby_url).option(
+            "dbtable", "T_AT_STG"
+        ).options(**PROPS).load().collect()
