@@ -1078,9 +1078,16 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
     from etl_rj_spark.operators.text_dedup import shingle_hashes
 
     corpus = _scaled_docs(spark, sf_dir, 25)
+    # one persisted hash pass feeds BOTH the LSH dedup and the exact
+    # ground-truth contract below — the corpus is shingle-hashed once
+    hashes = corpus.select(
+        F.col("doc_id"), shingle_hashes("text", 5, 3, fast=True).alias("__h")
+    ).persist()
+    hashes.count()
     pairs = minhash_lsh_dedup_pairs(
         corpus, "doc_id", "text", threshold=0.8,
         num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True,
+        shingle_hashes_df=hashes,
     )
     base = lambda c: F.col(c) % 1000000  # noqa: E731 — replica id offset
     got = pairs.agg(
@@ -1091,9 +1098,9 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
     # base group, then all C(25,2) Jaccards evaluated row-locally with
     # higher-order functions — no pairwise join carrying arrays (that
     # shape cost as much as the LSH path it was checking)
-    sets = corpus.select(
+    sets = hashes.select(
         base("doc_id").alias("__base"),
-        F.array_distinct(shingle_hashes("text", 5, 3, fast=True)).alias("__set"),
+        F.array_distinct("__h").alias("__set"),
     )
     m = F.col("ms")
     n = F.size(m)

@@ -242,6 +242,7 @@ def minhash_lsh_dedup_pairs(
     hashed_sets: bool = False,
     token_ngrams_n: int | None = None,
     fast_hash: bool = False,
+    shingle_hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
     at ``threshold``. Probabilistic recall (tune bands/rows to τ);
@@ -251,7 +252,11 @@ def minhash_lsh_dedup_pairs(
     The hashed path shingle-hashes the corpus ONCE (persisted and
     eagerly materialized): the same hash arrays feed the signatures,
     both sides of the band self-join, and the verification sets —
-    without the barrier the hashing runs 3×."""
+    without the barrier the hashing runs 3×. A caller that needs the
+    hash arrays for its own purposes (e.g. an in-query ground-truth
+    contract) can pass them pre-computed via ``shingle_hashes_df``
+    (columns: ``id_col``, ``__h``; caller owns persistence) so the
+    corpus is hashed once across BOTH consumers."""
     if not hashed_sets:
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
         return jaccard_on_pairs(
@@ -259,11 +264,14 @@ def minhash_lsh_dedup_pairs(
         ).filter(F.col("jaccard") >= threshold)
 
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col),
-        shingle_hashes(text_col, shingle_k, token_ngrams_n, fast=fast_hash).alias("__h"),
-    ).persist()
-    base.count()  # materialization barrier: hash the corpus exactly once
+    if shingle_hashes_df is not None:
+        base = shingle_hashes_df.select(F.col(id_col), F.col("__h"))
+    else:
+        base = df.select(
+            F.col(id_col),
+            shingle_hashes(text_col, shingle_k, token_ngrams_n, fast=fast_hash).alias("__h"),
+        ).persist()
+        base.count()  # materialization barrier: hash the corpus exactly once
 
     sig = base.select(
         F.col(id_col), minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
