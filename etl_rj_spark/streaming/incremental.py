@@ -58,3 +58,43 @@ def stream_incremental_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_append_jdbc_atomic(
+    new_stream: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    properties: dict | None = None,
+    batchsize: int = 1000,
+) -> StreamingQuery:
+    """Streaming twin of the K1 staging-table atomic commit
+    (``sinks.incremental.append_incremental_jdbc_atomic``): each
+    micro-batch is deduplicated within itself, anti-joined against the
+    target's key projection, staged by a parallel JDBC write, and
+    PUBLISHED in one server-side transaction — so a batch that dies
+    mid-publish leaves the warehouse table byte-identical, and the
+    checkpoint + anti-join make its redelivery insert exactly the
+    missing rows. This is the reference's transactional nightly load
+    (ventas_totales.py:223-262) as an always-on stream: per-batch
+    all-or-nothing AND idempotent across redeliveries."""
+    from etl_rj_spark.sinks.incremental import append_incremental_jdbc_atomic
+
+    keys = list(keys)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(keys)
+        append_incremental_jdbc_atomic(
+            fresh, url, table, keys,
+            batchsize=batchsize,
+            properties=properties,
+            staging_table=f"{table}_STG_{batch_id}",
+        )
+
+    return (
+        new_stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

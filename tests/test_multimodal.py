@@ -148,3 +148,53 @@ def test_sample_frames_demuxes_real_avi(spark):
     assert quarantined[0].skip_reason == "not_riff_avi"
     assert quarantined[0].frame_idx is None and quarantined[0].frame_md5 is None
     assert all(r.skip_reason is None for r in out if r.doc_id != 3)
+
+
+def test_jpeg_sof_walk_randomized_layouts(spark):
+    """200 seeded-random JPEG segment layouts: APPn/COM/DQT runs of
+    random sizes, optional fill bytes, every SOF variant, SOS-before-
+    SOF, and over-cap layouts. Expected dims computed by construction
+    (tracking the walk's step budget), so the expression walk is
+    checked against an independent model — null when the layout is
+    unresolvable, exact dims otherwise, never garbage."""
+    import random
+    import struct
+
+    from etl_rj_spark.operators.multimodal import (
+        _JPEG_MAX_SEGMENTS,
+        parse_image_header,
+    )
+
+    rng = random.Random(42)
+    sof_markers = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+    seg_markers = [0xE0, 0xE1, 0xE2, 0xEC, 0xEE, 0xFE, 0xDB, 0xC4]  # APPn/COM/DQT/DHT
+    rows, expected = [], {}
+    for doc_id in range(200):
+        b = b"\xff\xd8"
+        steps = 0
+        n_segs = rng.randrange(0, 22)
+        for _ in range(n_segs):
+            size = rng.randrange(0, 600)
+            b += bytes([0xFF, rng.choice(seg_markers)]) + struct.pack(">H", size + 2) + bytes(size)
+            steps += 1
+            if rng.random() < 0.25:
+                b += b"\xff"  # fill byte: costs one walk step
+                steps += 1
+        kind = rng.random()
+        w, h = rng.randrange(1, 20000), rng.randrange(1, 20000)
+        if kind < 0.7:  # SOF present
+            b += bytes([0xFF, rng.choice(sof_markers)]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+            steps += 1  # the SOF-detecting iteration
+            expected[doc_id] = (w, h) if steps <= _JPEG_MAX_SEGMENTS else (None, None)
+        elif kind < 0.85:  # SOS before any SOF
+            b += b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+            expected[doc_id] = (None, None)
+        else:  # truncated right after the segments
+            expected[doc_id] = (None, None)
+        rows.append((doc_id, bytearray(b)))
+
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    got = {r.doc_id: (r.img_width, r.img_height) for r in parse_image_header(df).collect()}
+    assert all(parse_image_header(df).select("img_format").distinct().collect()[0])
+    mismatches = {i: (got[i], expected[i]) for i in expected if got[i] != expected[i]}
+    assert not mismatches, dict(list(mismatches.items())[:5])

@@ -319,3 +319,57 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # checkpoint) plus a genuinely new key — only key 3 is added
     write_batch("b", [(1, t0 + datetime.timedelta(minutes=1), "x-again"), (3, t0, "z")])
     assert drain() == [1, 2, 3]
+
+
+def test_stream_atomic_jdbc_publish(spark, sf_dir, tmp_path):
+    """Streaming K1 atomic twin against live Derby: overlapping input
+    files publish only unseen keys (each micro-batch one transaction);
+    a fresh-checkpoint redelivery of everything publishes nothing."""
+    from etl_rj_spark.streaming.incremental import (
+        stream_incremental_append_jdbc_atomic,
+    )
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{tmp_path}/adb;create=true"
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("K1"), F.col("o_totalprice").alias("PRICE")
+    )
+    # seed the table shape (0 rows) so the key projection always reads
+    orders.limit(0).write.format("jdbc").option("url", url).option(
+        "dbtable", "FACT_AT"
+    ).options(**props).mode("overwrite").save()
+
+    ink = str(tmp_path / "in")
+
+    def drop_file(lo, hi, name):
+        orders.filter((F.col("K1") >= lo) & (F.col("K1") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(ink + "/" + name)
+
+    drop_file(0, 100, "a")
+    drop_file(50, 150, "b")  # overlap with a
+
+    def stream():
+        return spark.readStream.schema(orders.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(ink)
+
+    q = stream_incremental_append_jdbc_atomic(
+        stream(), url, "FACT_AT", ["K1"], str(tmp_path / "ck_a"), properties=props
+    )
+    q.awaitTermination()
+
+    def table_count():
+        return (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "FACT_AT").options(**props).load().count()
+        )
+
+    assert table_count() == 150
+
+    # full redelivery under a NEW checkpoint: anti-join strips all
+    q2 = stream_incremental_append_jdbc_atomic(
+        stream(), url, "FACT_AT", ["K1"], str(tmp_path / "ck_b"), properties=props
+    )
+    q2.awaitTermination()
+    assert table_count() == 150
