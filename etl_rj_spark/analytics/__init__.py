@@ -108,6 +108,7 @@ _PRIORITY = [
     "stratified_sample_events",
     "curated_corpus_splits",
     "resample_source_mix",
+    "resample_source_mix_threshold",
     "span_dedup_docs",
     "decontaminate_docs",
     "decontaminate_docs_hashed",

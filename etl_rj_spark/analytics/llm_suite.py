@@ -1551,3 +1551,32 @@ def resample_source_mix(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     caps = {f"src{i}": 5 + 5 * (i % 3) for i in range(20)}
     return hash_ranked_resample(d, "source", "doc_id", caps)
+
+
+@_q(
+    "resample_source_mix_threshold",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
+    """,
+    tags=("curation-mix", "scale-path"),
+)
+def resample_source_mix_threshold(spark, sf_dir):
+    """resample_source_mix's SCALE PATH under the SAME oracle: the
+    hash-threshold pre-filter + sliver trim
+    (operators/curation.hash_threshold_resample) must reproduce the
+    exact per-group hash-rank selection bit-for-bit — the per-group
+    window sorts ~cap·(1+ε) pre-filtered rows instead of the whole
+    group, which is the difference between sorting 10⁹ rows and 10⁵
+    at corpus scale."""
+    from etl_rj_spark.operators.curation import hash_threshold_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    caps = {f"src{i}": 5 + 5 * (i % 3) for i in range(20)}
+    return hash_threshold_resample(d, "source", "doc_id", caps)

@@ -232,3 +232,24 @@ def test_minhash_index_bucketed_probe_zero_exchange_on_index(spark, sf_dir, tmp_
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_buckets")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_sets")
+
+
+def test_hash_threshold_resample_equals_exact(spark, sf_dir):
+    """The Chernoff-padded threshold pre-filter must reproduce the
+    exact hash-rank selection bit-for-bit — capped groups trimmed to
+    the same rows, capless groups kept whole."""
+    from etl_rj_spark.operators.curation import (
+        hash_ranked_resample,
+        hash_threshold_resample,
+    )
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    # cap all but one type (the uncapped one exercises the bypass),
+    # with caps from tiny to substantial
+    caps = {t: 7 + 400 * i for i, t in enumerate(sorted(types)[:-1])}
+    exact = {tuple(r) for r in hash_ranked_resample(ev, "event_type", "event_id", caps).collect()}
+    fast = {tuple(r) for r in hash_threshold_resample(ev, "event_type", "event_id", caps).collect()}
+    assert fast == exact and len(exact) > 0
