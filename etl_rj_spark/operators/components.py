@@ -57,20 +57,22 @@ def connected_components(
         candidates = sym.join(
             labels, sym.src == labels.node
         ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
-            labels.select("node", "component")
-            .union(candidates)
+        # carry the old label through the same aggregation so the
+        # convergence check is a filter over the materialized frame —
+        # no extra join-and-scan per round (every node has exactly one
+        # old row: labels covers all nodes of the symmetrized edges)
+        merged = (
+            labels.select("node", "component", F.lit(1).alias("__o"))
+            .union(candidates.select("node", "component", F.lit(0).alias("__o")))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__o") == 1, F.col("component"))).alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") < F.col("__old")).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
