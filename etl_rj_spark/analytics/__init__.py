@@ -21,10 +21,10 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: This prefix now leads with 44 of those never-sampled queries — the
 #: TPC-H-shape tier (q2–q22), as-of/range joins, fuzzy suite, set ops,
 #: merge-upsert/snapshot-diff, jsonl shard export, grouping sets, and
-#: the window/temporal suite — plus 6 canaries: one per already-green
-#: §2 family and every query whose contract changed this round
-#: (avi_frame_sampling quarantine semantics, multimodal_meta JPEG dims,
-#: the new minhash_index_probe).
+#: the window/temporal suite (incl. quantile_stats) — plus 6 canaries:
+#: one per long-green §2 family (s1/k1/sessionization) and every query
+#: whose contract changed or is new this round (avi_frame_sampling
+#: quarantine semantics, minhash_index_probe, image_header_sniff).
 #:
 #: ROUND-6 ROTATION PLAN (for whoever edits this next): the remaining
 #: never-sampled tier is the LLM-curation block — cube_flag_status,
@@ -33,12 +33,13 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: stratified_sample_events, curated_corpus_splits, resample_source_mix,
 #: span_dedup_docs, decontaminate_docs, decontaminate_docs_hashed,
 #: embedding_cosine_near_pairs, pack_sequences_budget,
-#: embedding_int8_quantized (+ rows-only minhash_lsh_pairs_scaled /
-#: bench-twin cosine_topk_scaled). Lead with those next round.
+#: embedding_int8_quantized, plus the round-5-new
+#: k1_atomic_jdbc_roundtrip and resample_source_mix_threshold
+#: (+ self-asserting minhash_lsh_pairs_scaled / bench-twin
+#: cosine_topk_scaled). Lead with those next round.
 _PRIORITY = [
-    # -- canaries: changed contracts this round, must be re-sampled
+    # -- canaries: changed/new contracts this round, must be sampled
     "avi_frame_sampling",      # non-AVI payloads now quarantine, not fabricate
-    "multimodal_meta",         # now reports JPEG SOF dimensions
     "minhash_index_probe",     # NEW r5: probe over persisted bucketed index
     "image_header_sniff",      # NEW r5: expression-only PNG/GIF/JPEG dims
     # -- canaries: one per long-green §2 family (source / sink / window)
@@ -94,10 +95,10 @@ _PRIORITY = [
     "date_spine_gap_fill",
     "funnel_conversion",
     "salted_customer_rollup",
+    "quantile_stats",
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
     "k1_atomic_jdbc_roundtrip",
-    "quantile_stats",
     "cube_flag_status",
     "intersect_customers",
     "zscore_events_by_type",
@@ -109,6 +110,7 @@ _PRIORITY = [
     "curated_corpus_splits",
     "resample_source_mix",
     "resample_source_mix_threshold",
+    "multimodal_meta",
     "span_dedup_docs",
     "decontaminate_docs",
     "decontaminate_docs_hashed",

@@ -200,6 +200,7 @@ def minhash_index_probe(spark, sf_dir):
     bucketed layout's zero-Exchange-on-index property is pinned by
     tests/test_scale_ops.py."""
     import os
+    import shutil
     import tempfile
 
     from etl_rj_spark.operators.text_dedup import (
@@ -222,11 +223,14 @@ def minhash_index_probe(spark, sf_dir):
         )
     )
     prefix = "etl_rj_mh_probe"
-    for suffix in ("buckets", "sets"):
+    idx_dir = os.path.join(tempfile.gettempdir(), "etl_rj_mh_probe_idx")
+    # idempotent across runs: DROP leaves external-table files behind,
+    # and Spark refuses CTAS into a non-empty location — clear both
+    for suffix in ("buckets", "sets", "meta"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
     persist_minhash_index(
-        old, "doc_id", "text", prefix, num_buckets=4,
-        path_prefix=os.path.join(tempfile.gettempdir(), "etl_rj_mh_probe_idx"),
+        old, "doc_id", "text", prefix, num_buckets=4, path_prefix=idx_dir,
     )
     return probe_minhash_index(spark, new, prefix, "doc_id", "text", threshold=0.8)
 

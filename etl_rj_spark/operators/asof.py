@@ -127,7 +127,12 @@ def range_join_count(
             f"({us_col} - pmod({us_col}, {window_us})) div {window_us}"
         )
 
-    l = left.withColumn("__lus", _epoch_us(left, left_ts))
+    # probe with DISTINCT left rows: duplicate left rows would merge
+    # their (identical) matches in the groupBy and each copy would
+    # report the sum instead of its own per-row count — the join-back
+    # below fans the correct count out to every duplicate
+    uniq = left.distinct()
+    l = uniq.withColumn("__lus", _epoch_us(uniq, left_ts))
     bucket_l = _floor_bucket("__lus")
     l = l.withColumn("__bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
     r_proj = right.select(*on, _epoch_us(right, right_ts).alias("__rus"))
@@ -140,7 +145,7 @@ def range_join_count(
             (F.col("__rus") >= F.col("__lus"))
             & (F.col("__rus") < F.col("__lus") + F.lit(window_us))
         )
-        .groupBy(*[F.col(c) for c in left.columns])
+        .groupBy(*[F.col(c) for c in uniq.columns])
         .agg(F.count("*").alias(count_alias))
     )
     return left.join(hits, on=left.columns, how="left").na.fill({count_alias: 0})

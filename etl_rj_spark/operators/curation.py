@@ -159,7 +159,10 @@ def hash_threshold_resample(
         .cast("double")
         / F.lit(float(16**13))
     )
-    joined = df.join(F.broadcast(counts), group_col)
+    # a NULL group never matches the counts join — route it with the
+    # capless rows, matching hash_ranked_resample (cap NULL → keep)
+    null_grouped = df.filter(F.col(group_col).isNull())
+    joined = df.filter(F.col(group_col).isNotNull()).join(F.broadcast(counts), group_col)
     # capless groups are kept whole and never enter the window — only
     # the capped slivers pay for a (tiny) per-group sort
     capless = joined.filter(F.col("__cap").isNull()).select(*df.columns)
@@ -170,4 +173,4 @@ def hash_threshold_resample(
         .filter(F.col("__rk") <= F.col("__cap"))
         .select(*df.columns)
     )
-    return trimmed.unionByName(capless)
+    return trimmed.unionByName(capless).unionByName(null_grouped)

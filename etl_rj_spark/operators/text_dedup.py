@@ -16,8 +16,13 @@ Scale design:
 - The n-gram inverted index is exact (recall 1 for any τ > 0) but can
   blow up on ubiquitous shingles; ``max_posting_len`` caps posting
   lists for the at-scale variant (capped → approximate, flagged).
-- All hashing is md5-hex based, reproducible in any engine — the
-  DuckDB oracles recompute identical signatures.
+- Shingle SETS hash with md5 on oracle-checked paths (reproducible in
+  any engine — the DuckDB oracles recompute identical sets and
+  Jaccards) and xxhash64 on the at-scale fast paths. MinHash
+  SIGNATURES use per-coordinate xxhash64 mixing (``MINHASH_FAMILY``)
+  — oracles never recompute signatures, only the pair sets they
+  produce, so the family is an internal contract stamped into
+  persisted indexes and checked at probe time.
 """
 
 from __future__ import annotations
@@ -31,8 +36,6 @@ from etl_rj_spark.operators.text_analysis import (
     shingle_hash,
     whitespace_tokens,
 )
-
-MINHASH_P = 1_000_000_007
 
 
 # ---------------------------------------------------------------------------
@@ -654,6 +657,15 @@ def incremental_near_dup_pairs(
     )
 
 
+#: Version tag of minhash_signature_from_hashes' hash family. BUMP THIS
+#: whenever the signature arithmetic changes: a persisted index probed
+#: by a different family yields structurally valid but meaningless
+#: (band, bucket) matches — recall silently collapses instead of
+#: erroring. (Exactly that hazard occurred in round 5 when the affine
+#: family was replaced by xxhash64 mixing.)
+MINHASH_FAMILY = "xxhash64-per-coordinate-v2"
+
+
 def persist_minhash_index(
     df: DataFrame,
     id_col: str,
@@ -673,9 +685,11 @@ def persist_minhash_index(
     which every later probe join reads the index with ZERO Exchange
     (the probe batch, tiny by construction, shuffles to meet the
     index's bucketing; the corpus-sized index never moves again).
-    Returns the two table names. Probe with the SAME minhash
-    parameters (shingle_k/num_hashes/bands/...) or candidates are
-    meaningless."""
+
+    A third table ``{prefix}_meta`` records the minhash parameters and
+    hash-family version; ``probe_minhash_index`` refuses to probe with
+    mismatched parameters rather than silently returning near-zero
+    recall. Returns (buckets, sets) table names."""
     from etl_rj_spark.sinks.bucketed import write_bucketed
 
     buckets, sets = minhash_index(
@@ -691,6 +705,16 @@ def persist_minhash_index(
         sets, st, ["id"], num_buckets,
         path=f"{path_prefix}/{st}" if path_prefix else None,
     )
+    mt = f"{table_prefix}_meta"
+    meta = df.sparkSession.createDataFrame(
+        [(shingle_k, num_hashes, bands, token_ngrams_n, hashed_sets, MINHASH_FAMILY)],
+        "shingle_k int, num_hashes int, bands int, token_ngrams_n int, "
+        "hashed_sets boolean, family string",
+    )
+    writer = meta.write.mode("overwrite").format("parquet")
+    if path_prefix:
+        writer = writer.option("path", f"{path_prefix}/{mt}")
+    writer.saveAsTable(mt)
     return bt, st
 
 
@@ -710,7 +734,29 @@ def probe_minhash_index(
     """Near-dup pairs of a new batch against a PERSISTED bucketed index
     (``persist_minhash_index``), from any session — the incremental
     daily-batch entry point: the corpus contributes only catalog reads
-    of its two index tables, never a re-shingle or a re-shuffle."""
+    of its two index tables, never a re-shingle or a re-shuffle.
+    Raises ``ValueError`` if the probe parameters or the code's hash
+    family don't match what the index was built with."""
+    try:
+        meta = spark.table(f"{table_prefix}_meta").first()
+    except Exception as ex:  # noqa: BLE001 — any catalog failure
+        raise ValueError(
+            f"{table_prefix}: no readable {table_prefix}_meta table — "
+            "re-persist the index with persist_minhash_index (indexes "
+            "without a params stamp cannot be probed safely)"
+        ) from ex
+    want = (shingle_k, num_hashes, bands, token_ngrams_n, hashed_sets, MINHASH_FAMILY)
+    got = (
+        meta["shingle_k"], meta["num_hashes"], meta["bands"],
+        meta["token_ngrams_n"], meta["hashed_sets"], meta["family"],
+    )
+    if got != want:
+        raise ValueError(
+            f"{table_prefix}: index was built with (shingle_k, num_hashes, "
+            f"bands, token_ngrams_n, hashed_sets, family) = {got}, probe "
+            f"requested {want} — mismatched parameters return near-zero "
+            "recall silently; re-persist or match the parameters"
+        )
     return incremental_near_dup_pairs(
         new_df,
         spark.table(f"{table_prefix}_buckets"),

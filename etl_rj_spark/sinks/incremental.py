@@ -88,18 +88,30 @@ def append_incremental_jdbc_atomic(
     the parallel write does the data movement; the publish is a
     server-local table-to-table statement — the two-phase shape every
     warehouse loader uses precisely because it keeps the atomic step
-    off the ingest path."""
+    off the ingest path.
+
+    Identifier case: Spark's JDBC writer creates the staging table
+    with QUOTED exact-case column names, so the publish SQL quotes
+    them too (ANSI double quotes — Derby/Postgres/Oracle). The
+    target's column names must therefore match ``df.columns``
+    exactly as the target stores them (an unquoted-DDL target on
+    Derby/Oracle stores UPPERCASE — use uppercase DataFrame columns
+    for those, as the reference's schemas do)."""
+    import uuid
+
     spark = df.sparkSession
     props = dict(properties or {})
     existing = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", f"SELECT {', '.join(keys)} FROM {table}")
+        .option("query", f"SELECT {', '.join(_qid(k) for k in keys)} FROM {table}")
         .options(**props)
         .load()
     )
     new = anti_join_new_rows(df, existing, keys)
-    stg = staging_table or f"{table}_STG"
+    # unique default staging name: two concurrent appends to the same
+    # target must not overwrite each other's staged rows mid-flight
+    stg = staging_table or f"{table}_STG_{uuid.uuid4().hex[:8].upper()}"
     (
         new.write.format("jdbc")
         .option("url", url)
@@ -116,7 +128,7 @@ def append_incremental_jdbc_atomic(
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
         jprops.setProperty(k, v)
-    cols = ", ".join(df.columns)
+    cols = ", ".join(f'"{c}"' for c in df.columns)
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
@@ -164,6 +176,14 @@ class JdbcBatchInsertError(RuntimeError):
         )
 
 
+def _qid(name: str) -> str:
+    """ANSI-quote an identifier so exact-case column names created by
+    Spark's JDBC writer (which quotes) resolve instead of being folded
+    by the database (Derby/Oracle fold unquoted to UPPER, Postgres to
+    lower)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def append_incremental_jdbc(
     df: DataFrame,
     url: str,
@@ -196,7 +216,7 @@ def append_incremental_jdbc(
     existing = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", f"SELECT {', '.join(keys)} FROM {table}")
+        .option("query", f"SELECT {', '.join(_qid(k) for k in keys)} FROM {table}")
         .options(**(properties or {}))
         .load()
     )

@@ -248,8 +248,27 @@ def test_jdbc_atomic_staging_publish_rolls_back_whole_batch(spark, derby_url):
     )
     assert sorted(r.K1 for r in got.collect()) == [1, 2, 3, 4, 5]
 
-    # staging table was dropped on the way out
-    with pytest.raises(Exception):
-        spark.read.format("jdbc").option("url", derby_url).option(
-            "dbtable", "T_AT_STG"
-        ).options(**PROPS).load().collect()
+    # staging tables were dropped on the way out (names are salted —
+    # check the catalog has nothing but the target)
+    sysnames = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("query", "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'")
+        .options(**PROPS).load()
+    )
+    assert sorted(r.TABLENAME for r in sysnames.collect()) == ["T_AT"]
+
+
+def test_jdbc_atomic_publish_handles_lowercase_columns(spark, derby_url):
+    """Spark's JDBC writer creates staging with QUOTED exact-case
+    columns; the publish SQL must quote them too or Derby folds the
+    unquoted names to uppercase and the publish fails for any
+    DataFrame with lowercase columns."""
+    from etl_rj_spark.sinks.incremental import append_incremental_jdbc_atomic
+
+    lower = spark.createDataFrame([(1, "a"), (2, "b")], "k1 int, v string")
+    # target created by Spark itself (quoted lowercase columns)
+    lower.limit(0).write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "T_LC"
+    ).options(**PROPS).mode("overwrite").save()
+    assert append_incremental_jdbc_atomic(lower, derby_url, "T_LC", ["k1"], properties=PROPS) == 2
+    assert append_incremental_jdbc_atomic(lower, derby_url, "T_LC", ["k1"], properties=PROPS) == 0

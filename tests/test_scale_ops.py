@@ -246,7 +246,13 @@ def test_hash_threshold_resample_equals_exact(spark, sf_dir):
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "event_type"
     )
-    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    # null groups must be kept whole on both paths
+    ev = ev.unionByName(
+        spark.createDataFrame(
+            [(10_000_001, None), (10_000_002, None)], "event_id long, event_type string"
+        )
+    )
+    types = [r.event_type for r in ev.select("event_type").distinct().collect() if r.event_type is not None]
     # cap all but one type (the uncapped one exercises the bypass),
     # with caps from tiny to substantial
     caps = {t: 7 + 400 * i for i, t in enumerate(sorted(types)[:-1])}

@@ -86,3 +86,10 @@ def test_range_join_fractional_window_and_negative_epoch(spark):
         range_join_count(left, right, ["k"], "lts", "rts", 0)
     with pytest.raises(ValueError, match="microseconds"):
         range_join_count(left, right, ["k"], "lts", "rts", 1.5e-6)
+
+    # fully duplicate left rows: each copy gets ITS OWN count, not the
+    # merged sum across copies
+    dup_left = left.unionByName(left.limit(2))
+    rows = range_join_count(dup_left, right, ["k"], "lts", "rts", 0.5).collect()
+    assert len(rows) == 4
+    assert all(r.n_in_range == 1 for r in rows)
