@@ -246,11 +246,22 @@ def minhash_lsh_dedup_pairs(
     token_ngrams_n: int | None = None,
     fast_hash: bool = False,
     shingle_hashes_df: DataFrame | None = None,
+    max_bucket_len: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
     at ``threshold``. Probabilistic recall (tune bands/rows to τ);
     precision exact. ``hashed_sets``/``token_ngrams_n`` → the cheap
     at-scale configuration (see jaccard_on_pairs/_shingles).
+
+    ``max_bucket_len`` is the hashed path's quadratic-blow-up guard —
+    the LSH twin of the n-gram index's posting-list cap: a degenerate
+    (band, bucket) holding m docs emits C(m,2) candidate pairs, so a
+    boilerplate-heavy corpus slice (m ~ 10⁶) would alone produce
+    ~5·10¹¹ pairs. The cap DROPS buckets with more than
+    ``max_bucket_len`` members before the self-join (recall for the
+    affected docs degrades toward the remaining bands — approximate,
+    so the capped variant is for the at-scale rows-only path; leave
+    ``None`` on oracle-checked paths).
 
     The hashed path shingle-hashes the corpus ONCE (persisted and
     eagerly materialized): the same hash arrays feed the signatures,
@@ -281,7 +292,17 @@ def minhash_lsh_dedup_pairs(
     )
     exploded = sig.select(
         id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket").persist()
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_len is not None:
+        # window count per (band, bucket), drop over-cap buckets whole
+        # (same hash-partitioning shuffle the self-join needs anyway)
+        from pyspark.sql import Window
+
+        wlen = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        exploded = exploded.withColumn("__blen", wlen).filter(
+            F.col("__blen") <= max_bucket_len
+        ).drop("__blen")
+    exploded = exploded.persist()
     a = exploded.toDF("id_a", "band", "bucket")
     b = exploded.toDF("id_b", "band", "bucket")
     pairs = (

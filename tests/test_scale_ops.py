@@ -259,3 +259,26 @@ def test_hash_threshold_resample_equals_exact(spark, sf_dir):
     exact = {tuple(r) for r in hash_ranked_resample(ev, "event_type", "event_id", caps).collect()}
     fast = {tuple(r) for r in hash_threshold_resample(ev, "event_type", "event_id", caps).collect()}
     assert fast == exact and len(exact) > 0
+
+
+def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
+    """max_bucket_len drops over-cap (band, bucket) groups whole — a
+    boilerplate clique stops emitting C(m,2) candidates, while normal
+    near-dup pairs in small buckets are untouched."""
+    from etl_rj_spark.operators.text_dedup import minhash_lsh_dedup_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+              for i in range(60)]
+    pair = [
+        (1000, "a genuinely distinctive document about spark bucketed joins and llm dedup"),
+        (1001, "a genuinely distinctive document about spark bucketed joins and llm dedup!"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    kw = dict(threshold=0.8, num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True)
+
+    uncapped = minhash_lsh_dedup_pairs(df, "doc_id", "text", **kw)
+    capped = minhash_lsh_dedup_pairs(df, "doc_id", "text", max_bucket_len=10, **kw)
+    # uncapped: the 60-doc clique emits C(60,2)=1770 pairs + the real pair
+    assert uncapped.count() == 1770 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(1000, 1001)}  # clique suppressed, real pair kept
