@@ -117,6 +117,7 @@ _PRIORITY = [
     "embedding_cosine_near_pairs",
     "pack_sequences_budget",
     "embedding_int8_quantized",
+    "embedding_random_projection",
 ]
 
 

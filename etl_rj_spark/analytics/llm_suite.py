@@ -875,6 +875,46 @@ def embedding_l2_normalized(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_random_projection",
+    """
+    SELECT vec_id,
+           list_aggregate(
+             list_transform(range(0, 16), j ->
+               CAST(CAST(ROUND(list_sum(list_transform(range(1, 65), i ->
+                 cv[i] * (CASE WHEN substr(md5('42:' || j || ':' || (i - 1)), 1, 1) < '8'
+                               THEN 1.0 ELSE -1.0 END)
+               )) * 0.25 * 1000000) AS BIGINT) AS VARCHAR)),
+             'string_agg', ',') AS proj_csv
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 100)
+    """,
+    tags=("similarity-projection",),
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss 64→16 random projection
+    (operators/similarity.project_embeddings): the shrink-before-ANN
+    step that quarters every downstream distance computation. The ±1
+    matrix is md5-derived from the seed, so the DuckDB oracle
+    REGENERATES the identical matrix in SQL and recomputes every
+    projected coordinate — matrix, signs, dot order, and scaling all
+    cross-checked. Components ship ×1e6 as integer CSV (the driver
+    canonicalizer needs scalar cells, same trick as
+    embedding_l2_normalized)."""
+    from etl_rj_spark.operators.similarity import project_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    out = project_embeddings(e, "embedding", 64, 16, seed=42)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("proj"), lambda x: F.round(x * 1000000).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("proj_csv"),
+    )
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

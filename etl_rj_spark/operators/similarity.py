@@ -53,6 +53,54 @@ def l2_normalize(a: Column, round_digits: int | None = None) -> Column:
     return out
 
 
+def random_projection_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix:
+    sign(j, i) = +1 iff the first hex digit of md5(f"{seed}:{j}:{i}")
+    is < 8. md5-derived, so any engine regenerates the identical
+    matrix from the seed — no state to ship besides three ints."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str = "proj",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``out[j] =
+    dot(vec, R_j) / sqrt(out_dim)`` with the deterministic ±1 matrix
+    above. Preserves pairwise distances to (1 ± ε) with
+    ε ≈ sqrt(8·ln n / out_dim) — the standard shrink-before-ANN step
+    (64-dim → 16-dim quarters every downstream distance computation
+    and index size).
+
+    Scale shape: the matrix rides into the plan as literals and each
+    output coordinate is a sequential zip_with/aggregate dot — pure
+    scan-stage expressions, zero shuffle, zero Python per row."""
+    R = random_projection_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = vec_double(vec_col)
+    coords = [
+        dot(v, F.array(*[F.lit(float(s)) for s in row])) * F.lit(scale)
+        for row in R
+    ]
+    out = F.array(*coords)
+    if round_digits is not None:
+        out = F.transform(out, lambda x: F.round(x, round_digits))
+    return df.withColumn(out_col, out)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

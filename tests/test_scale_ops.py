@@ -282,3 +282,41 @@ def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     assert uncapped.count() == 1770 + 1
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(1000, 1001)}  # clique suppressed, real pair kept
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: 64->16 projection keeps pairwise distances within
+    a modest distortion band (loose 3-sigma bound, deterministic data
+    and matrix so no flake), and the projection is seed-stable."""
+    from etl_rj_spark.operators.similarity import project_embeddings
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    rows = project_embeddings(e, "embedding", 64, 16, seed=42).select(
+        "vec_id", "embedding", "proj"
+    ).collect()
+    import math
+
+    vecs = {r.vec_id: (list(r.embedding), list(r.proj)) for r in rows}
+    ids = sorted(vecs)
+    ratios = []
+    for a in ids[:20]:
+        for b in ids[20:]:
+            va, pa = vecs[a]
+            vb, pb = vecs[b]
+            d_orig = math.dist(va, vb)
+            d_proj = math.dist(pa, pb)
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    assert ratios
+    # eps ~ sqrt(8 ln n / k) is ~1 here — just pin a sane band and
+    # that the MEAN ratio is near 1 (unbiasedness of the ±1 family)
+    assert all(0.3 < r < 1.9 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+
+    again = project_embeddings(e, "embedding", 64, 16, seed=42).select(
+        "vec_id", "proj"
+    ).collect()
+    assert {r.vec_id: list(r.proj) for r in again} == {i: vecs[i][1] for i in ids}
