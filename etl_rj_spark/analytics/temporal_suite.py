@@ -69,6 +69,7 @@ def range_join_error_clicks(spark, sf_dir):
     return range_join_count(
         errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
         window_seconds=3600, count_alias="n_clicks",
+        left_unique=True,  # event_id is unique — skip the probe dedup shuffle
     )
 
 

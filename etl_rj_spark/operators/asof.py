@@ -103,10 +103,16 @@ def range_join_count(
     right_ts: str,
     window_seconds: int | float,
     count_alias: str = "n_in_range",
+    left_unique: bool = False,
 ) -> DataFrame:
     """Count right rows with ``left_ts <= right_ts < left_ts + window``
     per left row (0 when none). Exact; the bucketized equi-join is only
-    a candidate filter."""
+    a candidate filter.
+
+    ``left_unique=True`` skips the de-duplication of the probe side —
+    pass it when ``left`` carries a unique key (an event id, a primary
+    key): results are identical and one full shuffle of the left side
+    disappears, which matters when left is fact-table sized."""
     on = list(on)
     window_us = int(round(window_seconds * 1_000_000))
     if window_us <= 0:
@@ -131,7 +137,7 @@ def range_join_count(
     # their (identical) matches in the groupBy and each copy would
     # report the sum instead of its own per-row count — the join-back
     # below fans the correct count out to every duplicate
-    uniq = left.distinct()
+    uniq = left if left_unique else left.distinct()
     l = uniq.withColumn("__lus", _epoch_us(uniq, left_ts))
     bucket_l = _floor_bucket("__lus")
     l = l.withColumn("__bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
