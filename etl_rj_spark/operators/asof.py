@@ -154,4 +154,16 @@ def range_join_count(
         .groupBy(*[F.col(c) for c in uniq.columns])
         .agg(F.count("*").alias(count_alias))
     )
-    return left.join(hits, on=left.columns, how="left").na.fill({count_alias: 0})
+    # NULL-SAFE join-back: distinct()/groupBy above treat NULLs as
+    # equal, so the fan-out join must too — a null-unsafe `on=` would
+    # silently stamp 0 on any left row holding a NULL in a non-key
+    # column even when right rows fall in its window
+    lt, ht = left.alias("__l"), hits.alias("__h")
+    cond = None
+    for c in left.columns:
+        eq = lt[c].eqNullSafe(ht[c])
+        cond = eq if cond is None else (cond & eq)
+    return lt.join(ht, cond, "left").select(
+        *[lt[c] for c in left.columns],
+        F.coalesce(ht[count_alias], F.lit(0)).alias(count_alias),
+    )

@@ -272,6 +272,12 @@ def minhash_lsh_dedup_pairs(
     (columns: ``id_col``, ``__h``; caller owns persistence) so the
     corpus is hashed once across BOTH consumers."""
     if not hashed_sets:
+        if max_bucket_len is not None:
+            raise ValueError(
+                "max_bucket_len is only implemented on the hashed_sets=True "
+                "at-scale path — silently ignoring the quadratic-blow-up "
+                "guard would defeat its purpose"
+            )
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
         return jaccard_on_pairs(
             pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
@@ -766,6 +772,11 @@ def probe_minhash_index(
             "re-persist the index with persist_minhash_index (indexes "
             "without a params stamp cannot be probed safely)"
         ) from ex
+    if meta is None:  # table exists but holds no row (interrupted persist)
+        raise ValueError(
+            f"{table_prefix}: {table_prefix}_meta is empty — the persist "
+            "was interrupted; re-persist the index with persist_minhash_index"
+        )
     want = (shingle_k, num_hashes, bands, token_ngrams_n, hashed_sets, MINHASH_FAMILY)
     got = (
         meta["shingle_k"], meta["num_hashes"], meta["bands"],

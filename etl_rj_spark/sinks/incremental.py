@@ -109,8 +109,16 @@ def append_incremental_jdbc_atomic(
         .load()
     )
     new = anti_join_new_rows(df, existing, keys)
-    # unique default staging name: two concurrent appends to the same
-    # target must not overwrite each other's staged rows mid-flight
+    # Unique default staging name: concurrent appends must not
+    # overwrite each other's STAGED rows mid-flight. Two caveats the
+    # salt does NOT fix: (a) a crash between staging write and the
+    # finally-DROP orphans that salted table — single-writer
+    # deployments should pass a fixed ``staging_table`` (whose
+    # overwrite self-heals leftovers) or sweep {table}_STG_* tables;
+    # (b) concurrent appends with OVERLAPPING batches still race the
+    # anti-join (both read `existing` before either publishes) — on a
+    # PK-less target that double-inserts; serialize overlapping
+    # writers or put a key constraint on the target.
     stg = staging_table or f"{table}_STG_{uuid.uuid4().hex[:8].upper()}"
     (
         new.write.format("jdbc")
@@ -128,7 +136,7 @@ def append_incremental_jdbc_atomic(
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
         jprops.setProperty(k, v)
-    cols = ", ".join(f'"{c}"' for c in df.columns)
+    cols = ", ".join(_qid(c) for c in df.columns)
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)

@@ -232,6 +232,7 @@ def test_minhash_index_bucketed_probe_zero_exchange_on_index(spark, sf_dir, tmp_
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_buckets")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_sets")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_meta")
 
 
 def test_hash_threshold_resample_equals_exact(spark, sf_dir):

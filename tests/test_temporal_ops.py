@@ -93,3 +93,23 @@ def test_range_join_fractional_window_and_negative_epoch(spark):
     rows = range_join_count(dup_left, right, ["k"], "lts", "rts", 0.5).collect()
     assert len(rows) == 4
     assert all(r.n_in_range == 1 for r in rows)
+
+
+def test_range_join_null_nonkey_column(spark):
+    """A NULL in a non-key left column must not zero the count: the
+    probe's distinct/groupBy treat NULLs as equal, so the fan-out
+    join-back must be null-safe too."""
+    from etl_rj_spark.operators.asof import range_join_count
+
+    ts = datetime.datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:00"), None), (1, ts("2024-01-01 00:00:00"), "x")],
+        "k int, lts timestamp, note string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:10")), (1, ts("2024-01-01 00:00:20"))],
+        "k int, rts timestamp",
+    )
+    out = range_join_count(left, right, ["k"], "lts", "rts", 60)
+    got = {r.note: r.n_in_range for r in out.collect()}
+    assert got == {None: 2, "x": 2}
