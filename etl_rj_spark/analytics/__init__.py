@@ -36,7 +36,10 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: embedding_int8_quantized, plus the round-5-new
 #: k1_atomic_jdbc_roundtrip and resample_source_mix_threshold
 #: (+ self-asserting minhash_lsh_pairs_scaled / bench-twin
-#: cosine_topk_scaled). Lead with those next round.
+#: cosine_topk_scaled), plus salted_customer_rollup and
+#: quantile_stats (displaced from the r5 prefix by the late-r5
+#: orc_events_roundtrip / hll_sketch_rollup canaries). Lead with
+#: those next round.
 _PRIORITY = [
     # -- canaries: changed/new contracts this round, must be sampled
     "avi_frame_sampling",      # non-AVI payloads now quarantine, not fabricate
@@ -94,10 +97,13 @@ _PRIORITY = [
     "lateral_top2_orders",
     "date_spine_gap_fill",
     "funnel_conversion",
-    "salted_customer_rollup",
-    "quantile_stats",
+    # -- canaries: NEW this round, sampled per the canary policy above
+    "orc_events_roundtrip",    # NEW r5: ORC sink/source, partition-pruned read-back
+    "hll_sketch_rollup",       # NEW r5: mergeable HLL daily-partial union
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
+    "salted_customer_rollup",
+    "quantile_stats",
     "k1_atomic_jdbc_roundtrip",
     "cube_flag_status",
     "intersect_customers",

@@ -205,6 +205,38 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
 
 
 @_q(
+    "orc_events_roundtrip",
+    """
+    SELECT event_id, ts, user_id, value, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+    tags=("orc", "columnar", "source", "sink"),
+)
+def orc_events_roundtrip(spark, sf_dir):
+    """ORC interchange roundtrip — Spark-first extension beyond the
+    reference's CSV/Excel/JDBC surface: events → ORC partitioned by
+    event_type (directory-level pruning) → read-back through the same
+    source-boundary timestamp normalization as the parquet scan, with
+    a partition filter so only 2 of 5 partitions are touched. Lossless
+    under the pinned UTC session tz, so the oracle is the table.
+    tests/test_orc.py additionally pins PushedFilters/partition pruning
+    on the ORC scan plan."""
+    from etl_rj_spark.sources.columnar import read_orc, write_orc
+
+    d = _scratch("orc_events")
+    write_orc(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        ),
+        d,
+        partition_by=("event_type",),
+    )
+    return read_orc(spark, d).where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "value", "event_type")
+
+
+@_q(
     "s4_excel_named_tables_roundtrip",
     """
     SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,

@@ -440,6 +440,56 @@ def approx_distinct_stats(spark, sf_dir):
 
 
 @_q(
+    "hll_sketch_rollup",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS merge_is_lossless, 1 AS estimate_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("approx-sketch", "mergeable", "incremental"),
+)
+def hll_sketch_rollup(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the incremental posture
+    ``approx_count_distinct`` cannot give: per-(event_type, day)
+    DataSketches HLL sketches (the shape a daily job would persist
+    alongside each partition) are union-merged to event_type level
+    with ``hll_union_agg`` — no rescan of history when a new day
+    arrives, O(sketch) state per group.
+
+    Contract (driver-visible, engine-independent): HLL register merge
+    takes the per-register max, so the merged sketch is BIT-IDENTICAL
+    to a single-pass sketch over the union — ``merge_is_lossless``
+    pins merged estimate == direct whole-group estimate exactly, and
+    ``estimate_ok`` pins the estimate within 3×rsd(lgK=12 ≈ 1.6 %) of
+    the exact distinct count computed in the same query. The oracle
+    pins both flags to literal 1 beside the exact counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("__direct"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type", "n", "exact_users",
+            (F.col("__merged") == F.col("__direct")).cast("int")
+            .alias("merge_is_lossless"),
+            (F.abs(F.col("__merged") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).cast("int").alias("estimate_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "small_qty_revenue_q17",
     f"""
     SELECT p_size, {_msum('l_extendedprice', 'small_qty_revenue')}, COUNT(*) AS n
