@@ -36,10 +36,10 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: embedding_int8_quantized, plus the round-5-new
 #: k1_atomic_jdbc_roundtrip and resample_source_mix_threshold
 #: (+ self-asserting minhash_lsh_pairs_scaled / bench-twin
-#: cosine_topk_scaled), plus salted_customer_rollup and
-#: quantile_stats (displaced from the r5 prefix by the late-r5
-#: orc_events_roundtrip / hll_sketch_rollup canaries). Lead with
-#: those next round.
+#: cosine_topk_scaled), plus date_spine_gap_fill,
+#: salted_customer_rollup and quantile_stats (displaced from the r5
+#: prefix by the late-r5 orc_events_roundtrip / hll_sketch_rollup /
+#: stream_hll_maintenance canaries). Lead with those next round.
 _PRIORITY = [
     # -- canaries: changed/new contracts this round, must be sampled
     "avi_frame_sampling",      # non-AVI payloads now quarantine, not fabricate
@@ -95,13 +95,14 @@ _PRIORITY = [
     "cheapest_part_per_type",
     "orders_array_per_customer",
     "lateral_top2_orders",
-    "date_spine_gap_fill",
     "funnel_conversion",
     # -- canaries: NEW this round, sampled per the canary policy above
     "orc_events_roundtrip",    # NEW r5: ORC sink/source, partition-pruned read-back
     "hll_sketch_rollup",       # NEW r5: mergeable HLL daily-partial union
+    "stream_hll_maintenance",  # NEW r5: streaming sketch fold, idempotent re-merge
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
+    "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",
     "k1_atomic_jdbc_roundtrip",

@@ -356,6 +356,60 @@ def k1_incremental_append_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "stream_hll_maintenance",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           1 AS stream_matches_batch, 1 AS estimate_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "approx-sketch", "incremental"),
+)
+def stream_hll_maintenance(spark, sf_dir):
+    """Streaming sketch maintenance (streaming/sketches.py): events
+    drained as 3 micro-batches fold per-(event_type, day) HLL partials
+    into a day-partitioned table — only touched days rewritten, blind
+    re-merge idempotent (register-max union), no history rescan.
+
+    Driver-visible contract: ``stream_matches_batch`` pins the rollup
+    of the streamed partials EXACTLY equal to a single-pass batch
+    sketch over the same events (mergeability is lossless);
+    ``estimate_ok`` pins that estimate within 5 % of the exact
+    distinct count the oracle also computes."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import estimate_partials, stream_hll_partials
+
+    root = _scratch("stream_hll")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    stream_hll_partials(
+        stream, f"{root}/partials", f"{root}/ck"
+    ).awaitTermination()
+
+    streamed = estimate_partials(spark, f"{root}/partials")
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .alias("__direct"),
+    )
+    return (
+        direct.join(streamed, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("approx_distinct") == F.col("__direct")).cast("int")
+            .alias("stream_matches_batch"),
+            (F.abs(F.col("approx_distinct") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).cast("int").alias("estimate_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "k1_atomic_jdbc_roundtrip",
     """
     SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20

@@ -373,3 +373,62 @@ def test_stream_atomic_jdbc_publish(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert table_count() == 150
+
+
+def test_stream_hll_partials_match_batch_and_idempotent(spark, sf_dir, tmp_path):
+    """Streaming sketch maintenance: partials folded in per micro-batch
+    must roll up to EXACTLY the single-pass batch estimate (register-max
+    merge is lossless), and full redelivery under a fresh checkpoint
+    must leave the table value-identical (union idempotence — no
+    anti-join needed for sketch state)."""
+    from etl_rj_spark.streaming.sketches import (
+        estimate_partials,
+        stream_hll_partials,
+    )
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ink = str(tmp_path / "in")
+    # 3 input files -> 3 micro-batches with overlapping days
+    ev.repartition(3).write.parquet(ink)
+    schema = spark.read.parquet(ink).schema
+    target = str(tmp_path / "partials")
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(ink)
+
+    q = stream_hll_partials(stream(), target, str(tmp_path / "ck1"))
+    q.awaitTermination()
+
+    got = {
+        r.event_type: r.approx_distinct
+        for r in estimate_partials(spark, target).collect()
+    }
+    want = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == want
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k]
+
+    # full redelivery, fresh checkpoint: blind re-merge converges
+    q2 = stream_hll_partials(stream(), target, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert {
+        r.event_type: r.approx_distinct
+        for r in estimate_partials(spark, target).collect()
+    } == want
