@@ -91,3 +91,94 @@ def skipped_fraction(path: str, column: str, lo, hi) -> float:
         return 0.0
     skipped = sum(1 for mn, mx in ranges if mx < lo or mn > hi)
     return skipped / len(ranges)
+
+
+def _morton_interleave(a, b):
+    """Interleave two 16-bit bucket indexes into one 32-bit Morton
+    code with the classic magic-number spread — pure JVM bit
+    expressions (shiftleft/bitwise), no UDF:
+
+        x = (x | x<<8) & 0x00FF00FF
+        x = (x | x<<4) & 0x0F0F0F0F
+        x = (x | x<<2) & 0x33333333
+        x = (x | x<<1) & 0x55555555
+        z = spread(a) | spread(b) << 1
+    """
+    from pyspark.sql import functions as F
+
+    def spread(x):
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER clustered on exactly two columns.
+
+    Lexicographic clustering (``write_clustered_parquet``) gives the
+    LEADING column tight row groups and the trailing column none — a
+    predicate on the second column alone scans everything. Z-order
+    interleaves the bits of both columns' rank buckets, so row groups
+    are tight rectangles in (a, b) space and single-column predicates
+    on EITHER column skip (the public Delta/Databricks OPTIMIZE ZORDER
+    layout, re-expressed as repartitionByRange + sortWithinPartitions
+    on a Morton code).
+
+    Rank buckets come from per-column equi-depth boundaries
+    (``approxQuantile``, 2^bits buckets; driver-side cost is one
+    sketch pass) so skew cannot collapse the curve; the bucket rank is
+    an O(2^bits)-per-row array fold JVM-side — which is why ``bits``
+    defaults to 8 (256 buckets per column = 65k Z cells, far finer
+    than row-group granularity already) and is capped at 12. The
+    Morton interleave is pure bit expressions; the z-code is dropped
+    before write — the layout, not the schema, carries it.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 12:
+        raise ValueError("bits must be in [1, 12] (2^bits-wide rank fold per row)")
+    a, b = list(cluster_by)
+    nb = 1 << bits
+    qa, qb = (
+        df.stat.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
+        for c in (a, b)
+    )
+
+    def bucket(col, bounds):
+        arr = F.array(*[F.lit(float(v)) for v in bounds])
+        # width_bucket over explicit boundaries via array + expr:
+        # count of boundaries <= value  (equi-depth rank, 0..len)
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, bnd: acc + F.when(F.col(col).cast("double") >= bnd, 1).otherwise(0),
+        )
+
+    z = df.withColumn(
+        "__z", _morton_interleave(bucket(a, _dedupe(qa)), bucket(b, _dedupe(qb)))
+    )
+    if num_files:
+        z = z.repartitionByRange(num_files, "__z")
+    else:
+        z = z.repartitionByRange("__z")
+    z.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def _dedupe(bounds: list) -> list:
+    """approxQuantile repeats boundaries on low-cardinality columns;
+    collapse them so bucket ranks stay monotone."""
+    out: list = []
+    for v in bounds:
+        if not out or v > out[-1]:
+            out.append(v)
+    return out

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Synthesize an N× scale-ladder dataset from a base sf dir.
+
+Every relational table is replicated ``copies`` times with per-copy
+key-space offsets (key += copy × 10⁷), so join fan-outs and group
+sizes are PRESERVED while row counts grow N× — a 10× lineitem joins
+10× orders rows at the same per-key multiplicity, which is the honest
+way to grow TPC-H-shaped data without inventing new value
+distributions. Dimension tables (region, nation) and the LLM tables
+(documents, embeddings — their bench queries self-replicate in-query)
+are copied through unchanged as the held-constant control.
+
+Usage: python scripts/synth_scale.py <base_sf_dir> <out_dir> <copies>
+(BASELINE.md's ladder used copies=5; round-5 adds copies=10.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_rj_spark.session import get_spark  # noqa: E402
+from etl_rj_spark.sources.parquet import read_parquet_table  # noqa: E402
+
+STEP = 10_000_000  # key-space offset per copy; >> any base key range
+
+OFFSET_COLS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+PASSTHROUGH = ["region", "nation", "documents", "embeddings"]
+
+
+def main() -> None:
+    base, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = get_spark(app_name="synth-scale")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t, keys in OFFSET_COLS.items():
+        df = read_parquet_table(spark, f"{base}/{t}.parquet")
+        parts = []
+        for c in range(copies):
+            p = df
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(c * STEP))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(t, "x", copies, flush=True)
+    for t in PASSTHROUGH:
+        read_parquet_table(spark, f"{base}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+        print(t, "passthrough", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

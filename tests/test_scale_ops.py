@@ -321,3 +321,57 @@ def test_random_projection_preserves_distances(spark, sf_dir):
         "vec_id", "proj"
     ).collect()
     assert {r.vec_id: list(r.proj) for r in again} == {i: vecs[i][1] for i in ids}
+
+
+def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order must give row-group skipping on EITHER clustered column
+    alone; lexicographic clustering on the same pair gives the leading
+    column everything and the trailing column (almost) nothing. Rows
+    must survive the relayout exactly."""
+    from etl_rj_spark.sinks.layout import (
+        skipped_fraction,
+        write_clustered_parquet,
+        write_zorder_parquet,
+    )
+
+    li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    n = li.count()
+
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zorder_parquet(li, zdir, ["l_orderkey", "l_extendedprice"], num_files=16)
+    write_clustered_parquet(
+        li, ldir, ["l_orderkey", "l_extendedprice"], num_files=16
+    )
+    assert spark.read.parquet(zdir).count() == n
+
+    # narrow central slab per column (≈ 8 % of the value domain)
+    ok_lo, ok_hi = li.stat.approxQuantile("l_orderkey", [0.46, 0.54], 0.0)
+    ep_lo, ep_hi = li.stat.approxQuantile("l_extendedprice", [0.46, 0.54], 0.0)
+
+    z_ok = skipped_fraction(zdir, "l_orderkey", ok_lo, ok_hi)
+    z_ep = skipped_fraction(zdir, "l_extendedprice", ep_lo, ep_hi)
+    l_ok = skipped_fraction(ldir, "l_orderkey", ok_lo, ok_hi)
+    l_ep = skipped_fraction(ldir, "l_extendedprice", ep_lo, ep_hi)
+
+    # z-order: a 16-block Morton layout is a quadtree tiling — an 8 %
+    # slab in one dimension intersects one row/column of tiles
+    assert z_ok >= 0.5, (z_ok, z_ep)
+    assert z_ep >= 0.5, (z_ok, z_ep)
+    # lexicographic: leading column tight, trailing column useless
+    assert l_ok >= 0.7, l_ok
+    assert l_ep <= 0.2, l_ep
+
+    # scan fidelity through the z layout
+    got = (
+        spark.read.parquet(zdir)
+        .filter(
+            (F.col("l_extendedprice") >= ep_lo) & (F.col("l_extendedprice") <= ep_hi)
+        )
+        .count()
+    )
+    want = li.filter(
+        (F.col("l_extendedprice") >= ep_lo) & (F.col("l_extendedprice") <= ep_hi)
+    ).count()
+    assert got == want
