@@ -340,28 +340,30 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
     n = li.count()
 
     zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lex")
-    write_zorder_parquet(li, zdir, ["l_orderkey", "l_extendedprice"], num_files=16)
+    write_zorder_parquet(li, zdir, ["l_orderkey", "l_extendedprice"], num_files=64)
     write_clustered_parquet(
-        li, ldir, ["l_orderkey", "l_extendedprice"], num_files=16
+        li, ldir, ["l_orderkey", "l_extendedprice"], num_files=64
     )
     assert spark.read.parquet(zdir).count() == n
 
-    # narrow central slab per column (≈ 8 % of the value domain)
-    ok_lo, ok_hi = li.stat.approxQuantile("l_orderkey", [0.46, 0.54], 0.0)
-    ep_lo, ep_hi = li.stat.approxQuantile("l_extendedprice", [0.46, 0.54], 0.0)
+    # narrow slab per column (≈ 8 % of the value mass); 64 files tile
+    # (a, b) space ~8×8, so a slab intersects ≤ 2 of 8 tile columns
+    ok_lo, ok_hi = li.stat.approxQuantile("l_orderkey", [0.30, 0.38], 0.0)
+    ep_lo, ep_hi = li.stat.approxQuantile("l_extendedprice", [0.30, 0.38], 0.0)
 
     z_ok = skipped_fraction(zdir, "l_orderkey", ok_lo, ok_hi)
     z_ep = skipped_fraction(zdir, "l_extendedprice", ep_lo, ep_hi)
     l_ok = skipped_fraction(ldir, "l_orderkey", ok_lo, ok_hi)
     l_ep = skipped_fraction(ldir, "l_extendedprice", ep_lo, ep_hi)
 
-    # z-order: a 16-block Morton layout is a quadtree tiling — an 8 %
-    # slab in one dimension intersects one row/column of tiles
-    assert z_ok >= 0.5, (z_ok, z_ep)
-    assert z_ep >= 0.5, (z_ok, z_ep)
+    # z-order: BOTH single-column predicates skip most tiles
+    assert z_ok >= 0.6, (z_ok, z_ep)
+    assert z_ep >= 0.6, (z_ok, z_ep)
     # lexicographic: leading column tight, trailing column useless
     assert l_ok >= 0.7, l_ok
     assert l_ep <= 0.2, l_ep
+    # and z-order beats lexicographic where it matters
+    assert z_ep > l_ep + 0.4, (z_ep, l_ep)
 
     # scan fidelity through the z layout
     got = (
