@@ -102,6 +102,7 @@ _PRIORITY = [
     "stream_hll_maintenance",  # NEW r5: streaming sketch fold, idempotent re-merge
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
+    "wav_audio_stats",         # NEW late-r5: PCM16 WAV demux + exact integer stats
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

@@ -1379,6 +1379,71 @@ def avi_frame_sampling(spark, sf_dir):
 
 
 @_q(
+    "wav_audio_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+      FROM documents WHERE doc_id < 60 AND doc_id % 10 != 7
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS BIGINT) AS s
+      FROM base, LATERAL unnest(range(0, n)) t(i)
+    )
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs,
+           CAST(NULL AS VARCHAR) AS skip_reason
+    FROM samples GROUP BY doc_id, n
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), 'not_riff_wave'
+    FROM documents WHERE doc_id < 60 AND doc_id % 10 = 7
+    """,
+    tags=("multimodal", "wav-demux", "audio"),
+)
+def wav_audio_stats(spark, sf_dir):
+    """REAL audio-container demux over a MIXED binary column,
+    oracle-proven: docs with doc_id % 10 != 7 get a valid PCM16 WAV
+    (functions/wav.build_wav) of 400 + (doc_id % 5)*100 samples whose
+    values are the deterministic ramp ((doc_id*31 + i*7) % 65536) −
+    32768; every 10th doc gets non-container bytes.
+    ``operators.multimodal.audio_stats`` demuxes the WAVs and computes
+    exact integer statistics (sample count, energy = Σ s², peak |s|),
+    and emits one ``skip_reason='not_riff_wave'`` quarantine row for
+    the unparsable payloads. The oracle regenerates both branches
+    arithmetically — a wrong chunk walk, sample unpack, byte order, or
+    an invented stat cannot match."""
+    from etl_rj_spark.operators.multimodal import audio_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from etl_rj_spark.functions.wav import build_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did % 10 == 7:
+                    payloads.append(b"these bytes are no audio container")
+                else:
+                    n = 400 + (did % 5) * 100
+                    payloads.append(
+                        build_wav(
+                            [((did * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(make, "doc_id long, payload binary")
+    return audio_stats(payloads)
+
+
+@_q(
     "image_header_sniff",
     """
     SELECT doc_id,

@@ -11,7 +11,9 @@ quarantine rule can catch them. Video frame sampling is REAL for
 RIFF/AVI containers via the dependency-free demuxer in
 :mod:`etl_rj_spark.functions.riff` (frame-chunk payload hashing — no
 pixel codec needed); a non-AVI payload yields a single quarantine row
-(``skip_reason``), never fabricated frames.
+(``skip_reason``), never fabricated frames. Audio is REAL for RIFF/WAVE PCM16 via
+:mod:`etl_rj_spark.functions.wav` (``audio_stats``: exact integer
+energy/peak/sample-count, same quarantine posture).
 """
 
 from __future__ import annotations
@@ -353,3 +355,56 @@ def parse_image_header(df: DataFrame, content_col: str = "content") -> DataFrame
     return df.withColumns(
         {"img_format": fmt, "img_width": width, "img_height": height}
     )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, energy long, "
+    "peak_abs int, skip_reason string"
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Audio QC statistics over a binary column of WAV payloads — the
+    audio twin of ``sample_frames``: RIFF/WAVE PCM16 payloads take the
+    REAL path (demuxed by functions/wav.py; per-payload sample count,
+    exact integer energy = Σ s², peak |s|), and a payload that is NOT
+    a parsable PCM16 WAV yields one quarantine row with null stats and
+    ``skip_reason='not_riff_wave'`` — nothing fabricated, every input
+    doc stays visible downstream.
+
+    Integer energy instead of float RMS keeps the statistic exact and
+    engine-independent (the DuckDB oracle recomputes it analytically);
+    RMS is ``sqrt(energy / n_samples)`` for whoever wants the float.
+    """
+    from etl_rj_spark.functions.wav import parse_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, energy, peak, reason = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    rate, _channels, samples = parse_wav(bytes(payload))
+                    rates.append(rate)
+                    ns.append(len(samples))
+                    energy.append(sum(s * s for s in samples))
+                    peak.append(max((abs(s) for s in samples), default=0))
+                    reason.append(None)
+                except ValueError:
+                    rates.append(None)
+                    ns.append(None)
+                    energy.append(None)
+                    peak.append(None)
+                    reason.append("not_riff_wave")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "energy": pd.array(energy, dtype="Int64"),
+                    "peak_abs": pd.array(peak, dtype="Int32"),
+                    "skip_reason": pd.Series(reason, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_SCHEMA)

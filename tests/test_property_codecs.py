@@ -66,3 +66,40 @@ def test_xls_roundtrip_property(tmp_path_factory, grid):
 @given(frames=st.lists(st.binary(max_size=300), max_size=16))
 def test_avi_roundtrip_property(frames):
     assert parse_avi_frames(build_avi(frames)) == frames
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(1, 2),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate, channels):
+    from etl_rj_spark.functions.wav import build_wav, parse_wav
+
+    # interleaved sample count must divide evenly across channels
+    samples = samples[: len(samples) - (len(samples) % channels)]
+    got_rate, got_ch, got = parse_wav(build_wav(samples, rate, channels))
+    assert (got_rate, got_ch, got) == (rate, channels, samples)
+
+
+def test_wav_rejects_non_wave_and_bad_formats():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_rj_spark.functions.riff import _chunk
+    from etl_rj_spark.functions.wav import build_wav, parse_wav
+
+    with _pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        parse_wav(b"plainly not audio")
+    # valid RIFF/WAVE but non-PCM format code (e.g. IEEE float = 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", b"\0\0")
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="unsupported format"):
+        parse_wav(bad)
+    # truncated data chunk: header claims more bytes than exist
+    wav = bytearray(build_wav([1, 2, 3]))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_wav(bytes(wav[:-4]))
