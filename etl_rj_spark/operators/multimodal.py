@@ -375,6 +375,9 @@ def audio_stats(df: DataFrame) -> DataFrame:
     Integer energy instead of float RMS keeps the statistic exact and
     engine-independent (the DuckDB oracle recomputes it analytically);
     RMS is ``sqrt(energy / n_samples)`` for whoever wants the float.
+    Σ s² fits int64 up to ~2³³ samples per payload (≈ 27 h at 44.1 kHz
+    stereo) — beyond that the Arrow Int64 cast raises rather than
+    silently wrapping.
     """
     from etl_rj_spark.functions.wav import parse_wav
 

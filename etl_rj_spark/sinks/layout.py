@@ -149,9 +149,9 @@ def write_zorder_parquet(
         raise ValueError("bits must be in [1, 12] (2^bits-wide rank fold per row)")
     a, b = list(cluster_by)
     nb = 1 << bits
-    qa, qb = (
-        df.stat.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
-        for c in (a, b)
+    # one sketch pass over the data covers both columns
+    qa, qb = df.stat.approxQuantile(
+        [a, b], [i / nb for i in range(1, nb)], 0.001
     )
 
     def bucket(col, bounds):

@@ -69,11 +69,17 @@ def stream_hll_partials(
         days = [r.day for r in fresh.select("day").distinct().collect()]
         if not days:
             return
+        # read back exactly the partitions the overwrite will replace —
+        # including the null-day partition (isin never matches NULL, so
+        # without the explicit isNull arm a null-ts batch would replace
+        # the null partition having read none of it: silent data loss)
+        real_days = [d for d in days if d is not None]
+        cond = F.col("day").isin(real_days) if real_days else F.lit(False)
+        if len(real_days) < len(days):
+            cond = cond | F.col("day").isNull()
         merged = fresh
         try:
-            existing = spark.read.parquet(target_path).where(
-                F.col("day").isin(days)
-            )
+            existing = spark.read.parquet(target_path).where(cond)
             merged = merge_partials(existing, fresh, group_col)
         except AnalysisException:
             pass  # first batch: no partials yet
@@ -82,8 +88,12 @@ def stream_hll_partials(
         # a crash between here and commit is healed by redelivery
         # (union idempotence — module docstring).
         merged = merged.localCheckpoint()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("day").parquet(target_path)
+        # per-WRITE dynamic overwrite (only the merged days replaced);
+        # the writer option scopes it — never mutate the session conf,
+        # other writers may rely on static overwrite-all semantics
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day").parquet(target_path)
 
     return (
         events_stream.writeStream.foreachBatch(fold)

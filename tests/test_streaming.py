@@ -388,8 +388,11 @@ def test_stream_hll_partials_match_batch_and_idempotent(spark, sf_dir, tmp_path)
 
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
     ink = str(tmp_path / "in")
-    # 3 input files -> 3 micro-batches with overlapping days
-    ev.repartition(3).write.parquet(ink)
+    # 3 input files RANGE-partitioned on ts -> 3 micro-batches covering
+    # (near-)disjoint day sets, so a static overwrite-all (instead of
+    # dynamic per-day overwrite) would WIPE earlier batches' partials
+    # and fail the equality below
+    ev.repartitionByRange(3, "ts").write.parquet(ink)
     schema = spark.read.parquet(ink).schema
     target = str(tmp_path / "partials")
 
@@ -432,3 +435,33 @@ def test_stream_hll_partials_match_batch_and_idempotent(spark, sf_dir, tmp_path)
         r.event_type: r.approx_distinct
         for r in estimate_partials(spark, target).collect()
     } == want
+
+
+def test_stream_hll_partials_null_day_partition_survives(spark, tmp_path):
+    """A null-ts batch lands in the null-day partition; the fold must
+    READ the existing null-day partial before dynamically overwriting
+    it (Column.isin never matches NULL — regression guard), so distinct
+    users accumulate across null-day batches instead of being wiped."""
+    from etl_rj_spark.streaming.sketches import estimate_partials, stream_hll_partials
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    ink, target = str(tmp_path / "in"), str(tmp_path / "partials")
+    a = spark.createDataFrame(
+        [(i, None, i, "x") for i in range(1, 6)], schema
+    )
+    b = spark.createDataFrame(
+        [(i, None, i, "x") for i in range(6, 9)], schema
+    )
+    a.coalesce(1).write.mode("append").parquet(ink)
+    b.coalesce(1).write.mode("append").parquet(ink)
+
+    stream = spark.readStream.schema(a.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(ink)
+    stream_hll_partials(stream, target, str(tmp_path / "ck")).awaitTermination()
+
+    [row] = estimate_partials(spark, target).collect()
+    assert row.event_type == "x"
+    # 8 distinct users across the two null-day batches; HLL is exact
+    # at this cardinality
+    assert row.approx_distinct == 8.0
