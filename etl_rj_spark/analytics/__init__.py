@@ -103,6 +103,7 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- round-6 tier (never sampled; see rotation plan above)
     "wav_audio_stats",         # NEW late-r5: PCM16 WAV demux + exact integer stats
+    "csv_corrupt_quarantine",  # NEW late-r5: PERMISSIVE CSV dead-letter twin
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

@@ -205,6 +205,45 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
 
 
 @_q(
+    "csv_corrupt_quarantine",
+    "SELECT n_nationkey, n_name FROM nation",
+    tags=("csv", "quarantine", "S1"),
+)
+def csv_corrupt_quarantine(spark, sf_dir):
+    """Schema-checked CSV ingest with dead-letter quarantine
+    (sources/csv_permissive.py — the CSV twin of the JSONL posture):
+    the fixture interleaves valid rows with an untypeable key, an
+    over-wide row, and a bare word; good rows must survive exactly and
+    every broken line must land in quarantine with its raw text."""
+    from pyspark.sql import types as T
+
+    from etl_rj_spark.sources.csv_permissive import read_csv_permissive
+    from etl_rj_spark.sources.jsonl import quarantine_corrupt
+
+    d = _scratch("csv_bad")
+    os.makedirs(d)
+    rows = sorted(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    )  # 25-row dimension: fixture construction, not a data path
+    corrupt = ["NaN-key,BROKEN", "9,TOOWIDE,extra,columns", "bareword"]
+    with open(os.path.join(d, "shard-0.csv"), "w") as f:
+        f.write("n_nationkey,n_name\n")
+        for i, (k, name) in enumerate(rows):
+            f.write(f"{k},{name}\n")
+            if i < len(corrupt):
+                f.write(corrupt[i] + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    good, bad = quarantine_corrupt(read_csv_permissive(spark, d, schema))
+    assert bad.count() == len(corrupt)  # every broken line quarantined
+    return good.select(F.col("n_nationkey").cast("int"), "n_name")
+
+
+@_q(
     "orc_events_roundtrip",
     """
     SELECT event_id, ts, user_id, value, event_type FROM events

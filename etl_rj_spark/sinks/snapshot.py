@@ -42,3 +42,36 @@ def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fe
     df = spark.read.parquet(path)
     latest = df.select(F.max(snapshot_col).alias("m")).first()[0]
     return df.filter(F.col(snapshot_col) == F.lit(latest))
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    keep: int,
+    snapshot_col: str = "fecha_carga",
+) -> list[str]:
+    """Retention for the snapshot table: drop all but the newest
+    ``keep`` snapshot partitions (directory deletes — no data rewrite,
+    the partitioned layout makes retention a metadata-sized
+    operation). Returns the dropped partition values; refuses
+    ``keep < 1`` so the latest snapshot can never be expired.
+
+    Single-writer posture like ``sinks/compact.py``: run from the
+    orchestrator, never concurrently with a writer appending a new
+    snapshot."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    prefix = f"{snapshot_col}="
+    parts = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+    drop = parts[:-keep] if keep < len(parts) else []
+    for name in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), True)
+    return [d[len(prefix):] for d in drop]

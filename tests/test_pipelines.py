@@ -433,3 +433,37 @@ def test_ventas_from_legacy_xls_file(spark, clientes, tmp_path):
     assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Inc"]
     got = spark.read.parquet(wh)
     assert got.filter(F.col("document_number") == "INV-1").first().amount == 100.5
+
+
+def test_expire_snapshots_keeps_newest(spark, sf_dir, tmp_path):
+    import datetime
+
+    from etl_rj_spark.sinks.snapshot import (
+        append_snapshot,
+        expire_snapshots,
+        read_latest_snapshot,
+    )
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    path = str(tmp_path / "snaps")
+    df = read_parquet_table(spark, f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    days = [datetime.date(2024, 1, d) for d in (1, 2, 3, 4)]
+    for d in days:
+        append_snapshot(df, path, snapshot_date=d)
+
+    dropped = expire_snapshots(spark, path, keep=2)
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = sorted(
+        r.fecha_carga for r in
+        spark.read.parquet(path).select("fecha_carga").distinct().collect()
+    )
+    assert left == days[2:]
+    # latest still readable, keep<1 refused, idempotent re-run drops nothing
+    assert read_latest_snapshot(spark, path).count() == df.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_snapshots(spark, path, keep=0)
+    assert expire_snapshots(spark, path, keep=2) == []
