@@ -87,3 +87,24 @@ def test_hll_union_matches_single_pass(spark, sf_dir):
     for r in rows:
         assert r.est_merged == r.est_direct
         assert abs(r.est_merged - r.exact) <= 0.05 * r.exact
+
+
+def test_orc_ntz_normalized_at_boundary(spark, tmp_path):
+    """A foreign writer's TIMESTAMP_NTZ ORC column must come back as
+    plain TimestampType with identical wall-clock instants (the shared
+    source-boundary discipline with the parquet reader)."""
+    import datetime
+
+    from pyspark.sql import functions as F, types as T
+
+    d = str(tmp_path / "ntz")
+    ts = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000)
+    df = spark.createDataFrame(
+        [(1, ts)], "id long, ts timestamp"
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    df.write.mode("overwrite").orc(d)
+
+    back = read_orc(spark, d)
+    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+    [row] = back.collect()
+    assert row.ts == ts
