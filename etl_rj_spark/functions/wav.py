@@ -48,6 +48,8 @@ def parse_wav(b: bytes) -> tuple[int, int, list[int]]:
     fmt = data = None
     for fourcc, po, ps in _chunks(b, 12, end):
         if fourcc == b"fmt " and ps >= 16:
+            if po + 16 > len(b):
+                raise ValueError("fmt chunk truncated")
             fmt = b[po : po + 16]
         elif fourcc == b"data":
             data = b[po : po + ps]

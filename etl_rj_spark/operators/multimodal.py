@@ -387,6 +387,8 @@ def audio_stats(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 ids.append(doc_id)
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     rate, _channels, samples = parse_wav(bytes(payload))
                     rates.append(rate)
                     ns.append(len(samples))

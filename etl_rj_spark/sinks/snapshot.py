@@ -66,11 +66,30 @@ def expire_snapshots(
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
     prefix = f"{snapshot_col}="
-    parts = sorted(
+    names = [
         st.getPath().getName()
         for st in fs.listStatus(root)
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
-    )
+    ]
+
+    # TYPED newest-first ordering: lexicographic names only order
+    # correctly for fixed-width values (ISO dates); an int version
+    # domain sorts '10' < '9' and would expire the NEWEST snapshot.
+    # Parse every value as ISO date, else int, else fall back to
+    # string — but only if ALL values agree on one interpretation.
+    def key_fns():
+        yield lambda v: datetime.date.fromisoformat(v)
+        yield int
+        yield str
+
+    values = [n[len(prefix):] for n in names]
+    for fn in key_fns():
+        try:
+            keyed = sorted(zip((fn(v) for v in values), names))
+            break
+        except ValueError:
+            continue
+    parts = [n for _k, n in keyed]
     drop = parts[:-keep] if keep < len(parts) else []
     for name in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), True)

@@ -54,11 +54,19 @@ def write_orc(
 def read_orc(
     spark: SparkSession,
     path: str,
-    ns_timestamp_cols: Sequence[str] = ("ts",),
+    ns_timestamp_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Read an ORC table with the source-boundary timestamp discipline
     shared with the parquet source: TIMESTAMP_NTZ → TimestampType under
-    the pinned UTC session tz, nanos-as-long → µs truncation."""
+    the pinned UTC session tz.
+
+    ``ns_timestamp_cols`` defaults EMPTY (unlike the parquet reader):
+    ORC has no nanos-as-long encoding — that parquet path exists only
+    under ``spark.sql.legacy.parquet.nanosAsLong`` — so a LongType
+    column named ``ts`` in an ORC table is ordinary data; mangling it
+    by default (``div 1000`` + timestamp_micros) would silently corrupt
+    e.g. an epoch-milliseconds column. Pass names explicitly only for
+    tables KNOWN to store raw nanosecond longs."""
     return normalize_timestamps(spark.read.orc(path), ns_timestamp_cols)
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from etl_rj_spark.sources.jsonl import CORRUPT_COL
+from etl_rj_spark.sources.jsonl import read_permissive
 
 
 def read_csv_permissive(
@@ -30,17 +30,14 @@ def read_csv_permissive(
 ) -> DataFrame:
     """Read CSV with an explicit schema; malformed rows carry their raw
     line in ``_corrupt_record`` (data columns null). Split good/bad
-    with :func:`etl_rj_spark.sources.jsonl.quarantine_corrupt`."""
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    with :func:`etl_rj_spark.sources.jsonl.quarantine_corrupt`.
+    Delegates to the shared PERMISSIVE dead-letter reader so the
+    corrupt-record wiring is single-sourced across formats."""
+    return read_permissive(
+        spark,
+        path,
+        schema,
+        "csv",
+        options={"header": str(header).lower()},
+        min_partitions=min_partitions,
     )
-    df = (
-        spark.read.schema(full)
-        .option("header", str(header).lower())
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
-    )
-    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
-        df = df.repartition(min_partitions)
-    return df

@@ -45,6 +45,36 @@ DOCUMENTS_SCHEMA = T.StructType(
 CORRUPT_COL = "_corrupt_record"
 
 
+def read_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Shared PERMISSIVE-with-dead-letter reader: explicit schema plus
+    the ``_corrupt_record`` column, for any line-oriented text format
+    (``fmt`` = 'json' | 'csv'). Both :func:`read_jsonl` and the CSV
+    twin (sources/csv_permissive.py) delegate here so the corrupt-
+    record wiring and the gz-shard ``min_partitions`` gate cannot
+    diverge between formats."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = getattr(reader, fmt)(path)
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -56,18 +86,9 @@ def read_jsonl(
     null). ``min_partitions`` repartitions after read — required when
     the input is a few large .gz shards (non-splittable: one task per
     file until the repartition)."""
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    return read_permissive(
+        spark, path, schema, "json", min_partitions=min_partitions
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
-    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
-        df = df.repartition(min_partitions)
-    return df
 
 
 def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

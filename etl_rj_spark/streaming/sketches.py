@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 
 def sketch_batch(
@@ -65,7 +64,12 @@ def stream_hll_partials(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fresh = sketch_batch(batch_df, group_col, ts_col, key_col, lgk)
+        # materialize the batch sketches ONCE — both the touched-day
+        # collect and the merge/write below reuse the checkpointed
+        # result instead of re-running the aggregation
+        fresh = sketch_batch(
+            batch_df, group_col, ts_col, key_col, lgk
+        ).localCheckpoint()
         days = [r.day for r in fresh.select("day").distinct().collect()]
         if not days:
             return
@@ -77,12 +81,19 @@ def stream_hll_partials(
         cond = F.col("day").isin(real_days) if real_days else F.lit(False)
         if len(real_days) < len(days):
             cond = cond | F.col("day").isNull()
-        merged = fresh
-        try:
+        # explicit existence probe — a broad except AnalysisException
+        # would also swallow REAL analysis errors (schema drift in the
+        # partials table, a different group_col than it was built
+        # with) and silently replace accumulated partials with only
+        # this batch's sketches
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(root):
             existing = spark.read.parquet(target_path).where(cond)
             merged = merge_partials(existing, fresh, group_col)
-        except AnalysisException:
-            pass  # first batch: no partials yet
+        else:
+            merged = fresh  # first batch: no partials yet
         # localCheckpoint materializes the merge so the dynamic
         # overwrite below is not "writing a path being read from";
         # a crash between here and commit is healed by redelivery

@@ -47,6 +47,16 @@ def main() -> None:
     os.makedirs(out)
     for t, keys in OFFSET_COLS.items():
         df = read_parquet_table(spark, f"{base}/{t}.parquet")
+        # fail fast if a base key range reaches the per-copy offset:
+        # overlapping copies would silently change join fan-outs and
+        # distinct counts — the very properties the ladder measures
+        mx = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+        for k in keys:
+            if mx[k] is not None and mx[k] >= STEP:
+                raise SystemExit(
+                    f"{t}.{k} max {mx[k]} >= STEP {STEP}: copies would "
+                    "collide — raise STEP for this base scale"
+                )
         parts = []
         for c in range(copies):
             p = df

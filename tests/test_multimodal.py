@@ -198,3 +198,31 @@ def test_jpeg_sof_walk_randomized_layouts(spark):
     assert all(parse_image_header(df).select("img_format").distinct().collect()[0])
     mismatches = {i: (got[i], expected[i]) for i in expected if got[i] != expected[i]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_audio_stats_quarantines_null_and_truncated(spark):
+    """Null payloads and structurally broken WAVs must produce
+    quarantine rows, not task crashes (TypeError/struct.error escape
+    regressions)."""
+    import struct
+
+    from etl_rj_spark.functions.riff import _chunk
+    from etl_rj_spark.functions.wav import build_wav
+    from etl_rj_spark.operators.multimodal import audio_stats
+
+    # fmt chunk declares 16 bytes but the file is cut off inside it
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + _chunk(b"data", b"\x01\x00") + _chunk(b"fmt ", fmt)
+    full = b"RIFF" + struct.pack("<I", len(body)) + body
+    truncated_fmt = full[:-10]
+
+    rows = audio_stats(
+        spark.createDataFrame(
+            [(1, build_wav([5, -5])), (2, None), (3, truncated_fmt)],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].skip_reason is None and by_id[1].n_samples == 2
+    assert by_id[2].skip_reason == "not_riff_wave"
+    assert by_id[3].skip_reason == "not_riff_wave"

@@ -467,3 +467,22 @@ def test_expire_snapshots_keeps_newest(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError):
         expire_snapshots(spark, path, keep=0)
     assert expire_snapshots(spark, path, keep=2) == []
+
+
+def test_expire_snapshots_typed_ordering(spark, tmp_path):
+    """Integer snapshot values must order numerically: version=10 is
+    NEWER than version=9 even though it sorts lexicographically first
+    (regression: string sort would have expired the newest)."""
+    from etl_rj_spark.sinks.snapshot import expire_snapshots
+
+    path = str(tmp_path / "vsnaps")
+    df = spark.range(3).toDF("v")
+    for ver in (8, 9, 10):
+        df.withColumn("version", F.lit(ver)).write.mode("append").partitionBy(
+            "version"
+        ).parquet(path)
+
+    dropped = expire_snapshots(spark, path, keep=1, snapshot_col="version")
+    assert dropped == ["8", "9"]
+    left = [r.version for r in spark.read.parquet(path).select("version").distinct().collect()]
+    assert left == [10]
