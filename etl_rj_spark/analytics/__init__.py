@@ -104,6 +104,7 @@ _PRIORITY = [
     # -- round-6 tier (never sampled; see rotation plan above)
     "wav_audio_stats",         # NEW late-r5: PCM16 WAV demux + exact integer stats
     "csv_corrupt_quarantine",  # NEW late-r5: PERMISSIVE CSV dead-letter twin
+    "parquet_schema_evolution",  # NEW late-r5: mergeSchema across drifted shards
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

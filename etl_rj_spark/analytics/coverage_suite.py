@@ -205,6 +205,41 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
 
 
 @_q(
+    "parquet_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS n_comment_upper
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, UPPER(n_name) AS n_comment_upper
+    FROM nation WHERE n_nationkey >= 10
+    """,
+    tags=("parquet", "schema-evolution", "source"),
+)
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution across daily parquet shards: an early batch
+    written WITHOUT a column and a later batch WITH it must read back
+    as one table under ``mergeSchema`` — old rows null-filled, new
+    rows intact. This is the file-level counterpart of the DataFrame-
+    level ``union_schema_drift`` (U1): a 100 TB lake accretes columns
+    over months and the scan, not the writer, absorbs the drift.
+    (mergeSchema is a footer-merge over shards — pay it on
+    schema-change boundaries, not every read.)"""
+    d = _scratch("schema_evo")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.filter(F.col("n_nationkey") < 10).write.mode("overwrite").parquet(
+        f"{d}/batch=1"
+    )
+    nation.filter(F.col("n_nationkey") >= 10).withColumn(
+        "n_comment_upper", F.upper("n_name")
+    ).write.mode("overwrite").parquet(f"{d}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(d)
+        .select("n_nationkey", "n_name", "n_comment_upper")
+    )
+
+
+@_q(
     "csv_corrupt_quarantine",
     "SELECT n_nationkey, n_name FROM nation",
     tags=("csv", "quarantine", "S1"),
