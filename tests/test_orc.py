@@ -108,3 +108,30 @@ def test_orc_ntz_normalized_at_boundary(spark, tmp_path):
     assert isinstance(back.schema["ts"].dataType, T.TimestampType)
     [row] = back.collect()
     assert row.ts == ts
+
+
+def test_hll_partial_agg_plan_shape(spark, sf_dir):
+    """The mergeable-sketch rollup must be partial-agg shaped: the
+    daily-partials → union-merge path carries exactly two exchanges
+    (one per grouping level), with map-side partial sketch aggregation
+    before each — no extra shuffle, no join in the partial path."""
+    from etl_rj_spark.plans import explain_counts
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    c = explain_counts(merged)
+    assert c["exchange"] == 2, c
+    assert (
+        c["broadcast_hash_join"] + c["sort_merge_join"] + c["shuffled_hash_join"]
+        == 0
+    ), c
+    # partial (map-side) aggregation precedes both shuffles
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("partial_hll_sketch_agg") + plan.count(
+        "partial_hll_union_agg"
+    ) >= 2, plan[:2000]
