@@ -105,6 +105,7 @@ _PRIORITY = [
     "wav_audio_stats",         # NEW late-r5: PCM16 WAV demux + exact integer stats
     "csv_corrupt_quarantine",  # NEW late-r5: PERMISSIVE CSV dead-letter twin
     "parquet_schema_evolution",  # NEW late-r5: mergeSchema across drifted shards
+    "semdedup_prune",          # NEW late-r5: SemDeDup cluster-confined cosine prune
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

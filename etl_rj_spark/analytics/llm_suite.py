@@ -502,7 +502,10 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5)
 
 
-def _kmeans_oracle_ctes(k: int = 8, dim: int = 64, fit_filter: str = "TRUE") -> str:
+def _kmeans_oracle_ctes(
+    k: int = 8, dim: int = 64, fit_filter: str = "TRUE",
+    source: str = "embeddings",
+) -> str:
     """CTE chain replaying ``operators/kmeans.kmeans_fit`` (2 Lloyd
     iterations) in DuckDB — possible only because the fit is exact
     int64 arithmetic end to end: floor(x·2^20) quantization, integer
@@ -542,7 +545,7 @@ def _kmeans_oracle_ctes(k: int = 8, dim: int = 64, fit_filter: str = "TRUE") -> 
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT)) AS iv,
              embedding::DOUBLE[] AS dv
-      FROM embeddings
+      FROM {source}
     ),
     fitpts AS (SELECT * FROM base WHERE {fit_filter}),
     c0 AS (
@@ -1260,6 +1263,74 @@ def embedding_cosine_near_pairs(spark, sf_dir):
         e.select((F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding"))
     )
     return cosine_near_pairs(corpus, threshold=0.99)
+
+
+_SEMDEDUP_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * bx.dv[i])) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * b1.dv[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> bx.dv[i] * bx.dv[i])))), 9)"
+)
+
+
+@_q(
+    "semdedup_prune",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.05
+                                 ELSE (embedding::DOUBLE[])[i] END)
+      FROM embeddings
+    ),
+    {_kmeans_oracle_ctes(source="corpus")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT c1.vec_id
+      FROM cells c1
+      JOIN base b1 ON c1.vec_id = b1.vec_id
+      JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
+      JOIN base bx ON cx.vec_id = bx.vec_id
+      WHERE {_SEMDEDUP_COS} >= 0.99
+    )
+    SELECT vec_id, cid AS cell FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    tags=("dedup-semantic", "similarity-kmeans"),
+)
+def semdedup_prune(spark, sf_dir):
+    """Semantic dedup (SemDeDup, arXiv:2303.09540) over a corpus with
+    planted near-duplicates: every embedding gets a replica perturbed
+    by +0.05 on its first coordinate (cosine ≈ 0.999 to its base), the
+    corpus is k-means-clustered (the deterministic integer fit the
+    kmeans oracle replays), and within each cell every vector with an
+    earlier cell-mate at cosine ≥ 0.99 is dropped. Survivors are the
+    originals plus any replica whose base landed in a DIFFERENT cell —
+    the oracle replays fit, assignment, and the exists-earlier prune
+    rule exactly, so a wrong cell boundary or prune decision cannot
+    match. Pairwise work is confined within cells (Σ|cell|², the
+    recipe's scale property), never an all-pairs crossJoin."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+    from etl_rj_spark.operators.similarity import semdedup, vec_double
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    perturbed = F.transform(v, lambda x, i: F.when(i == 0, x + 0.05).otherwise(x))
+    corpus = e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding")
+        )
+    )
+    centroids = kmeans_fit(corpus, k=8, iters=2)
+    return semdedup(corpus, centroids, threshold=0.99)
 
 
 # --- multimodal plumbing ---------------------------------------------------

@@ -334,3 +334,42 @@ def cosine_near_pairs_lsh(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into k-means cells, then
+    WITHIN each cell drop every vector that has an earlier cell-mate
+    (lower ``id_col``) at cosine ≥ ``threshold``. Returns the
+    survivors as (id, cell), one row per kept vector.
+
+    The cell partitioning confines the pairwise work: Σ|cell|² instead
+    of N² — with balanced cells that is N²/k, and at corpus scale the
+    cells ARE the shuffle partitioning (one equi-join on cell), so no
+    all-pairs crossJoin ever materializes. Drop rule is exists-earlier
+    (deterministic, order-free): chains a~b~c with a≁c keep only a —
+    slightly more aggressive than one-per-connected-component but
+    stable under re-runs and replayable in plain SQL (the oracle
+    contract)."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign
+
+    cells = kmeans_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    v = corpus.join(cells, id_col).select(
+        F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), "cell", F.col("__v").alias("__vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 9) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(dropped, id_col, "left_anti").select(id_col, "cell")

@@ -72,3 +72,30 @@ def test_empty_cluster_keeps_centroid(spark):
     expected = [int(np.floor(x * QUANT_SCALE)) for x in (1.0, 2.0, 3.0)]
     for r in cents:
         assert list(r.cv) == expected
+
+
+def test_semdedup_prunes_planted_replicas(spark, sf_dir):
+    """SemDeDup over a corpus where every vector has a near-identical
+    replica (cosine ≈ 0.999): almost every replica must be pruned
+    (survivor only when its base lands in a different cell), no
+    original may be pruned by its own replica (replicas have higher
+    ids), and survivors must be a subset of the corpus."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+    from etl_rj_spark.operators.similarity import semdedup, vec_double
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    v = vec_double("embedding")
+    perturbed = F.transform(v, lambda x, i: F.when(i == 0, x + 0.05).otherwise(x))
+    corpus = e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding"))
+    )
+    kept = semdedup(corpus, kmeans_fit(corpus, k=8, iters=2), threshold=0.99)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    originals = {r.vec_id for r in e.select("vec_id").collect()}
+    # replicas have HIGHER ids, so every original survives its replica
+    assert originals <= kept_ids
+    replicas_kept = len(kept_ids) - len(originals)
+    # >90% of planted replicas pruned (survivors = cross-cell escapes)
+    assert replicas_kept <= 0.1 * n, replicas_kept
