@@ -106,6 +106,7 @@ _PRIORITY = [
     "csv_corrupt_quarantine",  # NEW late-r5: PERMISSIVE CSV dead-letter twin
     "parquet_schema_evolution",  # NEW late-r5: mergeSchema across drifted shards
     "semdedup_prune",          # NEW late-r5: SemDeDup cluster-confined cosine prune
+    "curation_pipeline_e2e",   # NEW late-r5: lang->dedup->quality->fingerprint chain
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

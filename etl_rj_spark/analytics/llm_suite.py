@@ -1265,6 +1265,90 @@ def embedding_cosine_near_pairs(spark, sf_dir):
     return cosine_near_pairs(corpus, threshold=0.99)
 
 
+@_q(
+    "curation_pipeline_e2e",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS}),
+    langed AS (
+      SELECT doc_id, text FROM corpus
+      WHERE {_sql_stop_count('en')} > 0
+        AND {_sql_stop_count('en')} >= {_sql_stop_count('es')}
+        AND {_sql_stop_count('en')} >= {_sql_stop_count('fr')}
+    ),
+    keyed AS (SELECT doc_id, text, md5({_NT}) AS key FROM langed),
+    deduped AS (
+      SELECT k.doc_id, k.text FROM keyed k
+      JOIN (SELECT key, MIN(doc_id) AS cid FROM keyed GROUP BY key) c USING (key)
+      WHERE k.doc_id = c.cid
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             least(n_tokens / 100.0, 1.0) * 0.3
+               + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
+               + least(stop_en / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4
+               AS quality_score,
+             CAST(n_tokens AS BIGINT) AS ws_tokens
+      FROM (
+        SELECT doc_id, text,
+               length(text)::DOUBLE AS n_chars,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+                 AS n_tokens,
+               len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
+               {_sql_stop_count('en')}::DOUBLE AS stop_en
+        FROM deduped
+      )
+    )
+    SELECT doc_id, ws_tokens, quality_score, md5({_NT}) AS content_md5
+    FROM scored WHERE quality_score >= 0.6 ORDER BY doc_id
+    """,
+    tags=("curation", "pipeline-e2e"),
+)
+def curation_pipeline_e2e(spark, sf_dir):
+    """END-TO-END curation pipeline — the composition a training-data
+    job actually runs, as ONE lazy plan: corpus (documents ∪ planted
+    case/whitespace dup copies) → language gate (stopword-argmax 'en')
+    → exact dedup (canonical-id survivors only, so every planted copy
+    dies here) → quality gate (score ≥ 0.6, fixed operation order) →
+    curated record (whitespace token count, score, content
+    fingerprint). Each stage is the already-oracled operator
+    (lang_id_docs / exact_dedup_docs / quality_score_docs /
+    doc_fingerprints); this query pins their COMPOSITION — filter
+    order, column flow, and the float threshold compare — against one
+    DuckDB replay of the whole chain."""
+    from etl_rj_spark.operators.text_analysis import (
+        content_md5,
+        lang_id,
+        quality_features,
+        token_count,
+    )
+    from etl_rj_spark.operators.text_dedup import exact_dedup_mapping
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = d.unionByName(dup)
+    langed = corpus.filter(lang_id("text") == "en")
+    mapping = exact_dedup_mapping(langed, "doc_id", "text")
+    deduped = langed.join(
+        mapping.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    feats = quality_features("text")
+    return (
+        deduped.select(
+            "doc_id",
+            token_count("text").cast("bigint").alias("ws_tokens"),
+            feats["quality_score"].alias("quality_score"),
+            content_md5("text").alias("content_md5"),
+        )
+        .filter(F.col("quality_score") >= 0.6)
+        .orderBy("doc_id")
+    )
+
+
 _SEMDEDUP_COS = (
     "round(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * bx.dv[i])) / "
     "(sqrt(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * b1.dv[i]))) * "
