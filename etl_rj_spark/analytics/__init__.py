@@ -107,6 +107,7 @@ _PRIORITY = [
     "parquet_schema_evolution",  # NEW late-r5: mergeSchema across drifted shards
     "semdedup_prune",          # NEW late-r5: SemDeDup cluster-confined cosine prune
     "curation_pipeline_e2e",   # NEW late-r5: lang->dedup->quality->fingerprint chain
+    "binary_file_ingest",      # NEW late-r5: binaryFile source + header sniff on real files
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

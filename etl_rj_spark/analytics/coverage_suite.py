@@ -205,6 +205,52 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
 
 
 @_q(
+    "binary_file_ingest",
+    """
+    SELECT doc_id, 'png' AS img_format,
+           CAST(100 + doc_id AS BIGINT) AS img_width,
+           CAST(50 + doc_id AS BIGINT) AS img_height
+    FROM documents WHERE doc_id < 40
+    """,
+    tags=("binary-file", "multimodal", "source"),
+)
+def binary_file_ingest(spark, sf_dir):
+    """REAL file ingest for the multimodal layer: 40 genuine PNGs
+    (dependency-free encoder, dims (100+i, 50+i)) plus .txt distractors
+    are written to a directory; Spark's binaryFile source reads them
+    back with a pathGlobFilter that prunes the distractors BEFORE any
+    bytes load, doc ids recover from the filenames, and the
+    pure-expression header sniff (operators/multimodal) extracts the
+    dims from the actual IHDR bytes. The oracle regenerates format and
+    dims arithmetically — a wrong glob, filename parse, or header walk
+    cannot match."""
+    import numpy as np
+
+    from etl_rj_spark.functions.png import encode_png
+    from etl_rj_spark.operators.multimodal import parse_image_header
+    from etl_rj_spark.sources.binary_files import read_binary_files
+
+    d = _scratch("binfiles")
+    os.makedirs(d)
+    for i in range(40):
+        w, h = 100 + i, 50 + i
+        arr = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
+        with open(os.path.join(d, f"doc_{i}.png"), "wb") as f:
+            f.write(encode_png(arr))
+        with open(os.path.join(d, f"junk_{i}.txt"), "w") as f:
+            f.write("not an image; the glob must prune me unread")
+
+    files = read_binary_files(spark, d, glob="*.png")
+    sniffed = parse_image_header(files, content_col="payload")
+    return sniffed.select(
+        F.regexp_extract("path", r"doc_(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        "img_format",
+        "img_width",
+        "img_height",
+    )
+
+
+@_q(
     "parquet_schema_evolution",
     """
     SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS n_comment_upper
