@@ -207,10 +207,10 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
 @_q(
     "binary_file_ingest",
     """
-    SELECT doc_id, 'png' AS img_format,
-           CAST(100 + doc_id AS BIGINT) AS img_width,
-           CAST(50 + doc_id AS BIGINT) AS img_height
-    FROM documents WHERE doc_id < 40
+    SELECT CAST(i AS BIGINT) AS doc_id, 'png' AS img_format,
+           CAST(100 + i AS BIGINT) AS img_width,
+           CAST(50 + i AS BIGINT) AS img_height
+    FROM range(0, 40) t(i)
     """,
     tags=("binary-file", "multimodal", "source"),
 )

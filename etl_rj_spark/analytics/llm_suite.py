@@ -364,24 +364,39 @@ def lang_id_docs(spark, sf_dir):
     return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
 
+def _sql_quality_feats(source: str) -> str:
+    """Inner feature SELECT of the quality score — the ONE copy of the
+    float-feature extraction both quality_score_docs and the e2e
+    curation pipeline replay (a one-sided edit would desync the
+    fixed-operation-order contract with quality_features)."""
+    return rf"""
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS n_chars,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
+             len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
+             {_sql_stop_count('en')}::DOUBLE AS stop_en
+      FROM {source}
+    """
+
+
+#: Combined [0,1] score over _sql_quality_feats columns — fixed
+#: operation order (the cross-engine float contract).
+_SQL_QUALITY_SCORE = (
+    "least(n_tokens / 100.0, 1.0) * 0.3"
+    " + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3"
+    " + least(stop_en / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4"
+)
+
+
 @_q(
     "quality_score_docs",
     rf"""
     SELECT doc_id, n_chars, n_tokens,
            punct / greatest(n_chars, 1.0) AS punct_ratio,
            stop_en / greatest(n_tokens, 1.0) AS stopword_ratio,
-           least(n_tokens / 100.0, 1.0) * 0.3
-             + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
-             + least(stop_en / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4 AS quality_score
-    FROM (
-      SELECT doc_id,
-             length(text)::DOUBLE AS n_chars,
-             (CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS n_tokens,
-             len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
-             {_sql_stop_count('en')}::DOUBLE AS stop_en
-      FROM documents
-    )
+           {_SQL_QUALITY_SCORE} AS quality_score
+    FROM ({_sql_quality_feats('documents')})
     """,
     tags=("text-quality",),
 )
@@ -1282,22 +1297,9 @@ def embedding_cosine_near_pairs(spark, sf_dir):
       WHERE k.doc_id = c.cid
     ),
     scored AS (
-      SELECT doc_id, text,
-             least(n_tokens / 100.0, 1.0) * 0.3
-               + (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
-               + least(stop_en / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4
-               AS quality_score,
+      SELECT doc_id, text, {_SQL_QUALITY_SCORE} AS quality_score,
              CAST(n_tokens AS BIGINT) AS ws_tokens
-      FROM (
-        SELECT doc_id, text,
-               length(text)::DOUBLE AS n_chars,
-               (CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
-                 AS n_tokens,
-               len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
-               {_sql_stop_count('en')}::DOUBLE AS stop_en
-        FROM deduped
-      )
+      FROM ({_sql_quality_feats('deduped')})
     )
     SELECT doc_id, ws_tokens, quality_score, md5({_NT}) AS content_md5
     FROM scored WHERE quality_score >= 0.6 ORDER BY doc_id
@@ -1322,7 +1324,7 @@ def curation_pipeline_e2e(spark, sf_dir):
         quality_features,
         token_count,
     )
-    from etl_rj_spark.operators.text_dedup import exact_dedup_mapping
+    from etl_rj_spark.operators.text_dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.select(
@@ -1331,11 +1333,7 @@ def curation_pipeline_e2e(spark, sf_dir):
     )
     corpus = d.unionByName(dup)
     langed = corpus.filter(lang_id("text") == "en")
-    mapping = exact_dedup_mapping(langed, "doc_id", "text")
-    deduped = langed.join(
-        mapping.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
-    )
+    deduped = exact_dedup(langed, "doc_id", "text")
     feats = quality_features("text")
     return (
         deduped.select(
@@ -1347,13 +1345,6 @@ def curation_pipeline_e2e(spark, sf_dir):
         .filter(F.col("quality_score") >= 0.6)
         .orderBy("doc_id")
     )
-
-
-_SEMDEDUP_COS = (
-    "round(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * bx.dv[i])) / "
-    "(sqrt(list_sum(list_transform(range(1, 65), i -> b1.dv[i] * b1.dv[i]))) * "
-    "sqrt(list_sum(list_transform(range(1, 65), i -> bx.dv[i] * bx.dv[i])))), 9)"
-)
 
 
 @_q(
@@ -1378,12 +1369,13 @@ _SEMDEDUP_COS = (
       ) WHERE rn = 1
     ),
     dropped AS (
-      SELECT DISTINCT c1.vec_id
-      FROM cells c1
-      JOIN base b1 ON c1.vec_id = b1.vec_id
-      JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
-      JOIN base bx ON cx.vec_id = bx.vec_id
-      WHERE {_SEMDEDUP_COS} >= 0.99
+      SELECT DISTINCT vec_id FROM (
+        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        FROM cells c1
+        JOIN base b1 ON c1.vec_id = b1.vec_id
+        JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
+        JOIN base bx ON cx.vec_id = bx.vec_id
+      ) WHERE {_SQL_COS} >= 0.99
     )
     SELECT vec_id, cid AS cell FROM cells
     WHERE vec_id NOT IN (SELECT vec_id FROM dropped)

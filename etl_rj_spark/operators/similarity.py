@@ -360,8 +360,15 @@ def semdedup(
     from etl_rj_spark.operators.kmeans import kmeans_assign
 
     cells = kmeans_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
-    v = corpus.join(cells, id_col).select(
-        F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v")
+    # materialize (id, cell, vec) ONCE: it feeds both sides of the
+    # within-cell self-join AND the survivor anti-join — without the
+    # barrier the assignment argmin and the corpus-cells join would
+    # re-evaluate up to 3× in one plan (kmeans_fit localCheckpoints
+    # its iteration state for the same reason)
+    v = (
+        corpus.join(cells, id_col)
+        .select(F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v"))
+        .localCheckpoint()
     )
     a = v.select(F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va"))
     b = v.select(F.col(id_col).alias("id_b"), "cell", F.col("__v").alias("__vb"))
@@ -372,4 +379,4 @@ def semdedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return cells.join(dropped, id_col, "left_anti").select(id_col, "cell")
+    return v.join(dropped, id_col, "left_anti").select(id_col, "cell")
