@@ -108,6 +108,7 @@ _PRIORITY = [
     "semdedup_prune",          # NEW late-r5: SemDeDup cluster-confined cosine prune
     "curation_pipeline_e2e",   # NEW late-r5: lang->dedup->quality->fingerprint chain
     "binary_file_ingest",      # NEW late-r5: binaryFile source + header sniff on real files
+    "embedding_near_pairs_lsh_scaled",  # NEW late-r5: self-asserting LSH recall contract
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

@@ -1409,6 +1409,98 @@ def semdedup_prune(spark, sf_dir):
     return semdedup(corpus, centroids, threshold=0.99)
 
 
+@_q(
+    "embedding_near_pairs_lsh_scaled",
+    None,
+    tags=("dedup-embedding", "similarity-lsh", "bench-scale"),
+)
+def embedding_near_pairs_lsh_scaled(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup at scale (20×-replicated
+    corpus, ~10k vectors) with an IN-QUERY recall contract — the
+    ``minhash_lsh_pairs_scaled`` pattern for the embedding side:
+    all-pairs ground truth is infeasible (~50M pairs), but the
+    ×20-replica construction (coordinate-1 nudged by 0.0002·i, cosine
+    ≈ 0.9999 within a base group) makes the within-base truth exactly
+    computable in O(groups × 20²) with row-local higher-order
+    functions. ``assert_true`` pins within-base found ≤ exact truth
+    EXACTLY (every emitted pair is cosine-rescored, so a surplus means
+    a broken verifier) and ≥ 99 % of it (hyperplane banding at
+    4 bits × 8 tables predicts ~1 recall for θ→0 pairs)."""
+    from etl_rj_spark.operators.similarity import (
+        cosine,
+        cosine_near_pairs_lsh,
+        vec_double,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    rep = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("__i"), "vec_id", "embedding"
+    ).repartition(64, "vec_id", "__i")
+    corpus = rep.select(
+        (F.col("vec_id") + F.col("__i") * 1000000).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: F.when(i == 0, x + 0.0002 * F.col("__i")).otherwise(x)
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    # bits=8 (256 buckets/table): at 10k vectors the default 4-bit
+    # tables put ~625 vectors per bucket — half of brute force. 8 bits
+    # cuts candidates ~16× while a θ→0 replica pair still misses a
+    # table's bucket with prob ≈ bits·θ/π ≈ 1 %, and 8 independent
+    # tables drive the joint miss to ~1e-16 — recall stays ~1.
+    pairs = cosine_near_pairs_lsh(corpus, threshold=0.99, dim=64, bits=8)
+    base = lambda c: F.col(c) % 1000000  # noqa: E731 — replica id offset
+    got = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((base("id_a") == base("id_b")).cast("long")).alias("n_within_base"),
+    )
+    # exact within-base truth: ONE shuffle of 20 vectors per base
+    # group, then all C(20,2) cosines evaluated row-locally
+    m = F.col("ms")
+    n = F.size(m)
+    pair_flags = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n.cast("long")),
+                    lambda j: (
+                        F.round(
+                            cosine(
+                                F.element_at(m, i.cast("int")),
+                                F.element_at(m, j.cast("int")),
+                            ),
+                            9,
+                        )
+                        >= 0.99
+                    ).cast("long"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    expected = (
+        corpus.select(base("vec_id").alias("__base"), F.col("embedding"))
+        .groupBy("__base")
+        .agg(F.collect_list("embedding").alias("ms"))
+        .select(
+            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
+        )
+        .agg(F.sum("c").alias("n_within_base_expected"))
+    )
+    nw, exp = F.col("n_within_base"), F.col("n_within_base_expected")
+    return got.crossJoin(expected).select(
+        "n_pairs",
+        "n_within_base",
+        "n_within_base_expected",
+        F.assert_true(
+            (nw <= exp) & (nw >= F.ceil(exp * 0.99)),
+            F.lit("embedding_near_pairs_lsh_scaled: within-base recall/precision regression"),
+        ).cast("string").alias("recall_check"),
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @_q(
