@@ -109,6 +109,7 @@ _PRIORITY = [
     "curation_pipeline_e2e",   # NEW late-r5: lang->dedup->quality->fingerprint chain
     "binary_file_ingest",      # NEW late-r5: binaryFile source + header sniff on real files
     "embedding_near_pairs_lsh_scaled",  # NEW late-r5: self-asserting LSH recall contract
+    "variant_props_extract",   # NEW late-r5: Spark 4 VARIANT parse-once extraction
     "date_spine_gap_fill",
     "salted_customer_rollup",
     "quantile_stats",

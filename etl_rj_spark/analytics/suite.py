@@ -837,6 +837,46 @@ def json_extract_props(spark, sf_dir):
 
 
 @_q(
+    "variant_props_extract",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           event_type AS meta_type,
+           round(value, 9) AS v
+    FROM events ORDER BY event_id
+    """,
+    tags=("json", "variant", "semi-structured"),
+)
+def variant_props_extract(spark, sf_dir):
+    """Semi-structured data through Spark 4's VARIANT type: a nested
+    JSON document (built from props + typed event fields) is parsed
+    ONCE into a variant — the open-schema binary encoding that makes
+    repeated path extraction O(1) per path instead of re-parsing the
+    JSON string per field — then three paths of different types are
+    extracted with ``variant_get``. The oracle recomputes every field
+    from the original flat columns, so a parse, path-walk, or
+    type-cast defect cannot match. (The engine posture for 100 TB of
+    heterogeneous JSON: parse to variant at the source boundary, store
+    the variant column, extract lazily.)"""
+    e = _t(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.struct(
+                F.col("event_type").alias("type"), F.col("value").alias("v")
+            ).alias("meta"),
+        )
+    )
+    v = F.parse_json(j)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+        F.round(F.variant_get(v, "$.meta.v", "double"), 9).alias("v"),
+    ).orderBy("event_id")
+
+
+@_q(
     "session_window_native",
     """
     WITH o AS (
