@@ -106,6 +106,7 @@ _PRIORITY = [
     "csv_corrupt_quarantine",  # NEW late-r5: PERMISSIVE CSV dead-letter twin
     "parquet_schema_evolution",  # NEW late-r5: mergeSchema across drifted shards
     "semdedup_prune",          # NEW late-r5: SemDeDup cluster-confined cosine prune
+    "semdedup_incremental",    # NEW late-r5: batch probe vs persisted survivor table
     "curation_pipeline_e2e",   # NEW late-r5: lang->dedup->quality->fingerprint chain
     "binary_file_ingest",      # NEW late-r5: binaryFile source + header sniff on real files
     "embedding_near_pairs_lsh_scaled",  # NEW late-r5: self-asserting LSH recall contract

@@ -1410,6 +1410,90 @@ def semdedup_prune(spark, sf_dir):
 
 
 @_q(
+    "semdedup_incremental",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.05
+                                 ELSE (embedding::DOUBLE[])[i] END)
+      FROM embeddings
+    ),
+    {_kmeans_oracle_ctes(source="corpus", fit_filter="vec_id < 100000")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    dropped0 AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        FROM cells c1
+        JOIN base b1 ON c1.vec_id = b1.vec_id
+        JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
+        JOIN base bx ON cx.vec_id = bx.vec_id
+        WHERE c1.vec_id < 100000 AND cx.vec_id < 100000
+      ) WHERE {_SQL_COS} >= 0.99
+    ),
+    kept0 AS (
+      SELECT vec_id, cid FROM cells
+      WHERE vec_id < 100000 AND vec_id NOT IN (SELECT vec_id FROM dropped0)
+    ),
+    dropped_new AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        FROM cells c1
+        JOIN base b1 ON c1.vec_id = b1.vec_id
+        JOIN cells cx
+          ON cx.cid = c1.cid
+         AND (cx.vec_id IN (SELECT vec_id FROM kept0)
+              OR (cx.vec_id >= 100000 AND cx.vec_id < c1.vec_id))
+        JOIN base bx ON cx.vec_id = bx.vec_id
+        WHERE c1.vec_id >= 100000
+      ) WHERE {_SQL_COS} >= 0.99
+    )
+    SELECT vec_id, cid AS cell FROM cells
+    WHERE vec_id >= 100000 AND vec_id NOT IN (SELECT vec_id FROM dropped_new)
+    """,
+    tags=("dedup-semantic", "incremental", "similarity-kmeans"),
+)
+def semdedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup — the embedding twin of the persisted
+    MinHash index probe: day 0 clusters and dedups the base corpus
+    (keeping the survivor table with cells + vectors); day 1's batch
+    (a +0.05-perturbed replica of every base vector, cosine ≈ 0.999)
+    is assigned to the SAME centroids and probed against survivors ∪
+    earlier batch-mates within its cell only — no re-clustering, no
+    survivor-survivor pairs, nothing quadratic in history. Expected
+    output: almost no batch survivors (only replicas whose base landed
+    in a different cell). The oracle replays fit (base only), both
+    assignments, the day-0 prune, and the probe rule exactly."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+    from etl_rj_spark.operators.similarity import (
+        semdedup,
+        semdedup_incremental as _probe,
+        vec_double,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    originals = e.select("vec_id", v.alias("embedding"))
+    centroids = kmeans_fit(originals, k=8, iters=2)
+    kept0 = semdedup(originals, centroids, threshold=0.99, keep_vec=True)
+    batch = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(v, lambda x, i: F.when(i == 0, x + 0.05).otherwise(x))
+        .alias("embedding"),
+    )
+    return _probe(kept0, batch, centroids, threshold=0.99).select("vec_id", "cell")
+
+
+@_q(
     "embedding_near_pairs_lsh_scaled",
     None,
     tags=("dedup-embedding", "similarity-lsh", "bench-scale"),

@@ -336,12 +336,67 @@ def cosine_near_pairs_lsh(
     )
 
 
+def semdedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup — the embedding twin of the persisted
+    MinHash index probe: ``existing`` is the survivor table a prior
+    :func:`semdedup` pass produced (columns ``id_col``, ``cell``,
+    ``vec_col``), ``batch`` is the day's new vectors. The batch is
+    assigned to the SAME centroids and each new vector is dropped if
+    it matches (cosine ≥ threshold, 9 dp) an existing survivor in its
+    cell or an earlier batch-mate in its cell. Returns the batch's
+    survivors as (id, cell, vec) — append them to ``existing`` for the
+    next day.
+
+    The corpus-sized survivor table is touched only through one
+    cell equi-join against the (small) batch — no re-clustering, no
+    survivor-survivor pairs, nothing quadratic in history. At 100 TB
+    persist ``existing`` bucketed by ``cell`` (sinks/bucketed.py) so
+    the probe join needs no Exchange on the survivor side."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign
+
+    cells_new = kmeans_assign(batch, centroids, vec_col=vec_col, id_col=id_col)
+    vnew = (
+        batch.join(cells_new, id_col)
+        .select(F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v"))
+        .localCheckpoint()
+    )
+    a = vnew.select(F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va"))
+    old_side = existing.select(
+        F.lit(None).cast("long").alias("id_b"), F.col("cell"),
+        vec_double(vec_col).alias("__vb"),
+    )
+    new_side = vnew.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    # null id_b marks an existing survivor: ALWAYS a valid blocker;
+    # a batch-mate blocks only if strictly earlier
+    cand = a.join(old_side.unionByName(new_side), "cell").filter(
+        F.col("id_b").isNull() | (F.col("id_b") < F.col("id_a"))
+    )
+    dropped = (
+        cand.filter(F.round(cosine(F.col("__va"), F.col("__vb")), 9) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return vnew.join(dropped, id_col, "left_anti").select(
+        F.col(id_col), F.col("cell"), F.col("__v").alias(vec_col)
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus into k-means cells, then
@@ -379,4 +434,7 @@ def semdedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return v.join(dropped, id_col, "left_anti").select(id_col, "cell")
+    kept = v.join(dropped, id_col, "left_anti")
+    if keep_vec:  # survivor table shape semdedup_incremental consumes
+        return kept.select(F.col(id_col), F.col("cell"), F.col("__v").alias(vec_col))
+    return kept.select(id_col, "cell")

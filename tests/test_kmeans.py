@@ -99,3 +99,35 @@ def test_semdedup_prunes_planted_replicas(spark, sf_dir):
     replicas_kept = len(kept_ids) - len(originals)
     # >90% of planted replicas pruned (survivors = cross-cell escapes)
     assert replicas_kept <= 0.1 * n, replicas_kept
+
+
+def test_semdedup_incremental_redelivery_after_append(spark, sf_dir):
+    """Incremental probe posture: a batch probed against the survivor
+    table yields few survivors; after APPENDING those survivors, a
+    redelivered identical batch yields ZERO (every vector now matches
+    itself or its original blocker in the survivor table) — the
+    append-then-redeliver safety of the incremental pipeline."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+    from etl_rj_spark.operators.similarity import (
+        semdedup,
+        semdedup_incremental,
+        vec_double,
+    )
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    v = vec_double("embedding")
+    originals = e.select("vec_id", v.alias("embedding"))
+    centroids = kmeans_fit(originals, k=8, iters=2)
+    kept0 = semdedup(originals, centroids, threshold=0.99, keep_vec=True)
+    batch = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(v, lambda x, i: F.when(i == 0, x + 0.05).otherwise(x))
+        .alias("embedding"),
+    )
+    day1 = semdedup_incremental(kept0, batch, centroids, threshold=0.99)
+    n1 = day1.count()
+    assert n1 < 0.1 * e.count()  # almost all replicas pruned
+    appended = kept0.unionByName(day1)
+    redelivered = semdedup_incremental(appended, batch, centroids, threshold=0.99)
+    assert redelivered.count() == 0
