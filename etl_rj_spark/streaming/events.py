@@ -102,3 +102,67 @@ def view_purchase_stream_join(
         ),
         "inner",
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def view_purchase_stream_join_outer(
+    events: DataFrame, max_gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — with
+    its purchase when one arrives inside the gap, or with NULL
+    purchase columns once the watermark passes view_ts + gap and the
+    state store can prove no match will come. The null row is the
+    'abandoned view' signal a funnel pipeline wants, and its emission
+    TIME is a state-eviction semantic: it cannot appear before the
+    watermark closes the interval (pinned in tests/test_streaming)."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {max_gap_minutes} MINUTES"
+        ),
+        "left_outer",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def stream_enrich_with_dim(
+    stream: DataFrame,
+    dim_path: str,
+    out_path: str,
+    checkpoint: str,
+    key: str = "user_id",
+) -> StreamingQuery:
+    """Stream-static enrichment with per-BATCH dim refresh: each
+    micro-batch re-reads the dimension table from ``dim_path`` inside
+    foreachBatch, so a dim updated between batches enriches later
+    batches with the NEW values — the slowly-changing-dimension
+    posture a long-running stream needs. (A static DataFrame captured
+    at stream definition would pin the dim's file listing instead;
+    the explicit per-batch read makes the refresh contract visible
+    and testable.)"""
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        batch_df.join(F.broadcast(dim), key, "left").write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

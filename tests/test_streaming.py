@@ -465,3 +465,83 @@ def test_stream_hll_partials_null_day_partition_survives(spark, tmp_path):
     # 8 distinct users across the two null-day batches; HLL is exact
     # at this cardinality
     assert row.approx_distinct == 8.0
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """An unmatched view must emit (view, NULL purchase) only AFTER the
+    watermark passes view_ts + gap; a matched view emits its purchase."""
+    import datetime
+
+    from etl_rj_spark.streaming.events import view_purchase_stream_join_outer
+
+    src = tmp_path / "outer_in"
+    src.mkdir()
+    ts = lambda s: int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1e9)  # noqa: E731
+    cols = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: one view that WILL match, one that won't
+    write_batch("b1", [(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+                       (2, ts("2024-01-01 10:00:00"), 2, "view", 1.0, "{}"),
+                       (3, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0, "{}")])
+
+    stream = read_event_stream(spark, str(src / "*"))
+    joined = view_purchase_stream_join_outer(stream, max_gap_minutes=30,
+                                             watermark="10 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_outer")).start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {(r.view_id, r.purchase_id)
+               for r in spark.sql("SELECT * FROM outer_out").collect()}
+        # user 2's view cannot have emitted a null row yet: the
+        # watermark has not passed view_ts + gap
+        assert (2, None) not in mid
+        # batch 2: advance event time far past the interval + watermark
+        write_batch("b2", [(9, ts("2024-01-01 13:00:00"), 9, "view", 1.0, "{}")])
+        q.processAllAvailable()
+        # one more batch so the state store finalizes evictions
+        write_batch("b3", [(10, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.view_id, r.purchase_id)
+           for r in spark.sql("SELECT * FROM outer_out").collect()}
+    assert (1, 3) in got          # matched inside the gap
+    assert (2, None) in got       # unmatched: null row after eviction
+
+
+def test_stream_enrich_refreshes_dim_between_drains(spark, tmp_path):
+    """The per-batch dim re-read must pick up a dimension UPDATE
+    between drains sharing one checkpoint: rows ingested after the
+    update are enriched with the new value."""
+    from etl_rj_spark.streaming.events import stream_enrich_with_dim
+
+    ink, dimp = str(tmp_path / "in"), str(tmp_path / "dim")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    cols = "event_id long, user_id long"
+    spark.createDataFrame([(1, 7)], cols).coalesce(1).write.mode("append").parquet(ink)
+    spark.createDataFrame([(7, "old")], "user_id long, zone string").write.mode(
+        "overwrite"
+    ).parquet(dimp)
+
+    schema = spark.read.parquet(ink).schema
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(ink)
+        stream_enrich_with_dim(stream, dimp, out, ck).awaitTermination()
+
+    drain()
+    # dim UPDATE + a second event, then a second drain on the same ck
+    spark.createDataFrame([(7, "new")], "user_id long, zone string").write.mode(
+        "overwrite"
+    ).parquet(dimp)
+    spark.createDataFrame([(2, 7)], cols).coalesce(1).write.mode("append").parquet(ink)
+    drain()
+
+    got = {(r.event_id, r.zone) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "old"), (2, "new")}
