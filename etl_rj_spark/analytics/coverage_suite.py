@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_rj_spark.analytics.suite import _q, _t
 from etl_rj_spark.operators.filters import drop_leading_rows
+from etl_rj_spark.streaming.sketches import HLL_REL_TOL
 from etl_rj_spark.operators.projection import (
     first_present_column,
     rename_map,
@@ -523,7 +524,7 @@ def stream_hll_maintenance(spark, sf_dir):
             (F.col("approx_distinct") == F.col("__direct")).cast("int")
             .alias("stream_matches_batch"),
             (F.abs(F.col("approx_distinct") - F.col("exact_users"))
-             <= 0.05 * F.col("exact_users")).cast("int").alias("estimate_ok"),
+             <= HLL_REL_TOL * F.col("exact_users")).cast("int").alias("estimate_ok"),
         )
         .orderBy("event_type")
     )

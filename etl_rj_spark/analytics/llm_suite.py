@@ -1115,6 +1115,73 @@ def _scaled_docs(spark, sf_dir, copies: int):
     )
 
 
+#: Replica-id offset shared by the scaled self-asserting contracts.
+_REPLICA_BASE = 1000000
+
+
+def _base(c):
+    return F.col(c) % _REPLICA_BASE
+
+
+def _within_base_expected(values_by_base, pair_pred):
+    """Exact within-base-group pair count for the scaled contracts:
+    ``values_by_base`` is (__base, __val) — one row per replica — and
+    ``pair_pred(x, y) -> Column[bool]`` is the similarity predicate.
+    ONE shuffle groups the ~25 values per base, then all C(n,2)
+    predicates evaluate row-locally with higher-order functions — no
+    pairwise join carrying arrays (that shape cost as much as the
+    path being checked). Returns a 1-row frame
+    (n_within_base_expected). THE shared machinery of
+    minhash_lsh_pairs_scaled and embedding_near_pairs_lsh_scaled —
+    a fix here reaches both contracts."""
+    m = F.col("ms")
+    n = F.size(m)
+    pair_flags = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n.cast("long")),
+                    lambda j: pair_pred(
+                        F.element_at(m, i.cast("int")), F.element_at(m, j.cast("int"))
+                    ).cast("long"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        values_by_base.groupBy("__base")
+        .agg(F.collect_list("__val").alias("ms"))
+        .select(
+            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
+        )
+        .agg(F.sum("c").alias("n_within_base_expected"))
+    )
+
+
+def _recall_contract(pairs, expected, min_frac, name):
+    """(n_pairs, n_within_base, n_within_base_expected, recall_check)
+    with ``assert_true`` turning a violation into a query ERROR: found
+    ≤ expected EXACTLY (every emitted pair is similarity-verified, so
+    a within-base surplus means a broken verifier) and found ≥
+    ``min_frac`` of expected."""
+    got = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((_base("id_a") == _base("id_b")).cast("long")).alias("n_within_base"),
+    )
+    n, exp = F.col("n_within_base"), F.col("n_within_base_expected")
+    return got.crossJoin(expected).select(
+        "n_pairs",
+        "n_within_base",
+        "n_within_base_expected",
+        F.assert_true(
+            (n <= exp) & (n >= F.ceil(exp * min_frac)),
+            F.lit(f"{name}: within-base recall/precision regression"),
+        ).cast("string").alias("recall_check"),
+    )
+
+
 @_q("minhash_lsh_pairs_scaled", None, bench=True, tags=("dedup-minhash-lsh", "bench-scale"))
 def minhash_lsh_pairs_scaled(spark, sf_dir):
     """MinHash+LSH dedup over a 25×-replicated corpus (12.5k docs,
@@ -1151,59 +1218,19 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
         num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True,
         shingle_hashes_df=hashes,
     )
-    base = lambda c: F.col(c) % 1000000  # noqa: E731 — replica id offset
-    got = pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum((base("id_a") == base("id_b")).cast("long")).alias("n_within_base"),
-    )
-    # exact within-base truth: ONE shuffle of the 25 shingle sets per
-    # base group, then all C(25,2) Jaccards evaluated row-locally with
-    # higher-order functions — no pairwise join carrying arrays (that
-    # shape cost as much as the LSH path it was checking)
-    sets = hashes.select(
-        base("doc_id").alias("__base"),
-        F.array_distinct("__h").alias("__set"),
-    )
-    m = F.col("ms")
-    n = F.size(m)
-
+    # exact within-base truth from the SAME persisted hash pass
     def jacc_ge(x, y):
         i = F.size(F.array_intersect(x, y)).cast("double")
         u = (F.size(x) + F.size(y)).cast("double") - i
-        return (i / u >= 0.8).cast("long")
+        return i / u >= 0.8
 
-    pair_flags = F.when(
-        n >= 2,
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n.cast("long")),
-                    lambda j: jacc_ge(
-                        F.element_at(m, i.cast("int")), F.element_at(m, j.cast("int"))
-                    ),
-                ),
-            )
+    expected = _within_base_expected(
+        hashes.select(
+            _base("doc_id").alias("__base"), F.array_distinct("__h").alias("__val")
         ),
-    ).otherwise(F.array().cast("array<long>"))
-    expected = (
-        sets.groupBy("__base")
-        .agg(F.collect_list("__set").alias("ms"))
-        .select(
-            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
-        )
-        .agg(F.sum("c").alias("n_within_base_expected"))
+        jacc_ge,
     )
-    n, exp = F.col("n_within_base"), F.col("n_within_base_expected")
-    return got.crossJoin(expected).select(
-        "n_pairs",
-        "n_within_base",
-        "n_within_base_expected",
-        F.assert_true(
-            (n <= exp) & (n >= F.ceil(exp * 0.9999)),
-            F.lit("minhash_lsh_pairs_scaled: within-base recall/precision regression"),
-        ).cast("string").alias("recall_check"),
-    )
+    return _recall_contract(pairs, expected, 0.9999, "minhash_lsh_pairs_scaled")
 
 
 @_q(
@@ -1534,55 +1561,12 @@ def embedding_near_pairs_lsh_scaled(spark, sf_dir):
     # table's bucket with prob ≈ bits·θ/π ≈ 1 %, and 8 independent
     # tables drive the joint miss to ~1e-16 — recall stays ~1.
     pairs = cosine_near_pairs_lsh(corpus, threshold=0.99, dim=64, bits=8)
-    base = lambda c: F.col(c) % 1000000  # noqa: E731 — replica id offset
-    got = pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum((base("id_a") == base("id_b")).cast("long")).alias("n_within_base"),
+    # exact within-base truth: all C(20,2) cosines per base group
+    expected = _within_base_expected(
+        corpus.select(_base("vec_id").alias("__base"), F.col("embedding").alias("__val")),
+        lambda x, y: F.round(cosine(x, y), 9) >= 0.99,
     )
-    # exact within-base truth: ONE shuffle of 20 vectors per base
-    # group, then all C(20,2) cosines evaluated row-locally
-    m = F.col("ms")
-    n = F.size(m)
-    pair_flags = F.when(
-        n >= 2,
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n.cast("long")),
-                    lambda j: (
-                        F.round(
-                            cosine(
-                                F.element_at(m, i.cast("int")),
-                                F.element_at(m, j.cast("int")),
-                            ),
-                            9,
-                        )
-                        >= 0.99
-                    ).cast("long"),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    expected = (
-        corpus.select(base("vec_id").alias("__base"), F.col("embedding"))
-        .groupBy("__base")
-        .agg(F.collect_list("embedding").alias("ms"))
-        .select(
-            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
-        )
-        .agg(F.sum("c").alias("n_within_base_expected"))
-    )
-    nw, exp = F.col("n_within_base"), F.col("n_within_base_expected")
-    return got.crossJoin(expected).select(
-        "n_pairs",
-        "n_within_base",
-        "n_within_base_expected",
-        F.assert_true(
-            (nw <= exp) & (nw >= F.ceil(exp * 0.99)),
-            F.lit("embedding_near_pairs_lsh_scaled: within-base recall/precision regression"),
-        ).cast("string").alias("recall_check"),
-    )
+    return _recall_contract(pairs, expected, 0.99, "embedding_near_pairs_lsh_scaled")
 
 
 # --- multimodal plumbing ---------------------------------------------------

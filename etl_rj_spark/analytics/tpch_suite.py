@@ -16,6 +16,7 @@ from etl_rj_spark.analytics.suite import _msum, _q, _t
 from etl_rj_spark.functions import norm_upper, recode_values
 from etl_rj_spark.operators.aggregates import money_sum
 from etl_rj_spark.operators.joins import dim_lookup
+from etl_rj_spark.streaming.sketches import HLL_REL_TOL
 
 
 @_q(
@@ -461,8 +462,9 @@ def hll_sketch_rollup(spark, sf_dir):
     takes the per-register max, so the merged sketch is BIT-IDENTICAL
     to a single-pass sketch over the union — ``merge_is_lossless``
     pins merged estimate == direct whole-group estimate exactly, and
-    ``estimate_ok`` pins the estimate within 3×rsd(lgK=12 ≈ 1.6 %) of
-    the exact distinct count computed in the same query. The oracle
+    ``estimate_ok`` pins the estimate within HLL_REL_TOL = 3 × rsd,
+    where rsd(lgK=12) ≈ 1.6 % — so a 5 % bound — of the exact distinct
+    count computed in the same query. The oracle
     pins both flags to literal 1 beside the exact counts."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -483,7 +485,7 @@ def hll_sketch_rollup(spark, sf_dir):
             (F.col("__merged") == F.col("__direct")).cast("int")
             .alias("merge_is_lossless"),
             (F.abs(F.col("__merged") - F.col("exact_users"))
-             <= 0.05 * F.col("exact_users")).cast("int").alias("estimate_ok"),
+             <= HLL_REL_TOL * F.col("exact_users")).cast("int").alias("estimate_ok"),
         )
         .orderBy("event_type")
     )

@@ -219,19 +219,28 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             ids, idxs, fmd5, reason = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if is_riff_avi(b):
-                    frames = parse_avi_frames(b)
-                    for i in range(0, len(frames), every_n):
-                        ids.append(doc_id)
-                        idxs.append(i)
-                        fmd5.append(hashlib.md5(frames[i]).hexdigest())
-                        reason.append(None)
-                else:
+                def skip(why: str) -> None:
                     ids.append(doc_id)
                     idxs.append(None)
                     fmd5.append(None)
-                    reason.append("not_riff_avi")
+                    reason.append(why)
+
+                if payload is None:  # bytes(None) would kill the task
+                    skip("null_payload")
+                    continue
+                b = bytes(payload)
+                if not is_riff_avi(b):
+                    skip("not_riff_avi")
+                    continue
+                frames = parse_avi_frames(b)
+                if not frames:  # valid but frame-less container: the
+                    skip("no_frames")  # doc must stay visible downstream
+                    continue
+                for i in range(0, len(frames), every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fmd5.append(hashlib.md5(frames[i]).hexdigest())
+                    reason.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

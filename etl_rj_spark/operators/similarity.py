@@ -99,14 +99,22 @@ def project_embeddings(
     if round_digits is not None:
         out = F.transform(out, lambda x: F.round(x, round_digits))
     # a wrong-length vector would zip_with-pad with NULLs and yield an
-    # all-NULL projection silently — error at the projection site instead
-    out = F.when(F.size(_c(vec_col)) == in_dim, out).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"project_embeddings: expected {in_dim}-dim vector, got "),
-                F.size(_c(vec_col)).cast("string"),
-            )
-        ).cast("array<double>")
+    # all-NULL projection silently — error at the projection site
+    # instead. A NULL vector passes through as a NULL projection (the
+    # null-flows-through posture of the other embedding ops): without
+    # the explicit isNull arm, size(NULL)=NULL falls into the error
+    # branch and aborts the job with a NULL message.
+    out = (
+        F.when(_c(vec_col).isNull(), F.lit(None).cast("array<double>"))
+        .when(F.size(_c(vec_col)) == in_dim, out)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"project_embeddings: expected {in_dim}-dim vector, got "),
+                    F.size(_c(vec_col)).cast("string"),
+                )
+            ).cast("array<double>")
+        )
     )
     return df.withColumn(out_col, out)
 

@@ -278,6 +278,13 @@ def minhash_lsh_dedup_pairs(
                 "at-scale path — silently ignoring the quadratic-blow-up "
                 "guard would defeat its purpose"
             )
+        if shingle_hashes_df is not None:
+            raise ValueError(
+                "shingle_hashes_df is only consumed on the hashed_sets=True "
+                "path — the md5-string path would silently re-shingle from "
+                "text and ignore the caller's hash pass (breaking the "
+                "one-hash-pass-feeds-both-consumers contract)"
+            )
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
         return jaccard_on_pairs(
             pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n

@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+#: Shared relative-error bound for the lgK=12 HLL contract checks:
+#: rsd(lgK=12) = 1.04/sqrt(2^12) ~= 1.6 %, and the contracts pin the
+#: estimate within 3 x rsd ~= 4.9 % (rounded up to 5 %). ONE constant
+#: so the batch rollup, the streaming fold, and the tests cannot drift.
+HLL_REL_TOL = 0.05
+
 
 def sketch_batch(
     df: DataFrame,

@@ -226,3 +226,37 @@ def test_audio_stats_quarantines_null_and_truncated(spark):
     assert by_id[1].skip_reason is None and by_id[1].n_samples == 2
     assert by_id[2].skip_reason == "not_riff_wave"
     assert by_id[3].skip_reason == "not_riff_wave"
+
+
+def test_sample_frames_quarantines_null_and_empty_avi(spark):
+    """Null payloads and structurally valid but frame-less AVIs must
+    each emit exactly one quarantine row — neither a task crash
+    (bytes(None)) nor a silent disappearance of the doc."""
+    from etl_rj_spark.functions.riff import build_avi
+    from etl_rj_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(
+        spark.createDataFrame(
+            [(1, build_avi([b"f0", b"f1"])), (2, None), (3, build_avi([]))],
+            "doc_id long, payload binary",
+        ),
+        every_n=1,
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert len(by_id[1]) == 2 and all(r.skip_reason is None for r in by_id[1])
+    assert [r.skip_reason for r in by_id[2]] == ["null_payload"]
+    assert [r.skip_reason for r in by_id[3]] == ["no_frames"]
+
+
+def test_project_embeddings_null_vector_passes_through(spark):
+    from etl_rj_spark.operators.similarity import project_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = project_embeddings(df, "embedding", in_dim=8, out_dim=2)
+    got = {r.vec_id: r.proj for r in out.collect()}
+    assert got[2] is None and got[1] is not None

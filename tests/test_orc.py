@@ -16,6 +16,7 @@ from etl_rj_spark.sources.columnar import (
     write_orc,
 )
 from etl_rj_spark.sources.parquet import read_parquet_table
+from etl_rj_spark.streaming.sketches import HLL_REL_TOL
 
 
 @pytest.fixture(scope="module")
@@ -86,7 +87,7 @@ def test_hll_union_matches_single_pass(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.est_merged == r.est_direct
-        assert abs(r.est_merged - r.exact) <= 0.05 * r.exact
+        assert abs(r.est_merged - r.exact) <= HLL_REL_TOL * r.exact
 
 
 def test_orc_ntz_normalized_at_boundary(spark, tmp_path):
