@@ -65,6 +65,8 @@ _PRIORITY = [
     "minhash_lsh_pairs_scaled",  # self-asserting since r5 (×25-replica contract)
     "cosine_topk_scaled",
     # -- NEW round-6 queries (insert here as they land) ---------------
+    "xml_feed_roundtrip",      # NEW r6: Spark 4 native XML feed + dead-letter
+    "xml_column_extract",      # NEW r6: to_xml/from_xml in-plan kernels
     # -- canaries: r5-new contracts + one per long-green §2 family ----
     "avi_frame_sampling",
     "minhash_index_probe",
@@ -81,9 +83,9 @@ _PRIORITY = [
     "merge_upsert_orders",
     "fuzzy_name_best_match",
     "rolling_7day_revenue",
+    # ---- 50-query driver prefix ends here ----
     "jsonl_shard_export",
     "multimodal_meta",
-    # ---- 50-query driver prefix ends here ----
 ]
 
 

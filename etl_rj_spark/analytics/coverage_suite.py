@@ -358,6 +358,83 @@ def orc_events_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "xml_feed_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    tags=("xml", "source", "sink", "quarantine"),
+)
+def xml_feed_roundtrip(spark, sf_dir):
+    """XML interchange roundtrip (sources/xml.py — Spark 4 native XML
+    datasource): an orders slice → XML feed files → schema'd
+    PERMISSIVE read-back with a hand-broken element proving the
+    dead-letter split. Doubles survive textually (Java shortest
+    round-trip repr), dates as ISO — lossless, so the oracle is the
+    table. The edge-feed posture (XML lands, normalizes to columnar
+    once) is documented on the module."""
+    from etl_rj_spark.sources.jsonl import quarantine_corrupt
+    from etl_rj_spark.sources.xml import read_xml, write_xml
+
+    d = _scratch("xml_feed")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    write_xml(
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(*cols[:4], F.col("o_orderdate").cast("date"), cols[5]),
+        d,
+        row_tag="order",
+        root_tag="orders",
+    )
+    # a malformed partner drop beside the good shards: number where a
+    # long belongs — must quarantine whole, not poison the read
+    with open(os.path.join(d, "broken.xml"), "w") as f:
+        f.write("<orders><order><o_orderkey>oops</o_orderkey>"
+                "<o_orderstatus>Z</o_orderstatus></order></orders>")
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string"
+    )
+    good, bad = quarantine_corrupt(
+        read_xml(spark, d, row_tag="order", schema=schema)
+    )
+    assert bad.count() == 1  # the broken element, whole, in quarantine
+    return good.select(*cols)
+
+
+@_q(
+    "xml_column_extract",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("xml", "kernel"),
+)
+def xml_column_extract(spark, sf_dir):
+    """Column-level XML kernels (sources/xml.py): pack each nation row
+    into an XML fragment with ``to_xml`` and parse it back with
+    ``from_xml`` — both JVM-side expressions, zero Python in the
+    plan. Entity escaping makes the in-plan roundtrip exact for
+    arbitrary comment text, so the oracle is the table. The pattern is
+    the scale path for XML-bearing columns inside an otherwise
+    columnar lake (parse once, extract fields, drop the blob)."""
+    from etl_rj_spark.sources.xml import xml_encode, xml_extract
+
+    frag = _t(spark, sf_dir, "nation").select(
+        xml_encode(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("xml_frag")
+    )
+    parsed = frag.select(
+        xml_extract(
+            "xml_frag", "n_nationkey int, n_name string, n_regionkey int"
+        ).alias("r")
+    )
+    return parsed.select("r.n_nationkey", "r.n_name", "r.n_regionkey")
+
+
+@_q(
     "s4_excel_named_tables_roundtrip",
     """
     SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,
