@@ -303,3 +303,61 @@ def embedding_int8_quantized(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+_CHUNK_EDGE_ROWS = (
+    "SELECT 1000001 AS doc_id, '' AS text "
+    "UNION ALL SELECT 1000002, NULL "
+    "UNION ALL SELECT 1000003, repeat('x', 64) "
+    "UNION ALL SELECT 1000004, repeat('x', 65) "
+    "UNION ALL SELECT 1000005, 'añé€中文-' || repeat('y', 60)"
+)
+
+
+@_q(
+    "doc_chunk_windows",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 2000
+      UNION ALL {_CHUNK_EDGE_ROWS}
+    ),
+    cnt AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                  WHEN length(text) <= 64 THEN 1
+                  ELSE (length(text) - 64 + 47) // 48 + 1 END AS nc
+      FROM corpus
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 48 AS BIGINT) AS chunk_start,
+           substr(text, CAST(i * 48 + 1 AS INTEGER), 64) AS chunk_text
+    FROM (SELECT doc_id, text, unnest(range(nc)) AS i FROM cnt)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("curation", "chunking", "context-window"),
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Context-window chunking: every document split into 64-char
+    windows with stride 48 (overlap 16) via ``chunk_windows`` — the
+    pre-tokenization slicing step of a training pipeline. The corpus
+    adds edge documents (empty, NULL, exactly-size, size+1, and
+    multibyte text) so the oracle pins the boundary chunk count and
+    character (not byte) offsets."""
+    from etl_rj_spark.operators.curation import chunk_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 2000
+    )
+    edges = spark.createDataFrame(
+        [
+            (1000001, ""),
+            (1000002, None),
+            (1000003, "x" * 64),
+            (1000004, "x" * 65),
+            (1000005, "añé€中文-" + "y" * 60),
+        ],
+        "doc_id long, text string",
+    )
+    return chunk_windows(
+        docs.unionByName(edges), "doc_id", "text", size=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")

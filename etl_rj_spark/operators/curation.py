@@ -174,3 +174,54 @@ def hash_threshold_resample(
         .select(*df.columns)
     )
     return trimmed.unionByName(capless).unionByName(null_grouped)
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Fixed-size overlapping character windows over a text column —
+    the context-window preparation step of a training pipeline (each
+    document becomes chunks of up to ``size`` chars starting every
+    ``stride`` chars; the tail chunk may be short; empty/NULL text
+    yields zero chunks).
+
+    Chunk count per doc: ``1 + ceil((len - size) / stride)`` for
+    ``len > size``, else ``1`` (``0`` for empty/NULL). All counting is
+    exact int64 (``div``, never float division), so a boundary-length
+    document can't gain or lose a chunk to a ulp.
+
+    Output: ``(id_col, chunk_idx, chunk_start, chunk_text)`` with
+    ``chunk_start`` the 0-based char offset.
+
+    Scale: pure narrow expression work — ``sequence`` + ``transform``
+    + ``inline`` in the scan stage, no shuffle, no UDF; the ~len/stride
+    output rows per doc are generated executor-side, so a 100 TB corpus
+    chunks at scan throughput and the fan-out never converges on the
+    driver.
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    txt = F.col(text_col).cast("string")
+    tagged = df.withColumn("__len", F.length(txt))
+    n_chunks = (
+        F.when(txt.isNull() | (F.col("__len") == 0), F.lit(0))
+        .when(F.col("__len") <= size, F.lit(1))
+        .otherwise(F.expr(f"(__len - {size} + {stride - 1}) div {stride}") + F.lit(1))
+        .cast("int")
+    )
+    mk = lambda i: F.struct(  # noqa: E731
+        i.cast("int").alias("chunk_idx"),
+        (i.cast("long") * stride).alias("chunk_start"),
+        F.substr(txt, i.cast("int") * stride + 1, F.lit(size)).alias("chunk_text"),
+    )
+    # sequence(0, -1) would yield a DESCENDING [0, -1]; gate on n > 0.
+    empty = F.array().cast("array<struct<chunk_idx:int,chunk_start:bigint,chunk_text:string>>")
+    chunks = F.when(
+        n_chunks > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), mk)
+    ).otherwise(empty)
+    return tagged.select(id_col, F.inline(chunks))

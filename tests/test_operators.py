@@ -133,3 +133,45 @@ def test_incremental_near_dup_probes_index_without_corpus_rescan(spark):
     assert (100, 102) in pairs                          # new x new
     assert all(a >= 100 or b >= 100 for a, b in pairs)  # no old x old re-report
     assert not any(101 in p for p in pairs)             # unrelated stays clean
+
+
+class TestChunkWindows:
+    def test_boundary_chunk_counts_and_offsets(self, spark):
+        from etl_rj_spark.operators.curation import chunk_windows
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, ""), (3, None), (4, "abc"), (5, "abcd"), (6, "abcde")],
+            "id long, text string",
+        )
+        rows = (
+            chunk_windows(df, "id", "text", size=4, stride=3)
+            .orderBy("id", "chunk_idx")
+            .collect()
+        )
+        got = [(r.id, r.chunk_idx, r.chunk_start, r.chunk_text) for r in rows]
+        assert got == [
+            (1, 0, 0, "abcd"),  # len 10 -> 1 + ceil(6/3) = 3 chunks
+            (1, 1, 3, "defg"),
+            (1, 2, 6, "ghij"),
+            (4, 0, 0, "abc"),   # short doc: single (short) chunk
+            (5, 0, 0, "abcd"),  # exactly size: single chunk, no empty tail
+            (6, 0, 0, "abcd"),  # size+1: tail chunk is the 1-char overflow window
+            (6, 1, 3, "de"),
+        ]
+        # empty (2) and NULL (3) docs vanish entirely
+
+    def test_rejects_bad_stride(self, spark):
+        from etl_rj_spark.operators.curation import chunk_windows
+
+        df = spark.range(1).withColumn("text", F.lit("x"))
+        with pytest.raises(ValueError, match="stride"):
+            chunk_windows(df, "id", "text", size=4, stride=5)
+        with pytest.raises(ValueError, match="stride"):
+            chunk_windows(df, "id", "text", size=4, stride=0)
+
+    def test_no_shuffle_in_plan(self, spark):
+        from etl_rj_spark.operators.curation import chunk_windows
+
+        df = spark.range(10).withColumn("text", F.lit("y" * 200))
+        plan = chunk_windows(df, "id", "text", size=64, stride=48)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
