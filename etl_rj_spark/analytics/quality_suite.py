@@ -361,3 +361,67 @@ def doc_chunk_windows(spark, sf_dir):
     return chunk_windows(
         docs.unionByName(edges), "doc_id", "text", size=64, stride=48
     ).orderBy("doc_id", "chunk_idx")
+
+
+@_q(
+    "unigram_rarity_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.token FROM documents,
+             UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * ((n.n * 1000000) // vocab.c)) // SUM(tf.tf) AS BIGINT)
+             AS mean_rarity_ppm,
+           CAST(MAX((n.n * 1000000) // vocab.c) AS BIGINT) AS max_rarity_ppm
+    FROM tf JOIN vocab USING (token) CROSS JOIN n
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+    tags=("text-analysis", "lm-score", "quality-filter"),
+)
+def unigram_rarity_score(spark, sf_dir):
+    """Unigram language-model scoring of each document against the
+    corpus's own token distribution — the KenLM-perplexity-filter
+    stand-in of a curation pipeline (docs whose tokens are globally
+    rare score high → candidates for quality review). Rarity is the
+    scaled-integer inverse frequency ``(N*1e6) div count`` rather than
+    ``-ln(count/N)``: integer arithmetic is bit-identical across
+    engines where ``ln`` could differ in the last ulp (same contract
+    rationale as ``tfidf_top_terms``); the monotone mapping preserves
+    every ranking a log-space filter would make.
+
+    Scale: the token stream is reduced to (doc, token, tf) by one
+    map-side-combinable aggregate before anything joins; the vocab
+    join keys on token over that reduced stream (per-token row count
+    bounded by doc frequency — AQE splits any residual head-word
+    skew), and the corpus total broadcasts as one row. Worst-case
+    products stay under int64 up to ~10^12 total tokens; past that,
+    swap the ppm scale for ``total div c`` odds or DECIMAL(38,0) —
+    noted here so the 100 TB reader doesn't have to rediscover it."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    rarity = (
+        vocab.join(F.broadcast(total))
+        .withColumn("rarity_ppm", F.expr("(n * CAST(1000000 AS BIGINT)) div c"))
+        .select("token", "rarity_ppm")
+    )
+    return (
+        tf.join(rarity, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.expr("sum(tf * rarity_ppm) div sum(tf)").alias("mean_rarity_ppm"),
+            F.max("rarity_ppm").alias("max_rarity_ppm"),
+        )
+        .orderBy("doc_id")
+    )

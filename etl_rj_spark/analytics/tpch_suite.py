@@ -555,3 +555,72 @@ def ntile_acctbal_quartiles(spark, sf_dir):
         .agg(F.count("*").alias("n"), money_sum("c_acctbal").alias("bal_sum"))
         .orderBy("quartile")
     )
+
+
+@_q(
+    "kll_quantile_rollup",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS sketch_n,
+           1 AS n_lossless, 1 AS median_rank_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("approx-sketch", "mergeable", "quantile", "incremental"),
+)
+def kll_quantile_rollup(spark, sf_dir):
+    """MERGEABLE quantile sketches — the profiling posture
+    ``percentile_approx`` cannot persist: per-(priority, order-date)
+    DataSketches KLL sketches of o_totalprice (the shape a daily job
+    would store beside each partition) are pairwise-merged to priority
+    level with ``kll_sketch_merge_double`` folded over the collected
+    per-day sketches, so a new day merges in O(sketch) without
+    rescanning history. Per-group sketch count is bounded by distinct
+    days (~2.4k), each ≤ ~2 KB at k=200 — the collect_list stays a few
+    MB however large the fact table grows.
+
+    Contract (driver-visible, engine-independent): KLL tracks the
+    stream length EXACTLY and merge sums it, so ``n_lossless`` pins
+    sketch n == COUNT(*); the merged median estimate's true rank —
+    recomputed against the raw data in the same query — must sit
+    within 0.5 ± 0.04 (k=200 ⇒ normalized rank error ≈1.65 % at 99 %
+    confidence; 0.04 ≈ 2.4×). The oracle pins both flags to literal 1
+    beside the exact group counts."""
+    ord_ = _t(spark, sf_dir, "orders")
+    val = F.col("o_totalprice").cast("double")
+    daily = ord_.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.kll_sketch_agg_double(val.alias("v"), F.lit(200)).alias("__sk")
+    )
+    merged = (
+        daily.groupBy("o_orderpriority")
+        .agg(F.collect_list("__sk").alias("__sks"))
+        .select(
+            "o_orderpriority",
+            F.aggregate(
+                F.slice("__sks", 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
+                F.element_at("__sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("__msk"),
+        )
+        .select(
+            "o_orderpriority",
+            F.kll_sketch_get_n_double("__msk").alias("sketch_n"),
+            F.kll_sketch_get_quantile_double("__msk", F.lit(0.5)).alias("__med_est"),
+        )
+    )
+    exact = ord_.join(F.broadcast(merged), "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.first("sketch_n").alias("sketch_n"),
+        F.sum((val <= F.col("__med_est")).cast("long")).alias("__le_est"),
+    )
+    return (
+        exact.select(
+            "o_orderpriority", "n_orders", "sketch_n",
+            (F.col("sketch_n") == F.col("n_orders")).cast("int").alias("n_lossless"),
+            (
+                F.abs(F.col("__le_est") / F.col("n_orders") - 0.5) <= 0.04
+            ).cast("int").alias("median_rank_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
