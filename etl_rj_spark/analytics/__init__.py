@@ -88,6 +88,7 @@ _PRIORITY = [
     "variant_props_extract",           # Spark 4 VARIANT parse-once extraction
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 6: the remaining never-checked queries ------
+    "accent_fold_kernel",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

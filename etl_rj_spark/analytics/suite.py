@@ -941,3 +941,49 @@ def unpivot_flag_measures(spark, sf_dir):
     return base.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value"
     )
+
+
+_ACCENTED_NAME = (
+    "replace(replace(replace(replace(lower(c_name), 'a', 'á'), 'e', 'é'),"
+    " 'o', 'ö'), 'n', 'ñ') || ' & cía.'"
+)
+
+@_q(
+    "accent_fold_kernel",
+    rf"""
+    SELECT c_custkey, {_ACCENTED_NAME} AS dirty,
+           trim(regexp_replace(regexp_replace(
+                lower(trim(strip_accents({_ACCENTED_NAME}))),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS folded_clean
+    FROM customer
+    """,
+    tags=("X3-extension", "accent-fold"),
+)
+def accent_fold_kernel(spark, sf_dir):
+    """Accent-insensitive name normalization: ``fold_accents`` ∘
+    ``clean_customer_name`` over names accented in-query — the rescue
+    for the reference's exact-match dim joins, which silently drop
+    'Muñoz'/'Munoz' style variants (the unmapped-client defect,
+    cartera.py:121-126). The fold is a fixed translate table, so the
+    DuckDB ``strip_accents`` oracle agrees exactly on this domain."""
+    from etl_rj_spark.functions.strings import fold_accents
+
+    c = _t(spark, sf_dir, "customer")
+    dirty = F.concat(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.lower("c_name"), F.lit("a"), F.lit("á")),
+                    F.lit("e"), F.lit("é"),
+                ),
+                F.lit("o"), F.lit("ö"),
+            ),
+            F.lit("n"), F.lit("ñ"),
+        ),
+        F.lit(" & cía."),
+    )
+    return c.select(
+        "c_custkey",
+        dirty.alias("dirty"),
+        clean_customer_name(fold_accents(dirty)).alias("folded_clean"),
+    )

@@ -73,3 +73,22 @@ def truncate(c: Column | str, width: int) -> Column:
     """X7 — substring truncation to field width (pending_orders.py:146,149)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.substring(col, 1, width)
+
+
+#: Latin accent fold map (both cases, applied char-for-char). A fixed
+#: table, never locale/ICU collation: the reference's exact-match name
+#: joins (cartera.py:121-122) silently drop accented variants of the
+#: same customer — folding must behave identically on every engine and
+#: JVM locale, so it is data, not library behavior (same rationale as
+#: the D8 month-name recode table, wor2.py:65-76).
+_ACCENT_SRC = "áàâäãåÁÀÂÄÃÅéèêëÉÈÊËíìîïÍÌÎÏóòôöõÓÒÔÖÕúùûüÚÙÛÜýÿÝçÇñÑ"
+_ACCENT_DST = "aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUyyYcCnN"
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+
+
+def fold_accents(c: Column | str) -> Column:
+    """Fold common Latin accents to ASCII (``translate`` — single-pass,
+    JVM-side, codegen-friendly). Composes with ``clean_customer_name``
+    to make the reference's dimension lookups accent-insensitive."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.translate(col.cast("string"), _ACCENT_SRC, _ACCENT_DST)
