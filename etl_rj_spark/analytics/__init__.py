@@ -89,6 +89,7 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 6: the remaining never-checked queries ------
     "accent_fold_kernel",
+    "pagerank_interaction_graph",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

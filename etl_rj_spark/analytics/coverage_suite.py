@@ -847,3 +847,66 @@ def load_stamp_kernel(spark, sf_dir):
     return r.select(
         "r_regionkey", F.year(F.current_date()).cast("int").alias("anio_carga")
     )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank oracle: same integer update, same
+    operation order, 5 CTE rounds instead of a loop."""
+    base = [
+        "WITH edges AS (",
+        "  SELECT DISTINCT user_id % 64 AS src,",
+        "         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT % 64 AS dst",
+        "  FROM events",
+        "  WHERE user_id % 64 <> ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT % 64",
+        "),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, 1000000000 // nn.n AS rank_ppb FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(5):
+        base.append(
+            f""", r{t + 1} AS (
+      SELECT n2.node,
+             (150000000 // nn.n) + COALESCE(c.s, 0) AS rank_ppb
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(((r.rank_ppb * 85) // 100) // o.deg) AS BIGINT) AS s
+        FROM edges e JOIN r{t} r ON e.src = r.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) c ON n2.node = c.node
+    )"""
+        )
+    base.append("SELECT node, rank_ppb FROM r5 ORDER BY rank_ppb DESC, node")
+    return "\n".join(base)
+
+
+@_q(
+    "pagerank_interaction_graph",
+    _pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_interaction_graph(spark, sf_dir):
+    """Integer PageRank over a 64-node interaction graph derived
+    deterministically from events (src = user bucket, dst = md5 bucket
+    of the event id — both engines derive identical edges). 5 power
+    iterations via ``pagerank_integer``; the oracle unrolls the same
+    integer recurrence in CTEs, so equality is exact, not
+    approximate."""
+    from etl_rj_spark.operators.components import pagerank_integer
+
+    ev = _t(spark, sf_dir, "events")
+    dst = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 64
+    )
+    edges = (
+        ev.select((F.col("user_id") % 64).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank_integer(edges, iterations=5).orderBy(
+        F.desc("rank_ppb"), "node"
+    )
