@@ -90,6 +90,8 @@ _PRIORITY = [
     # -- staged for round 6: the remaining never-checked queries ------
     "accent_fold_kernel",
     "pagerank_interaction_graph",
+    "cohort_retention",
+    "event_type_transitions",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -281,3 +281,112 @@ def funnel_conversion(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_converted_after_view"),
     )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, first_day - CAST((dayofweek(first_day) + 6) % 7 AS INTEGER) AS cohort_week
+      FROM firsts
+    )
+    SELECT c.cohort_week,
+           CAST((CAST(ts AS DATE)
+                 - CAST((dayofweek(CAST(ts AS DATE)) + 6) % 7 AS INTEGER)
+                 - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("cohort", "retention", "A3-generalized"),
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by the Monday-aligned week of
+    their first event; each cell counts distinct users from that
+    cohort active k weeks later — the standard product-analytics
+    retention triangle. Week alignment is explicit date arithmetic
+    (Monday epoch), identical in both engines, never locale-dependent
+    WEEK() parsing.
+
+    Scale: the first-touch table is one map-side-combinable MIN per
+    user; the join back is on user_id (dim-sized vs the fact — Spark
+    broadcasts when it fits); the triangle itself is a plain grouped
+    COUNT DISTINCT. No window over the raw stream."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    # Monday-aligned week start: day - ((dow + 6) % 7); Spark dayofweek
+    # is 1=Sunday..7=Saturday, same as DuckDB's dayofweek()+1 shift —
+    # both sides spell the shift out so the alignment is identical.
+    week = F.date_sub(day, ((F.dayofweek(day) + 5) % 7).cast("int"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    cohorts = firsts.select(
+        "user_id",
+        F.date_sub(
+            "first_day", ((F.dayofweek("first_day") + 5) % 7).cast("int")
+        ).alias("cohort_week"),
+    )
+    return (
+        ev.select("user_id", week.alias("event_week"))
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("event_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@_q(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS prob_ppm
+    FROM pairs ORDER BY prev_type, next_type
+    """,
+    tags=("markov", "transitions", "W1-generalized"),
+)
+def event_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    stream (LAG over (user, ts) — the W1 window generalized), with
+    integer row-normalized probabilities (ppm, exact div).
+
+    Scale: one shuffle for the per-user window, then the pair counts
+    are vocabulary-sized (|types|²) — the row-normalizing window runs
+    over a tiny frame. The per-user partitions are user-activity
+    bounded, the same posture sessionization already pins."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.expr("(n * CAST(1000000 AS BIGINT)) div sum(n) OVER (PARTITION BY prev_type)")
+        .cast("long").alias("prob_ppm"),
+    ).orderBy("prev_type", "next_type")
