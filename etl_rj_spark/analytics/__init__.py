@@ -92,6 +92,7 @@ _PRIORITY = [
     "pagerank_interaction_graph",
     "cohort_retention",
     "event_type_transitions",
+    "resample_epoch_upsample",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -425,3 +425,51 @@ def unigram_rarity_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
+_UP_DEFAULT = 1.0
+_UP_HMAX = 16 ** 13
+
+
+def _upsample_oracle() -> str:
+    """CASE arms share the operator's exact Python threshold ints."""
+    n_arms, t_arms = [], []
+    for g, w in _UP_WEIGHTS.items():
+        n_arms.append(f"WHEN source = '{g}' THEN {int(w)}")
+        t_arms.append(f"WHEN source = '{g}' THEN {int((w - int(w)) * _UP_HMAX)}")
+    n_case = "CASE " + " ".join(n_arms) + f" ELSE {int(_UP_DEFAULT)} END"
+    t_case = (
+        "CASE " + " ".join(t_arms)
+        + f" ELSE {int((_UP_DEFAULT - int(_UP_DEFAULT)) * _UP_HMAX)} END"
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             ({n_case})
+             + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'), 1, 13))::BIGINT
+                         < ({t_case}) THEN 1 ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(n)) AS INTEGER) AS epoch
+    FROM sized ORDER BY doc_id, epoch
+    """
+
+
+@_q(
+    "resample_epoch_upsample",
+    _upsample_oracle(),
+    tags=("curation", "data-mixture", "upsample"),
+)
+def resample_epoch_upsample(spark, sf_dir):
+    """Fractional epoch re-weighting of the source mix (src0×2.3,
+    src1×0.4, src2×3, src3 dropped, rest ×1) via ``epoch_upsample`` —
+    the upsampling half of data-mixture construction the cap-based
+    resamplers can't express. The oracle replays the identical integer
+    copy-count rule, so membership AND copy counts are exact."""
+    from etl_rj_spark.operators.curation import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(
+        docs, "source", "doc_id", _UP_WEIGHTS, default_weight=_UP_DEFAULT
+    ).orderBy("doc_id", "epoch")

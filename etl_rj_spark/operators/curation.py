@@ -225,3 +225,52 @@ def chunk_windows(
         n_chunks > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), mk)
     ).otherwise(empty)
     return tagged.select(id_col, F.inline(chunks))
+
+
+def epoch_upsample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Fractional epoch re-weighting of a training mix — the UPSAMPLING
+    twin of ``hash_ranked_resample`` (which only caps). A group with
+    weight ``w`` contributes ``floor(w)`` full copies of every row plus
+    one extra copy for the deterministic ``frac(w)``-fraction of rows
+    (so src×2.3 ≈ 2.3 epochs); ``w < 1`` degenerates to pure hash-
+    threshold downsampling. Output adds an ``epoch`` column (0-based
+    copy index), so downstream shuffling/packing can tell copies apart.
+
+    Determinism: the fractional membership test compares a 52-bit
+    md5-derived integer against a precomputed integer threshold —
+    stable across runs, engines, partitionings (never ``rand()``,
+    same rationale as ``hash_split``).
+
+    Scale: pure scan-stage expression work (when-chain weights +
+    sequence/inline fan-out) — no shuffle, no driver loop; output
+    volume is Σ w_g·|g| by construction.
+    """
+    hmax = 16 ** 13  # 52 bits
+    copies = F.lit(None).cast("int")
+    extra_thresh = F.lit(None).cast("long")
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}: {w}")
+        copies = F.when(F.col(group_col) == g, F.lit(int(w))).otherwise(copies)
+        extra_thresh = F.when(
+            F.col(group_col) == g, F.lit(int((w - int(w)) * hmax))
+        ).otherwise(extra_thresh)
+    copies = F.coalesce(copies, F.lit(int(default_weight)))
+    extra_thresh = F.coalesce(
+        extra_thresh, F.lit(int((default_weight - int(default_weight)) * hmax))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":up"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    n = (copies + (h < extra_thresh).cast("int")).alias("__n")
+    epochs = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(epochs).alias("epoch"))
