@@ -93,6 +93,7 @@ _PRIORITY = [
     "cohort_retention",
     "event_type_transitions",
     "resample_epoch_upsample",
+    "gap_fill_interpolate",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -390,3 +390,99 @@ def event_type_transitions(spark, sf_dir):
         F.expr("(n * CAST(1000000 AS BIGINT)) div sum(n) OVER (PARTITION BY prev_type)")
         .cast("long").alias("prob_ppm"),
     ).orderBy("prev_type", "next_type")
+
+
+@_q(
+    "gap_fill_interpolate",
+    """
+    WITH spine AS (
+      SELECT CAST(d.d AS DATE) AS dia
+      FROM generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY) AS d(d)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dia,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND dayofmonth(o_orderdate) % 5 <> 0
+      GROUP BY 1
+    ),
+    series AS (
+      SELECT s.dia, d.revenue,
+             last_value(d.revenue IGNORE NULLS) OVER
+               (ORDER BY s.dia ROWS UNBOUNDED PRECEDING) AS prev_v,
+             last_value(CASE WHEN d.revenue IS NOT NULL THEN s.dia END IGNORE NULLS)
+               OVER (ORDER BY s.dia ROWS UNBOUNDED PRECEDING) AS prev_d,
+             first_value(d.revenue IGNORE NULLS) OVER
+               (ORDER BY s.dia ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN d.revenue IS NOT NULL THEN s.dia END IGNORE NULLS)
+               OVER (ORDER BY s.dia ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM spine s LEFT JOIN daily d ON s.dia = d.dia
+    )
+    SELECT dia, revenue IS NOT NULL AS observed,
+           CASE
+             WHEN revenue IS NOT NULL THEN revenue
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) *
+                  (CAST(dia - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+           END AS filled_revenue
+    FROM series ORDER BY dia
+    """,
+    tags=("temporal", "gap-fill", "interpolation"),
+)
+def gap_fill_interpolate(spark, sf_dir):
+    """Linear interpolation over series gaps (time-series imputation):
+    every 5th calendar day is withheld from the daily revenue series,
+    then reconstructed from its nearest observed neighbors (LOCF /
+    NOCB at the edges). The interpolation is a SINGLE fixed-order
+    IEEE-double expression per row — +, −, ×, ÷ are correctly rounded,
+    so identical operands give bit-identical results on both engines
+    (the determinism rule: only reduction ORDER is engine-dependent,
+    and the only reduction here is the integer-cents daily SUM).
+
+    Scale: one window over the spine (calendar-sized, thousands of
+    rows per series — partition by series id for many series); the
+    daily aggregate below it is the usual map-side-combinable SUM."""
+    ord_ = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1996-01-01', DATE '1996-03-31')) AS dia"
+    )
+    daily = (
+        ord_.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.dayofmonth("o_orderdate") % 5 != 0)
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("dia"))
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    wp = Window.orderBy("dia").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("dia").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("dia"))
+    series = (
+        spine.join(daily, "dia", "left")
+        .select(
+            "dia", "revenue",
+            F.last("revenue", ignorenulls=True).over(wp).alias("prev_v"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+            F.first("revenue", ignorenulls=True).over(wf).alias("next_v"),
+            F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+        )
+    )
+    ratio = F.datediff("dia", "prev_d").cast("double") / F.datediff(
+        "next_d", "prev_d"
+    ).cast("double")
+    return series.select(
+        "dia",
+        F.col("revenue").isNotNull().alias("observed"),
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+        .alias("filled_revenue"),
+    ).orderBy("dia")
