@@ -94,6 +94,7 @@ _PRIORITY = [
     "event_type_transitions",
     "resample_epoch_upsample",
     "gap_fill_interpolate",
+    "scd2_customer_history",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -624,3 +624,78 @@ def kll_quantile_rollup(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "scd2_customer_history",
+    """
+    WITH closed0 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             DATE '1994-01-01' AS valid_from, DATE '1995-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 13 = 1
+    )
+    SELECT * FROM closed0
+    UNION ALL  -- open rows untouched: no change arrived, or a no-op change
+    SELECT c_custkey, c_mktsegment, c_acctbal, DATE '1995-01-01', NULL
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL  -- open rows closed by the real segment change
+    SELECT c_custkey, c_mktsegment, c_acctbal, DATE '1995-01-01', DATE '1996-06-01'
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL  -- fresh open rows for changed keys
+    SELECT c_custkey, 'RELOCATED', c_acctbal, DATE '1996-06-01', NULL
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL  -- fresh open rows for brand-new keys
+    SELECT c_custkey + 1000000, 'NEWKEY', 0.0, DATE '1996-06-01', NULL
+    FROM customer WHERE c_custkey % 11 = 3
+    ORDER BY c_custkey, valid_from
+    """,
+    tags=("scd2", "dimension-history", "merge-upsert"),
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD **Type 2** over the customer dimension: a change batch
+    (segment change for every 7th key, a NO-OP re-send for every
+    7th+1 key, brand-new keys for every 11th+3) applied to a history
+    table with ``scd2_apply`` — changed keys get their open row closed
+    at the effective date plus a fresh open row; no-ops and untouched
+    keys pass through; pre-existing closed history is never read. The
+    oracle states the expected history DIRECTLY (closed + kept + newly
+    closed + new opens), so it checks semantics, not mechanism."""
+    from etl_rj_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    d95 = F.lit("1995-01-01").cast("date")
+    open0 = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        d95.alias("valid_from"), F.lit(None).cast("date").alias("valid_to"),
+    )
+    closed0 = c.filter(F.col("c_custkey") % 13 == 1).select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        d95.alias("valid_to"),
+    )
+    dim = closed0.unionByName(open0)
+    eff = F.lit("1996-06-01").cast("date")
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey", F.lit("RELOCATED").alias("c_mktsegment"),
+            "c_acctbal", eff.alias("effective_date"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 1).select(
+                "c_custkey", "c_mktsegment", "c_acctbal",
+                eff.alias("effective_date"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWKEY").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+                eff.alias("effective_date"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, changes, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    ).orderBy("c_custkey", "valid_from")

@@ -73,3 +73,62 @@ def snapshot_diff(
         j.select(*keys, change.alias("change_type"), *out_vals)
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension **Type 2**: apply one change batch to
+    a validity-interval history table (the piece ``merge_upsert``
+    deliberately doesn't do — it keeps only the latest version).
+
+    ``dim`` carries (keys, compare_cols, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking each key's open row. For every change
+    whose ``compare_cols`` differ (null-safe) from the key's open row —
+    or whose key is new — the open row is closed at the change's
+    ``effective_col`` and a fresh open row inserted; no-op changes
+    leave the history untouched. One effective date per key per batch
+    (assert upstream); fold repeated batches for a change stream.
+
+    Scale: one shuffle join of the change batch onto the OPEN slice
+    only (open rows ≈ |dim keys|, usually broadcast-or-bucketed);
+    closed history passes through untouched — at 100 TB that history
+    lives in a date-partitioned sink and is never read by the apply.
+    """
+    from pyspark.sql import functions as F
+
+    key_list = list(keys)
+    open_rows = dim.filter(F.col(valid_to).isNull())
+    closed_rows = dim.filter(F.col(valid_to).isNotNull())
+    ch = changes.select(
+        *key_list,
+        *[F.col(c).alias(f"__c_{c}") for c in compare_cols],
+        F.col(effective_col).alias("__eff"),
+    )
+    j = open_rows.join(ch, key_list, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+    has_change = F.col("__eff").isNotNull()
+    had_open = F.col(valid_from).isNotNull()
+    # open rows kept as-is: no change arrived, or the change is a no-op
+    kept_open = j.filter(had_open & (~has_change | ~differs)).select(dim.columns)
+    # open rows closed by a real change
+    closed_now = j.filter(had_open & has_change & differs).select(
+        *key_list, *compare_cols, valid_from,
+        F.col("__eff").alias(valid_to),
+    ).select(dim.columns)
+    # fresh open rows: changed keys + brand-new keys
+    new_open = j.filter(has_change & (~had_open | differs)).select(
+        *key_list,
+        *[F.col(f"__c_{c}").alias(c) for c in compare_cols],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    ).select(dim.columns)
+    return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(new_open)
