@@ -175,3 +175,71 @@ class TestChunkWindows:
         df = spark.range(10).withColumn("text", F.lit("y" * 200))
         plan = chunk_windows(df, "id", "text", size=64, stride=48)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestScd2Apply:
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [(1, "A", "1995-01-01", None), (2, "B", "1995-01-01", None)],
+            "k int, seg string, valid_from string, valid_to string",
+        ).selectExpr(
+            "k", "seg", "CAST(valid_from AS DATE) valid_from",
+            "CAST(valid_to AS DATE) valid_to",
+        )
+
+    def _changes(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k int, seg string, effective_date string"
+        ).selectExpr("k", "seg", "CAST(effective_date AS DATE) effective_date")
+
+    def test_two_batch_fold_builds_three_interval_history(self, spark):
+        from etl_rj_spark.operators.scd import scd2_apply
+
+        dim = self._dim(spark)
+        b1 = self._changes(spark, [(1, "A2", "1996-01-01")])
+        b2 = self._changes(spark, [(1, "A3", "1997-01-01")])
+        h = scd2_apply(scd2_apply(dim, b1, ["k"], ["seg"]), b2, ["k"], ["seg"])
+        rows = sorted(
+            (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in h.collect()
+        )
+        assert rows == [
+            (1, "A", "1995-01-01", "1996-01-01"),
+            (1, "A2", "1996-01-01", "1997-01-01"),
+            (1, "A3", "1997-01-01", "None"),
+            (2, "B", "1995-01-01", "None"),
+        ]
+
+    def test_noop_redelivery_leaves_history_unchanged(self, spark):
+        from etl_rj_spark.operators.scd import scd2_apply
+
+        dim = self._dim(spark)
+        noop = self._changes(spark, [(1, "A", "1996-01-01"), (2, "B", "1996-01-01")])
+        h = scd2_apply(dim, noop, ["k"], ["seg"])
+        assert sorted((r.k, r.seg, str(r.valid_to)) for r in h.collect()) == [
+            (1, "A", "None"), (2, "B", "None"),
+        ]
+
+
+class TestEpochUpsample:
+    def test_weights_shape_output(self, spark):
+        from etl_rj_spark.operators.curation import epoch_upsample
+
+        df = spark.createDataFrame(
+            [(i, "heavy" if i < 10 else "drop") for i in range(20)],
+            "id long, src string",
+        )
+        out = epoch_upsample(df, "src", "id", {"heavy": 3.0, "drop": 0.0}).collect()
+        assert len(out) == 30  # 10×3 + 10×0
+        assert {r.epoch for r in out} == {0, 1, 2}
+
+    def test_fractional_weight_is_deterministic(self, spark):
+        from etl_rj_spark.operators.curation import epoch_upsample
+
+        df = spark.createDataFrame([(i, "s") for i in range(200)], "id long, src string")
+        a = sorted((r.id, r.epoch) for r in epoch_upsample(df, "src", "id", {"s": 1.5}).collect())
+        b = sorted((r.id, r.epoch) for r in epoch_upsample(df, "src", "id", {"s": 1.5}).collect())
+        assert a == b
+        n = len(a)
+        assert 200 < n < 400  # ~300 expected; hash fraction is not exact
+        with pytest.raises(ValueError, match="negative"):
+            epoch_upsample(df, "src", "id", {"s": -1.0})
