@@ -95,6 +95,7 @@ _PRIORITY = [
     "resample_epoch_upsample",
     "gap_fill_interpolate",
     "scd2_customer_history",
+    "training_shard_pipeline",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

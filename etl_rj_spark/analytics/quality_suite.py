@@ -473,3 +473,100 @@ def resample_epoch_upsample(spark, sf_dir):
     return epoch_upsample(
         docs, "source", "doc_id", _UP_WEIGHTS, default_weight=_UP_DEFAULT
     ).orderBy("doc_id", "epoch")
+
+
+def _shard_pipeline_oracle() -> str:
+    """Full-composition replay: upsample rule → chunk rule → token
+    counts → per-shard prefix-sum packing, all exact integers."""
+    t_half = int(0.5 * 16 ** 13)
+    return rf"""
+    WITH up AS (
+      SELECT doc_id, text,
+             (CASE WHEN source = 'src0' THEN 2
+                   WHEN source = 'src1' THEN 0 ELSE 1 END)
+             + CASE WHEN source = 'src1'
+                     AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up'), 1, 13))::BIGINT
+                         < {t_half} THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    ),
+    epochs AS (
+      SELECT doc_id * 10 + unnest(range(n_copies)) AS uid, text FROM up
+    ),
+    cnt AS (
+      SELECT uid, text,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                  WHEN length(text) <= 128 THEN 1
+                  ELSE (length(text) - 128 + 127) // 128 + 1 END AS nc
+      FROM epochs
+    ),
+    chunks AS (
+      SELECT uid, CAST(i AS INTEGER) AS chunk_idx,
+             substr(text, CAST(i * 128 + 1 AS INTEGER), 128) AS chunk
+      FROM (SELECT uid, text, unnest(range(nc)) AS i FROM cnt)
+    ),
+    sized AS (
+      SELECT uid, chunk_idx, uid % 4 AS shard,
+             CASE WHEN trim(chunk) = '' THEN 0
+                  ELSE len(string_split_regex(trim(chunk), '\s+')) END AS n_tokens
+      FROM chunks
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY uid, chunk_idx
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                  AS BIGINT) AS batch_id
+      FROM sized
+    )
+    SELECT shard, batch_id, COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+    FROM packed GROUP BY shard, batch_id ORDER BY shard, batch_id
+    """
+
+
+@_q(
+    "training_shard_pipeline",
+    _shard_pipeline_oracle(),
+    tags=("curation", "composition", "upsample", "chunking", "sequence-packing"),
+)
+def training_shard_pipeline(spark, sf_dir):
+    """The training-shard construction chain as ONE lazy plan:
+    ``epoch_upsample`` (src0×2, src1×0.5, rest ×1) →
+    ``chunk_windows`` (128-char, non-overlapping) → whitespace token
+    counts → 256-token greedy packing per hash shard. Pins that the
+    three curation operators compose — column flow, copy identity
+    (uid = doc_id·10 + epoch), and the packing prefix-sum — under a
+    single DuckDB replay of the whole composition.
+
+    Scale: upsample + chunking are zero-shuffle scan-stage fan-out;
+    the only shuffle before the final rollup is the per-shard packing
+    window, bounded by shard count exactly like
+    ``pack_sequences_budget``."""
+    from etl_rj_spark.operators.curation import chunk_windows, epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    up = epoch_upsample(docs, "source", "doc_id", {"src0": 2.0, "src1": 0.5})
+    up = up.select(
+        (F.col("doc_id") * 10 + F.col("epoch")).alias("uid"), "text"
+    )
+    chunks = chunk_windows(up, "uid", "text", size=128, stride=128)
+    from etl_rj_spark.operators.text_analysis import token_count
+
+    sized = chunks.select(
+        "uid", "chunk_idx", (F.col("uid") % 4).alias("shard"),
+        token_count("chunk_text").alias("n_tokens"),
+    )
+    packed = sized.withColumn(
+        "batch_id",
+        F.expr(
+            "(sum(n_tokens) OVER (PARTITION BY shard ORDER BY uid, chunk_idx "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens) div 256"
+        ),
+    )
+    return (
+        packed.groupBy("shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("batch_tokens"),
+        )
+        .orderBy("shard", "batch_id")
+    )
