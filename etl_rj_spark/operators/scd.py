@@ -96,6 +96,13 @@ def scd2_apply(
     leave the history untouched. One effective date per key per batch
     (assert upstream); fold repeated batches for a change stream.
 
+    Monotonicity guard: a change whose effective date is ≤ the open
+    row's ``valid_from`` is STALE (a late or redelivered event from
+    before the current interval opened) and is ignored — without this,
+    replaying an old change against a newer open row would "close" it
+    backwards in time. The guard is what makes redelivering an entire
+    change stream a no-op.
+
     Scale: one shuffle join of the change batch onto the OPEN slice
     only (open rows ≈ |dim keys|, usually broadcast-or-bucketed);
     closed history passes through untouched — at 100 TB that history
@@ -117,15 +124,17 @@ def scd2_apply(
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"__c_{c}"))
     has_change = F.col("__eff").isNotNull()
     had_open = F.col(valid_from).isNotNull()
-    # open rows kept as-is: no change arrived, or the change is a no-op
-    kept_open = j.filter(had_open & (~has_change | ~differs)).select(dim.columns)
-    # open rows closed by a real change
-    closed_now = j.filter(had_open & has_change & differs).select(
+    stale = had_open & has_change & (F.col("__eff") <= F.col(valid_from))
+    real_change = has_change & differs & ~stale
+    # open rows kept as-is: no change arrived, a no-op, or a stale one
+    kept_open = j.filter(had_open & ~real_change).select(dim.columns)
+    # open rows closed by a real (forward-in-time) change
+    closed_now = j.filter(had_open & real_change).select(
         *key_list, *compare_cols, valid_from,
         F.col("__eff").alias(valid_to),
     ).select(dim.columns)
     # fresh open rows: changed keys + brand-new keys
-    new_open = j.filter(has_change & (~had_open | differs)).select(
+    new_open = j.filter(has_change & (~had_open | real_change)).select(
         *key_list,
         *[F.col(f"__c_{c}").alias(c) for c in compare_cols],
         F.col("__eff").alias(valid_from),

@@ -545,3 +545,77 @@ def test_stream_enrich_refreshes_dim_between_drains(spark, tmp_path):
 
     got = {(r.event_id, r.zone) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "old"), (2, "new")}
+
+
+def test_stream_scd2_history_folds_and_redelivery_is_noop(spark, tmp_path):
+    """Streaming SCD2: two change drains build the interval history the
+    batch operator would (fold equality), a mixed-date batch applies in
+    effective order, and full redelivery under a fresh checkpoint
+    leaves the history byte-identical (SCD2 no-op property)."""
+    from etl_rj_spark.streaming.scd import read_history, stream_scd2_maintain
+
+    ink = str(tmp_path / "changes_in")
+    hist_path = str(tmp_path / "dim_history")
+
+    def drop_changes(rows, name):
+        spark.createDataFrame(
+            rows, "k int, seg string, effective_date string"
+        ).selectExpr(
+            "k", "seg", "CAST(effective_date AS DATE) effective_date"
+        ).coalesce(1).write.mode("append").parquet(ink + "/" + name)
+
+    def stream():
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("effective_date", T.DateType()),
+        ])
+        return spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(ink)
+
+    # batch 1: bootstrap inserts; batch 2 carries TWO effective dates
+    # for one key (k=1 changes twice) plus a no-op re-send for k=2
+    drop_changes([(1, "A", "1995-01-01"), (2, "B", "1995-01-01")], "a")
+    stream_scd2_maintain(
+        stream(), hist_path, ["k"], ["seg"], str(tmp_path / "ck1")
+    ).awaitTermination()
+    drop_changes(
+        [(1, "A2", "1996-01-01"), (1, "A3", "1997-01-01"), (2, "B", "1996-01-01")],
+        "b",
+    )
+    stream_scd2_maintain(
+        stream(), hist_path, ["k"], ["seg"], str(tmp_path / "ck1")
+    ).awaitTermination()
+
+    def canon():
+        return sorted(
+            (r.k, r.seg, str(r.valid_from), str(r.valid_to))
+            for r in read_history(spark, hist_path).collect()
+        )
+
+    expected = [
+        (1, "A", "1995-01-01", "1996-01-01"),
+        (1, "A2", "1996-01-01", "1997-01-01"),
+        (1, "A3", "1997-01-01", "None"),
+        (2, "B", "1995-01-01", "None"),
+    ]
+    assert canon() == expected
+
+    # full redelivery, fresh checkpoint: every change is now a no-op
+    # against the folded history (or re-closes at identical dates)
+    stream_scd2_maintain(
+        stream(), hist_path, ["k"], ["seg"], str(tmp_path / "ck2")
+    ).awaitTermination()
+    assert canon() == expected
+
+    # ambiguous batch (two different changes, same key+date) raises
+    drop_changes([(3, "X", "1998-01-01"), (3, "Y", "1998-01-01")], "c")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ambiguous"):
+        stream_scd2_maintain(
+            stream(), hist_path, ["k"], ["seg"], str(tmp_path / "ck3")
+        ).awaitTermination()
