@@ -245,7 +245,11 @@ def epoch_upsample(
     Determinism: the fractional membership test compares a 52-bit
     md5-derived integer against a precomputed integer threshold —
     stable across runs, engines, partitionings (never ``rand()``,
-    same rationale as ``hash_split``).
+    same rationale as ``hash_split``). A NULL key cannot hash, so it
+    never earns the fractional extra copy but STILL contributes its
+    group's ``floor(w)`` guaranteed copies (a NULL-keyed row must not
+    vanish from a ×2 group — mirrors ``hash_threshold_resample``'s
+    NULL passthrough).
 
     Scale: pure scan-stage expression work (when-chain weights +
     sequence/inline fan-out) — no shuffle, no driver loop; output
@@ -269,7 +273,8 @@ def epoch_upsample(
         F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":up"))), 1, 13),
         16, 10,
     ).cast("long")
-    n = (copies + (h < extra_thresh).cast("int")).alias("__n")
+    extra = F.when(h.isNotNull() & (h < extra_thresh), F.lit(1)).otherwise(F.lit(0))
+    n = (copies + extra).alias("__n")
     epochs = F.when(
         n > 0, F.sequence(F.lit(0), n - 1)
     ).otherwise(F.array().cast("array<int>"))

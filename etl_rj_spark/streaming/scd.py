@@ -12,11 +12,16 @@ raises rather than silently picking one.
 
 History swap is crash-safe without a table format: write the new
 history to a staging dir, move current → backup, staging → current,
-drop backup; the reader recovers a backup left by a crash between the
-two renames. Idempotence on redelivery comes from SCD2 semantics
-itself: re-applying an already-applied change is a no-op (attributes
-equal → history untouched), so a replayed batch cannot double-close
-or duplicate intervals.
+drop backup. Every rename/delete is CHECKED (Hadoop FileSystem
+returns False instead of raising) — a failed swap step aborts the
+batch before the checkpoint commits, so the changes re-deliver.
+Crash recovery (backup present, current missing) is performed ONLY by
+the writer at batch start — single-writer assumption; a reader that
+renamed directories could race the writer mid-swap and corrupt the
+layout, so ``read_history`` reads the backup without mutating.
+Idempotence on redelivery comes from SCD2 semantics itself: the
+stale-change guard in ``scd2_apply`` makes re-applying an
+already-applied change a no-op.
 """
 
 from __future__ import annotations
@@ -26,7 +31,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 from etl_rj_spark.operators.scd import scd2_apply
 
@@ -38,16 +42,32 @@ def _hpath(spark: SparkSession, p: str):
     return fs, path
 
 
-def read_history(spark: SparkSession, history_path: str) -> DataFrame | None:
-    """Current history, recovering from a crash mid-swap (backup dir
-    present but current missing → restore backup first)."""
+def _must(ok: bool, what: str) -> None:
+    if not ok:
+        raise RuntimeError(f"SCD2 history swap failed: {what}")
+
+
+def _recover(spark: SparkSession, history_path: str) -> None:
+    """Writer-side crash recovery: a backup left mid-swap with no
+    current dir is the committed pre-swap state — restore it. Called
+    only from the single writer at batch start."""
     fs, cur = _hpath(spark, history_path)
     _, bak = _hpath(spark, history_path + ".backup")
     if not fs.exists(cur) and fs.exists(bak):
-        fs.rename(bak, cur)
-    if not fs.exists(cur):
-        return None
-    return spark.read.parquet(history_path)
+        _must(fs.rename(bak, cur), f"recover {bak} -> {cur}")
+
+
+def read_history(spark: SparkSession, history_path: str) -> DataFrame | None:
+    """Current history; falls back to READING a backup left by a crash
+    mid-swap (no directory mutation — recovery-by-rename belongs to
+    the writer alone, see module docstring)."""
+    fs, cur = _hpath(spark, history_path)
+    _, bak = _hpath(spark, history_path + ".backup")
+    if fs.exists(cur):
+        return spark.read.parquet(history_path)
+    if fs.exists(bak):
+        return spark.read.parquet(history_path + ".backup")
+    return None
 
 
 def stream_scd2_maintain(
@@ -67,52 +87,58 @@ def stream_scd2_maintain(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover(spark, history_path)
         batch_df = batch_df.dropDuplicates()  # exact re-sends collapse
-        dup = (
-            batch_df.groupBy(*keys, effective_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"ambiguous SCD2 batch: key {tuple(dup[0])[:-1]} has two "
-                "different changes at one effective date"
+        batch_df.persist()  # three actions below share one scan
+        try:
+            dup = (
+                batch_df.groupBy(*keys, effective_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
             )
-        hist = read_history(spark, history_path)
-        if hist is None:
-            hist = batch_df.select(
-                *keys, *compare_cols,
-                F.col(effective_col).alias("valid_from"),
-                F.lit(None).cast(batch_df.schema[effective_col].dataType)
-                .alias("valid_to"),
-            ).limit(0)
-        # ascending effective order; distinct dates are calendar-scale
-        effs = [
-            r[0]
-            for r in batch_df.select(effective_col).distinct().orderBy(effective_col).collect()
-        ]
-        for eff in effs:
-            hist = scd2_apply(
-                hist,
-                batch_df.filter(F.col(effective_col) == F.lit(eff)),
-                keys,
-                compare_cols,
-                effective_col=effective_col,
-            )
-        staging = history_path + f".staging-{batch_id}"
-        hist.write.mode("overwrite").parquet(staging)
-        fs, cur = _hpath(spark, history_path)
-        _, bak = _hpath(spark, history_path + ".backup")
-        _, stg = _hpath(spark, staging)
-        if fs.exists(bak):
-            fs.delete(bak, True)
-        if fs.exists(cur):
-            fs.rename(cur, bak)
-        fs.rename(stg, cur)
-        if fs.exists(bak):
-            fs.delete(bak, True)
+            if dup:
+                raise ValueError(
+                    f"ambiguous SCD2 batch: key {tuple(dup[0])[:-1]} has two "
+                    "different changes at one effective date"
+                )
+            hist = read_history(spark, history_path)
+            if hist is None:
+                hist = batch_df.select(
+                    *keys, *compare_cols,
+                    F.col(effective_col).alias("valid_from"),
+                    F.lit(None).cast(batch_df.schema[effective_col].dataType)
+                    .alias("valid_to"),
+                ).limit(0)
+            # ascending effective order; distinct dates are calendar-scale
+            effs = [
+                r[0]
+                for r in batch_df.select(effective_col)
+                .distinct().orderBy(effective_col).collect()
+            ]
+            for eff in effs:
+                hist = scd2_apply(
+                    hist,
+                    batch_df.filter(F.col(effective_col) == F.lit(eff)),
+                    keys,
+                    compare_cols,
+                    effective_col=effective_col,
+                )
+            staging = history_path + f".staging-{batch_id}"
+            hist.write.mode("overwrite").parquet(staging)
+            fs, cur = _hpath(spark, history_path)
+            _, bak = _hpath(spark, history_path + ".backup")
+            _, stg = _hpath(spark, staging)
+            if fs.exists(bak):
+                _must(fs.delete(bak, True), f"delete stale {bak}")
+            if fs.exists(cur):
+                _must(fs.rename(cur, bak), f"rename {cur} -> {bak}")
+            _must(fs.rename(stg, cur), f"rename {stg} -> {cur}")
+            if fs.exists(bak):
+                _must(fs.delete(bak, True), f"delete {bak}")
+        finally:
+            batch_df.unpersist()
 
     return (
         changes_stream.writeStream.foreachBatch(fold)

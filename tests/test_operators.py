@@ -243,3 +243,18 @@ class TestEpochUpsample:
         assert 200 < n < 400  # ~300 expected; hash fraction is not exact
         with pytest.raises(ValueError, match="negative"):
             epoch_upsample(df, "src", "id", {"s": -1.0})
+
+    def test_null_key_keeps_integer_copies(self, spark):
+        from etl_rj_spark.operators.curation import epoch_upsample
+
+        df = spark.createDataFrame(
+            [(None, "s"), (1, "s")], "id string, src string"
+        )
+        out = sorted(
+            ((r.id, r.epoch)
+             for r in epoch_upsample(df, "src", "id", {"s": 2.5}).collect()),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+        # NULL key can't hash: no fractional extra, but the two
+        # guaranteed integer copies survive
+        assert [e for i, e in out if i is None] == [0, 1]
