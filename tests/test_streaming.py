@@ -619,3 +619,56 @@ def test_stream_scd2_history_folds_and_redelivery_is_noop(spark, tmp_path):
         stream_scd2_maintain(
             stream(), hist_path, ["k"], ["seg"], str(tmp_path / "ck3")
         ).awaitTermination()
+
+
+def test_stateful_v2_sessionize_matches_v1(spark, sf_dir, events_dir, tmp_path):
+    """transformWithStateInPandas (v2 arbitrary-stateful API) must
+    produce exactly the closed sessions the v1 applyInPandasWithState
+    operator produces on the same stream — the no-behavior-change
+    migration contract. Runs under the RocksDB state store provider
+    (required by transformWithState), restoring the session's provider
+    afterwards."""
+    from etl_rj_spark.streaming.stateful import streaming_sessionize
+    from etl_rj_spark.streaming.stateful2 import (
+        ROCKSDB_PROVIDER,
+        transform_with_state_available,
+        streaming_sessionize_v2,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip(
+            "transformWithState's Python runner needs google.protobuf, "
+            "absent in this container (v1/v2 parity asserted where present)"
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        def drain(make, name, ck):
+            q = (
+                make(read_event_stream(spark, events_dir), gap_seconds=1800)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / ck))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return {
+                (r.user_id, r.session_start): (r.n_events, round(r.value_sum, 6))
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+
+        v2 = drain(streaming_sessionize_v2, "sess_v2", "ck_v2")
+        v1 = drain(streaming_sessionize, "sess_v1", "ck_v1")
+        assert v2 == v1
+        assert len(v2) > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
