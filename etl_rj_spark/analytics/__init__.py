@@ -96,6 +96,7 @@ _PRIORITY = [
     "gap_fill_interpolate",
     "scd2_customer_history",
     "training_shard_pipeline",
+    "fixed_width_roundtrip",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

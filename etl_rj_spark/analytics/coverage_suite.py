@@ -910,3 +910,47 @@ def pagerank_interaction_graph(spark, sf_dir):
     return pagerank_integer(edges, iterations=5).orderBy(
         F.desc("rank_ppb"), "node"
     )
+
+
+@_q(
+    "fixed_width_roundtrip",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(c_acctbal*100) AS BIGINT) / 100.0 AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey <= 500
+    """,
+    tags=("source-fixed-width", "sink-fixed-width"),
+)
+def fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width mux → demux roundtrip: 500 customers written as a
+    positional text grid (numerics right-aligned, text left-aligned;
+    money as integer cents so the grid never carries float text) and
+    sliced back with scan-stage substring/try_cast. The oracle is the
+    same projection straight off the parquet table — the roundtrip
+    must be lossless."""
+    from etl_rj_spark.sources.fixed_width import read_fixed_width, write_fixed_width
+
+    d = _scratch("fw")
+    src = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+            "c_mktsegment",
+        )
+    )
+    fields = [
+        ("c_custkey", 12, "bigint"),
+        ("c_name", 30, "string"),
+        ("acct_cents", 14, "bigint"),
+        ("c_mktsegment", 12, "string"),
+    ]
+    write_fixed_width(src, d, fields)
+    back = read_fixed_width(spark, d, fields)
+    return back.select(
+        "c_custkey", "c_name",
+        (F.col("acct_cents") / 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )

@@ -258,3 +258,32 @@ class TestEpochUpsample:
         # NULL key can't hash: no fractional extra, but the two
         # guaranteed integer copies survive
         assert [e for i, e in out if i is None] == [0, 1]
+
+
+class TestFixedWidth:
+    FIELDS = [("k", 4, "int"), ("name", 6, "string"), ("v", 5, "bigint")]
+
+    def test_roundtrip_and_ragged_tail_nulls(self, spark, tmp_path):
+        from etl_rj_spark.sources.fixed_width import read_fixed_width, write_fixed_width
+
+        df = spark.createDataFrame(
+            [(1, "ab", 500), (23, "cdef", None)], "k int, name string, v bigint"
+        )
+        p = str(tmp_path / "fw")
+        write_fixed_width(df, p, self.FIELDS)
+        back = read_fixed_width(spark, p, self.FIELDS)
+        assert sorted((r.k, r.name, r.v) for r in back.collect()) == [
+            (1, "ab", 500), (23, "cdef", None),
+        ]
+        # ragged line: missing tail fields read as NULL, blank skipped
+        with open(tmp_path / "fw2.txt", "w") as f:
+            f.write("  77zz\n\n")
+        short = read_fixed_width(spark, str(tmp_path / "fw2.txt"), self.FIELDS)
+        assert [(r.k, r.name, r.v) for r in short.collect()] == [(77, "zz", None)]
+
+    def test_overflow_raises_not_truncates(self, spark, tmp_path):
+        from etl_rj_spark.sources.fixed_width import write_fixed_width
+
+        df = spark.createDataFrame([(1, "toolongname", 2)], "k int, name string, v bigint")
+        with pytest.raises(Exception, match="fixed-width overflow"):
+            write_fixed_width(df, str(tmp_path / "fw3"), self.FIELDS)
