@@ -97,6 +97,7 @@ _PRIORITY = [
     "scd2_customer_history",
     "training_shard_pipeline",
     "fixed_width_roundtrip",
+    "target_encoding_loo",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

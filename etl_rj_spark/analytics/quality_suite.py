@@ -570,3 +570,48 @@ def training_shard_pipeline(spark, sf_dir):
         )
         .orderBy("shard", "batch_id")
     )
+
+
+@_q(
+    "target_encoding_loo",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           CASE WHEN n > 1
+                THEN CAST(cents - CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE)
+                     / CAST((n - 1) * 100 AS DOUBLE)
+           END AS segment_acctbal_loo
+    FROM customer c JOIN g USING (c_mktsegment)
+    ORDER BY c_custkey
+    """,
+    tags=("feature-engineering", "target-encoding"),
+)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the standard ML categorical
+    feature that must EXCLUDE each row's own target to avoid leakage:
+    per-segment mean account balance computed as (Σcents − own) /
+    (n−1). One map-side-combinable aggregate + a broadcast join back;
+    the numerator is exact integer cents, the single final division is
+    identical IEEE on both engines. Singleton groups encode NULL
+    (nothing to average without leaking)."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(cents).alias("__cents")
+    )
+    return (
+        c.join(F.broadcast(g), "c_mktsegment")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__cents") - cents).cast("double")
+                / ((F.col("__n") - 1) * 100).cast("double"),
+            ).alias("segment_acctbal_loo"),
+        )
+        .orderBy("c_custkey")
+    )
