@@ -98,6 +98,7 @@ _PRIORITY = [
     "training_shard_pipeline",
     "fixed_width_roundtrip",
     "target_encoding_loo",
+    "arrow_ipc_roundtrip",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -954,3 +954,38 @@ def fixed_width_roundtrip(spark, sf_dir):
         (F.col("acct_cents") / 100.0).alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+@_q(
+    "arrow_ipc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT NULL, NULL, NULL
+    ORDER BY n_nationkey NULLS LAST
+    """,
+    tags=("source-arrow-ipc", "sink-arrow-ipc", "quarantine"),
+)
+def arrow_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC shard roundtrip with dead-letter: nation written as 4
+    Arrow files via the mapInPandas sink (manifest checked to cover
+    all rows), one garbage .arrow file planted beside them, then read
+    back with ``on_error='quarantine'`` — good rows reproduce the
+    table, the corrupt file yields exactly one quarantine row (the
+    oracle's NULL row)."""
+    from etl_rj_spark.sources.arrow_ipc import read_arrow_files, write_arrow_files
+
+    d = _scratch("arrow")
+    os.makedirs(d)
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    manifest = write_arrow_files(n.repartition(4), d).collect()
+    assert sum(r.n_rows for r in manifest) == 25, manifest
+    with open(os.path.join(d, "garbage.arrow"), "wb") as f:
+        f.write(b"not an arrow file at all")
+    back = read_arrow_files(
+        spark, d, "n_nationkey long, n_name string, n_regionkey long",
+        on_error="quarantine",
+    )
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy(F.asc_nulls_last("n_nationkey"))
