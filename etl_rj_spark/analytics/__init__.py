@@ -99,6 +99,7 @@ _PRIORITY = [
     "fixed_width_roundtrip",
     "target_encoding_loo",
     "arrow_ipc_roundtrip",
+    "pit_dimension_enrich",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

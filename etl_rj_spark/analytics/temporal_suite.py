@@ -486,3 +486,71 @@ def gap_fill_interpolate(spark, sf_dir):
         )
         .alias("filled_revenue"),
     ).orderBy("dia")
+
+
+@_q(
+    "pit_dimension_enrich",
+    """
+    WITH hist AS (
+      SELECT user_id % 50 AS dim_key, 'tier_A' AS tier,
+             TIMESTAMP '1970-01-01' AS valid_from,
+             TIMESTAMP '2024-01-15' AS valid_to
+      FROM (SELECT DISTINCT user_id % 50 AS user_id FROM events)
+      UNION ALL
+      SELECT user_id % 50, 'tier_B',
+             TIMESTAMP '2024-01-15', NULL
+      FROM (SELECT DISTINCT user_id % 50 AS user_id FROM events)
+    )
+    SELECT tier, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN hist h
+      ON e.user_id % 50 = h.dim_key
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY tier ORDER BY tier
+    """,
+    tags=("scd2", "point-in-time", "temporal-join"),
+)
+def pit_dimension_enrich(spark, sf_dir):
+    """Point-in-time dimension enrichment: each event joins the SCD2
+    history row VALID AT ITS TIMESTAMP (valid_from ≤ ts < valid_to) —
+    the lookup that makes historical reporting correct where a plain
+    current-dim join silently rewrites history. The in-query history
+    gives every dim key two eras split at 2024-01-15, so both interval
+    arms are exercised (including the open valid_to IS NULL row).
+
+    Scale: history is dim-sized → broadcast, so the interval predicate
+    evaluates map-side with zero extra shuffle (the plan is a
+    BroadcastNestedLoop-free broadcast hash join on dim_key with the
+    interval as residual). A fact-sized history would switch to the
+    bucketized interval strategy range_join_error_clicks pins."""
+    ev = _t(spark, sf_dir, "events")
+    key = (F.col("user_id") % 50).alias("dim_key")
+    keys = ev.select(key).distinct()
+    split = F.lit("2024-01-15").cast("timestamp")
+    epoch0 = F.lit("1970-01-01").cast("timestamp")
+    hist = keys.select(
+        "dim_key", F.lit("tier_A").alias("tier"),
+        epoch0.alias("valid_from"), split.alias("valid_to"),
+    ).unionByName(
+        keys.select(
+            "dim_key", F.lit("tier_B").alias("tier"),
+            split.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    j = ev.join(
+        F.broadcast(hist),
+        ((F.col("user_id") % 50) == F.col("dim_key"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
