@@ -100,6 +100,7 @@ _PRIORITY = [
     "target_encoding_loo",
     "arrow_ipc_roundtrip",
     "pit_dimension_enrich",
+    "ngram_containment_pairs",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

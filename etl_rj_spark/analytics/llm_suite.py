@@ -1996,3 +1996,49 @@ def resample_source_mix_threshold(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     caps = {f"src{i}": 5 + 5 * (i % 3) for i in range(20)}
     return hash_threshold_resample(d, "source", "doc_id", caps)
+
+
+_CONTAIN_CORPUS = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+    "UNION ALL SELECT doc_id + 200000, "
+    "array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 12), ' ') "
+    "FROM documents WHERE doc_id < 100"
+)
+
+
+@_q(
+    "ngram_containment_pairs",
+    rf"""
+    WITH corpus AS ({_CONTAIN_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\s+') AS toks FROM corpus)
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
+    FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+    WHERE len(a.s) > 0
+      AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9
+    """,
+    tags=("dedup-containment", "quote-detection"),
+)
+def ngram_containment_pairs_q(spark, sf_dir):
+    """ASYMMETRIC containment: each document's 12-token prefix is
+    planted as its own doc — Jaccard vs the full doc is far below any
+    dedup threshold, but containment ≈ 1, so the prefix docs surface
+    as (contained, container) findings the symmetric operators
+    cannot see. Oracle is all-ordered-pairs ground truth (inverted
+    index has recall 1 for τ > 0)."""
+    from etl_rj_spark.operators.text_dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    prefix = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 12), " ").alias("text"),
+    )
+    return ngram_containment_pairs(
+        d.unionByName(prefix), "doc_id", "text", threshold=0.9
+    )

@@ -392,6 +392,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: (contained, container) where
+    |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold — the quote /
+    subset-document detector. Jaccard misses containment by design (a
+    paragraph quoted inside a book has tiny Jaccard but containment
+    ≈ 1); corpus curation needs both (near-dup AND contained-in).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (recall 1
+    for τ > 0: a contained doc shares every gram), but the pair is
+    ORDERED and both directions are tested — A⊂B and B⊂A are distinct
+    findings. Self-pairs and exact mutual containment report both
+    directions; downstream keeps the larger container.
+
+    ``max_posting_len`` is the same ubiquitous-gram cap (approximate
+    at-scale variant; None = exact)."""
+    sets = df.select(F.col(id_col), token_ngrams(text_col, n).alias("__set"))
+    posting = sets.select(id_col, F.explode("__set").alias("gram"))
+    if max_posting_len is not None:
+        ok = posting.groupBy("gram").count().filter(F.col("count") <= max_posting_len)
+        posting = posting.join(ok.select("gram"), "gram", "left_semi")
+    a = posting.toDF("id_a", "gram")
+    b = posting.toDF("id_b", "gram")
+    pairs = (
+        a.join(b, "gram").filter(F.col("id_a") != F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    sa = sets.toDF("id_a", "__set_a")
+    sb = sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    containment = inter / F.size("__set_a").cast("double")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.size("__set_a") > 0)
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """The deduplicated corpus: group near-dup pairs into connected
     components and keep one representative per component (the min id);
