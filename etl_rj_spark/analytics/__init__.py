@@ -101,6 +101,7 @@ _PRIORITY = [
     "arrow_ipc_roundtrip",
     "pit_dimension_enrich",
     "ngram_containment_pairs",
+    "token_dist_chi2_drift",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -615,3 +615,81 @@ def target_encoding_loo(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@_q(
+    "token_dist_chi2_drift",
+    r"""
+    WITH toks AS (
+      SELECT source, t.token FROM documents,
+             UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE source IN ('src0', 'src1') AND t.token <> ''
+    ),
+    cells AS (SELECT source, token, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+    -- complete the grid: a token absent from one source is a 0 cell
+    grid AS (
+      SELECT s.source, tk.token, COALESCE(c.o, 0) AS o
+      FROM (SELECT DISTINCT source FROM cells) s
+      CROSS JOIN (SELECT DISTINCT token FROM cells) tk
+      LEFT JOIN cells c USING (source, token)
+    ),
+    tot AS (
+      SELECT g.*, CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS row_n,
+             CAST(SUM(o) OVER (PARTITION BY token) AS BIGINT) AS col_n,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM grid g
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               ((CAST(o AS DOUBLE) - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)) / CAST(n AS DOUBLE))
+                * (CAST(o AS DOUBLE) - (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)) / CAST(n AS DOUBLE)))
+               / ((CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000
+             ) AS BIGINT) AS t_micro,
+             token
+      FROM tot
+    )
+    SELECT CAST(SUM(t_micro) AS BIGINT) AS chi2_micro,
+           CAST(COUNT(DISTINCT token) - 1 AS BIGINT) AS dof
+    FROM terms
+    """,
+    tags=("data-quality", "drift", "chi-squared"),
+)
+def token_dist_chi2_drift(spark, sf_dir):
+    """Distribution-drift test: Pearson χ² between two sources' token
+    distributions (2×|vocab| contingency grid, zero cells completed).
+    Each cell's (o−e)²/e is one fixed-order double expression — bit-
+    identical cross-engine — rounded to integer micro-units BEFORE the
+    sum, so the reduction is exact int64 and immune to summation
+    order (the determinism rule every float aggregate here follows).
+
+    Scale: one tf reduce, the grid is |sources|×|vocab| (vocabulary-
+    sized, not corpus-sized), three windows over it, one global sum."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    toks = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cells = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        cells.select("source").distinct()
+        .crossJoin(cells.select("token").distinct())
+        .join(cells, ["source", "token"], "left")
+        .select("source", "token", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    from pyspark.sql import Window
+
+    tot = grid.select(
+        "token", "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("token")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = (F.col("row_n").cast("double") * F.col("col_n").cast("double")) / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    terms = tot.select(
+        F.round(term * 1000000).cast("long").alias("t_micro"), "token"
+    )
+    return terms.agg(
+        F.sum("t_micro").alias("chi2_micro"),
+        (F.countDistinct("token") - 1).alias("dof"),
+    )
