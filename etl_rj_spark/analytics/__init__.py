@@ -102,6 +102,7 @@ _PRIORITY = [
     "pit_dimension_enrich",
     "ngram_containment_pairs",
     "token_dist_chi2_drift",
+    "triangle_count",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -989,3 +989,52 @@ def arrow_ipc_roundtrip(spark, sf_dir):
     return back.select(
         "n_nationkey", "n_name", "n_regionkey"
     ).orderBy(F.asc_nulls_last("n_nationkey"))
+
+
+_GRAPH_EDGES_SQL = """
+      SELECT DISTINCT LEAST(user_id % 64,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT % 64) AS a,
+             GREATEST(user_id % 64,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT % 64) AS b
+      FROM events
+      WHERE user_id % 64 <> ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT % 64
+"""
+
+
+@_q(
+    "triangle_count",
+    f"""
+    WITH e AS ({_GRAPH_EDGES_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph", "triangle-count"),
+)
+def triangle_count(spark, sf_dir):
+    """Exact triangle count over the undirected interaction graph (the
+    same deterministic events-derived edges PageRank uses, canonical
+    a<b orientation). The two-join ordered-wedge formulation counts
+    each triangle exactly once — the standard MapReduce-era algorithm;
+    at scale the first join keys on the wedge midpoint, so degree skew
+    is the cost driver (mitigate with the usual high-degree-vertex
+    split; this graph is 64 nodes, the SHAPE is the contract)."""
+    ev = _t(spark, sf_dir, "events")
+    src = F.col("user_id") % 64
+    dst = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 64
+    )
+    e = (
+        ev.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.toDF("a1", "b1")
+    e2 = e.toDF("a2", "b2")
+    e3 = e.toDF("a3", "b3")
+    wedges = e1.join(e2, (F.col("b1") == F.col("a2")) & (F.col("a1") < F.col("a2")))
+    tris = wedges.join(
+        e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2"))
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
