@@ -103,6 +103,7 @@ _PRIORITY = [
     "ngram_containment_pairs",
     "token_dist_chi2_drift",
     "triangle_count",
+    "ann_lsh_multiprobe_topk",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

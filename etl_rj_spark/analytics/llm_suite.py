@@ -2042,3 +2042,61 @@ def ngram_containment_pairs_q(spark, sf_dir):
     return ngram_containment_pairs(
         d.unionByName(prefix), "doc_id", "text", threshold=0.9
     )
+
+
+def _lsh_multiprobe_oracle_sql(k: int = 10, dim: int = 64, bits: int = 4, tables: int = 2) -> str:
+    """DuckDB twin of ``lsh_topk_multiprobe``: candidate iff the
+    corpus bucket equals the query bucket XOR any single-bit mask
+    (or zero) in some table — identical int64 probe set."""
+    from etl_rj_spark.operators.similarity import _lsh_planes
+
+    planes = _lsh_planes(dim, bits, tables)
+    bcols = []
+    for t in range(tables):
+        terms = []
+        for p in range(bits):
+            lst = "[" + ",".join(str(x) for x in planes[t][p]) + "]"
+            d = f"list_sum(list_transform(range(1,{dim + 1}), i -> iv[i] * ({lst})[i]))"
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+        bcols.append(" + ".join(terms) + f" AS b{t}")
+    blist = ", ".join(f"b{t}" for t in range(tables))
+    masks = [0] + [1 << i for i in range(bits)]
+    on = " OR ".join(
+        f"c.b{t} IN ({', '.join(f'xor(q.b{t}, {m})' for m in masks)})"
+        for t in range(tables)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1048576) AS BIGINT)) AS iv
+      FROM embeddings
+    ), bk AS (
+      SELECT vec_id, cv, {", ".join(bcols)} FROM base
+    ), q AS (
+      SELECT vec_id AS query_id, cv AS qv, {blist} FROM bk WHERE vec_id < 20
+    ), cand AS (
+      SELECT q.query_id, q.qv, c.vec_id, c.cv FROM q JOIN bk c ON {on}
+    ), scored AS (
+      SELECT query_id, vec_id, {_SQL_COS} AS score FROM cand
+    )
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@_q("ann_lsh_multiprobe_topk", _lsh_multiprobe_oracle_sql(), tags=("similarity-lsh", "multiprobe"))
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Scale-path ANN #3: MULTI-PROBE hyperplane LSH (Lv et al.) — 2
+    tables × 4 planes with Hamming-1 query probing (5 probes/table)
+    instead of 8 single-probe tables: the corpus-side index shrinks 4×
+    while the probe union recovers the recall, which is the right
+    trade at 100 TB where the index is the stored artifact. Fully
+    oracled (probe set = exact int64 XOR arithmetic); recall vs
+    brute force pinned in tests/test_fuzzy.py."""
+    from etl_rj_spark.operators.similarity import lsh_topk_multiprobe
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    return lsh_topk_multiprobe(e, queries, k=10, dim=64, bits=4, tables=2)

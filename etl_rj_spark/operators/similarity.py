@@ -446,3 +446,58 @@ def semdedup(
     if keep_vec:  # survivor table shape semdedup_incremental consumes
         return kept.select(F.col(id_col), F.col("cell"), F.col("__v").alias(vec_col))
     return kept.select(id_col, "cell")
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bits: int = 4,
+    tables: int = 2,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07 — public algorithm):
+    each query probes its home bucket PLUS every bucket at Hamming
+    distance 1 (one flipped hyperplane) in each table. Near-neighbors
+    that land one plane away are recovered by probing, not by more
+    tables — so recall comparable to many-tables costs the CORPUS side
+    only ``tables`` bucket entries per vector (the index is the
+    expensive, stored side at 100 TB; query-side probes are cheap
+    exploded rows). Probe fan-out is 1 + bits per table.
+
+    Candidate identification is the same exact int64 arithmetic as
+    ``lsh_buckets`` (bucket ids XOR single-bit masks), so the DuckDB
+    oracle replays it bit-for-bit."""
+    probe_masks = [0] + [1 << i for i in range(bits)]
+    qb = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            vec_double(vec_col).alias("__qv"),
+            F.explode(lsh_buckets(vec_col, dim, bits, tables)).alias("tb"),
+        )
+        .select(
+            query_id_col, "__qv", "tb.table",
+            F.explode(
+                F.array(*[F.col("tb.bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])
+            ).alias("bucket"),
+        )
+    )
+    cb = corpus.select(
+        F.col(id_col),
+        F.explode(lsh_buckets(vec_col, dim, bits, tables)).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["table", "bucket"])
+        .select(query_id_col, "__qv", id_col)
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col), vec_double(vec_col).alias("__cv"))
+    scored = cand.join(c, id_col).select(
+        query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

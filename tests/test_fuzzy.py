@@ -135,3 +135,35 @@ def test_snapshot_diff_null_safe_compare(spark):
     got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     # k=1: null == null → unchanged (suppressed); k=3 equal → suppressed
     assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_lsh_multiprobe_beats_single_probe_at_same_index_size(spark, sf_dir):
+    """Multi-probe's contract: with the SAME corpus-side index (2
+    tables × 4 bits), Hamming-1 probing must recover recall a single
+    probe cannot (measured 0.795 vs 0.33 on this corpus; pinned with
+    slack). Self-match stays rank 1 (the home bucket is always
+    probed)."""
+    import pyspark.sql.functions as F2
+
+    from etl_rj_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F2.col("vec_id") < 20)
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(e, q, 10).collect()}
+    got = lsh_topk_multiprobe(e, q, 10, dim=64, bits=4, tables=2).collect()
+    mp = {(r.query_id, r.vec_id) for r in got}
+    sp = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(e, q, 10, dim=64, bits=4, tables=2).collect()
+    }
+    mp_recall = len(mp & truth) / len(truth)
+    sp_recall = len(sp & truth) / len(truth)
+    assert mp_recall >= 0.6
+    assert mp_recall > sp_recall
+    self_rank1 = {r.query_id for r in got if r.rank == 1 and r.vec_id == r.query_id}
+    assert self_rank1 == set(range(20))
