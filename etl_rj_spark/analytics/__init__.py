@@ -104,6 +104,7 @@ _PRIORITY = [
     "token_dist_chi2_drift",
     "triangle_count",
     "ann_lsh_multiprobe_topk",
+    "ann_pq_adc_topk",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

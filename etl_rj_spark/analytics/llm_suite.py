@@ -519,7 +519,7 @@ def ann_ivf_topk(spark, sf_dir):
 
 def _kmeans_oracle_ctes(
     k: int = 8, dim: int = 64, fit_filter: str = "TRUE",
-    source: str = "embeddings",
+    source: str = "embeddings", prefix: str = "",
 ) -> str:
     """CTE chain replaying ``operators/kmeans.kmeans_fit`` (2 Lloyd
     iterations) in DuckDB — possible only because the fit is exact
@@ -555,22 +555,23 @@ def _kmeans_oracle_ctes(
           ) u USING (cid)
         )"""
 
+    p = prefix
     return f"""
-    base AS (
+    {p}base AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT)) AS iv,
              embedding::DOUBLE[] AS dv
       FROM {source}
     ),
-    fitpts AS (SELECT * FROM base WHERE {fit_filter}),
-    c0 AS (
+    {p}fitpts AS (SELECT * FROM {p}base WHERE {fit_filter}),
+    {p}c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS cid, iv AS cv
-      FROM (SELECT vec_id, iv FROM fitpts ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, iv FROM {p}fitpts ORDER BY vec_id LIMIT {k})
     ),
-    a1 AS {assign('c0', 'fitpts')},
-    c1 AS {update('a1', 'c0')},
-    a2 AS {assign('c1', 'fitpts')},
-    c2 AS {update('a2', 'c1')}
+    {p}a1 AS {assign(f'{p}c0', f'{p}fitpts')},
+    {p}c1 AS {update(f'{p}a1', f'{p}c0')},
+    {p}a2 AS {assign(f'{p}c1', f'{p}fitpts')},
+    {p}c2 AS {update(f'{p}a2', f'{p}c1')}
     """
 
 
@@ -2100,3 +2101,98 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 20)
     return lsh_topk_multiprobe(e, queries, k=10, dim=64, bits=4, tables=2)
+
+
+def _pq_oracle_sql(
+    dim: int = 64, m: int = 4, k: int = 16,
+    n_queries: int = 5, shortlist: int = 50, topk: int = 10,
+) -> str:
+    """DuckDB twin of the full PQ pipeline (fit → encode → ADC
+    shortlist → exact re-rank) — ``m`` prefixed replays of the exact
+    integer k-means chain over vector slices, then pure int64
+    distance arithmetic; every stage is engine-exact so the oracle
+    compares final ranks, not approximations."""
+    sub = dim // m
+    q20 = 1 << 20
+    rng = f"range(1, {sub + 1})"
+    chains, encs, qts = [], [], []
+    for s in range(m):
+        src = (
+            f"(SELECT vec_id, list_slice(embedding::DOUBLE[], {s * sub + 1}, "
+            f"{(s + 1) * sub}) AS embedding FROM embeddings)"
+        )
+        chains.append(_kmeans_oracle_ctes(k=k, dim=sub, source=src, prefix=f"s{s}_"))
+        encs.append(f"""
+    enc{s} AS (
+      SELECT vec_id, cid AS code_{s} FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform({rng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM s{s}_base p CROSS JOIN s{s}_c2 c
+      ) WHERE rn = 1
+    )""")
+        qts.append(f"""
+    qt{s} AS (
+      SELECT p.vec_id AS query_id, c.cid,
+             list_sum(list_transform({rng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))) AS d
+      FROM s{s}_base p CROSS JOIN s{s}_c2 c WHERE p.vec_id < {n_queries}
+    )""")
+    adist = " + ".join(f"dt{s}.d" for s in range(m))
+    code_joins = "\n      ".join(
+        f"JOIN qt{s} dt{s} ON dt{s}.query_id = q.query_id AND dt{s}.cid = e.code_{s}"
+        for s in range(m)
+    )
+    enc_joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    frng = f"range(1, {dim + 1})"
+    return f"""
+    WITH {",".join(chains)},
+    {",".join(encs)},
+    {",".join(qts)},
+    codes AS (SELECT * FROM enc0 {enc_joins}),
+    fullq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q20}) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {adist}, e.vec_id) AS rn
+        FROM codes e
+        CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < {n_queries}) q
+        {code_joins}
+      ) WHERE rn <= {shortlist}
+    )
+    SELECT query_id, vec_id, l2_int, rank FROM (
+      SELECT s.query_id, s.vec_id,
+             CAST(list_sum(list_transform({frng}, i -> (qv.iv[i]-cv.iv[i])*(qv.iv[i]-cv.iv[i]))) AS BIGINT) AS l2_int,
+             row_number() OVER (PARTITION BY s.query_id ORDER BY
+               list_sum(list_transform({frng}, i -> (qv.iv[i]-cv.iv[i])*(qv.iv[i]-cv.iv[i]))), s.vec_id) AS rank
+      FROM short s JOIN fullq qv ON qv.vec_id = s.query_id
+      JOIN fullq cv ON cv.vec_id = s.vec_id
+    ) WHERE rank <= {topk}
+    """
+
+
+@_q("ann_pq_adc_topk", _pq_oracle_sql(), tags=("similarity-pq", "ann"))
+def ann_pq_adc_topk(spark, sf_dir):
+    """Scale-path ANN #4: PRODUCT QUANTIZATION (Jégou et al.) — 4
+    subspaces × 16 integer-k-means codewords compress each 64-dim
+    vector to 4 small ints (~64× smaller stored index); queries build
+    per-subspace distance tables and ADC-scan the codes for a
+    50-deep shortlist, then exact integer L2 re-ranks to top-10. The
+    entire pipeline (4 sub-fits, encoding, ADC, re-rank) is exact
+    int64 arithmetic, so the DuckDB oracle replays it end to end —
+    an oracle-checked PQ most engines can't offer. Recall vs exact
+    L2 pinned in tests/test_kmeans.py."""
+    from etl_rj_spark.operators.kmeans import (
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, dim=64, m=4, k=16, iters=2)
+    codes = pq_encode(e, books, dim=64)
+    queries = e.filter(F.col("vec_id") < 5)
+    return pq_topk_rerank(e, codes, books, queries, topk=10, shortlist=50, dim=64)
