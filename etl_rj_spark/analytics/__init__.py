@@ -105,6 +105,7 @@ _PRIORITY = [
     "triangle_count",
     "ann_lsh_multiprobe_topk",
     "ann_pq_adc_topk",
+    "recursive_reachability",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -1038,3 +1038,48 @@ def triangle_count(spark, sf_dir):
         e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2"))
     )
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id % 64 AS src,
+             {dst_expr} % 64 AS dst
+      FROM events
+      WHERE user_id % 64 <> {dst_expr} % 64
+    ),
+    walk(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst AS node, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM walk GROUP BY node ORDER BY node
+"""
+
+_DST_SPARK = "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+_DST_DUCK = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT"
+
+
+@_q(
+    "recursive_reachability",
+    _REACH_SQL.format(dst_expr=_DST_DUCK),
+    tags=("graph", "recursive-cte", "sql-surface"),
+)
+def recursive_reachability(spark, sf_dir):
+    """BFS reachability through Spark 4's ``WITH RECURSIVE`` — minimum
+    hop count from node 0 over the deterministic interaction graph,
+    frontier capped at 3 hops. The ONE surface where the engine runs a
+    recursive SQL query natively (the DataFrame twins —
+    connected_components, pagerank_integer — unroll their iterations
+    explicitly); DuckDB executes the same recursive CTE, so equality
+    covers both the SQL dialect parity and the fixpoint semantics.
+
+    Scale: each recursion level is one frontier⋈edges join — the same
+    per-iteration shape as the unrolled loops, with Spark managing the
+    fixpoint; cap the depth the way the loops cap ``iterations``."""
+    from etl_rj_spark.analytics.sql_surface import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_REACH_SQL.format(dst_expr=_DST_SPARK))
