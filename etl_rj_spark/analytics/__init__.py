@@ -106,6 +106,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe_topk",
     "ann_pq_adc_topk",
     "recursive_reachability",
+    "decay_weighted_revenue",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

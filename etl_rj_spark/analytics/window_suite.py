@@ -225,3 +225,61 @@ def lateral_top2_orders(spark, sf_dir):
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@_q(
+    "decay_weighted_revenue",
+    """
+    WITH daily AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS dia,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(dia) AS anchor FROM daily),
+    anchored AS (
+      SELECT o_custkey, cents,
+             date_diff('day', dia, mx.anchor) AS age
+      FROM daily CROSS JOIN mx
+    )
+    SELECT o_custkey,
+           CAST(SUM(cents // CAST(2 ** LEAST(age // 7, 62) AS BIGINT)) AS BIGINT)
+             AS decayed_cents,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           COUNT(*) AS n_days
+    FROM anchored GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("feature-engineering", "decay", "ewma"),
+)
+def decay_weighted_revenue(spark, sf_dir):
+    """Half-life decay-weighted customer revenue — the recency-
+    weighted feature an EWMA would give, in EXACT integer form: each
+    day's cents are right-shifted one bit per week of age
+    (``cents div 2^(age div 7)`` — a 7-day half-life, age measured
+    from the corpus's own max date), then summed as
+    int64. Float ``pow(λ, age)`` is NOT correctly-rounded-guaranteed
+    across math libraries, so λ is fixed at ½ where decay is integer
+    division and the whole feature is engine-exact.
+
+    Scale: one map-side-combinable daily aggregate, one grouped sum —
+    no window, no per-key ordering."""
+    ord_ = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        ord_.groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("dia"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    mx = daily.agg(F.max("dia").alias("anchor"))
+    return (
+        daily.join(F.broadcast(mx))
+        .withColumn("age", F.datediff(F.col("anchor"), F.col("dia")))
+        .withColumn(
+            "__d", F.expr("shiftright(cents, CAST(least(age div 7, 62) AS INT))")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("__d").alias("decayed_cents"),
+            F.sum("cents").alias("raw_cents"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("o_custkey")
+    )
