@@ -107,6 +107,7 @@ _PRIORITY = [
     "ann_pq_adc_topk",
     "recursive_reachability",
     "decay_weighted_revenue",
+    "price_qty_correlation",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

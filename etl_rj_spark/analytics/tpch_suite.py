@@ -699,3 +699,61 @@ def scd2_customer_history(spark, sf_dir):
     return scd2_apply(
         dim, changes, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
     ).orderBy("c_custkey", "valid_from")
+
+
+@_q(
+    "price_qty_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * 1000000) AS BIGINT) AS corr_ppm
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("statistics", "correlation"),
+)
+def price_qty_correlation(spark, sf_dir):
+    """Pearson correlation of quantity vs (whole-dollar) price per
+    return flag — computed from EXACT integer moment sums (Σx, Σy,
+    Σx², Σy², Σxy as int64), so unlike ``F.corr`` (a float reduction
+    whose result depends on partition order) the statistic is
+    bit-identical on any engine/partitioning; the final normalize is
+    a fixed-order double expression floored to ppm. Whole-dollar
+    scaling keeps Σy² under int64 through ~10⁹ rows per group; past
+    that, swap the moments to DECIMAL(38,0) partials.
+
+    Scale: one map-side-combinable aggregate — the textbook one-pass
+    parallel correlation."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n",
+        F.floor(corr * 1000000).cast("long").alias("corr_ppm"),
+    ).orderBy("l_returnflag")
