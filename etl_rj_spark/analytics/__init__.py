@@ -108,6 +108,7 @@ _PRIORITY = [
     "recursive_reachability",
     "decay_weighted_revenue",
     "price_qty_correlation",
+    "ann_ivfpq_topk",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

@@ -520,6 +520,7 @@ def ann_ivf_topk(spark, sf_dir):
 def _kmeans_oracle_ctes(
     k: int = 8, dim: int = 64, fit_filter: str = "TRUE",
     source: str = "embeddings", prefix: str = "",
+    iv_expr: str | None = None,
 ) -> str:
     """CTE chain replaying ``operators/kmeans.kmeans_fit`` (2 Lloyd
     iterations) in DuckDB — possible only because the fit is exact
@@ -556,11 +557,15 @@ def _kmeans_oracle_ctes(
         )"""
 
     p = prefix
+    iv_sql = (
+        iv_expr
+        if iv_expr is not None
+        else f"list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT))"
+    )
+    dv_sql = "CAST(NULL AS DOUBLE[])" if iv_expr is not None else "embedding::DOUBLE[]"
     return f"""
     {p}base AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT)) AS iv,
-             embedding::DOUBLE[] AS dv
+      SELECT vec_id, {iv_sql} AS iv, {dv_sql} AS dv
       FROM {source}
     ),
     {p}fitpts AS (SELECT * FROM {p}base WHERE {fit_filter}),
@@ -2196,3 +2201,108 @@ def ann_pq_adc_topk(spark, sf_dir):
     codes = pq_encode(e, books, dim=64)
     queries = e.filter(F.col("vec_id") < 5)
     return pq_topk_rerank(e, codes, books, queries, topk=10, shortlist=50, dim=64)
+
+
+def _ivfpq_oracle_sql(
+    dim: int = 64, coarse_k: int = 8, m: int = 4, k: int = 16,
+    n_queries: int = 5, shortlist: int = 30, topk: int = 10,
+) -> str:
+    """DuckDB twin of the IVF-PQ pipeline: coarse fit → residuals →
+    m residual-codebook fits (``iv_expr`` feeds the chains the int64
+    residual slices directly) → cell-confined ADC → exact re-rank.
+    Engine-exact at every stage, so final ranks must match."""
+    sub = dim // m
+    frng = f"range(1, {dim + 1})"
+    srng = f"range(1, {sub + 1})"
+    coarse = _kmeans_oracle_ctes(k=coarse_k, dim=dim, prefix="c_")
+    chains, encs, qts = [], [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        src = f"(SELECT vec_id, list_slice(riv, {lo}, {hi}) AS rv FROM resid)"
+        chains.append(
+            _kmeans_oracle_ctes(k=k, dim=sub, source=src, prefix=f"r{s}_", iv_expr="rv")
+        )
+        encs.append(f"""
+    enc{s} AS (
+      SELECT vec_id, cid AS code_{s} FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform({srng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM r{s}_base p CROSS JOIN r{s}_c2 c
+      ) WHERE rn = 1
+    )""")
+        qts.append(f"""
+    qt{s} AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             list_sum(list_transform({srng},
+               i -> (q.riv[{lo} - 1 + i]-c.cv[i])*(q.riv[{lo} - 1 + i]-c.cv[i]))) AS d
+      FROM resid q CROSS JOIN r{s}_c2 c WHERE q.vec_id < {n_queries}
+    )""")
+    adist = " + ".join(f"dt{s}.d" for s in range(m))
+    code_joins = "\n        ".join(
+        f"JOIN qt{s} dt{s} ON dt{s}.query_id = q.query_id AND dt{s}.cid = e.code_{s}"
+        for s in range(m)
+    )
+    enc_joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_{s}" for s in range(m))
+    return f"""
+    WITH {coarse},
+    cass AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform({frng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM c_base p CROSS JOIN c_c2 c
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT b.vec_id, a.cid AS cell,
+             list_transform({frng}, i -> b.iv[i] - cc.cv[i]) AS riv
+      FROM c_base b JOIN cass a USING (vec_id) JOIN c_c2 cc ON a.cid = cc.cid
+    ),
+    {",".join(chains)},
+    {",".join(encs)},
+    {",".join(qts)},
+    codes AS (
+      SELECT enc0.vec_id, {code_cols}, r.cell
+      FROM enc0 {enc_joins} JOIN resid r ON r.vec_id = enc0.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY {adist}, e.vec_id) AS rn
+        FROM codes e
+        JOIN (SELECT vec_id AS query_id, cell FROM resid WHERE vec_id < {n_queries}) q
+          ON e.cell = q.cell
+        {code_joins}
+      ) WHERE rn <= {shortlist}
+    )
+    SELECT query_id, vec_id, l2_int, rank FROM (
+      SELECT s.query_id, s.vec_id,
+             CAST(list_sum(list_transform({frng}, i -> (qv.iv[i]-cv.iv[i])*(qv.iv[i]-cv.iv[i]))) AS BIGINT) AS l2_int,
+             row_number() OVER (PARTITION BY s.query_id ORDER BY
+               list_sum(list_transform({frng}, i -> (qv.iv[i]-cv.iv[i])*(qv.iv[i]-cv.iv[i]))), s.vec_id) AS rank
+      FROM short s JOIN c_base qv ON qv.vec_id = s.query_id
+      JOIN c_base cv ON cv.vec_id = s.vec_id
+    ) WHERE rank <= {topk}
+    """
+
+
+@_q("ann_ivfpq_topk", _ivfpq_oracle_sql(), tags=("similarity-pq", "ivf", "ann"))
+def ann_ivfpq_topk(spark, sf_dir):
+    """Scale-path ANN #5: IVF-PQ — the billion-scale index layout
+    (coarse cells + PQ codebooks trained on cell RESIDUALS). A query
+    probes its nearest cell (nprobe=1), ADC-scans only that cell's
+    4-int codes against residual distance tables, then exact integer
+    L2 re-ranks a 30-deep shortlist. Coarse fit, residuals, the four
+    residual codebook fits, encoding, ADC, and re-rank are ALL exact
+    int64, so the DuckDB oracle replays the complete pipeline and
+    equality is on final ranks — an oracle-checked IVF-PQ."""
+    from etl_rj_spark.operators.kmeans import ivfpq_build, ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    coarse, books, codes = ivfpq_build(e, dim=64, coarse_k=8, m=4, k=16, iters=2)
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        e, coarse, books, codes, queries, topk=10, shortlist=30, dim=64
+    )

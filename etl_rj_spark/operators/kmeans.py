@@ -42,7 +42,11 @@ from pyspark.sql.window import Window
 # the ONE quantization contract (floor(x·2^20) → int64) lives in
 # operators.similarity; k-means and LSH must never drift apart on it —
 # their oracles replay the same definition
-from etl_rj_spark.operators.similarity import QUANT_SCALE, quantize_vec  # noqa: F401
+from etl_rj_spark.operators.similarity import (  # noqa: F401
+    QUANT_SCALE,
+    _c,
+    quantize_vec,
+)
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -69,6 +73,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    quantize: bool = True,
 ) -> DataFrame:
     """Train integer k-means; returns (cid, cv: array<bigint>).
 
@@ -76,10 +81,13 @@ def kmeans_fit(
     ``id_col`` (data-defined, no RNG), fixed iteration count, exact
     integer updates. A cluster that loses all members keeps its
     previous centroid (deterministic, and keeps k stable).
+
+    ``quantize=False`` takes ``vec_col`` as ALREADY-integer arrays
+    (e.g. IVF-PQ residuals ``iv - coarse_cv``) — quantizing twice
+    would rescale them.
     """
-    pts = df.select(
-        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
-    ).localCheckpoint()
+    vec = quantize_vec(vec_col) if quantize else _c(vec_col)
+    pts = df.select(F.col(id_col).alias("__id"), vec.alias("__iv")).localCheckpoint()
 
     centroids = (
         pts.orderBy("__id")
@@ -342,6 +350,148 @@ def pq_topk_rerank(
     short = pq_adc_topk(
         corpus_codes, codebooks, queries, topk=shortlist,
         vec_col=vec_col, id_col=id_col, query_id_col=query_id_col, dim=dim,
+    ).select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), quantize_vec(vec_col).alias("__qiv")
+    )
+    cv = corpus.select(F.col(id_col), quantize_vec(vec_col).alias("__civ"))
+    exact = (
+        short.join(F.broadcast(qv), query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col, id_col,
+            _sqdist(F.col("__qiv"), F.col("__civ")).alias("l2_int"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("l2_int", id_col)
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    coarse_k: int = 8,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """IVF-PQ index build (Jégou et al. — the classic billion-scale
+    ANN layout): a coarse k-means partitions the corpus into
+    ``coarse_k`` cells, and PQ codebooks are trained on the RESIDUALS
+    ``iv − cell_centroid`` (residuals are what make PQ sharp inside a
+    cell — they're centered near zero, so the same codebook budget
+    quantizes them far more finely than raw vectors). Residuals are
+    exact int64 subtractions of already-quantized components, so the
+    whole build stays engine-exact.
+
+    Returns ``(coarse_centroids, residual_codebooks, codes)`` with
+    ``codes = (id, cell, code_0..code_{m-1})`` — at scale, write
+    ``codes`` bucketed by ``cell`` and a query streams one bucket.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    coarse = kmeans_fit(df, vec_col, id_col, k=coarse_k, iters=iters)
+    pts = df.select(F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv"))
+    assigned = _assign(pts, coarse)
+    resid = (
+        assigned.join(F.broadcast(coarse), "cid")
+        .select(
+            "__id",
+            F.col("cid").alias("cell"),
+            F.zip_with("__iv", "cv", lambda x, y: x - y).alias("__riv"),
+        )
+        .localCheckpoint()  # m sub-fits + encode all read this frame
+    )
+    books = []
+    for s in range(m):
+        sl = F.slice("__riv", s * sub + 1, sub).alias("__rs")
+        books.append(
+            kmeans_fit(
+                resid.select(F.col("__id"), sl), "__rs", "__id",
+                k=k, iters=iters, quantize=False,
+            )
+        )
+    out = resid
+    for s, cb in enumerate(books):
+        out = out.crossJoin(
+            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+        )
+
+    def _best_fn(sv):
+        return lambda c: F.struct(_sqdist(sv, c["cv"]).alias("d"), c["cid"].alias("cid"))
+
+    sels = [F.col("__id").alias(id_col), F.col("cell")]
+    for s in range(m):
+        sv = F.slice("__riv", s * sub + 1, sub)
+        sels.append(
+            F.array_min(F.transform(f"__cents{s}", _best_fn(sv)))["cid"].alias(f"code_{s}")
+        )
+    return coarse, books, out.select(*sels)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    codebooks: list[DataFrame],
+    codes: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    shortlist: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ query (nprobe=1): assign each query to its nearest
+    coarse cell, compute per-subspace distance tables against its
+    RESIDUAL, ADC-scan only that cell's codes for a shortlist, then
+    exact integer L2 re-rank on the full vectors. The cell equi-join
+    is the IVF win (1/coarse_k of the codes scanned); probing more
+    cells = unioning more (cell, dtable) query rows, no new machinery.
+    All-int64, oracle-exact end to end."""
+    m = len(codebooks)
+    sub = dim // m
+    qpts = queries.select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
+    )
+    qass = _assign(qpts, coarse)
+    qres = qass.join(F.broadcast(coarse), "cid").select(
+        F.col("__id").alias(query_id_col),
+        F.col("cid").alias("cell"),
+        F.zip_with("__iv", "cv", lambda x, y: x - y).alias("__riv"),
+    )
+    for s, cb in enumerate(codebooks):
+        qres = qres.crossJoin(
+            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+        )
+
+    def _dist_fn(sv):
+        return lambda c: _sqdist(sv, c["cv"])
+
+    tcols = [F.col(query_id_col), F.col("cell")]
+    for s in range(m):
+        sv = F.slice("__riv", s * sub + 1, sub)
+        tcols.append(
+            F.transform(F.array_sort(F.col(f"__cents{s}")), _dist_fn(sv)).alias(f"__dt{s}")
+        )
+    qtables = qres.select(*tcols)
+    adist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"__dt{s}"), F.col(f"code_{s}"))
+        adist = term if adist is None else adist + term
+    short = (
+        F.broadcast(qtables)
+        .join(codes, "cell")
+        .select(query_id_col, id_col, adist.alias("adist"))
+    )
+    ws = Window.partitionBy(query_id_col).orderBy("adist", id_col)
+    short = short.withColumn("__rn", F.row_number().over(ws)).filter(
+        F.col("__rn") <= shortlist
     ).select(query_id_col, id_col)
     qv = queries.select(
         F.col(id_col).alias(query_id_col), quantize_vec(vec_col).alias("__qiv")

@@ -172,3 +172,27 @@ def test_pq_rerank_recall_vs_exact_l2(spark, sf_dir):
     assert len(got & truth) / len(truth) >= 0.9
     adc = {(r.query_id, r.vec_id) for r in pq_adc_topk(codes, books, q, topk=5).collect()}
     assert len(got & truth) >= len(adc & truth)
+
+
+def test_ivfpq_results_confined_to_probed_cell_and_self_match(spark, sf_dir):
+    """IVF-PQ semantics: with nprobe=1 every result must live in the
+    query's own coarse cell; a corpus-member query always finds itself
+    (residual 0 in its own cell → ADC distance 0 → survives any
+    shortlist → exact L2 0 → rank 1)."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.kmeans import ivfpq_build, ivfpq_topk
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    coarse, books, codes = ivfpq_build(e)
+    q = e.filter(F.col("vec_id") < 5)
+    top = ivfpq_topk(e, coarse, books, codes, q, topk=10, shortlist=30)
+    rows = top.collect()
+    cell_of = {r.vec_id: r.cell for r in codes.select("vec_id", "cell").collect()}
+    for r in rows:
+        assert cell_of[r.vec_id] == cell_of[r.query_id], (
+            f"result {r.vec_id} outside query {r.query_id}'s cell"
+        )
+    self_rank1 = {r.query_id for r in rows if r.rank == 1 and r.vec_id == r.query_id}
+    assert self_rank1 == set(range(5))
