@@ -109,6 +109,7 @@ _PRIORITY = [
     "decay_weighted_revenue",
     "price_qty_correlation",
     "ann_ivfpq_topk",
+    "benford_first_digit",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

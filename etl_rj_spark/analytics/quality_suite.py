@@ -693,3 +693,49 @@ def token_dist_chi2_drift(spark, sf_dir):
         F.sum("t_micro").alias("chi2_micro"),
         (F.countDistinct("token") - 1).alias("dof"),
     )
+
+
+@_q(
+    "benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT d, n,
+           CAST((n * 1000000) // tot.total AS BIGINT) AS observed_ppm,
+           CAST(FLOOR(LOG10(1.0 + 1.0 / d) * 1000000) AS BIGINT) AS benford_ppm
+    FROM obs CROSS JOIN tot ORDER BY d
+    """,
+    tags=("data-quality", "benford", "fraud-screen"),
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford first-digit screen — the classic bulk-data fraud /
+    fabrication check: observed leading-digit shares (exact integer
+    ppm) beside Benford's law expectation log10(1+1/d). The expected
+    column is a single fixed-order double expression on small integer
+    ratios, floored to ppm — identical IEEE on both engines; observed
+    shares are pure integer division. Consumers flag columns whose
+    observed distribution diverges (the χ² machinery from
+    token_dist_chi2_drift applies directly).
+
+    Scale: one map-side-combinable 9-row aggregate over the scan."""
+    ord_ = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = ord_.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "d", "n",
+            F.expr("(n * CAST(1000000 AS BIGINT)) div total").alias("observed_ppm"),
+            F.floor(F.log10(1.0 + 1.0 / F.col("d")) * 1000000)
+            .cast("long").alias("benford_ppm"),
+        )
+        .orderBy("d")
+    )
