@@ -6,8 +6,18 @@ outlives a microbatch — the streaming twin of
 Per user, state carries the open session (start, last-seen, count,
 value sum) as int64 epoch-micros + counters. Each batch sorts its
 events, closes and emits every session whose gap elapsed, and leaves
-the trailing session open in state (emitted on a later batch's gap or
-on state timeout in a production deployment).
+the trailing session open in state.
+
+Two closing disciplines for that trailing session:
+
+- :func:`streaming_sessionize` — closed only by a later batch's gap
+  (state lives until the user reappears; simplest, watermark-free).
+- :func:`streaming_sessionize_with_timeout` — ALSO closed by an
+  EventTimeTimeout: the state registers ``last_seen + gap`` as its
+  timeout; once the WATERMARK passes it, Spark invokes the function
+  with ``state.hasTimedOut`` and the session is emitted and the state
+  dropped. This is the production posture — per-user state is bounded
+  by activity + gap, not by stream lifetime.
 """
 
 from __future__ import annotations
@@ -26,11 +36,24 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
 
 
-def _make_sessionizer(gap_seconds: int):
+def _make_sessionizer(gap_seconds: int, close_on_timeout: bool = False):
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if close_on_timeout and state.hasTimedOut:
+            start, last, n, vsum = state.get
+            state.remove()
+            if n:
+                out = pd.DataFrame(
+                    [(user_id, start, last, n, vsum)],
+                    columns=["user_id", "session_start", "session_end",
+                             "n_events", "value_sum"],
+                )
+                out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+                out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+                yield out
+            return
         start, last, n, vsum = state.get if state.exists else (None, None, 0, 0.0)
 
         closed: list[tuple] = []
@@ -50,6 +73,10 @@ def _make_sessionizer(gap_seconds: int):
                 n += 1
                 vsum += v
         state.update((start, last, n, vsum))
+        if close_on_timeout and last is not None:
+            # EventTimeTimeout keys on the WATERMARK: fire once it
+            # passes this session's gap horizon (ms epoch)
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
 
         if closed:
             out = pd.DataFrame(
@@ -74,5 +101,28 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFram
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf="NoTimeout",
+        )
+    )
+
+
+def streaming_sessionize_with_timeout(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Like :func:`streaming_sessionize`, but trailing sessions are
+    ALSO emitted once the event-time watermark passes their gap
+    horizon — no user left permanently open. Input needs
+    (user_id, ts, event_id, value); ``ts`` carries the watermark."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_seconds, close_on_timeout=True),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )

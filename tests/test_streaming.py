@@ -672,3 +672,65 @@ def test_stateful_v2_sessionize_matches_v1(spark, sf_dir, events_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_sessionize_timeout_closes_trailing_session(spark, tmp_path):
+    """EventTimeTimeout discipline: user A's trailing session stays
+    open until LATER events (a different user) advance the watermark
+    past A's gap horizon — then the session emits via timeout and A's
+    state is dropped (no duplicate on further advancement)."""
+    import pyspark.sql.types as T
+
+    from etl_rj_spark.streaming.stateful import streaming_sessionize_with_timeout
+
+    ink = str(tmp_path / "ev_in")
+
+    def drop(rows, name):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double"
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value"
+        ).coalesce(1).write.mode("append").parquet(ink + "/" + name)
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    drop([(1, "2024-01-01 00:00:00", 1, 1.0), (1, "2024-01-01 00:00:30", 2, 1.0)], "a")
+    q = (
+        streaming_sessionize_with_timeout(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(ink),
+            gap_seconds=60, watermark="0 seconds",
+        )
+        .writeStream.format("memory").queryName("to_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+
+    def got():
+        return sorted(
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in spark.sql("SELECT * FROM to_out").collect()
+        )
+
+    try:
+        q.processAllAvailable()
+        assert got() == []  # trailing session open, nothing emitted
+
+        # user 2 an hour later: watermark sweeps past user 1's horizon
+        drop([(2, "2024-01-01 01:00:00", 3, 1.0)], "b")
+        q.processAllAvailable()
+        assert got() == [(1, "2024-01-01 00:00:00", 2)]
+
+        # further advance: user 2's own session times out; user 1 NOT
+        # re-emitted (its state was removed at timeout)
+        drop([(2, "2024-01-01 02:00:00", 4, 1.0)], "c")
+        q.processAllAvailable()
+        final = got()
+    finally:
+        q.stop()
+    assert (2, "2024-01-01 01:00:00", 1) in final
+    assert final.count((1, "2024-01-01 00:00:00", 2)) == 1
