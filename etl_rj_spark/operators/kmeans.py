@@ -434,6 +434,29 @@ def ivfpq_build(
     return coarse, books, out.select(*sels)
 
 
+def _assign_topn(pts: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
+    """Top-``n`` nearest centroids per point (the nprobe generalization
+    of ``_assign`` — same packed-broadcast zero-shuffle posture;
+    ``array_sort`` on (dist, cid) structs is the deterministic
+    ordering, ``slice`` takes the n nearest)."""
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+    )
+    dists = F.array_sort(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                _sqdist(F.col("__iv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        pts.crossJoin(packed)
+        .select("__id", "__iv", F.explode(F.slice(dists, 1, n)).alias("__p"))
+        .select("__id", "__iv", F.col("__p")["cid"].alias("cid"))
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     coarse: DataFrame,
@@ -446,20 +469,24 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-PQ query (nprobe=1): assign each query to its nearest
-    coarse cell, compute per-subspace distance tables against its
-    RESIDUAL, ADC-scan only that cell's codes for a shortlist, then
-    exact integer L2 re-rank on the full vectors. The cell equi-join
-    is the IVF win (1/coarse_k of the codes scanned); probing more
-    cells = unioning more (cell, dtable) query rows, no new machinery.
-    All-int64, oracle-exact end to end."""
+    """IVF-PQ query: assign each query to its ``nprobe`` nearest
+    coarse cells, compute per-(query, cell) distance tables against
+    THAT cell's residual, ADC-scan only the probed cells' codes for a
+    shortlist, then exact integer L2 re-rank on the full vectors. The
+    cell equi-join is the IVF win (nprobe/coarse_k of the codes
+    scanned); raising ``nprobe`` is the standard recall knob — each
+    extra probe is one more (cell, dtable) query row through the SAME
+    join, no new machinery. All-int64, oracle-exact end to end (the
+    registry oracle replays nprobe=1; nprobe monotonicity is pinned in
+    tests)."""
     m = len(codebooks)
     sub = dim // m
     qpts = queries.select(
         F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
     )
-    qass = _assign(qpts, coarse)
+    qass = _assign_topn(qpts, coarse, nprobe)
     qres = qass.join(F.broadcast(coarse), "cid").select(
         F.col("__id").alias(query_id_col),
         F.col("cid").alias("cell"),

@@ -196,3 +196,43 @@ def test_ivfpq_results_confined_to_probed_cell_and_self_match(spark, sf_dir):
         )
     self_rank1 = {r.query_id for r in rows if r.rank == 1 and r.vec_id == r.query_id}
     assert self_rank1 == set(range(5))
+
+
+def test_ivfpq_nprobe_ladder_recovers_recall(spark, sf_dir):
+    """The IVF-PQ recall knob: with shortlist scaled 30·nprobe, recall
+    vs exact integer-L2 top-10 must climb monotonically with nprobe
+    and reach 1.0 when every cell is probed (measured 0.66 / 0.88 /
+    1.0 at nprobe 1 / 2 / 8 on this corpus; pinned with slack)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.kmeans import _sqdist, ivfpq_build, ivfpq_topk
+    from etl_rj_spark.operators.similarity import quantize_vec
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    coarse, books, codes = ivfpq_build(e)
+    q = e.filter(F.col("vec_id") < 5)
+    a = q.select(F.col("vec_id").alias("query_id"), quantize_vec("embedding").alias("qv"))
+    b = e.select("vec_id", quantize_vec("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in a.crossJoin(b)
+        .select("query_id", "vec_id", _sqdist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .collect()
+    }
+
+    def recall(np_):
+        top = ivfpq_topk(
+            e, coarse, books, codes, q, topk=10, shortlist=30 * np_, nprobe=np_
+        )
+        got = {(r.query_id, r.vec_id) for r in top.collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 >= 0.5
+    assert r2 >= r1
+    assert r8 == 1.0  # all cells probed + 240-shortlist ⊇ exact top-10
