@@ -27,11 +27,14 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: late-r5 contracts (XML feed, scaled self-asserting LSH recall ×2,
 #: SemDeDup, e2e curation chain, VARIANT).
 #:
-#: ROUND-6 ROTATION PLAN (for whoever edits this next): the remaining
-#: 34 never-checked queries are staged immediately after the 50-mark
-#: below — promote them to the front, add round-6 queries, and fill
-#: with canaries from the long-green tiers. After that, every
-#: registered query has at least one driver verdict.
+#: ROUND-6 ROTATION PLAN (for whoever edits this next): 56
+#: never-checked queries are staged immediately after the 50-mark
+#: below (34 from the original backlog + 22 added later this round,
+#: all locally DuckDB-verified and covered by this round's 184-query
+#: vanilla-session sweep) — promote the first 50 of them, append
+#: round-6 queries, and recompute against the CORRECTNESS files as
+#: this round's rebuild did. Two rotations from now, every registered
+#: query has a driver verdict.
 _PRIORITY = [
     # -- (a) new this round -------------------------------------------
     "doc_chunk_windows",       # context-window chunking, char-offset oracle
