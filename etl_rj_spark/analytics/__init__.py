@@ -113,6 +113,7 @@ _PRIORITY = [
     "price_qty_correlation",
     "ann_ivfpq_topk",
     "benford_first_digit",
+    "top_event_type_per_user",
     "xml_column_extract",
     "semdedup_incremental",
     "csv_corrupt_quarantine",

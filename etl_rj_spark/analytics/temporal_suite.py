@@ -554,3 +554,44 @@ def pit_dimension_enrich(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+@_q(
+    "top_event_type_per_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS top_type, n AS top_n
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, val_c DESC, event_type DESC) = 1
+    ORDER BY user_id
+    """,
+    tags=("A3-generalized", "argmax", "max_by"),
+)
+def top_event_type_per_user(spark, sf_dir):
+    """Per-user dominant event type via the argmax aggregate —
+    ``max_by`` (Spark) / ``arg_max`` (DuckDB). Bare max_by is
+    NONDETERMINISTIC on count ties, so the ordering key is the full
+    (n, integer-cents value, event_type) struct: ties fall through to
+    exact integer value and finally the type name — deterministic on
+    any engine/partitioning. (MAX(n) is the winner's count because n
+    leads the ordering struct.)"""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("val_c"),
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.max_by(
+                "event_type", F.struct("n", "val_c", "event_type")
+            ).alias("top_type"),
+            F.max("n").alias("top_n"),
+        )
+        .orderBy("user_id")
+    )
