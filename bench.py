@@ -41,8 +41,12 @@ def main() -> None:
         # reuse its own warm-up's persist()ed stages (under-measuring),
         # and accumulated caches pressure the executor heap
         spark.catalog.clearCache()
+        q = bench_queries[name]
+        # bench_build (when set) is the production operator alone;
+        # in-query correctness contracts stay on the driver's .build path
+        build = q.bench_build or q.build
         t0 = time.perf_counter()
-        df = bench_queries[name].build(spark, sf_dir)
+        df = build(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 

@@ -1160,27 +1160,39 @@ def _within_base_expected(values_by_base, pair_pred):
         values_by_base.groupBy("__base")
         .agg(F.collect_list("__val").alias("ms"))
         .select(
-            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c")
+            F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c"),
+            F.size("ms").cast("long").alias("__n"),
         )
-        .agg(F.sum("c").alias("n_within_base_expected"))
+        .agg(
+            F.sum("c").alias("n_within_base_expected"),
+            F.sum("__n").alias("n_corpus_rows"),
+        )
     )
 
 
 def _recall_contract(pairs, expected, min_frac, name):
-    """(n_pairs, n_within_base, n_within_base_expected, recall_check)
-    with ``assert_true`` turning a violation into a query ERROR: found
-    ≤ expected EXACTLY (every emitted pair is similarity-verified, so
-    a within-base surplus means a broken verifier) and found ≥
-    ``min_frac`` of expected."""
+    """(n_corpus_rows, precision_ok, recall_ok, recall_check) with
+    ``assert_true`` turning a violation into a query ERROR: found ≤
+    expected EXACTLY (every emitted pair is similarity-verified, so a
+    within-base surplus means a broken verifier) and found ≥
+    ``min_frac`` of expected.
+
+    The output is deliberately oracle-shaped (VERDICT r5 #2): on a
+    healthy engine it is one fully deterministic row — the replica
+    count (recomputable by DuckDB from the base table) plus TRUE flags
+    and a NULL assert column — so the driver records a full
+    rows+schema+hash verdict. The hard signal stays in-query: a
+    recall/precision regression flips a flag (hash mismatch) AND trips
+    ``assert_true`` (query error); both are driver-visible."""
     got = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.sum((_base("id_a") == _base("id_b")).cast("long")).alias("n_within_base"),
     )
     n, exp = F.col("n_within_base"), F.col("n_within_base_expected")
     return got.crossJoin(expected).select(
-        "n_pairs",
-        "n_within_base",
-        "n_within_base_expected",
+        "n_corpus_rows",
+        (n <= exp).alias("precision_ok"),
+        (n >= F.ceil(exp * min_frac)).alias("recall_ok"),
         F.assert_true(
             (n <= exp) & (n >= F.ceil(exp * min_frac)),
             F.lit(f"{name}: within-base recall/precision regression"),
@@ -1188,7 +1200,17 @@ def _recall_contract(pairs, expected, min_frac, name):
     )
 
 
-@_q("minhash_lsh_pairs_scaled", None, bench=True, tags=("dedup-minhash-lsh", "bench-scale"))
+@_q(
+    "minhash_lsh_pairs_scaled",
+    """
+    SELECT CAST(25 * COUNT(*) AS BIGINT) AS n_corpus_rows,
+           TRUE AS precision_ok, TRUE AS recall_ok,
+           CAST(NULL AS VARCHAR) AS recall_check
+    FROM documents
+    """,
+    bench=True,
+    tags=("dedup-minhash-lsh", "bench-scale"),
+)
 def minhash_lsh_pairs_scaled(spark, sf_dir):
     """MinHash+LSH dedup over a 25×-replicated corpus (12.5k docs,
     ~300k near-dup pair candidates) — the throughput path the
@@ -1209,7 +1231,13 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
     16 hashes/8 bands predicts ~4e-6 missed mass here; measured 6 of
     1.5M at sf0.1. The pre-round-5 affine hash family's correlated
     minima missed 0.16 % — 40× outside this bound, which is how the
-    contract caught it)."""
+    contract caught it).
+
+    Output is the oracle-shaped contract row (see ``_recall_contract``)
+    so the driver records a full verdict; bench.py times the
+    ``bench_build`` pair-production path below instead, keeping the
+    recorded number comparable with rounds 1–4 (the r5 bench regression
+    was exactly this contract running inside the timed query)."""
     from etl_rj_spark.operators.text_dedup import shingle_hashes
 
     corpus = _scaled_docs(spark, sf_dir, 25)
@@ -1237,6 +1265,24 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
         jacc_ge,
     )
     return _recall_contract(pairs, expected, 0.9999, "minhash_lsh_pairs_scaled")
+
+
+def _minhash_lsh_pairs_scaled_bench(spark, sf_dir):
+    """Timed bench path: LSH pair production ALONE — the operator a
+    user actually runs, and the exact shape rounds 1–4 timed. The
+    within-base ground-truth contract stays on the correctness
+    ``build`` above, where the driver (not the stopwatch) pays for it."""
+    from etl_rj_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    corpus = _scaled_docs(spark, sf_dir, 25)
+    return minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.8,
+        num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True,
+    )
+
+
+REGISTRY["minhash_lsh_pairs_scaled"].bench_build = _minhash_lsh_pairs_scaled_bench
 
 
 @_q(
@@ -1528,7 +1574,12 @@ def semdedup_incremental(spark, sf_dir):
 
 @_q(
     "embedding_near_pairs_lsh_scaled",
-    None,
+    """
+    SELECT CAST(20 * COUNT(*) AS BIGINT) AS n_corpus_rows,
+           TRUE AS precision_ok, TRUE AS recall_ok,
+           CAST(NULL AS VARCHAR) AS recall_check
+    FROM embeddings
+    """,
     tags=("dedup-embedding", "similarity-lsh", "bench-scale"),
 )
 def embedding_near_pairs_lsh_scaled(spark, sf_dir):

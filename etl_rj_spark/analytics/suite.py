@@ -63,6 +63,12 @@ class Query:
     oracle: str | None
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default=())
+    #: Optional bench-only variant: when set, bench.py times THIS
+    #: callable instead of ``build``. Lets a query carry an in-query
+    #: correctness contract (extra ground-truth work) on the driver's
+    #: correctness path while the timed path stays the production
+    #: operator alone — keeping cross-round bench ratios comparable.
+    bench_build: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, Query] = {}

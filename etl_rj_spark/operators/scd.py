@@ -141,3 +141,82 @@ def scd2_apply(
         F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
     ).select(dim.columns)
     return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(new_open)
+
+
+def scd2_apply_multi(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """:func:`scd2_apply` generalized to a batch carrying MANY effective
+    dates per key, folded in ONE window pass instead of one
+    ``scd2_apply`` layer per distinct date (a backfill batch spanning
+    years would otherwise build an O(dates)-deep plan on the driver —
+    VERDICT r5 #4).
+
+    Semantics match folding ``scd2_apply`` over the batch's distinct
+    effective dates in ascending order, assuming ≤1 change per
+    (key, effective date) — assert upstream, as the streaming fold does:
+
+    - stale guard: changes at or before the open row's ``valid_from``
+      are ignored;
+    - no-op collapse: a change equal (null-safe) to the key's previous
+      SURVIVING state is dropped. One ``lag`` comparison suffices: a
+      dropped row is value-equal to its predecessor by construction,
+      so equality to the immediate prior row is inductively equality
+      to the surviving prior state;
+    - interval build: each surviving row closes at the NEXT surviving
+      row's effective date (``lead``); the last stays open.
+
+    Scale: the open slice and the change batch shuffle ONCE on the
+    keys; all three window passes share that partitioning (no extra
+    Exchange — plan depth is independent of how many effective dates
+    the batch spans). Closed history passes through untouched.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key_list = list(keys)
+    open_rows = dim.filter(F.col(valid_to).isNull())
+    closed_rows = dim.filter(F.col(valid_to).isNotNull())
+    vt_type = dim.schema[valid_to].dataType
+
+    u = open_rows.select(
+        *key_list, *compare_cols,
+        F.col(valid_from).alias("__eff"),
+        F.lit(0).alias("__is_change"),
+    ).unionByName(
+        changes.select(
+            *key_list, *compare_cols,
+            F.col(effective_col).alias("__eff"),
+            F.lit(1).alias("__is_change"),
+        )
+    )
+
+    wk = Window.partitionBy(*key_list)
+    open_vf = F.max(F.when(F.col("__is_change") == 0, F.col("__eff"))).over(wk)
+    live = u.withColumn("__open_vf", open_vf).filter(
+        (F.col("__is_change") == 0) | (F.col("__eff") > F.col("__open_vf"))
+        | F.col("__open_vf").isNull()
+    )
+
+    wo = Window.partitionBy(*key_list).orderBy("__eff", "__is_change")
+    prev_eff = F.lag("__eff").over(wo)
+    same_as_prev = F.lit(True)
+    for c in compare_cols:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.lag(c).over(wo))
+    survivors = live.withColumn(
+        "__keep", prev_eff.isNull() | ~same_as_prev
+    ).filter(F.col("__keep"))
+
+    return closed_rows.unionByName(
+        survivors.select(
+            *key_list, *compare_cols,
+            F.col("__eff").alias(valid_from),
+            F.lead("__eff").over(wo).cast(vt_type).alias(valid_to),
+        ).select(dim.columns)
+    )

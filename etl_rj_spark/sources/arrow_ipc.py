@@ -91,24 +91,50 @@ def write_arrow_files(
     prefix: str = "part",
 ) -> DataFrame:
     """Write one Arrow IPC file per partition under ``path``; returns
-    the manifest (file, n_rows) — count it / join it, don't collect a
-    success flag. Partition count = file count: ``repartition`` first
-    to choose the shard layout."""
+    the manifest (file, n_rows), already materialized. Partition count
+    = file count: ``repartition`` first to choose the shard layout.
+
+    Commit protocol (the side effect must happen exactly once, however
+    the caller or the scheduler behaves):
+
+    - the write job is run EAGERLY inside this call and the manifest is
+      re-wrapped via ``createDataFrame`` — re-using / re-counting the
+      returned frame never re-executes the write (a lazy mapInPandas
+      plan would rewrite the whole dataset on every action);
+    - shard names are DETERMINISTIC per partition id, and each shard is
+      staged to a ``.inprogress`` temp then atomically ``os.replace``d
+      — task retries and speculative attempts overwrite the same final
+      name instead of leaving orphan duplicate shards for
+      ``read_arrow_files`` to double-count;
+    - pre-existing ``{prefix}-*.arrow`` shards under ``path`` are
+      removed first (overwrite semantics, like Spark's own
+      ``mode("overwrite")``) so a re-run with fewer partitions can't
+      leave stale extra shards behind.
+    """
     os.makedirs(path, exist_ok=True)
     manifest_schema = "file string, n_rows long"
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, f"{prefix}-*.arrow")):
+        os.remove(stale)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
 
         import pyarrow as pa
+        from pyspark import TaskContext
 
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         tbl = pa.Table.from_pandas(pd.concat(pdfs, ignore_index=True), preserve_index=False)
-        fname = os.path.join(path, f"{prefix}-{uuid.uuid4().hex}.arrow")
-        with pa.ipc.new_file(fname, tbl.schema) as w:
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"{prefix}-{pid:05d}.arrow")
+        tmp = f"{fname}.{uuid.uuid4().hex}.inprogress"
+        with pa.ipc.new_file(tmp, tbl.schema) as w:
             w.write_table(tbl)
+        os.replace(tmp, fname)
         yield pd.DataFrame({"file": [fname], "n_rows": [tbl.num_rows]})
 
-    return df.mapInPandas(write_part, manifest_schema)
+    rows = df.mapInPandas(write_part, manifest_schema).collect()
+    return df.sparkSession.createDataFrame(rows, manifest_schema)

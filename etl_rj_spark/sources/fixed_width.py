@@ -16,6 +16,14 @@ Field spec: ``(name, width, type)`` with type one of ``"string"``
 (left-aligned) or any castable numeric/date type (right-aligned).
 Values wider than their field raise at write (truncating a key
 silently would corrupt the record grid).
+
+Format limitation (inherent to space-padded fixed-width, not a bug in
+this codec): the byte grid cannot distinguish NULL, the empty string,
+whitespace-only strings, or leading/trailing spaces — all pad to
+spaces on write and trim back to NULL on read. A roundtrip therefore
+conflates those values (NULL-normalizes them). If a dataset's strings
+carry significant whitespace, this is the wrong container — use the
+Arrow/Parquet/JSONL sinks, which preserve them exactly.
 """
 
 from __future__ import annotations

@@ -4,11 +4,11 @@ validity-interval dimension history with ``foreachBatch`` +
 the batch SCD2 operator, the way ``streaming/incremental.py`` twins
 the K1 anti-join append.
 
-Each micro-batch may carry several effective dates; they are applied
-in ascending order (one ``scd2_apply`` per date — distinct dates per
-batch are calendar-scale, so the driver loop is metadata-sized). A
-key with two changes at the SAME effective date is ambiguous and
-raises rather than silently picking one.
+Each micro-batch may carry several effective dates; they fold in
+ONE window pass (``scd2_apply_multi`` — ascending-date semantics,
+plan depth independent of the date count, so multi-year backfill
+batches are safe). A key with two changes at the SAME effective date
+is ambiguous and raises rather than silently picking one.
 
 History swap is crash-safe without a table format: write the new
 history to a staging dir, move current → backup, staging → current,
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_rj_spark.operators.scd import scd2_apply
+from etl_rj_spark.operators.scd import scd2_apply_multi
 
 
 def _hpath(spark: SparkSession, p: str):
@@ -99,9 +99,10 @@ def stream_scd2_maintain(
                 .collect()
             )
             if dup:
+                row = tuple(dup[0])
                 raise ValueError(
-                    f"ambiguous SCD2 batch: key {tuple(dup[0])[:-1]} has two "
-                    "different changes at one effective date"
+                    f"ambiguous SCD2 batch: key {row[:len(keys)]} has two "
+                    f"different changes at effective date {row[len(keys)]!r}"
                 )
             hist = read_history(spark, history_path)
             if hist is None:
@@ -111,20 +112,16 @@ def stream_scd2_maintain(
                     F.lit(None).cast(batch_df.schema[effective_col].dataType)
                     .alias("valid_to"),
                 ).limit(0)
-            # ascending effective order; distinct dates are calendar-scale
-            effs = [
-                r[0]
-                for r in batch_df.select(effective_col)
-                .distinct().orderBy(effective_col).collect()
-            ]
-            for eff in effs:
-                hist = scd2_apply(
-                    hist,
-                    batch_df.filter(F.col(effective_col) == F.lit(eff)),
-                    keys,
-                    compare_cols,
-                    effective_col=effective_col,
-                )
+            # all effective dates fold in ONE window pass — plan depth
+            # (and driver work) independent of how many dates the batch
+            # spans, so a multi-year backfill batch is safe
+            hist = scd2_apply_multi(
+                hist,
+                batch_df,
+                keys,
+                compare_cols,
+                effective_col=effective_col,
+            )
             staging = history_path + f".staging-{batch_id}"
             hist.write.mode("overwrite").parquet(staging)
             fs, cur = _hpath(spark, history_path)

@@ -75,8 +75,21 @@ def _make_sessionizer(gap_seconds: int, close_on_timeout: bool = False):
         state.update((start, last, n, vsum))
         if close_on_timeout and last is not None:
             # EventTimeTimeout keys on the WATERMARK: fire once it
-            # passes this session's gap horizon (ms epoch)
-            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            # passes this session's gap horizon (ms epoch). A timeout
+            # timestamp ≤ the watermark raises
+            # INVALID_TIMEOUT_TIMESTAMP and kills the whole query, so
+            # clamp the horizon just past the current watermark.
+            # On this engine (Spark 4) the clamp is defense-in-depth
+            # rather than load-bearing: stateful-operator late-record
+            # eviction drops input rows older than the watermark
+            # before they reach this function (verified empirically —
+            # a 2-hours-late straggler never invokes the sessionizer),
+            # so ``last`` ≥ watermark whenever new data arrives and the
+            # unclamped horizon already clears it. The clamp keeps the
+            # operator safe on runtimes/configs without that eviction.
+            horizon_ms = last // 1000 + gap_seconds * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
 
         if closed:
             out = pd.DataFrame(

@@ -219,6 +219,73 @@ class TestScd2Apply:
             (1, "A", "None"), (2, "B", "None"),
         ]
 
+    def _canon(self, df):
+        return sorted(
+            (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in df.collect()
+        )
+
+    def test_multi_matches_per_date_fold(self, spark):
+        """scd2_apply_multi on a many-date batch == folding scd2_apply
+        per ascending distinct date: stale changes dropped, no-op
+        chains collapsed (including noop-then-real), A→B→A kept as two
+        real transitions, new keys open mid-chain."""
+        from pyspark.sql import functions as F
+
+        from etl_rj_spark.operators.scd import scd2_apply, scd2_apply_multi
+
+        dim = self._dim(spark)
+        batch = self._changes(spark, [
+            (1, "A9", "1990-06-01"),   # stale: before open valid_from
+            (1, "A", "1996-01-01"),    # no-op vs open row
+            (1, "B", "1997-01-01"),    # real
+            (1, "B", "1998-01-01"),    # no-op vs surviving 1997 state
+            (1, "A", "1999-01-01"),    # real flip-back (A→B→A)
+            (2, "B2", "1996-07-01"),   # real, single change
+            (3, "C", "1996-01-01"),    # new key, then chain
+            (3, "C", "1997-01-01"),    # no-op within the new chain
+            (3, "D", "1998-01-01"),    # real
+        ])
+        effs = [r[0] for r in batch.select("effective_date").distinct()
+                .orderBy("effective_date").collect()]
+        looped = dim
+        for eff in effs:
+            looped = scd2_apply(
+                looped, batch.filter(F.col("effective_date") == F.lit(eff)),
+                ["k"], ["seg"],
+            )
+        multi = scd2_apply_multi(dim, batch, ["k"], ["seg"])
+        assert self._canon(multi) == self._canon(looped)
+
+    def test_multi_backfill_plan_depth_independent_of_date_count(self, spark):
+        """A 120-distinct-date backfill batch folds in one pass: the
+        optimized plan carries a constant number of Window operators
+        (the per-date loop stacked one scd2_apply layer per date)."""
+        from pyspark.sql import functions as F
+
+        from etl_rj_spark.operators.scd import scd2_apply_multi
+
+        dim = self._dim(spark)
+        batch = (
+            spark.range(120)
+            .select(
+                F.lit(1).alias("k"),
+                F.concat(F.lit("S"), F.col("id")).alias("seg"),
+                F.date_add(F.lit("2000-01-01").cast("date"), F.col("id").cast("int"))
+                .alias("effective_date"),
+            )
+        )
+        h = scd2_apply_multi(dim, batch, ["k"], ["seg"])
+        plan = h._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Window") <= 3, plan.count("Window")
+        rows = self._canon(h)
+        # 120 transitions for k=1 (every seg differs) + its closed open
+        # row + k=2 untouched
+        assert len(rows) == 122
+        assert rows[0] == (1, "A", "1995-01-01", "2000-01-01")
+        open_k1 = [r for r in rows if r[0] == 1 and r[3] == "None"]
+        assert open_k1 == [(1, "S119", "2000-04-29", "None")]
+        assert rows[-1] == (2, "B", "1995-01-01", "None")
+
 
 class TestEpochUpsample:
     def test_weights_shape_output(self, spark):

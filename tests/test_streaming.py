@@ -734,3 +734,122 @@ def test_sessionize_timeout_closes_trailing_session(spark, tmp_path):
         q.stop()
     assert (2, "2024-01-01 01:00:00", 1) in final
     assert final.count((1, "2024-01-01 00:00:00", 2)) == 1
+
+
+def test_stream_scd2_backfill_batch_with_many_effective_dates(spark, tmp_path):
+    """One micro-batch carrying 100+ distinct effective dates (a
+    multi-year backfill) folds in a single pass — correct interval
+    chain, no per-date driver loop (the pre-r6 loop built an
+    O(dates)-deep plan and would make this test minutes-slow)."""
+    import datetime
+
+    from etl_rj_spark.streaming.scd import read_history, stream_scd2_maintain
+
+    ink = str(tmp_path / "changes_in")
+    hist_path = str(tmp_path / "dim_history")
+
+    rows = [
+        (1, f"S{i}", (datetime.date(2000, 1, 1) + datetime.timedelta(days=i)).isoformat())
+        for i in range(110)
+    ] + [(2, "B", "2000-01-01")]
+    spark.createDataFrame(
+        rows, "k int, seg string, effective_date string"
+    ).selectExpr(
+        "k", "seg", "CAST(effective_date AS DATE) effective_date"
+    ).coalesce(1).write.mode("append").parquet(ink + "/a")
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("effective_date", T.DateType()),
+    ])
+    stream_scd2_maintain(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(ink),
+        hist_path, ["k"], ["seg"], str(tmp_path / "ck"),
+    ).awaitTermination()
+
+    hist = read_history(spark, hist_path)
+    rows_out = sorted(
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in hist.collect()
+    )
+    k1 = [r for r in rows_out if r[0] == 1]
+    assert len(k1) == 110
+    open_rows = [r for r in k1 if r[3] == "None"]
+    assert open_rows == [(1, "S109", "2000-04-19", "None")]
+    # chain property: every non-open interval closes at the next's start
+    by_from = sorted(k1, key=lambda r: r[2])
+    for a, b in zip(by_from, by_from[1:]):
+        assert a[3] == b[2]
+    assert (2, "B", "2000-01-01", "None") in rows_out
+
+
+def test_sessionize_timeout_survives_late_straggler(spark, tmp_path):
+    """A straggler far older than the watermark must not kill or
+    corrupt the query. Spark 4's stateful-operator late-record
+    eviction drops such rows before the sessionizer (verified: the
+    function is never invoked for the late key), and the operator
+    additionally clamps its timeout horizon past the watermark as
+    defense-in-depth — either way the query stays healthy, emits no
+    ghost session for the dropped event, and keeps sessionizing."""
+    import pyspark.sql.types as T
+
+    from etl_rj_spark.streaming.stateful import streaming_sessionize_with_timeout
+
+    ink = str(tmp_path / "ev_in")
+
+    def drop(rows, name):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double"
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value"
+        ).coalesce(1).write.mode("append").parquet(ink + "/" + name)
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    drop([(1, "2024-01-01 02:00:00", 1, 1.0)], "a")  # watermark → 02:00
+    q = (
+        streaming_sessionize_with_timeout(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(ink),
+            gap_seconds=60, watermark="0 seconds",
+        )
+        .writeStream.format("memory").queryName("straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+
+    def got():
+        return sorted(
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in spark.sql("SELECT * FROM straggler_out").collect()
+        )
+
+    try:
+        q.processAllAvailable()
+        # user 3: two hours LATE — its gap horizon (00:01) is far
+        # behind the 02:00 watermark
+        drop([(3, "2024-01-01 00:00:00", 2, 5.0)], "b")
+        q.processAllAvailable()
+        assert q.exception() is None
+        # the engine keeps sessionizing on-time traffic normally
+        drop([(1, "2024-01-01 03:00:00", 3, 1.0)], "c")
+        q.processAllAvailable()
+        drop([(1, "2024-01-01 04:00:00", 4, 1.0)], "d")
+        q.processAllAvailable()
+        assert q.exception() is None
+        out = got()
+    finally:
+        q.stop()
+    # the late event was evicted: no session for user 3, ever
+    assert not [r for r in out if r[0] == 3]
+    # on-time sessions close by gap as usual
+    assert (1, "2024-01-01 02:00:00", 1) in out
+    assert (1, "2024-01-01 03:00:00", 1) in out
