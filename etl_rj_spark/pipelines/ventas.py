@@ -135,3 +135,39 @@ def read_sales_export(spark: SparkSession, path: str) -> DataFrame:
 
         return read_excel_sheet(spark, path)
     raise ValueError(f"unsupported sales export format: {path}")
+
+
+def read_clientes_dim(spark: SparkSession, config) -> DataFrame:
+    """The Clientes dimension via a :class:`~etl_rj_spark.config.
+    DbConfig` — the reference's fixed dimension read
+    (ventas_totales.py:40,137: SELECT from Clientes on the configured
+    connection), projection pushed to the database [S5]."""
+    from etl_rj_spark.sources.jdbc import read_dim_table
+
+    return read_dim_table(
+        spark,
+        config.jdbc_url(),
+        config.clientes_table,
+        ["id_cliente", "nombre_cliente", "id_zone"],
+        config.jdbc_properties(),
+    )
+
+
+def load_ventas_jdbc(df: DataFrame, clientes: DataFrame, config) -> DataFrame:
+    """``load_ventas`` against the configured warehouse database
+    instead of a parquet path — K1's JDBC form driven by a
+    :class:`~etl_rj_spark.config.DbConfig` (the reference's .env-fed
+    connection + fixed Ventas_Totales destination,
+    ventas_totales.py:16-41,223-262). Returns the unmapped-client
+    report; insert idempotence comes from the in-sink anti-join."""
+    from etl_rj_spark.sinks.incremental import append_incremental_jdbc
+
+    facts, unmapped = clean_ventas(df, clientes)
+    append_incremental_jdbc(
+        facts,
+        config.jdbc_url(),
+        config.ventas_table,
+        VENTAS_DEDUP_KEYS,
+        properties=config.jdbc_properties(),
+    )
+    return unmapped

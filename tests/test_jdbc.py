@@ -272,3 +272,109 @@ def test_jdbc_atomic_publish_handles_lowercase_columns(spark, derby_url):
     ).options(**PROPS).mode("overwrite").save()
     assert append_incremental_jdbc_atomic(lower, derby_url, "T_LC", ["k1"], properties=PROPS) == 2
     assert append_incremental_jdbc_atomic(lower, derby_url, "T_LC", ["k1"], properties=PROPS) == 0
+
+
+def test_jdbc_bulk_append_routes_large_batches_to_staged_publish(
+    spark, derby_url, monkeypatch
+):
+    """K1 scale seam (VERDICT r5 #5): a bulk append whose surviving
+    rows exceed the threshold goes through the staging-table protocol
+    with a MULTI-partition staging write (the single-connection
+    coalesce(1) path is reserved for small/error-localized loads)."""
+    import etl_rj_spark.sinks.incremental as inc
+
+    seed = spark.range(0, 50).selectExpr("id AS K", "CAST(id AS DOUBLE) AS V")
+    _seed(spark, derby_url, "BULK", seed)
+
+    calls = {}
+    orig = inc._publish_staged
+
+    def spy(new, *a, **kw):
+        calls["staging_partitions"] = new.rdd.getNumPartitions()
+        return orig(new, *a, **kw)
+
+    monkeypatch.setattr(inc, "_publish_staged", spy)
+
+    # 500 rows, 50 overlapping keys; threshold 100 → staged path
+    batch = spark.range(0, 500).selectExpr(
+        "id AS K", "CAST(id AS DOUBLE) AS V"
+    ).repartition(4)
+    append_incremental_jdbc(
+        batch, derby_url, "BULK", ["K"], properties=PROPS,
+        atomic_threshold_rows=100,
+    )
+    assert calls["staging_partitions"] > 1
+    got = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", "BULK").options(**PROPS).load()
+    )
+    assert got.count() == 500  # 50 dups skipped, 450 new + 50 seeded
+
+    # small batch under the threshold: the legacy single-connection
+    # path (staged publish NOT invoked again)
+    calls.clear()
+    small = spark.range(500, 520).selectExpr("id AS K", "CAST(id AS DOUBLE) AS V")
+    append_incremental_jdbc(small, derby_url, "BULK", ["K"], properties=PROPS)
+    assert "staging_partitions" not in calls
+    assert got.count() == 520
+
+
+def test_db_config_drives_ventas_jdbc_pipeline(spark, derby_url, tmp_path):
+    """Operational parity with the reference's .env-fed connection
+    (ventas_totales.py:16-41): a DbConfig resolves the dimension read
+    [S5] and the K1 JDBC load end to end against live Derby, with
+    idempotent re-run."""
+    from etl_rj_spark.config import load_db_config
+    from etl_rj_spark.pipelines.ventas import (
+        clean_ventas,
+        load_ventas_jdbc,
+        read_clientes_dim,
+    )
+
+    cfg = load_db_config(
+        environ={},
+        url=derby_url,
+        driver=PROPS["driver"],
+        ventas_table="VENTAS_T",
+        clientes_table="CLIENTES",
+    )
+    assert cfg.jdbc_url() == derby_url
+
+    # dimension: unquoted DDL column case (Derby folds to UPPER), the
+    # posture reference schemas use; Spark resolves case-insensitively
+    clientes = spark.createDataFrame(
+        [(1, "ACME Corp.", 10), (2, "Beta  Industries", 20)],
+        "ID_CLIENTE int, NOMBRE_CLIENTE string, ID_ZONE int",
+    )
+    _seed(spark, derby_url, cfg.clientes_table, clientes)
+    dim = read_clientes_dim(spark, cfg)
+    assert dim.count() == 2
+
+    csv = tmp_path / "ventas.csv"
+    csv.write_text(
+        "Company Name,Date,Document Number,Type,Item,Description,Class,"
+        "Quantity,UOM,Amount,Created From,Status\n"
+        "acme corp.,01/15/2024,INV-1,Invoice,SKU1,d,C,2,EA,100.5,,ok\n"
+        "Beta  industries,02/01/2024,INV-4,Invoice,SKU4,d,C,1,EA,7.25,,ok\n"
+        "Nobody Inc,01/17/2024,INV-3,Invoice,SKU3,d,C,3,EA,30,,ok\n"
+    )
+    src = spark.read.option("header", True).csv(str(csv))
+
+    # bootstrap the empty target with the fact schema (the reference's
+    # table pre-exists in the warehouse)
+    facts, _ = clean_ventas(src, dim)
+    _seed(spark, derby_url, cfg.ventas_table, facts.limit(0))
+
+    unmapped = load_ventas_jdbc(src, dim, cfg)
+    assert [r.nombre_cliente for r in unmapped.collect()] == ["Nobody Inc"]
+
+    def target_count():
+        return (
+            spark.read.format("jdbc").option("url", derby_url)
+            .option("dbtable", cfg.ventas_table).options(**PROPS).load().count()
+        )
+
+    assert target_count() == 2
+    # idempotent re-run (Ventas PDF §9)
+    load_ventas_jdbc(src, dim, cfg)
+    assert target_count() == 2
