@@ -90,7 +90,9 @@ _PRIORITY = [
     "cosine_topk_scaled",
     "minhash_index_probe",
     # ---- 50-query driver prefix ends here ----
-    # -- staged for round 7: the 7 remaining never-checked names ------
+    # -- staged for round 7: remaining never-checked + round-6-new ----
+    "topk_sketch_rollup",        # new r6: mergeable frequent-items rollup
+    "theta_segment_algebra",     # new r6: theta intersection/difference
     "resample_source_mix_threshold",
     "decontaminate_docs_hashed",
     "embedding_random_projection",

@@ -492,6 +492,119 @@ def hll_sketch_rollup(spark, sf_dir):
 
 
 @_q(
+    "topk_sketch_rollup",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT) AS rank,
+           event_type, n, 1 AS merge_is_exact
+    FROM counts ORDER BY rank
+    """,
+    tags=("approx-sketch", "mergeable", "heavy-hitters", "incremental"),
+)
+def topk_sketch_rollup(spark, sf_dir):
+    """MERGEABLE heavy hitters — the frequency twin of
+    ``hll_sketch_rollup``: per-day DataSketches frequent-items states
+    (``approx_top_k_accumulate``, the shape a daily job persists
+    beside each partition) merge to corpus level with
+    ``approx_top_k_combine`` and read out with
+    ``approx_top_k_estimate`` — a new day is one state merge, never a
+    history rescan, O(maxItemsTracked) bytes per partition.
+
+    Contract: the ItemsSketch is EXACT while the distinct-item count
+    stays under its map capacity — events carries a 5-value event_type
+    vocabulary against maxItemsTracked=1024, so estimated counts equal
+    the exact GROUP BY computed beside the sketch and
+    ``merge_is_exact`` pins it in-query. Ranking re-sorts the estimate
+    by (count DESC, item): ties are engine-deterministic, so the
+    DuckDB oracle reproduces the rows exactly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 1024)").alias("__st")
+    )
+    est = (
+        daily.agg(
+            F.expr("approx_top_k_estimate(approx_top_k_combine(__st, 1024), 64)")
+            .alias("__e")
+        )
+        .select(F.explode("__e").alias("__x"))
+        .select(F.col("__x.item").alias("event_type"), F.col("__x.count").alias("n"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("__exact"))
+    w = Window.orderBy(F.desc("n"), "event_type")
+    return (
+        est.join(exact, "event_type")
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "event_type",
+            "n",
+            (F.col("n") == F.col("__exact")).cast("int").alias("merge_is_exact"),
+        )
+        .orderBy("rank")
+    )
+
+
+@_q(
+    "theta_segment_algebra",
+    """
+    WITH u AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+    SELECT
+      CAST((SELECT COUNT(*) FROM
+             (SELECT o_custkey FROM u WHERE o_orderpriority = '1-URGENT'
+              INTERSECT
+              SELECT o_custkey FROM u WHERE o_orderpriority = '5-LOW'))
+           AS BIGINT) AS custs_both,
+      CAST((SELECT COUNT(*) FROM
+             (SELECT o_custkey FROM u WHERE o_orderpriority = '1-URGENT'
+              EXCEPT
+              SELECT o_custkey FROM u WHERE o_orderpriority = '5-LOW'))
+           AS BIGINT) AS custs_urgent_only,
+      CAST((SELECT COUNT(DISTINCT o_custkey) FROM u) AS BIGINT) AS custs_any
+    """,
+    tags=("approx-sketch", "set-algebra", "mergeable"),
+)
+def theta_segment_algebra(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA over customer segments — the piece HLL
+    cannot do (HLL only unions): per-(priority, month) theta sketches
+    of distinct customers (the mergeable daily-job shape) union-merge
+    per priority with ``theta_union_agg``, then the two segment
+    sketches answer INTERSECTION (customers with both urgent and low
+    orders), DIFFERENCE (urgent-only) and UNION questions on KB-sized
+    state — no re-shuffle of the key domain per question, which is the
+    100 TB posture for audience-overlap analytics.
+
+    lgK=18 keeps every sketch in exact mode far beyond this ladder's
+    cardinality (2^18 retained hashes vs 15k customers at sf0.1, 150k
+    at the ×10 synth), so estimates are exact integers and the DuckDB
+    oracle computes identical numbers with set SQL."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority", F.trunc("o_orderdate", "month").alias("__m"))
+        .agg(F.expr("theta_sketch_agg(o_custkey, 18)").alias("__msk"))
+    )
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.expr("theta_union_agg(__msk, 18)").alias("__sk")
+    )
+    sk = merged.agg(
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("__sk"))).alias("u"),
+        F.max(F.when(F.col("o_orderpriority") == "5-LOW", F.col("__sk"))).alias("l"),
+    )
+    return sk.select(
+        F.expr("CAST(theta_sketch_estimate(theta_intersection(u, l)) AS BIGINT)")
+        .alias("custs_both"),
+        F.expr("CAST(theta_sketch_estimate(theta_difference(u, l)) AS BIGINT)")
+        .alias("custs_urgent_only"),
+        F.expr("CAST(theta_sketch_estimate(theta_union(u, l)) AS BIGINT)")
+        .alias("custs_any"),
+    )
+
+
+@_q(
     "small_qty_revenue_q17",
     f"""
     SELECT p_size, {_msum('l_extendedprice', 'small_qty_revenue')}, COUNT(*) AS n

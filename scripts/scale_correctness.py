@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Scale-ladder CORRECTNESS sweep (VERDICT r5 stretch #8): run the
+registry's oracled queries against an N×-synth dataset and its DuckDB
+twin, turning the ladder's timing claim ("same plan, sub-linear time")
+into a correctness claim ("same ANSWERS at 10× the data").
+
+The synth replication preserves join fan-outs and group sizes by
+construction (see synth_scale.py), so every DuckDB oracle remains the
+ground truth on the replicated tables — no query rewriting needed; the
+oracle runs on views over the same synth parquet.
+
+By default sweeps the RELATIONAL tier: every oracled query except the
+deliberately-excluded names below (scaled self-replicating contracts
+whose in-query ×N replication on top of an N×-synth base would measure
+N² work, plus filesystem-roundtrip queries that re-write their input
+and would churn tens of GB for no added signal — their correctness is
+already pinned at base scale each round).
+
+Usage:
+  python scripts/scale_correctness.py <base_sf_dir> <copies> [out.json]
+  python scripts/scale_correctness.py /root/testdata/sf0.1 10 /tmp/sc10.json
+
+The synth dir is built under /tmp (reused if already present for the
+same base+copies). Prints one summary JSON line; per-query detail goes
+to the optional out.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_rj_spark.session import get_spark  # noqa: E402
+
+#: excluded from the scale sweep — see module docstring
+SKIP_TAGS = {"bench-scale"}  # in-query ×N self-replication → N² at 10×
+SKIP_NAMES = {
+    # filesystem roundtrips: write a full copy of their input table to
+    # scratch per run — correctness is about the codec, already pinned
+    # at base scale; at 10× they only measure disk
+    "jsonl_shard_export", "arrow_ipc_roundtrip", "fixed_width_roundtrip",
+    "orc_events_roundtrip", "parquet_schema_evolution", "xml_feed_roundtrip",
+    "csv_corrupt_quarantine", "binary_file_ingest", "wav_audio_stats",
+    "image_header_sniff", "xml_column_extract", "variant_props_extract",
+    # catalog/Derby side-effect queries (per-cwd state, not data-scale)
+    "k1_atomic_jdbc_roundtrip", "s5_jdbc_dim_roundtrip",
+    "s6_jdbc_key_projection", "minhash_index_probe",
+    # training-shard pipeline writes curated shards to scratch
+    "training_shard_pipeline",
+}
+
+
+def synth_dir(base: str, copies: int) -> str:
+    tag = base.rstrip("/").rsplit("sf", 1)[-1]
+    out = f"/tmp/sf{tag}x{copies}synth"
+    if not os.path.isdir(out) or not os.path.exists(f"{out}/lineitem.parquet"):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "synth_scale.py"),
+             base, out, str(copies)],
+            check=True,
+        )
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    detail_path = sys.argv[3] if len(sys.argv) > 3 else None
+
+    sf = synth_dir(base, copies)
+
+    from etl_rj_spark.analytics import ordered_registry
+    from tests.oracle_utils import TABLES, compare_spark_duck
+
+    spark = get_spark(app_name="scale-correctness")
+    # synth tables are Spark-written parquet DIRECTORIES — glob them
+    # for DuckDB (testdata's single-file layout needs no glob)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    reg = ordered_registry()
+
+    results: dict[str, dict] = {}
+    n_pass = n_fail = n_skip = 0
+    t_start = time.time()
+    for name, q in reg.items():
+        if q.oracle is None or name in SKIP_NAMES or SKIP_TAGS & set(q.tags):
+            n_skip += 1
+            continue
+        t0 = time.time()
+        try:
+            compare_spark_duck(q.build(spark, sf), con, q.oracle)
+            results[name] = {"ok": True, "sec": round(time.time() - t0, 2)}
+            n_pass += 1
+            print(f"OK   {name} {results[name]['sec']}s", flush=True)
+        except Exception as ex:  # noqa: BLE001 — fault-isolated per query
+            results[name] = {
+                "ok": False,
+                "sec": round(time.time() - t0, 2),
+                "err": f"{type(ex).__name__}: {ex}"[:400],
+            }
+            n_fail += 1
+            print(f"FAIL {name}: {results[name]['err'][:160]}", flush=True)
+
+    summary = {
+        "base": base,
+        "copies": copies,
+        "synth_dir": sf,
+        "checked": n_pass + n_fail,
+        "passed": n_pass,
+        "failed": n_fail,
+        "skipped": n_skip,
+        "wall_sec": round(time.time() - t_start, 1),
+    }
+    if detail_path:
+        with open(detail_path, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
