@@ -92,6 +92,7 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 7: remaining never-checked + round-6-new ----
     "topk_sketch_rollup",        # new r6: mergeable frequent-items rollup
+    "stream_topk_maintenance",   # new r6: ledgered streaming heavy hitters
     "theta_segment_algebra",     # new r6: theta intersection/difference
     "resample_source_mix_threshold",
     "decontaminate_docs_hashed",

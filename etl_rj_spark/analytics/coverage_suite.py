@@ -608,6 +608,67 @@ def stream_hll_maintenance(spark, sf_dir):
 
 
 @_q(
+    "stream_topk_maintenance",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, 1 AS stream_is_exact
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "approx-sketch", "heavy-hitters", "incremental"),
+)
+def stream_topk_maintenance(spark, sf_dir):
+    """Streaming heavy-hitters maintenance (streaming/sketches.py):
+    events drained as 3 micro-batches fold per-day frequent-items
+    states into a day-partitioned table through the BATCH-ID LEDGER —
+    the additive-combine twin of ``stream_hll_maintenance``, where
+    blind re-merge would double-count, so idempotence comes from the
+    ledger instead of the sketch algebra. A redelivered batch id is
+    re-folded in-query and pinned to change nothing.
+
+    Contract: vocabulary (5 event types) << map capacity, so the
+    served estimate is EXACT. The stream drains events once (served =
+    n), one extra fold of the whole table under a fresh batch id adds
+    it again (served = 2n), and REDELIVERING that same id — now in
+    every touched day's ledger — must change nothing.
+    ``stream_is_exact`` pins served == 2 × the exact GROUP BY the
+    oracle also computes; any double-count or drop breaks it."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import (
+        estimate_topk_partials,
+        fold_topk_batch,
+        stream_topk_partials,
+    )
+
+    root = _scratch("stream_topk")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    stream_topk_partials(
+        stream, f"{root}/partials", f"{root}/ck"
+    ).awaitTermination()
+    # one extra fold (id 99) then its redelivery: the second call hits
+    # the ledger in every day it touched and must be a no-op
+    fold_topk_batch(ev, 99, f"{root}/partials")
+    fold_topk_batch(ev, 99, f"{root}/partials")
+
+    served = estimate_topk_partials(spark, f"{root}/partials").select(
+        F.col("item").alias("event_type"), F.col("n").alias("__served")
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        exact.join(served, "event_type")
+        .select(
+            "event_type", "n",
+            (F.lit(2) * F.col("n") == F.col("__served")).cast("int")
+            .alias("stream_is_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "k1_atomic_jdbc_roundtrip",
     """
     SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20

@@ -131,3 +131,138 @@ def estimate_partials(
         .groupBy(group_col)
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent-items (heavy hitters) maintenance — the NON-idempotent twin
+# --------------------------------------------------------------------------
+#
+# HLL union above is register-max: blind re-merge of a redelivered batch
+# is a no-op, so the fold needs no delivery bookkeeping. Frequent-items
+# combine is ADDITIVE: merging the same batch state twice double-counts
+# every item. The fold below therefore carries a per-day BATCH-ID
+# LEDGER — each day partial remembers which micro-batch ids it already
+# folded, and a redelivered batch (same foreachBatch batch_id, Spark's
+# restart contract) is skipped for exactly the days that already
+# absorbed it. Crash mid-rewrite leaves some touched days folded and
+# some not; redelivery then folds only the unfolded days — converging
+# to the same table either way. State stays tiny: groups-per-day is
+# one state struct (~KBs at maxItemsTracked=1024) + a short id array.
+
+
+def topk_sketch_batch(
+    df: DataFrame,
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    max_items: int = 1024,
+) -> DataFrame:
+    """Per-day frequent-items partial state for one slice of events."""
+    return df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.expr(f"approx_top_k_accumulate({item_col}, {int(max_items)})").alias("st")
+    )
+
+
+def fold_topk_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    max_items: int = 1024,
+) -> None:
+    """Fold one micro-batch into the day-partitioned top-k partial
+    table at ``target_path``. Re-invoking with the same ``batch_id``
+    is a no-op for every day that already folded it (the ledger), so
+    foreachBatch redelivery cannot double-count."""
+    spark = batch_df.sparkSession
+    fresh = topk_sketch_batch(batch_df, item_col, ts_col, max_items).localCheckpoint()
+    days = [r.day for r in fresh.select("day").distinct().collect()]
+    if not days:
+        return
+    real_days = [d for d in days if d is not None]
+    cond = F.col("day").isin(real_days) if real_days else F.lit(False)
+    if len(real_days) < len(days):
+        cond = cond | F.col("day").isNull()
+
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        existing = spark.read.parquet(target_path).where(cond)
+    else:
+        existing = (
+            fresh.select(
+                "day", "st", F.array().cast("array<long>").alias("batch_ids")
+            ).limit(0)
+        )
+    existing = existing.localCheckpoint()  # read once; target is rewritten below
+
+    # days that already folded this batch id keep their state untouched
+    folded = existing.filter(
+        F.array_contains("batch_ids", F.lit(batch_id))
+    ).select("day")
+    fresh_new = fresh.join(folded, "day", "left_anti")
+
+    merged_st = (
+        existing.select("day", "st")
+        .unionByName(fresh_new.select("day", "st"))
+        .groupBy("day")
+        .agg(F.expr(f"approx_top_k_combine(st, {int(max_items)})").alias("st"))
+    )
+    ledger = (
+        existing.select("day", "batch_ids")
+        .join(fresh_new.select("day", F.lit(True).alias("__folds")), "day", "full_outer")
+        .select(
+            "day",
+            F.array_union(
+                F.coalesce(F.col("batch_ids"), F.array().cast("array<long>")),
+                F.when(F.col("__folds"), F.array(F.lit(batch_id).cast("long")))
+                .otherwise(F.array().cast("array<long>")),
+            ).alias("batch_ids"),
+        )
+    )
+    merged = merged_st.join(ledger, "day").localCheckpoint()
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(target_path)
+
+
+def stream_topk_partials(
+    events_stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    max_items: int = 1024,
+) -> StreamingQuery:
+    """Drain available input (Trigger.AvailableNow), folding each
+    micro-batch into the persisted day-partitioned frequent-items
+    partial table — the heavy-hitters twin of
+    :func:`stream_hll_partials`, ledgered because combine is additive
+    (see module comment)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_topk_batch(
+            batch_df, batch_id, target_path, item_col, ts_col, max_items
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def estimate_topk_partials(
+    spark: SparkSession, path: str, k: int = 64, max_items: int = 1024
+) -> DataFrame:
+    """Serving read: combine every day partial and estimate the top-k
+    as (item, n) rows."""
+    combined = spark.read.parquet(path).agg(
+        F.expr(f"approx_top_k_estimate(approx_top_k_combine(st, {int(max_items)}), {int(k)})")
+        .alias("__e")
+    )
+    return combined.select(F.explode("__e").alias("__x")).select(
+        F.col("__x.item").alias("item"), F.col("__x.count").alias("n")
+    )

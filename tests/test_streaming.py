@@ -853,3 +853,56 @@ def test_sessionize_timeout_survives_late_straggler(spark, tmp_path):
     # on-time sessions close by gap as usual
     assert (1, "2024-01-01 02:00:00", 1) in out
     assert (1, "2024-01-01 03:00:00", 1) in out
+
+
+def test_stream_topk_partials_ledger_and_exactness(spark, sf_dir, tmp_path):
+    """Frequent-items streaming maintenance: 3 drained micro-batches
+    fold per-day top-k states into a partitioned table; the serving
+    estimate equals exact GROUP BY counts (vocab << map capacity), and
+    re-folding a batch with an already-ledgered batch_id is a no-op —
+    the additive-combine redelivery hazard the HLL fold doesn't have."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import (
+        estimate_topk_partials,
+        fold_topk_batch,
+        stream_topk_partials,
+    )
+
+    root = str(tmp_path / "topk")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    stream_topk_partials(
+        stream, f"{root}/partials", f"{root}/ck"
+    ).awaitTermination()
+
+    def served():
+        return {
+            (r.item, r.n)
+            for r in estimate_topk_partials(spark, f"{root}/partials").collect()
+        }
+
+    exact = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert served() == exact
+
+    # redelivery: re-fold a batch the ledger already absorbed (batch
+    # ids 0..2 were used by the drained stream) — counts must NOT grow
+    fold_topk_batch(ev.limit(500), 1, f"{root}/partials")
+    assert served() == exact
+
+    # a genuinely new batch id folds normally
+    extra = ev.limit(200)
+    fold_topk_batch(extra, 99, f"{root}/partials")
+    grown = dict(served())
+    extra_counts = {
+        r.event_type: r.n
+        for r in extra.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for item, n in exact:
+        assert grown[item] == n + extra_counts.get(item, 0)
