@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_rj_spark.analytics.suite import _q, _t
 from etl_rj_spark.operators.filters import drop_leading_rows
-from etl_rj_spark.streaming.sketches import HLL_REL_TOL
+from etl_rj_spark.streaming.sketches import HLL_MERGE_TOL, HLL_REL_TOL
 from etl_rj_spark.operators.projection import (
     first_present_column,
     rename_map,
@@ -557,7 +557,7 @@ def k1_incremental_append_roundtrip(spark, sf_dir):
     "stream_hll_maintenance",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-           1 AS stream_matches_batch, 1 AS estimate_ok
+           1 AS stream_consistent, 1 AS estimate_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("streaming", "approx-sketch", "incremental"),
@@ -568,11 +568,13 @@ def stream_hll_maintenance(spark, sf_dir):
     into a day-partitioned table — only touched days rewritten, blind
     re-merge idempotent (register-max union), no history rescan.
 
-    Driver-visible contract: ``stream_matches_batch`` pins the rollup
-    of the streamed partials EXACTLY equal to a single-pass batch
-    sketch over the same events (mergeability is lossless);
-    ``estimate_ok`` pins that estimate within 5 % of the exact
-    distinct count the oracle also computes."""
+    Driver-visible contract: ``stream_consistent`` pins the rollup of
+    the streamed partials within HLL_MERGE_TOL (1 %) of a single-pass
+    batch sketch over the same events — exactly equal while sketches
+    stay sparse; in dense mode the DataSketches union gadget drifts
+    sub-percent from a direct sketch (×10 sweep finding), so the pin
+    is a tight band, not equality. ``estimate_ok`` pins the estimate
+    within 5 % of the exact distinct count the oracle also computes."""
     from etl_rj_spark.sources.parquet import read_parquet_table
     from etl_rj_spark.streaming.sketches import estimate_partials, stream_hll_partials
 
@@ -598,8 +600,9 @@ def stream_hll_maintenance(spark, sf_dir):
         .select(
             "event_type",
             "exact_users",
-            (F.col("approx_distinct") == F.col("__direct")).cast("int")
-            .alias("stream_matches_batch"),
+            (F.abs(F.col("approx_distinct") - F.col("__direct"))
+             <= HLL_MERGE_TOL * F.col("exact_users")).cast("int")
+            .alias("stream_consistent"),
             (F.abs(F.col("approx_distinct") - F.col("exact_users"))
              <= HLL_REL_TOL * F.col("exact_users")).cast("int").alias("estimate_ok"),
         )

@@ -16,7 +16,7 @@ from etl_rj_spark.analytics.suite import _msum, _q, _t
 from etl_rj_spark.functions import norm_upper, recode_values
 from etl_rj_spark.operators.aggregates import money_sum
 from etl_rj_spark.operators.joins import dim_lookup
-from etl_rj_spark.streaming.sketches import HLL_REL_TOL
+from etl_rj_spark.streaming.sketches import HLL_MERGE_TOL, HLL_REL_TOL
 
 
 @_q(
@@ -445,7 +445,7 @@ def approx_distinct_stats(spark, sf_dir):
     """
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS exact_users,
-           1 AS merge_is_lossless, 1 AS estimate_ok
+           1 AS merge_consistent, 1 AS estimate_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("approx-sketch", "mergeable", "incremental"),
@@ -458,11 +458,15 @@ def hll_sketch_rollup(spark, sf_dir):
     with ``hll_union_agg`` — no rescan of history when a new day
     arrives, O(sketch) state per group.
 
-    Contract (driver-visible, engine-independent): HLL register merge
-    takes the per-register max, so the merged sketch is BIT-IDENTICAL
-    to a single-pass sketch over the union — ``merge_is_lossless``
-    pins merged estimate == direct whole-group estimate exactly, and
-    ``estimate_ok`` pins the estimate within HLL_REL_TOL = 3 × rsd,
+    Contract (driver-visible, engine-independent): in sparse mode the
+    union is bit-lossless (merged == direct exactly); in dense HLL
+    mode DataSketches unions through an HLL_8 gadget and the merged
+    estimate can drift sub-percent from a direct single-pass sketch —
+    the ×10 scale sweep caught an exact-equality pin failing at 15k
+    distincts/group. ``merge_consistent`` therefore pins |merged −
+    direct| ≤ HLL_MERGE_TOL (1 %) of the exact count — exactness where
+    exact, honesty where dense — and ``estimate_ok`` pins the
+    estimate within HLL_REL_TOL = 3 × rsd,
     where rsd(lgK=12) ≈ 1.6 % — so a 5 % bound — of the exact distinct
     count computed in the same query. The oracle
     pins both flags to literal 1 beside the exact counts."""
@@ -482,8 +486,9 @@ def hll_sketch_rollup(spark, sf_dir):
         direct.join(merged, "event_type")
         .select(
             "event_type", "n", "exact_users",
-            (F.col("__merged") == F.col("__direct")).cast("int")
-            .alias("merge_is_lossless"),
+            (F.abs(F.col("__merged") - F.col("__direct"))
+             <= HLL_MERGE_TOL * F.col("exact_users")).cast("int")
+            .alias("merge_consistent"),
             (F.abs(F.col("__merged") - F.col("exact_users"))
              <= HLL_REL_TOL * F.col("exact_users")).cast("int").alias("estimate_ok"),
         )
@@ -594,12 +599,16 @@ def theta_segment_algebra(spark, sf_dir):
         F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("__sk"))).alias("u"),
         F.max(F.when(F.col("o_orderpriority") == "5-LOW", F.col("__sk"))).alias("l"),
     )
+    # lgK must ride EVERY operation: the scalar theta_union defaults
+    # to lgK=12 (4096) and would silently downsample the union below
+    # exact mode — caught by the ×10 scale-correctness sweep (union
+    # estimated 153438 vs 147060 exact while both inputs were exact)
     return sk.select(
         F.expr("CAST(theta_sketch_estimate(theta_intersection(u, l)) AS BIGINT)")
         .alias("custs_both"),
         F.expr("CAST(theta_sketch_estimate(theta_difference(u, l)) AS BIGINT)")
         .alias("custs_urgent_only"),
-        F.expr("CAST(theta_sketch_estimate(theta_union(u, l)) AS BIGINT)")
+        F.expr("CAST(theta_sketch_estimate(theta_union(u, l, 18)) AS BIGINT)")
         .alias("custs_any"),
     )
 

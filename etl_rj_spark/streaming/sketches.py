@@ -31,6 +31,19 @@ from pyspark.sql.streaming import StreamingQuery
 #: so the batch rollup, the streaming fold, and the tests cannot drift.
 HLL_REL_TOL = 0.05
 
+#: Merged-vs-direct consistency bound. While sketches stay SPARSE
+#: (coupon/SET mode, up to a few thousand distincts at lgK=12) the
+#: union is bit-lossless and the merged estimate equals a direct
+#: single-pass sketch EXACTLY. Once they go dense (HLL array mode),
+#: DataSketches unions through an HLL_8 gadget and the merged result
+#: can drift from a direct HLL_4 sketch by a sub-percent amount — the
+#: ×10 scale-correctness sweep caught the exact-equality pin failing
+#: at 15k distincts/group while every estimate stayed within 5 ‰ of
+#: exact. 1 % is comfortably above the drift and far below any real
+#: regression (a lost day partial shifts the estimate by whole
+#: percents).
+HLL_MERGE_TOL = 0.01
+
 
 def sketch_batch(
     df: DataFrame,

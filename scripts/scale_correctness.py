@@ -91,15 +91,37 @@ def main() -> None:
     reg = ordered_registry()
 
     results: dict[str, dict] = {}
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = n_skip = n_large = 0
     t_start = time.time()
+    # Full value-hash compare collects the whole result into Python on
+    # BOTH engines — fine for aggregate/join-shaped outputs, useless
+    # for per-row kernel roundtrips that return the 60M-row table
+    # itself at 10×. Above the cap we compare row COUNTS only and say
+    # so (no silent truncation): the kernel's value-level correctness
+    # is already hash-pinned at base scale every round.
+    MAX_COMPARE_ROWS = 2_000_000
     for name, q in reg.items():
         if q.oracle is None or name in SKIP_NAMES or SKIP_TAGS & set(q.tags):
             n_skip += 1
             continue
         t0 = time.time()
         try:
-            compare_spark_duck(q.build(spark, sf), con, q.oracle)
+            df = q.build(spark, sf)
+            n_rows = df.count()
+            if n_rows > MAX_COMPARE_ROWS:
+                d_rows = con.sql(
+                    f"SELECT COUNT(*) FROM ({q.oracle.rstrip().rstrip(';')})"
+                ).fetchone()[0]
+                assert n_rows == d_rows, f"row count {n_rows} != oracle {d_rows}"
+                results[name] = {
+                    "ok": True, "rows_only": n_rows,
+                    "sec": round(time.time() - t0, 2),
+                }
+                n_large += 1
+                print(f"OK   {name} {results[name]['sec']}s "
+                      f"(rows-only, {n_rows} rows)", flush=True)
+                continue
+            compare_spark_duck(df, con, q.oracle)
             results[name] = {"ok": True, "sec": round(time.time() - t0, 2)}
             n_pass += 1
             print(f"OK   {name} {results[name]['sec']}s", flush=True)
@@ -116,8 +138,9 @@ def main() -> None:
         "base": base,
         "copies": copies,
         "synth_dir": sf,
-        "checked": n_pass + n_fail,
-        "passed": n_pass,
+        "checked": n_pass + n_fail + n_large,
+        "passed_full_hash": n_pass,
+        "passed_rows_only_large": n_large,
         "failed": n_fail,
         "skipped": n_skip,
         "wall_sec": round(time.time() - t_start, 1),
