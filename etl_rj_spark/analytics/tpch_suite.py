@@ -506,6 +506,7 @@ def hll_sketch_rollup(spark, sf_dir):
            event_type, n, 1 AS merge_is_exact
     FROM counts ORDER BY rank
     """,
+    bench=True,  # NEW bench row from r6 (VERDICT r5 #7: add, never replace)
     tags=("approx-sketch", "mergeable", "heavy-hitters", "incremental"),
 )
 def topk_sketch_rollup(spark, sf_dir):
@@ -570,6 +571,7 @@ def topk_sketch_rollup(spark, sf_dir):
            AS BIGINT) AS custs_urgent_only,
       CAST((SELECT COUNT(DISTINCT o_custkey) FROM u) AS BIGINT) AS custs_any
     """,
+    bench=True,  # NEW bench row from r6 (VERDICT r5 #7: add, never replace)
     tags=("approx-sketch", "set-algebra", "mergeable"),
 )
 def theta_segment_algebra(spark, sf_dir):
