@@ -165,3 +165,56 @@ def test_jsonl_read_prunes_parse_schema(spark, sf_dir, tmp_path):
     scan_line = next(l for l in plan.splitlines() if "Scan json" in l)
     assert "doc_id" in scan_line and "lang" in scan_line
     assert "text" not in scan_line, "unused text field must be pruned from the parse"
+
+
+def test_topk_sketch_rollup_bounded_plan(spark, sf_dir):
+    """New r6 bench row: sketch + exact-contract passes = exactly 2
+    scans; the estimate⋈exact join broadcasts (both sides are
+    vocabulary-sized); no sort-merge anywhere."""
+    counts = explain_counts(REGISTRY["topk_sketch_rollup"].build(spark, sf_dir))
+    assert counts["parquet_scans"] == 2, counts
+    assert counts["broadcast_hash_join"] >= 1, counts
+    assert counts["sort_merge_join"] == 0, counts
+
+
+def test_theta_segment_algebra_single_scan_no_joins(spark, sf_dir):
+    """New r6 bench row: one filtered scan of orders, zero joins — the
+    segment pivot is conditional aggregation over merged KB sketches,
+    and the priority filter reaches the scan."""
+    df = REGISTRY["theta_segment_algebra"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["parquet_scans"] == 1, counts
+    assert counts["broadcast_hash_join"] == 0, counts
+    assert counts["sort_merge_join"] == 0, counts
+    assert pushed_filters(df), "o_orderpriority IN filter must reach the scan"
+
+
+def test_scd2_multi_window_count_constant(spark, sf_dir):
+    """scd2_apply_multi plan depth is independent of the number of
+    effective dates in the batch (the r5 per-date loop stacked one
+    apply layer per date): ≤3 Window operators for 1 vs 200 dates."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.scd import scd2_apply_multi
+
+    dim = spark.createDataFrame(
+        [(1, "A", "1995-01-01", None)],
+        "k int, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to",
+    )
+
+    def batch(n):
+        return spark.range(n).select(
+            F.lit(1).alias("k"),
+            F.concat(F.lit("S"), F.col("id")).alias("seg"),
+            F.date_add(F.lit("2000-01-01").cast("date"), F.col("id").cast("int"))
+            .alias("effective_date"),
+        )
+
+    w1 = scd2_apply_multi(dim, batch(1), ["k"], ["seg"])._jdf.queryExecution(
+    ).optimizedPlan().toString().count("Window")
+    w200 = scd2_apply_multi(dim, batch(200), ["k"], ["seg"])._jdf.queryExecution(
+    ).optimizedPlan().toString().count("Window")
+    assert w1 == w200 <= 3, (w1, w200)
