@@ -17,8 +17,9 @@ and would churn tens of GB for no added signal — their correctness is
 already pinned at base scale each round).
 
 Usage:
-  python scripts/scale_correctness.py <base_sf_dir> <copies> [out.json]
+  python scripts/scale_correctness.py <base_sf_dir> <copies> [out.json] [only...]
   python scripts/scale_correctness.py /root/testdata/sf0.1 10 /tmp/sc10.json
+  # rerun a subset: append query names to restrict the sweep
 
 The synth dir is built under /tmp (reused if already present for the
 same base+copies). Prints one summary JSON line; per-query detail goes
@@ -52,6 +53,12 @@ SKIP_NAMES = {
     "s6_jdbc_key_projection", "minhash_index_probe",
     # training-shard pipeline writes curated shards to scratch
     "training_shard_pipeline",
+    # brute-force-by-design quadratic ORACLES: the fuzzy tier's DuckDB
+    # twin is a dependent cross join of levenshteins (~7.5e9 at ×10)
+    # that runs single-threaded for hours — the ENGINE side has the
+    # block_prefix scale path and fuzzy_name_best_match's full hash
+    # compare PASSED at ×10 (1300 s, recorded) before this exclusion
+    "fuzzy_name_best_match", "fuzzy_rescued_lookup",
 }
 
 
@@ -72,6 +79,7 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     detail_path = sys.argv[3] if len(sys.argv) > 3 else None
+    only = set(sys.argv[4:])  # optional subset rerun
 
     sf = synth_dir(base, copies)
 
@@ -101,6 +109,8 @@ def main() -> None:
     # is already hash-pinned at base scale every round.
     MAX_COMPARE_ROWS = 2_000_000
     for name, q in reg.items():
+        if only and name not in only:
+            continue
         if q.oracle is None or name in SKIP_NAMES or SKIP_TAGS & set(q.tags):
             n_skip += 1
             continue
