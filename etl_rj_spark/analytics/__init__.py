@@ -94,6 +94,7 @@ _PRIORITY = [
     "topk_sketch_rollup",        # new r6: mergeable frequent-items rollup
     "stream_topk_maintenance",   # new r6: ledgered streaming heavy hitters
     "theta_segment_algebra",     # new r6: theta intersection/difference
+    "cluster_quality_keep",      # new r6: quality-aware near-dup collapse
     "resample_source_mix_threshold",
     "decontaminate_docs_hashed",
     "embedding_random_projection",

@@ -783,6 +783,100 @@ def dup_clusters(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b")).select("node", "component")
 
 
+def _register_cluster_quality_keep():
+    oracle = rf"""
+    WITH RECURSIVE corpus AS ({_CLUSTER_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\s+') AS toks FROM corpus)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.6
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT doc_id, {_SQL_QUALITY_SCORE} AS q
+      FROM ({_sql_quality_feats('corpus')})
+    ),
+    labeled AS (
+      SELECT s.doc_id, s.q, COALESCE(c.component, s.doc_id) AS component
+      FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+    ),
+    ranked AS (
+      SELECT component, doc_id, q,
+             row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM labeled
+    )
+    SELECT component, doc_id AS keep_doc_id, q AS quality_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """
+
+    @_q(
+        "cluster_quality_keep",
+        oracle,
+        tags=("dedup-clusters", "curation", "text-quality"),
+    )
+    def cluster_quality_keep(spark, sf_dir):
+        """Quality-AWARE near-dup collapse — the curation ending of the
+        dedup pipeline: cluster near-dups (same corpus/pairs/components
+        as ``dup_clusters``), score every member with the fixed-order
+        quality features, and keep the HIGHEST-quality member per
+        cluster (score DESC, doc_id tiebreak via max_by over a
+        (q, −doc_id) struct — engine-deterministic because the score's
+        operation order is the shared cross-engine float contract).
+        Singletons keep themselves. The min-id ``keep_first`` variant
+        is the cheap path; this one keeps the best CONTENT, which is
+        what a training-data pipeline actually wants.
+
+        Scale: components and scoring are the proven pieces; the
+        argmax is one groupBy over (component) — no new shuffle shape."""
+        from etl_rj_spark.operators.components import connected_components
+        from etl_rj_spark.operators.text_analysis import quality_features
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+        dup1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text"))
+        dup2 = d.select((F.col("doc_id") + 200000).alias("doc_id"), F.concat("text", F.lit(" zz zz")).alias("text"))
+        corpus = d.unionByName(dup1).unionByName(dup2)
+        pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6, n=3)
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        feats = quality_features("text")
+        scored = corpus.select("doc_id", feats["quality_score"].alias("q"))
+        labeled = scored.join(comp, scored.doc_id == comp.node, "left").select(
+            "doc_id", "q", F.coalesce("component", "doc_id").alias("component")
+        )
+        keep = labeled.groupBy("component").agg(
+            F.max_by(
+                F.struct("doc_id", "q"), F.struct(F.col("q"), (-F.col("doc_id")))
+            ).alias("k"),
+            F.count("*").alias("cluster_size"),
+        )
+        return keep.select(
+            "component",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.q").alias("quality_score"),
+            "cluster_size",
+        ).orderBy("component")
+
+    return cluster_quality_keep
+
+
+_register_cluster_quality_keep()
+
+
 @_q("dup_clusters_star", _CLUSTER_ORACLE, tags=("dedup-clusters",))
 def dup_clusters_star(spark, sf_dir):
     """Same clusters via the O(log² n)-round large-star/small-star
