@@ -117,3 +117,50 @@ def fuzzy_rescued_lookup(spark, sf_dir):
     )
     out = fuzzy_dim_lookup(facts, c, "fname", "c_custkey", "c_name", max_dist=2)
     return out.select("c_custkey", "matched_c_custkey", "dist", "tier")
+
+
+@_q(
+    "fuzzy_best_match_blocked",
+    f"""
+    WITH base AS (SELECT c_custkey, {_CLEAN} AS cn FROM customer),
+    q AS (
+      SELECT c_custkey AS q_custkey, {_PERTURB} AS qn
+      FROM base WHERE c_custkey % 7 = 0
+    ),
+    cand AS (
+      SELECT q_custkey, b.c_custkey AS matched_c_custkey,
+             levenshtein(qn, b.cn) AS dist
+      FROM q JOIN base b ON substr(qn, 1, 2) = substr(b.cn, 1, 2)
+      WHERE levenshtein(qn, b.cn) <= 2
+    )
+    SELECT q_custkey, matched_c_custkey, dist
+    FROM (
+      SELECT q_custkey, matched_c_custkey, dist,
+             row_number() OVER (PARTITION BY q_custkey
+                                ORDER BY dist, matched_c_custkey) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+    tags=("fuzzy-match", "J2-generalized", "scale-path"),
+)
+def fuzzy_best_match_blocked(spark, sf_dir):
+    """The SCALE path for fuzzy matching — prefix blocking
+    (``block_prefix=2``): candidates must share a 2-char cleaned-name
+    prefix, turning the O(Q×D) cross join (the ×10 sweep measured the
+    brute-force twin at 3.2e9 levenshteins) into an equi-join on the
+    block key with per-block candidate lists. Recall is by-design
+    partial — an edit inside the first two characters escapes the
+    block, the classic blocking trade-off — and the oracle replicates
+    the SAME blocking rule, so the driver pins the blocked semantics
+    exactly, not an approximation of brute force. Pair with n-gram or
+    phonetic keys for multi-pass blocking when first-character typos
+    matter."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", clean_customer_name("c_name").alias("cn"))
+    queries = base.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("q_custkey"), F.expr(_PERTURB).alias("qn")
+    )
+    return fuzzy_best_match(
+        queries, c, "q_custkey", "qn", "c_custkey", "c_name",
+        max_dist=2, block_prefix=2,
+    )
