@@ -527,13 +527,15 @@ def topk_sketch_rollup(spark, sf_dir):
     DuckDB oracle reproduces the rows exactly."""
     from pyspark.sql import Window
 
+    from etl_rj_spark.streaming.sketches import topk_sketch_batch
+
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
-        F.expr("approx_top_k_accumulate(event_type, 1024)").alias("__st")
-    )
+    # the SAME per-day accumulate the streaming fold persists — one
+    # source of truth for the state shape and max_items
+    daily = topk_sketch_batch(ev, item_col="event_type", max_items=1024)
     est = (
         daily.agg(
-            F.expr("approx_top_k_estimate(approx_top_k_combine(__st, 1024), 64)")
+            F.expr("approx_top_k_estimate(approx_top_k_combine(st, 1024), 64)")
             .alias("__e")
         )
         .select(F.explode("__e").alias("__x"))

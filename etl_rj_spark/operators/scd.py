@@ -190,7 +190,11 @@ def scd2_apply_multi(
         F.col(valid_from).alias("__eff"),
         F.lit(0).alias("__is_change"),
     ).unionByName(
-        changes.select(
+        # NULL effective dates are ignored, exactly as scd2_apply's
+        # has_change = __eff.isNotNull() treats them as no-change —
+        # without this filter a null-dated change on a NEW key would
+        # sort first (nulls first) and open a bogus NULL-valid_from row
+        changes.filter(F.col(effective_col).isNotNull()).select(
             *key_list, *compare_cols,
             F.col(effective_col).alias("__eff"),
             F.lit(1).alias("__is_change"),

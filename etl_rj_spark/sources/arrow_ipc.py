@@ -115,7 +115,7 @@ def write_arrow_files(
     manifest_schema = "file string, n_rows long"
     import glob as _glob
 
-    for stale in _glob.glob(os.path.join(path, f"{prefix}-*.arrow")):
+    for stale in _glob.glob(os.path.join(path, f"{_glob.escape(prefix)}-*.arrow")):
         os.remove(stale)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -210,31 +210,35 @@ def fold_topk_batch(
         )
     existing = existing.localCheckpoint()  # read once; target is rewritten below
 
-    # days that already folded this batch id keep their state untouched
+    # days that already folded this batch id keep their state untouched.
+    # Every step must be NULL-DAY-SAFE (the null-ts partition is a real
+    # day group — the HLL fold documents losing it as silent data
+    # loss): the anti-join uses eqNullSafe, and the merge is a single
+    # groupBy (NULL forms its own group) with the ledger carried as a
+    # column — no null-unsafe equi-join anywhere on "day".
     folded = existing.filter(
         F.array_contains("batch_ids", F.lit(batch_id))
-    ).select("day")
-    fresh_new = fresh.join(folded, "day", "left_anti")
+    ).select(F.col("day").alias("__fday"))
+    fresh_new = fresh.join(
+        folded, F.col("day").eqNullSafe(F.col("__fday")), "left_anti"
+    )
 
-    merged_st = (
-        existing.select("day", "st")
-        .unionByName(fresh_new.select("day", "st"))
-        .groupBy("day")
-        .agg(F.expr(f"approx_top_k_combine(st, {int(max_items)})").alias("st"))
-    )
-    ledger = (
-        existing.select("day", "batch_ids")
-        .join(fresh_new.select("day", F.lit(True).alias("__folds")), "day", "full_outer")
-        .select(
-            "day",
-            F.array_union(
-                F.coalesce(F.col("batch_ids"), F.array().cast("array<long>")),
-                F.when(F.col("__folds"), F.array(F.lit(batch_id).cast("long")))
-                .otherwise(F.array().cast("array<long>")),
-            ).alias("batch_ids"),
+    merged = (
+        existing.select("day", "st", "batch_ids")
+        .unionByName(
+            fresh_new.select(
+                "day", "st",
+                F.array(F.lit(batch_id).cast("long")).alias("batch_ids"),
+            )
         )
+        .groupBy("day")
+        .agg(
+            F.expr(f"approx_top_k_combine(st, {int(max_items)})").alias("st"),
+            F.array_distinct(F.flatten(F.collect_list("batch_ids")))
+            .alias("batch_ids"),
+        )
+        .localCheckpoint()
     )
-    merged = merged_st.join(ledger, "day").localCheckpoint()
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("day").parquet(target_path)

@@ -115,8 +115,9 @@ def main() -> None:
             n_skip += 1
             continue
         t0 = time.time()
+        df = None
         try:
-            df = q.build(spark, sf)
+            df = q.build(spark, sf).persist()  # count + compare: one execution
             n_rows = df.count()
             if n_rows > MAX_COMPARE_ROWS:
                 d_rows = con.sql(
@@ -143,6 +144,9 @@ def main() -> None:
             }
             n_fail += 1
             print(f"FAIL {name}: {results[name]['err'][:160]}", flush=True)
+        finally:
+            if df is not None:
+                df.unpersist()
 
     summary = {
         "base": base,

@@ -354,3 +354,43 @@ class TestFixedWidth:
         df = spark.createDataFrame([(1, "toolongname", 2)], "k int, name string, v bigint")
         with pytest.raises(Exception, match="fixed-width overflow"):
             write_fixed_width(df, str(tmp_path / "fw3"), self.FIELDS)
+
+
+class TestScd2MultiNullEff:
+    def test_null_effective_dates_ignored_like_scd2_apply(self, spark):
+        """A NULL-effective-date change must be ignored (scd2_apply's
+        has_change contract) — including on a NEW key, where it would
+        otherwise open a bogus NULL-valid_from row and swallow the real
+        change via the no-op collapse."""
+        from pyspark.sql import functions as F
+
+        from etl_rj_spark.operators.scd import scd2_apply, scd2_apply_multi
+
+        dim = spark.createDataFrame(
+            [(1, "A", "1995-01-01", None)],
+            "k int, seg string, valid_from string, valid_to string",
+        ).selectExpr(
+            "k", "seg", "CAST(valid_from AS DATE) valid_from",
+            "CAST(valid_to AS DATE) valid_to",
+        )
+        batch = spark.createDataFrame(
+            [(2, "B", None), (2, "B", "2000-01-01"), (1, "A2", None)],
+            "k int, seg string, effective_date string",
+        ).selectExpr("k", "seg", "CAST(effective_date AS DATE) effective_date")
+
+        multi = scd2_apply_multi(dim, batch, ["k"], ["seg"])
+        rows = sorted(
+            (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in multi.collect()
+        )
+        # k=2 opens at the REAL date; k=1 untouched (its only change was null)
+        assert rows == [
+            (1, "A", "1995-01-01", "None"),
+            (2, "B", "2000-01-01", "None"),
+        ]
+        # parity with the per-date fold (which drops null-date slices)
+        looped = scd2_apply(
+            dim, batch.filter(F.col("effective_date").isNotNull()), ["k"], ["seg"]
+        )
+        assert rows == sorted(
+            (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in looped.collect()
+        )

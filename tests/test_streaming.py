@@ -906,3 +906,35 @@ def test_stream_topk_partials_ledger_and_exactness(spark, sf_dir, tmp_path):
     }
     for item, n in exact:
         assert grown[item] == n + extra_counts.get(item, 0)
+
+
+def test_topk_fold_null_day_state_survives_and_is_ledgered(spark, tmp_path):
+    """The null-ts day group must fold, serve, and stay redelivery-safe
+    like any other day (null-unsafe equi-joins on "day" silently drop
+    it — the HLL fold documents the same hazard)."""
+    from etl_rj_spark.streaming.sketches import (
+        estimate_topk_partials,
+        fold_topk_batch,
+    )
+
+    root = str(tmp_path / "topk_null")
+    ev = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, "2024-01-01 00:00:00", "b")],
+        "event_id long, ts string, event_type string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type")
+
+    fold_topk_batch(ev, 0, f"{root}/partials")
+
+    def served():
+        return {
+            (r.item, r.n)
+            for r in estimate_topk_partials(spark, f"{root}/partials").collect()
+        }
+
+    assert served() == {("a", 2), ("b", 1)}
+    # redelivery of batch 0: the NULL-day ledger must block the re-fold
+    fold_topk_batch(ev, 0, f"{root}/partials")
+    assert served() == {("a", 2), ("b", 1)}
+    # a fresh batch id folds into the null-day state additively
+    fold_topk_batch(ev.filter("ts IS NULL"), 1, f"{root}/partials")
+    assert served() == {("a", 4), ("b", 1)}
