@@ -39,11 +39,22 @@ def fuzzy_best_match(
     d_name: str,
     max_dist: int = 2,
     block_prefix: int = 0,
+    block_key=None,
 ) -> DataFrame:
     """Best dimension match per query row: minimum levenshtein distance
     over cleaned names, bounded by ``max_dist``; ties broken by the
     smaller dimension id (deterministic). Queries with no candidate
     within ``max_dist`` are absent from the output.
+
+    Blocking: ``block_prefix=N`` blocks on the first N cleaned chars;
+    ``block_key`` generalizes it to ANY callable Column→Column over the
+    cleaned name (suffix, length+initial, phonetic key, …). Choose a
+    key that is (a) selective ON YOUR DATA — serial-numbered names like
+    TPC-H's ``Customer#0000…`` all share one 2-char prefix, making
+    prefix blocking degenerate (zero pruning: the ×10 sweep measured it
+    as the full cross join) — and (b) stable under the expected error
+    model (an edit inside the key escapes its block; run multiple
+    passes with complementary keys when errors can hit anywhere).
 
     Returns (q_id, matched_<d_id>, dist).
     """
@@ -51,7 +62,11 @@ def fuzzy_best_match(
         F.col(q_id).alias("__qid"), clean_customer_name(q_name).alias("__qn")
     )
     d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
-    if block_prefix > 0:
+    if block_key is not None:
+        q = q.withColumn("__blk", block_key(F.col("__qn")))
+        d = d.withColumn("__blk", block_key(F.col("__dn")))
+        cand = q.join(F.broadcast(d), "__blk")
+    elif block_prefix > 0:
         q = q.withColumn("__blk", F.substring("__qn", 1, block_prefix))
         d = d.withColumn("__blk", F.substring("__dn", 1, block_prefix))
         cand = q.join(F.broadcast(d), "__blk")
