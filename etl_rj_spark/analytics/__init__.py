@@ -95,7 +95,8 @@ _PRIORITY = [
     "stream_topk_maintenance",   # new r6: ledgered streaming heavy hitters
     "theta_segment_algebra",     # new r6: theta intersection/difference
     "cluster_quality_keep",      # new r6: quality-aware near-dup collapse
-    "fuzzy_best_match_blocked",  # new r6: prefix-blocked fuzzy scale path
+    "fuzzy_best_match_blocked",  # new r6: suffix-key-blocked fuzzy scale path
+    "fuzzy_multipass_rescue",    # new r6: union-of-blocks, 100% recall by construction
     "resample_source_mix_threshold",
     "decontaminate_docs_hashed",
     "embedding_random_projection",

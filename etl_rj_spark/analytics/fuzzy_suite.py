@@ -173,3 +173,84 @@ def fuzzy_best_match_blocked(spark, sf_dir):
         max_dist=2,
         block_key=lambda n: F.substring(n, -4, 4),
     )
+
+
+# shared fragments for the multipass query: substitution at a
+# custkey-derived DIGIT position of the serial tail, and the two
+# interleaved digit keys (even / odd offsets of the last 9 chars) —
+# one substitution corrupts exactly one of them, never both.
+_PERTURB_DIGIT = (
+    "substr(cn, 1, length(cn) - (c_custkey % 9) - 1) || 'x' || "
+    "substr(cn, length(cn) - (c_custkey % 9) + 1)"
+)
+
+
+def _digit_key_sql(col: str, offsets) -> str:
+    return " || ".join(f"substr({col}, length({col}) - {8 - o}, 1)" for o in offsets)
+
+
+_EVEN = (0, 2, 4, 6, 8)
+_ODD = (1, 3, 5, 7)
+
+
+@_q(
+    "fuzzy_multipass_rescue",
+    f"""
+    WITH base AS (SELECT c_custkey, {_CLEAN} AS cn FROM customer),
+    q AS (
+      SELECT c_custkey AS q_custkey, {_PERTURB_DIGIT} AS qn
+      FROM base WHERE c_custkey % 7 = 0
+    ),
+    cand AS (
+      -- UNION of two hash-joinable equi-joins, NOT an OR join (an OR
+      -- of equalities degrades to a nested loop: 192 s vs ~4 s at x10)
+      SELECT q_custkey, qn, b.c_custkey AS matched_c_custkey, b.cn
+      FROM q JOIN base b
+        ON {_digit_key_sql('qn', _EVEN)} = {_digit_key_sql('b.cn', _EVEN)}
+      UNION
+      SELECT q_custkey, qn, b.c_custkey AS matched_c_custkey, b.cn
+      FROM q JOIN base b
+        ON {_digit_key_sql('qn', _ODD)} = {_digit_key_sql('b.cn', _ODD)}
+    ),
+    scored AS (
+      SELECT q_custkey, matched_c_custkey, levenshtein(qn, cn) AS dist
+      FROM cand WHERE levenshtein(qn, cn) <= 2
+    )
+    SELECT q_custkey, matched_c_custkey, dist
+    FROM (
+      SELECT q_custkey, matched_c_custkey, dist,
+             row_number() OVER (PARTITION BY q_custkey
+                                ORDER BY dist, matched_c_custkey) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("fuzzy-match", "J2-generalized", "scale-path", "multi-pass"),
+)
+def fuzzy_multipass_rescue(spark, sf_dir):
+    """MULTI-PASS blocking — the posture for errors that CAN corrupt a
+    block key: the error model substitutes one DIGIT of the serial
+    tail (position custkey%9 from the end), which any single
+    fixed-window key may sit on. Two interleaved keys — the even- and
+    odd-offset characters of the last 9 — partition the tail so one
+    substitution corrupts exactly one key; the union of both passes
+    therefore has 100 % recall BY CONSTRUCTION while each pass prunes
+    on ~half the digit entropy. Every query finds its original at
+    dist 1 (ties on same-position digit neighbors break on min id,
+    identically in both engines). The oracle replicates the same two
+    keys via an OR join, so the driver pins multipass semantics
+    exactly."""
+    from etl_rj_spark.operators.fuzzy import fuzzy_best_match_multipass
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", clean_customer_name("c_name").alias("cn"))
+    queries = base.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("q_custkey"), F.expr(_PERTURB_DIGIT).alias("qn")
+    )
+
+    def key(offsets):
+        return lambda n: F.concat(*[F.substring(n, -(9 - o), 1) for o in offsets])
+
+    return fuzzy_best_match_multipass(
+        queries, c, "q_custkey", "qn", "c_custkey", "c_name",
+        block_keys=[key(_EVEN), key(_ODD)], max_dist=2,
+    )

@@ -87,6 +87,60 @@ def fuzzy_best_match(
     )
 
 
+def fuzzy_best_match_multipass(
+    queries: DataFrame,
+    dim: DataFrame,
+    q_id: str,
+    q_name: str,
+    d_id: str,
+    d_name: str,
+    block_keys,
+    max_dist: int = 2,
+) -> DataFrame:
+    """:func:`fuzzy_best_match` with UNION-OF-BLOCKS candidate
+    generation — the standard record-linkage answer to "an edit inside
+    the block key escapes its block": a pair is a candidate if the two
+    cleaned names agree on ANY of ``block_keys`` (callables
+    Column→Column). With keys chosen so no single edit can corrupt all
+    of them (e.g. interleaved character subsets: one substitution hits
+    the even-position key or the odd-position key, never both), recall
+    is 100 % by construction while each pass keeps its own pruning.
+
+    Scale shape: each side explodes to one row per (pass, key) —
+    |keys|× the broadcastable dim, still KB-to-MB — the candidate join
+    is an equi-join on (pass, key), and pairs found by several passes
+    are deduped BEFORE the levenshtein so no pair is scored twice.
+    """
+    q = queries.select(
+        F.col(q_id).alias("__qid"), clean_customer_name(q_name).alias("__qn")
+    )
+    d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
+
+    def keyed(df, name_col):
+        keys = F.array(*[k(F.col(name_col)) for k in block_keys])
+        return df.select("*", F.posexplode(keys).alias("__p", "__blk"))
+
+    cand = (
+        keyed(q, "__qn")
+        .join(F.broadcast(keyed(d, "__dn")), ["__p", "__blk"])
+        .select("__qid", "__qn", "__did", "__dn")
+        .distinct()  # a pair that matched on several keys scores once
+    )
+    cand = cand.withColumn(
+        "dist", F.levenshtein("__qn", "__dn", max_dist)
+    ).filter(F.col("dist") >= 0)
+    w = Window.partitionBy("__qid").orderBy("dist", "__did")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__qid").alias(q_id),
+            F.col("__did").alias(f"matched_{d_id}"),
+            "dist",
+        )
+    )
+
+
 def fuzzy_dim_lookup(
     facts: DataFrame,
     dim: DataFrame,
