@@ -672,6 +672,52 @@ def stream_topk_maintenance(spark, sf_dir):
 
 
 @_q(
+    "stream_theta_overlap",
+    """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)) AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)) AS BIGINT) AS n_only_a,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v UNION SELECT user_id FROM p)) AS BIGINT) AS n_any
+    """,
+    tags=("streaming", "approx-sketch", "set-algebra", "incremental"),
+)
+def stream_theta_overlap(spark, sf_dir):
+    """Streaming theta maintenance + serve-time set algebra
+    (streaming/sketches.py): events drained as 3 micro-batches fold
+    per-(event_type, day) theta partials — blind re-merge idempotent
+    (SET union, like HLL; unlike the ledgered top-k fold) — then the
+    maintained sketches answer "viewers ∩ purchasers / viewers only /
+    either" WITHOUT re-scanning events. lgK=14 keeps exact mode far
+    past this cardinality, so the served numbers equal the oracle's
+    exact set SQL. An in-query redelivery (second drain, fresh
+    checkpoint) precedes the serve, so the oracle also pins
+    idempotence."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import stream_theta_partials, theta_overlap
+
+    root = _scratch("stream_theta")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{root}/in")
+
+    stream_theta_partials(
+        stream(), f"{root}/partials", f"{root}/ck1"
+    ).awaitTermination()
+    # full redelivery under a fresh checkpoint: set union is idempotent
+    stream_theta_partials(
+        stream(), f"{root}/partials", f"{root}/ck2"
+    ).awaitTermination()
+    return theta_overlap(spark, f"{root}/partials", "view", "purchase")
+
+
+@_q(
     "k1_atomic_jdbc_roundtrip",
     """
     SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20

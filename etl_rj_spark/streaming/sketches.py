@@ -283,3 +283,111 @@ def estimate_topk_partials(
     return combined.select(F.explode("__e").alias("__x")).select(
         F.col("__x.item").alias("item"), F.col("__x.count").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch maintenance — idempotent like HLL, but serves SET ALGEBRA
+# --------------------------------------------------------------------------
+#
+# Completes the maintenance triptych: HLL partials (idempotent by
+# register-max, serve distinct counts), frequent-items (additive —
+# ledgered), and theta partials — idempotent by SET union (re-merging a
+# redelivered batch unions the same hash set, a no-op), with the extra
+# power HLL lacks: the maintained per-(group, day) sketches answer
+# INTERSECTION / DIFFERENCE questions across groups at serve time
+# (audience overlap over a stream) without ever re-scanning events.
+
+
+def theta_sketch_batch(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 14,
+) -> DataFrame:
+    """Per-(group, day) theta partials for one slice of events."""
+    return df.groupBy(group_col, F.to_date(ts_col).alias("day")).agg(
+        F.expr(f"theta_sketch_agg({key_col}, {int(lgk)})").alias("sk")
+    )
+
+
+def stream_theta_partials(
+    events_stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 14,
+) -> StreamingQuery:
+    """Drain available input (Trigger.AvailableNow), folding per-batch
+    theta partials into the day-partitioned table — same touched-days
+    dynamic overwrite as :func:`stream_hll_partials`, same blind
+    re-merge safety (set union is idempotent)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = theta_sketch_batch(
+            batch_df, group_col, ts_col, key_col, lgk
+        ).localCheckpoint()
+        days = [r.day for r in fresh.select("day").distinct().collect()]
+        if not days:
+            return
+        real_days = [d for d in days if d is not None]
+        cond = F.col("day").isin(real_days) if real_days else F.lit(False)
+        if len(real_days) < len(days):
+            cond = cond | F.col("day").isNull()
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(root):
+            existing = spark.read.parquet(target_path).where(cond)
+            merged = (
+                existing.unionByName(fresh)
+                .groupBy(group_col, "day")
+                .agg(F.expr(f"theta_union_agg(sk, {int(lgk)})").alias("sk"))
+            )
+        else:
+            merged = fresh
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day").parquet(target_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def theta_overlap(
+    spark: SparkSession,
+    target_path: str,
+    group_a: str,
+    group_b: str,
+    group_col: str = "event_type",
+    lgk: int = 14,
+) -> DataFrame:
+    """Serve-time set algebra over the maintained partials: distinct
+    keys in both / only-a / either of two groups — one row
+    (n_both, n_only_a, n_any), no event rescan."""
+    parts = spark.read.parquet(target_path).filter(
+        F.col(group_col).isin(group_a, group_b)
+    )
+    merged = parts.groupBy(group_col).agg(
+        F.expr(f"theta_union_agg(sk, {int(lgk)})").alias("sk")
+    )
+    ab = merged.agg(
+        F.max(F.when(F.col(group_col) == group_a, F.col("sk"))).alias("a"),
+        F.max(F.when(F.col(group_col) == group_b, F.col("sk"))).alias("b"),
+    )
+    return ab.select(
+        F.expr("CAST(theta_sketch_estimate(theta_intersection(a, b)) AS BIGINT)")
+        .alias("n_both"),
+        F.expr("CAST(theta_sketch_estimate(theta_difference(a, b)) AS BIGINT)")
+        .alias("n_only_a"),
+        F.expr(f"CAST(theta_sketch_estimate(theta_union(a, b, {int(lgk)})) AS BIGINT)")
+        .alias("n_any"),
+    )

@@ -938,3 +938,45 @@ def test_topk_fold_null_day_state_survives_and_is_ledgered(spark, tmp_path):
     # a fresh batch id folds into the null-day state additively
     fold_topk_batch(ev.filter("ts IS NULL"), 1, f"{root}/partials")
     assert served() == {("a", 4), ("b", 1)}
+
+
+def test_stream_theta_partials_overlap_and_idempotent(spark, sf_dir, tmp_path):
+    """Theta streaming maintenance: 3 drained micro-batches fold
+    per-(event_type, day) theta partials; serve-time INTERSECTION /
+    DIFFERENCE / UNION across two segments equal exact set algebra
+    (sketches stay in exact mode at this cardinality), and full
+    redelivery under a fresh checkpoint changes nothing (set-union
+    idempotence — no ledger needed, unlike the top-k fold)."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import stream_theta_partials, theta_overlap
+
+    root = str(tmp_path / "theta")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{root}/in")
+
+    stream_theta_partials(
+        stream(), f"{root}/partials", f"{root}/ck1"
+    ).awaitTermination()
+
+    def overlap():
+        r = theta_overlap(spark, f"{root}/partials", "view", "purchase").collect()[0]
+        return (r.n_both, r.n_only_a, r.n_any)
+
+    va = {r.user_id for r in ev.filter("event_type = 'view'")
+          .select("user_id").distinct().collect()}
+    pa = {r.user_id for r in ev.filter("event_type = 'purchase'")
+          .select("user_id").distinct().collect()}
+    expected = (len(va & pa), len(va - pa), len(va | pa))
+    assert overlap() == expected
+
+    # full redelivery, fresh checkpoint: set union is idempotent
+    stream_theta_partials(
+        stream(), f"{root}/partials", f"{root}/ck2"
+    ).awaitTermination()
+    assert overlap() == expected
