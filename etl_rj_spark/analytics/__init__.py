@@ -98,6 +98,7 @@ _PRIORITY = [
     "fuzzy_best_match_blocked",  # new r6: suffix-key-blocked fuzzy scale path
     "fuzzy_multipass_rescue",    # new r6: union-of-blocks, 100% recall by construction
     "stream_theta_overlap",      # new r6: streamed theta partials, serve-time set algebra
+    "cell_balanced_sample",      # new r6: per-semantic-cell capped diversity sample
     "resample_source_mix_threshold",
     "decontaminate_docs_hashed",
     "embedding_random_projection",

@@ -611,6 +611,52 @@ def kmeans_cells(spark, sf_dir):
 
 
 @_q(
+    "cell_balanced_sample",
+    f"""
+    WITH {_kmeans_oracle_ctes()},
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell
+    FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+      FROM cells
+    ) WHERE rk <= 30
+    """,
+    tags=("similarity-kmeans", "curation-mix", "diversity-sample"),
+)
+def cell_balanced_sample(spark, sf_dir):
+    """Diversity-BALANCED corpus sampling — the balance twin of
+    SemDeDup's within-cell dedup: assign every embedding to its trained
+    k-means cell, then keep a deterministic hash-rank cap per cell
+    (30), equalizing semantic-cluster representation the way
+    source-mix resampling equalizes provenance. Dense regions stop
+    dominating the sample; sparse regions keep everything under cap.
+
+    Scale: cell assignment is map-side against broadcast centroids
+    (KBs); the per-cell cap rides ``hash_threshold_resample`` — a
+    Chernoff-padded hash pre-filter so the rank window sorts
+    ~cap·(1+ε) rows per cell, never the cell (the 10⁹-rows-per-cell
+    posture). The oracle replays the full deterministic k-means fit +
+    assignment + the same md5-rank cap."""
+    from etl_rj_spark.operators.curation import hash_threshold_resample
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=2)
+    cells = kmeans_assign(e, centroids)  # (vec_id, cell)
+    caps = {cid: 30 for cid in range(1, 9)}
+    return hash_threshold_resample(cells, "cell", "vec_id", caps)
+
+
+@_q(
     "ann_kmeans_ivf_topk",
     f"""
     WITH {_kmeans_oracle_ctes(fit_filter="vec_id >= 5")},
