@@ -31,12 +31,15 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: register deterministic DuckDB oracles for their contract-flag
 #: output (see llm_suite) so a future check can go full-green.
 #:
-#: ROUND-7 ROTATION PLAN (for whoever edits this next): only 7
-#: never-checked names remain, staged immediately after the 50-mark
-#: below, plus the two re-shaped recall-contract queries and any
-#: round-7-new queries.  Promote all of them — they fit in one prefix
-#: with ~40 slots to spare; backfill the spare slots with the oldest
-#: previously-green names (r1-checked first) for re-confirmation.
+#: ROUND-7 ROTATION PLAN (for whoever edits this next): 15 names are
+#: staged immediately after the 50-mark below — the 7 never-checked
+#: holdovers plus the 8 round-6-new queries (each already green in the
+#: end-of-round vanilla sweep at sf0.01 AND, where applicable, at the
+#: ×10 synth). Promote all 15, plus the two re-shaped recall-contract
+#: queries (minhash_lsh_pairs_scaled / embedding_near_pairs_lsh_scaled
+#: now have DuckDB oracles) and any round-7-new queries; backfill the
+#: ~30 spare slots with the oldest previously-green names (r1-checked
+#: first) for re-confirmation.
 _PRIORITY = [
     # ---- 50-query driver prefix (all never-driver-checked) ----------
     "accent_fold_kernel",
