@@ -31,69 +31,22 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: register deterministic DuckDB oracles for their contract-flag
 #: output (see llm_suite) so a future check can go full-green.
 #:
-#: ROUND-7 ROTATION PLAN (for whoever edits this next): 15 names are
-#: staged immediately after the 50-mark below — the 7 never-checked
-#: holdovers plus the 8 round-6-new queries (each already green in the
-#: end-of-round vanilla sweep at sf0.01 AND, where applicable, at the
-#: ×10 synth). Promote all 15, plus the two re-shaped recall-contract
-#: queries (minhash_lsh_pairs_scaled / embedding_near_pairs_lsh_scaled
-#: now have DuckDB oracles) and any round-7-new queries; backfill the
-#: ~30 spare slots with the oldest previously-green names (r1-checked
-#: first) for re-confirmation.
+#: ROUND-7 ROTATION (executed per VERDICT r6 directive #3): the 15
+#: names staged last round (7 never-checked holdovers + 8 round-6-new
+#: operators) plus the two re-oracled recall-contract queries
+#: (`minhash_lsh_pairs_scaled` / `embedding_near_pairs_lsh_scaled` —
+#: last driver verdict on file is still the r5 `no_oracle`; their
+#: DuckDB oracles landed in r6) lead the prefix; the remaining 33
+#: slots backfill with the OLDEST previously-green names (all
+#: r1-checked, never re-sampled since) in registration order for
+#: re-confirmation. `ecommerce_rewrite` is among them and matters this
+#: round: its oracle+query were rewritten to the reference's TWO-branch
+#: literals ('Walmart Ecommerce'/'Amazon', cartera.py:101-108 — the r6
+#: parity fix), so the driver re-verdict lands on the corrected spec.
+#: With this window, every one of the registered queries has had a
+#: driver verdict at least once (union r1–r7).
 _PRIORITY = [
-    # ---- 50-query driver prefix (all never-driver-checked) ----------
-    "accent_fold_kernel",
-    "pagerank_interaction_graph",
-    "cohort_retention",
-    "event_type_transitions",
-    "resample_epoch_upsample",
-    "gap_fill_interpolate",
-    "scd2_customer_history",
-    "training_shard_pipeline",
-    "fixed_width_roundtrip",
-    "target_encoding_loo",
-    "arrow_ipc_roundtrip",
-    "pit_dimension_enrich",
-    "ngram_containment_pairs",
-    "token_dist_chi2_drift",
-    "triangle_count",
-    "ann_lsh_multiprobe_topk",
-    "ann_pq_adc_topk",
-    "recursive_reachability",
-    "decay_weighted_revenue",
-    "price_qty_correlation",
-    "ann_ivfpq_topk",
-    "benford_first_digit",
-    "top_event_type_per_user",
-    "xml_column_extract",
-    "semdedup_incremental",
-    "csv_corrupt_quarantine",
-    "parquet_schema_evolution",
-    "binary_file_ingest",
-    "wav_audio_stats",
-    "date_spine_gap_fill",
-    "salted_customer_rollup",
-    "quantile_stats",
-    "k1_atomic_jdbc_roundtrip",
-    "cube_flag_status",
-    "intersect_customers",
-    "zscore_events_by_type",
-    "profile_lineitem",
-    "histogram_totalprice",
-    "approx_distinct_stats",
-    "quarantine_reason_counts",
-    "stratified_sample_events",
-    "curated_corpus_splits",
-    "resample_source_mix",
-    "span_dedup_docs",
-    "decontaminate_docs",
-    "embedding_cosine_near_pairs",
-    "pack_sequences_budget",
-    "embedding_int8_quantized",
-    "cosine_topk_scaled",
-    "minhash_index_probe",
-    # ---- 50-query driver prefix ends here ----
-    # -- staged for round 7: remaining never-checked + round-6-new ----
+    # -- 17 first-time / re-oracled verdicts --------------------------
     "topk_sketch_rollup",        # new r6: mergeable frequent-items rollup
     "stream_topk_maintenance",   # new r6: ledgered streaming heavy hitters
     "theta_segment_algebra",     # new r6: theta intersection/difference
@@ -109,6 +62,43 @@ _PRIORITY = [
     "orc_events_roundtrip",
     "hll_sketch_rollup",
     "stream_hll_maintenance",
+    "minhash_lsh_pairs_scaled",       # re-oracled r6, last verdict no_oracle (r5)
+    "embedding_near_pairs_lsh_scaled",  # re-oracled r6, last verdict no_oracle (r5)
+    # -- 33 oldest-green backfill (r1-checked, not sampled since) -----
+    "trend_total_by_snapshot",
+    "latest_snapshot",
+    "monthly_order_stats",
+    "lag_day_over_day",
+    "last_two_snapshots_delta",
+    "client_zone_rollup",
+    "distinct_topk_dates",
+    "dim_enrich_left",
+    "unmapped_clients_report",
+    "incremental_anti_join",
+    "clean_name_kernel",
+    "money_parse_kernel",
+    "thousands_int_kernel",
+    "date_parse_kernel",
+    "temporal_dims_kernel",
+    "recode_static_map",
+    "month_es_en_recode",
+    "ecommerce_rewrite",         # r7 parity fix: two-branch reference literals
+    "truncate_fields",
+    "contains_scrub_filter",
+    "threshold_filter",
+    "zone_coalesce_default",
+    "union_schema_drift",
+    "pricing_summary",
+    "pivot_status_by_priority",
+    "topk_orders_per_customer",
+    "windowed_event_counts",
+    "sessionization",
+    "json_extract_props",
+    "session_window_native",
+    "unpivot_flag_measures",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    # ---- 50-query driver prefix ends here ----
 ]
 
 

@@ -566,23 +566,34 @@ def month_es_en_recode(spark, sf_dir):
     "ecommerce_rewrite",
     """
     SELECT c_custkey,
-           CASE WHEN trim(c_mktsegment) = 'AUTOMOBILE' AND c_custkey % 5 = 0
+           CASE WHEN trim(c_mktsegment) IN ('AUTOMOBILE', 'MACHINERY')
+                     AND c_custkey % 5 = 0
                 THEN 'E-Commerce' ELSE c_mktsegment END AS zona,
            CASE WHEN trim(c_mktsegment) = 'AUTOMOBILE' AND c_custkey % 5 = 0
-                THEN 'Ecommerce' ELSE c_name END AS nombre_cliente
+                THEN 'Walmart Ecommerce'
+                WHEN trim(c_mktsegment) = 'MACHINERY' AND c_custkey % 5 = 0
+                THEN 'Amazon'
+                ELSE c_name END AS nombre_cliente
     FROM customer
     """,
     tags=("F4", "X6"),
 )
 def ecommerce_rewrite(spark, sf_dir):
-    """F4/X6 — conjunctive-predicate conditional rewrite of two columns
-    (the Walmart/Amazon e-commerce reclassification, cartera.py:101-108)."""
+    """F4/X6 — TWO-branch conditional rewrite, the Walmart/Amazon
+    e-commerce reclassification shape (cartera.py:101-108): each branch
+    writes a DISTINCT client-name literal ('Walmart Ecommerce' /
+    'Amazon'), both collapse zona to 'E-Commerce'. TPC-H analog:
+    AUTOMOBILE plays Walmart, MACHINERY plays Amazon."""
     c = _t(spark, sf_dir, "customer")
-    cond = (F.trim("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 5 == 0)
+    cond_w = (F.trim("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 5 == 0)
+    cond_a = (F.trim("c_mktsegment") == "MACHINERY") & (F.col("c_custkey") % 5 == 0)
     return c.select(
         "c_custkey",
-        F.when(cond, F.lit("E-Commerce")).otherwise(F.col("c_mktsegment")).alias("zona"),
-        F.when(cond, F.lit("Ecommerce")).otherwise(F.col("c_name")).alias("nombre_cliente"),
+        F.when(cond_w | cond_a, F.lit("E-Commerce")).otherwise(F.col("c_mktsegment")).alias("zona"),
+        F.when(cond_w, F.lit("Walmart Ecommerce"))
+        .when(cond_a, F.lit("Amazon"))
+        .otherwise(F.col("c_name"))
+        .alias("nombre_cliente"),
     )
 
 

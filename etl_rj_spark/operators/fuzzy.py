@@ -62,13 +62,24 @@ def fuzzy_best_match(
         F.col(q_id).alias("__qid"), clean_customer_name(q_name).alias("__qn")
     )
     d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
+    # NULL-key safety: a block key that evaluates to NULL (substring
+    # beyond a short cleaned name, empty name, …) would silently drop
+    # the row at the equi-join — no match AND no unmatched signal.
+    # Coalescing both sides to a shared sentinel keeps such rows in
+    # play: all null-key queries compare against all null-key dim rows
+    # (a tiny block in practice) instead of vanishing.
+    _NULL_BLK = "<null-block>"
     if block_key is not None:
-        q = q.withColumn("__blk", block_key(F.col("__qn")))
-        d = d.withColumn("__blk", block_key(F.col("__dn")))
+        q = q.withColumn("__blk", F.coalesce(block_key(F.col("__qn")), F.lit(_NULL_BLK)))
+        d = d.withColumn("__blk", F.coalesce(block_key(F.col("__dn")), F.lit(_NULL_BLK)))
         cand = q.join(F.broadcast(d), "__blk")
     elif block_prefix > 0:
-        q = q.withColumn("__blk", F.substring("__qn", 1, block_prefix))
-        d = d.withColumn("__blk", F.substring("__dn", 1, block_prefix))
+        q = q.withColumn(
+            "__blk", F.coalesce(F.substring("__qn", 1, block_prefix), F.lit(_NULL_BLK))
+        )
+        d = d.withColumn(
+            "__blk", F.coalesce(F.substring("__dn", 1, block_prefix), F.lit(_NULL_BLK))
+        )
         cand = q.join(F.broadcast(d), "__blk")
     else:
         cand = q.crossJoin(F.broadcast(d))
@@ -117,7 +128,11 @@ def fuzzy_best_match_multipass(
     d = dim.select(F.col(d_id).alias("__did"), clean_customer_name(d_name).alias("__dn"))
 
     def keyed(df, name_col):
-        keys = F.array(*[k(F.col(name_col)) for k in block_keys])
+        # same NULL-key sentinel as fuzzy_best_match: a key callable
+        # returning NULL must not silently exclude the row from its pass
+        keys = F.array(
+            *[F.coalesce(k(F.col(name_col)), F.lit("<null-block>")) for k in block_keys]
+        )
         return df.select("*", F.posexplode(keys).alias("__p", "__blk"))
 
     cand = (

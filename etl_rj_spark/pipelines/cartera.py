@@ -44,20 +44,28 @@ def clean_cartera(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFr
     load stamp — ``append_snapshot`` adds ``fecha_carga``."""
     df = rename_map(df, CARTERA_RENAME).drop(*CARTERA_DROP)
 
-    # X5 — placeholder recode (cartera.py:110)
+    # F4+X6 — e-commerce reclassification (cartera.py:101-108). Two
+    # DISTINCT branches, reference literals verbatim: Walmart+Ecommerce
+    # rewrites the client name to 'Walmart Ecommerce', Amazon+Ecommerce
+    # to 'Amazon'; both send zona to 'E-Commerce'. Both conditions are
+    # evaluated against the ORIGINAL columns (the reference precomputes
+    # condicion_1/condicion_2 before either np.where fires; they are
+    # mutually exclusive on zona so a single two-way CASE is identical).
+    cond_walmart = (F.trim("zona") == "Walmart") & (F.trim("nombre_cliente") == "Ecommerce")
+    cond_amazon = (F.trim("zona") == "Amazon") & (F.trim("nombre_cliente") == "Ecommerce")
+    df = df.withColumns(
+        {
+            "zona": F.when(cond_walmart | cond_amazon, F.lit("E-Commerce")).otherwise(F.col("zona")),
+            "nombre_cliente": F.when(cond_walmart, F.lit("Walmart Ecommerce"))
+            .when(cond_amazon, F.lit("Amazon"))
+            .otherwise(F.col("nombre_cliente")),
+        }
+    )
+    # X5 — placeholder recode, applied AFTER the rewrite as in the
+    # reference (cartera.py:110)
     df = df.withColumn(
         "nombre_cliente",
         recode_values("nombre_cliente", {"- no customer/project -": "Sin Nombre"}),
-    )
-    # F4+X6 — e-commerce reclassification (cartera.py:101-108)
-    cond = (F.trim("zona").isin("Walmart", "Amazon")) & (
-        F.trim("nombre_cliente") == "Ecommerce"
-    )
-    df = df.withColumns(
-        {
-            "zona": F.when(cond, F.lit("E-Commerce")).otherwise(F.col("zona")),
-            "nombre_cliente": F.when(cond, F.lit("Ecommerce")).otherwise(F.col("nombre_cliente")),
-        }
     )
 
     # X3 both sides + J1 broadcast left join (cartera.py:118-122)

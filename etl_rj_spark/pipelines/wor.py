@@ -22,11 +22,36 @@ from etl_rj_spark.operators.filters import (
 )
 from etl_rj_spark.operators.projection import rename_positional, select_present
 
-#: Engine analog of the reference's static zone map (wor2.py:50-62):
-#: table-name zone token → surrogate id.
-ZONE_IDS = {
-    "Zone1": 1, "Zone2": 2, "Zone3": 3, "Zone4": 4, "Zone5": 5, "Zone6": 6,
-    "KamEast": 7, "KamCentral": 8,
+#: The reference's static zone map, VERBATIM (wor2.py:50-62) — keys are
+#: the normalized spaced form produced by wor2.py:274-283
+#: (``Zone1`` token → ``"Zone 1"`` key; Kam tokens pass through).
+#: ``Zone 7`` / ``E-Commerce`` / ``Outlet & Donation`` are unreachable
+#: from workbook table names (the discovery regex at wor2.py:104-107
+#: only admits Zone1-6|KamEast|KamCentral) but are shipped for parity.
+ZONE_MAPPING = {
+    "Zone 1": 1, "Zone 2": 2, "Zone 3": 3, "Zone 4": 4, "Zone 5": 5,
+    "Zone 6": 6, "Zone 7": 7, "KamCentral": 8, "KamEast": 9,
+    "E-Commerce": 10, "Outlet & Donation": 11,
+}
+
+#: Backwards-compat alias (pre-round-7 name); same object.
+ZONE_IDS = ZONE_MAPPING
+
+#: The reference's static product map, VERBATIM (wor2.py:36-48) —
+#: shipped as the engine default for ``clean_category_tables`` so a
+#: reference user needs no caller-supplied map.
+PRODUCTO_MAPPING = {
+    "Ricky Joy Yogurt": 1,
+    "Mellow Cones": 2,
+    "Crazy Legs": 3,
+    "Ricky Joy Gels": 4,
+    "Jelly Fruits": 5,
+    "Plis": 6,
+    "SSC Roll On": 7,
+    "Freeze Dried": 8,
+    "3D Gummies": 9,
+    "SC Gel": 10,
+    "Cotton Candy": 11,
 }
 
 WEEK_RENAME = {
@@ -40,10 +65,18 @@ CATEGORY_KEYS = ["id_producto", "id_zone", "mes", "anio"]      # wor2.py:389
 
 
 def _with_zone_id(df: DataFrame) -> DataFrame:
-    """J3 — zone-token recode with default id 1 (wor2.py:213,330)."""
+    """J3 — zone-token recode with default id 1 (wor2.py:213,330).
+
+    The extracted token (``Zone1``..``Zone6`` | ``KamEast`` |
+    ``KamCentral``) is first normalized to the reference's spaced key
+    form — ``Zone1`` → ``"Zone 1"`` — exactly as wor2.py:274-283 does
+    before ``Series.map(ZONE_MAPPING)``; unmapped keys default to 1
+    per the reference's ``.fillna(1)`` (wor2.py:213,330,430).
+    """
+    normalized = F.regexp_replace("zone", r"^Zone(\d+)$", r"Zone $1")
     return df.withColumn(
         "id_zone",
-        recode_values("zone", {k: str(v) for k, v in ZONE_IDS.items()}, default=F.lit("1"))
+        recode_values(normalized, {k: str(v) for k, v in ZONE_MAPPING.items()}, default=F.lit("1"))
         .cast("int"),
     )
 
@@ -116,12 +149,22 @@ def harvest_zone_quotas(tables: list[DataFrame]) -> DataFrame:
 
 
 def clean_category_tables(
-    tables: list[DataFrame], producto_map: dict[str, int]
+    tables: list[DataFrame], producto_map: dict[str, int] | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Avancedeventa_Category tables → per-product quotas
     (wor2.py:256-292,362-408). Positional rename of columns 3,4 →
     cuota_dinero/cuota_volumen; product-name recode; drop unmapped.
-    Returns (facts, unmapped_names)."""
+    Returns (facts, unmapped_names).
+
+    ``producto_map`` defaults to the reference's ``PRODUCTO_MAPPING``
+    (wor2.py:36-48). DOCUMENTED DIVERGENCE: the reference's
+    ``Series.map(PRODUCTO_MAPPING)`` (wor2.py:377-378) is exact-match;
+    this engine matches upper-trimmed on both sides — a deliberate
+    robustness superset (case/whitespace drift in workbook product
+    names still maps; exact reference inputs are unaffected because
+    upper-trim is injective on the 11 canonical names)."""
+    if producto_map is None:
+        producto_map = PRODUCTO_MAPPING
     cleaned = []
     for df in tables:
         df = rename_positional(df, {3: "cuota_dinero", 4: "cuota_volumen"})  # P3

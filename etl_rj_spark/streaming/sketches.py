@@ -45,6 +45,36 @@ HLL_REL_TOL = 0.05
 HLL_MERGE_TOL = 0.01
 
 
+def _touched_days_cond(fresh: DataFrame):
+    """Shared by all three folds (HLL / top-k / theta): collect the
+    distinct days this batch touched and build the read-back predicate
+    for exactly those partitions. Returns ``None`` when the batch is
+    empty. NULL-day handling is deliberate and identical everywhere:
+    ``isin`` never matches NULL, so the null-ts partition gets an
+    explicit ``isNull`` arm — without it a null-day batch would replace
+    the null partition having read none of it (silent data loss)."""
+    days = [r.day for r in fresh.select("day").distinct().collect()]
+    if not days:
+        return None
+    real_days = [d for d in days if d is not None]
+    cond = F.col("day").isin(real_days) if real_days else F.lit(False)
+    if len(real_days) < len(days):
+        cond = cond | F.col("day").isNull()
+    return cond
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe — a broad
+    ``except AnalysisException`` around the read would also swallow
+    REAL analysis errors (schema drift in the partials table, a
+    different group_col than it was built with) and silently replace
+    accumulated partials with only the current batch's sketches."""
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(root)
+
+
 def sketch_batch(
     df: DataFrame,
     group_col: str = "event_type",
@@ -89,26 +119,10 @@ def stream_hll_partials(
         fresh = sketch_batch(
             batch_df, group_col, ts_col, key_col, lgk
         ).localCheckpoint()
-        days = [r.day for r in fresh.select("day").distinct().collect()]
-        if not days:
+        cond = _touched_days_cond(fresh)
+        if cond is None:
             return
-        # read back exactly the partitions the overwrite will replace —
-        # including the null-day partition (isin never matches NULL, so
-        # without the explicit isNull arm a null-ts batch would replace
-        # the null partition having read none of it: silent data loss)
-        real_days = [d for d in days if d is not None]
-        cond = F.col("day").isin(real_days) if real_days else F.lit(False)
-        if len(real_days) < len(days):
-            cond = cond | F.col("day").isNull()
-        # explicit existence probe — a broad except AnalysisException
-        # would also swallow REAL analysis errors (schema drift in the
-        # partials table, a different group_col than it was built
-        # with) and silently replace accumulated partials with only
-        # this batch's sketches
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if fs.exists(root):
+        if _table_exists(spark, target_path):
             existing = spark.read.parquet(target_path).where(cond)
             merged = merge_partials(existing, fresh, group_col)
         else:
@@ -189,18 +203,10 @@ def fold_topk_batch(
     foreachBatch redelivery cannot double-count."""
     spark = batch_df.sparkSession
     fresh = topk_sketch_batch(batch_df, item_col, ts_col, max_items).localCheckpoint()
-    days = [r.day for r in fresh.select("day").distinct().collect()]
-    if not days:
+    cond = _touched_days_cond(fresh)
+    if cond is None:
         return
-    real_days = [d for d in days if d is not None]
-    cond = F.col("day").isin(real_days) if real_days else F.lit(False)
-    if len(real_days) < len(days):
-        cond = cond | F.col("day").isNull()
-
-    jvm = spark.sparkContext._jvm
-    root = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(root):
+    if _table_exists(spark, target_path):
         existing = spark.read.parquet(target_path).where(cond)
     else:
         existing = (
@@ -330,17 +336,10 @@ def stream_theta_partials(
         fresh = theta_sketch_batch(
             batch_df, group_col, ts_col, key_col, lgk
         ).localCheckpoint()
-        days = [r.day for r in fresh.select("day").distinct().collect()]
-        if not days:
+        cond = _touched_days_cond(fresh)
+        if cond is None:
             return
-        real_days = [d for d in days if d is not None]
-        cond = F.col("day").isin(real_days) if real_days else F.lit(False)
-        if len(real_days) < len(days):
-            cond = cond | F.col("day").isNull()
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if fs.exists(root):
+        if _table_exists(spark, target_path):
             existing = spark.read.parquet(target_path).where(cond)
             merged = (
                 existing.unionByName(fresh)
@@ -383,11 +382,27 @@ def theta_overlap(
         F.max(F.when(F.col(group_col) == group_a, F.col("sk"))).alias("a"),
         F.max(F.when(F.col(group_col) == group_b, F.col("sk"))).alias("b"),
     )
+    # An absent segment (no partials for that group at target_path)
+    # pivots to a NULL sketch; theta_intersection/difference/union on
+    # NULL would surface NULL counts a consumer could misread as data.
+    # Treat a missing segment as the EMPTY SET explicitly: every
+    # algebra result involving it is 0 / the other side's estimate.
+    est_a = F.expr("CAST(theta_sketch_estimate(a) AS BIGINT)")
+    est_b = F.expr("CAST(theta_sketch_estimate(b) AS BIGINT)")
+    a_null, b_null = F.col("a").isNull(), F.col("b").isNull()
     return ab.select(
-        F.expr("CAST(theta_sketch_estimate(theta_intersection(a, b)) AS BIGINT)")
+        F.when(a_null | b_null, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("CAST(theta_sketch_estimate(theta_intersection(a, b)) AS BIGINT)"))
         .alias("n_both"),
-        F.expr("CAST(theta_sketch_estimate(theta_difference(a, b)) AS BIGINT)")
+        F.when(a_null, F.lit(0).cast("bigint"))
+        .when(b_null, est_a)
+        .otherwise(F.expr("CAST(theta_sketch_estimate(theta_difference(a, b)) AS BIGINT)"))
         .alias("n_only_a"),
-        F.expr(f"CAST(theta_sketch_estimate(theta_union(a, b, {int(lgk)})) AS BIGINT)")
+        F.when(a_null & b_null, F.lit(0).cast("bigint"))
+        .when(a_null, est_b)
+        .when(b_null, est_a)
+        .otherwise(
+            F.expr(f"CAST(theta_sketch_estimate(theta_union(a, b, {int(lgk)})) AS BIGINT)")
+        )
         .alias("n_any"),
     )

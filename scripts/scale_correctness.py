@@ -123,7 +123,11 @@ def main() -> None:
                 d_rows = con.sql(
                     f"SELECT COUNT(*) FROM ({q.oracle.rstrip().rstrip(';')})"
                 ).fetchone()[0]
-                assert n_rows == d_rows, f"row count {n_rows} != oracle {d_rows}"
+                # explicit raise, not a bare assert: under `python -O`
+                # asserts are stripped and every large query would be
+                # recorded ok:true without any comparison
+                if n_rows != d_rows:
+                    raise AssertionError(f"row count {n_rows} != oracle {d_rows}")
                 results[name] = {
                     "ok": True, "rows_only": n_rows,
                     "sec": round(time.time() - t0, 2),

@@ -51,6 +51,26 @@ def test_block_prefix_trades_recall_for_cost(spark):
     assert full.count() == 1 and blocked.count() == 0
 
 
+def test_null_block_key_rows_not_dropped(spark):
+    """ADVICE r6 #2 pin: a block key that evaluates to NULL (substring
+    beyond a short cleaned name) must NOT silently drop the row — both
+    sides coalesce to a shared sentinel block, so short names still
+    match each other."""
+    dim = spark.createDataFrame([(1, "ab"), (2, "Ricky Joy Candy")], "id int, name string")
+    q = spark.createDataFrame([(10, "abc")], "qid int, qn string")
+    # suffix-from-position-5 key: NULL for both 'ab' and 'abc'
+    key = lambda c: F.substring(c, 5, 4)  # noqa: E731
+    got = fuzzy_best_match(q, dim, "qid", "qn", "id", "name", block_key=key).collect()
+    assert [(r.qid, r.matched_id, r.dist) for r in got] == [(10, 1, 1)]
+
+    from etl_rj_spark.operators.fuzzy import fuzzy_best_match_multipass
+
+    got2 = fuzzy_best_match_multipass(
+        q, dim, "qid", "qn", "id", "name", block_keys=[key]
+    ).collect()
+    assert [(r.qid, r.matched_id, r.dist) for r in got2] == [(10, 1, 1)]
+
+
 def test_approx_distinct_stats_error_bounds(spark, sf_dir):
     """The query's contract IS the bounded-error assertion (the *_ok
     flags must all be 1) plus the exact counts; cross-check the exact

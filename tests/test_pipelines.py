@@ -31,7 +31,8 @@ def clientes(spark):
             (1, "ACME Corp.", 10),
             (2, "Beta  Industries", 20),
             (3, "Gamma-LLC", None),   # null zone → default-zone path
-            (4, "Ecommerce", 30),
+            (4, "Walmart Ecommerce", 30),
+            (5, "Amazon", 40),
         ],
         "id_cliente int, nombre_cliente string, id_zone int",
     )
@@ -102,6 +103,7 @@ def cartera_csv(tmp_path):
         [
             'Zone A,ACME corp,Invoice,2024-01-05,D-1,2024-02-05,"$1,234.56",po,30',
             'Walmart,Ecommerce,Invoice,2024-01-06,D-2,not a date,"($2,000.00)",po,15',
+            "Amazon,Ecommerce,Invoice,2024-01-06,D-5,2024-02-06,10,po,15",
             "Zone B,- no customer/project -,Invoice,2024-01-07,D-3,2024-03-01,junk,po,9",
             "Zone C,Unknown Person,Invoice,2024-01-08,D-4,2024-02-20,50,po,1",
         ]
@@ -114,7 +116,7 @@ def cartera_csv(tmp_path):
 def test_cartera_snapshot(spark, clientes, cartera_csv, tmp_path):
     src = read_csv_trimmed(spark, cartera_csv, skiprows=6, skipfooter=1)  # S2
     assert "_row_idx" in src.columns
-    assert src.count() == 4  # junk header/footer trimmed
+    assert src.count() == 5  # junk header/footer trimmed
 
     snap, unmapped = clean_cartera(src, clientes)
     rows = {r.document_number: r for r in snap.collect()}
@@ -122,10 +124,13 @@ def test_cartera_snapshot(spark, clientes, cartera_csv, tmp_path):
     assert rows["D-1"].id_cliente == 1
     assert rows["D-1"].open_balance == 1234.56   # $ and , stripped
     assert rows["D-1"].id_zone == "10"           # DB zone wins (N6)
-    # e-commerce rewrite fired and Ecommerce maps to client 4
+    # e-commerce rewrite: Walmart+Ecommerce → 'Walmart Ecommerce'
+    # (cartera.py:104-105 literal) maps to client 4
     assert rows["D-2"].id_cliente == 4
     assert rows["D-2"].open_balance == -2000.0   # accounting negative
     assert rows["D-2"].fecha_pago is None        # invalid date → null (D2)
+    # Amazon+Ecommerce → 'Amazon' (cartera.py:107-108) maps to client 5
+    assert rows["D-5"].id_cliente == 5 and rows["D-5"].id_zone == "40"
     # unmapped: 'Sin Nombre' (recoded placeholder) and 'Unknown Person' dropped
     assert sorted(r.nombre_cliente for r in unmapped.collect()) == ["Sin Nombre", "Unknown Person"]
 
@@ -134,9 +139,9 @@ def test_cartera_snapshot(spark, clientes, cartera_csv, tmp_path):
     append_snapshot(snap, wh, snapshot_date=datetime.date(2024, 1, 10))
     append_snapshot(snap, wh, snapshot_date=datetime.date(2024, 1, 11))
     all_rows = spark.read.parquet(wh)
-    assert all_rows.count() == 4  # full snapshot each day, no dedup (K2)
+    assert all_rows.count() == 6  # full snapshot each day, no dedup (K2)
     latest = read_latest_snapshot(spark, wh)
-    assert latest.count() == 2
+    assert latest.count() == 3
     assert {r.fecha_carga for r in latest.collect()} == {datetime.date(2024, 1, 11)}
 
 
@@ -242,7 +247,7 @@ def test_wor_classification_and_pipelines(spark):
     quotas = harvest_zone_quotas(forecast_dfs).collect()
     assert len(quotas) == 2
     assert all(q.id_cliente == 0 and q.cuota == 50.0 for q in quotas)
-    assert {q.id_zone for q in quotas} == {1, 7}  # Zone1, KamEast
+    assert {q.id_zone for q in quotas} == {1, 9}  # Zone1 → 1, KamEast → 9 (wor2.py:50-62)
 
     cat_dfs = [df for t, df in lifted if t.kind == "Avancedeventa_Category"]
     cats, cat_unmapped = clean_category_tables(cat_dfs, {"Producto Uno": 11})
@@ -251,6 +256,34 @@ def test_wor_classification_and_pipelines(spark):
     assert crows[0].id_producto == 11 and crows[0].cuota_dinero == 111.5
     assert crows[0].cuota_volumen == 40 and crows[0].id_zone == 2
     assert [r.nombre_producto for r in cat_unmapped.collect()] == ["Producto Desconocido"]
+
+
+def test_category_default_product_map(spark):
+    """With NO caller-supplied map, clean_category_tables uses the
+    reference's PRODUCTO_MAPPING verbatim (wor2.py:36-48, shipped as
+    the engine default per VERDICT r6 #4) — incl. the upper-trim
+    robustness superset on the probe side."""
+    import pandas as pd
+
+    from etl_rj_spark.sources.excel_tables import classify_tables, tables_to_spark
+
+    cat = pd.DataFrame(
+        {
+            "Negocio.": ["hdr", "Jelly Fruits", "  cotton candy ", "Total", "Mystery"],
+            "b": [0, 1, 2, 3, 4],
+            "c": [0, 1, 2, 3, 4],
+            "col3": [None, 10.0, 20.0, 99.0, 5.0],
+            "col4": [None, 1.0, 2.0, 99.0, 6.0],
+        }
+    )
+    lifted = tables_to_spark(
+        spark, classify_tables({"Avancedeventa_Category_Zone3_Enero": cat}), anio=2024
+    )
+    facts, unmapped = clean_category_tables([df for _, df in lifted])
+    got = {r.id_producto: r for r in facts.collect()}
+    assert set(got) == {5, 11}          # Jelly Fruits → 5, Cotton Candy → 11
+    assert all(r.id_zone == 3 for r in got.values())
+    assert [r.nombre_producto for r in unmapped.collect()] == ["Mystery"]
 
 
 def test_pending_orders_quarantine_channel(spark, clientes, tmp_path):
@@ -377,7 +410,7 @@ def test_wor_end_to_end_from_xlsx_file(spark, tmp_path):
     assert beta.semana_3 == 0.0  # None cell in the FILE → N5 default
 
     quotas = harvest_zone_quotas(forecast_dfs).collect()
-    assert {q.id_zone for q in quotas} == {1, 7} and all(q.cuota == 50.0 for q in quotas)
+    assert {q.id_zone for q in quotas} == {1, 9} and all(q.cuota == 50.0 for q in quotas)
 
 
 def test_ventas_from_excel_file(spark, clientes, tmp_path):

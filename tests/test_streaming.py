@@ -980,3 +980,19 @@ def test_stream_theta_partials_overlap_and_idempotent(spark, sf_dir, tmp_path):
         stream(), f"{root}/partials", f"{root}/ck2"
     ).awaitTermination()
     assert overlap() == expected
+
+    # ADVICE r6 #1 pin: an ABSENT segment is the empty set, not NULL —
+    # n_both/n_only_a come back 0 (and n_any = the present side), never
+    # NULL rows a consumer could misread as data
+    r = theta_overlap(
+        spark, f"{root}/partials", "no_such_segment", "purchase"
+    ).collect()[0]
+    assert (r.n_both, r.n_only_a, r.n_any) == (0, 0, len(pa))
+    r = theta_overlap(
+        spark, f"{root}/partials", "view", "no_such_segment"
+    ).collect()[0]
+    assert (r.n_both, r.n_only_a, r.n_any) == (0, len(va), len(va))
+    r = theta_overlap(
+        spark, f"{root}/partials", "nope_a", "nope_b"
+    ).collect()[0]
+    assert (r.n_both, r.n_only_a, r.n_any) == (0, 0, 0)
