@@ -99,6 +99,12 @@ _PRIORITY = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     # ---- 50-query driver prefix ends here ----
+    # -- staged for round 8: round-7-new queries (oracle-green in
+    # -- self-run at sf0.001 and sf0.01), then continue the oldest-
+    # -- green re-confirmation backfill from where round 7 stopped
+    # -- (ngram_jaccard_pairs onward in r1 registration order).
+    "decontaminate_docs_bloom",   # new r7: blocked-bloom probe, exact-verified
+    "weighted_sample_sources",    # new r7: A-ES weighted per-group sample
 ]
 
 

@@ -2497,3 +2497,66 @@ def ann_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(
         e, coarse, books, codes, queries, topk=10, shortlist=30, dim=64
     )
+
+
+# --- round-7 additions: bloom decontamination + A-ES weighted sample -------
+
+
+@_q("decontaminate_docs_bloom", _DECONTAM_ORACLE, tags=("decontamination", "bloom"))
+def decontaminate_docs_bloom(spark, sf_dir):
+    """Decontamination scale-ladder rung 3: the benchmark gram set is
+    aggregated into ONE Bloom bitmap (native ``bloom_filter_agg``,
+    ~10 bits/gram at 1 % fpp vs 8 B/gram hashed, ~40 B/gram exact) and
+    probed map-side from the corpus gram scan via ``might_contain``;
+    false positives only add candidates, and the exact-verify join
+    restores byte-identical output — proven by sharing the exact
+    path's oracle (same argument as decontaminate_docs_hashed)."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+    from etl_rj_spark.operators.text_dedup import bloom_contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    toks = whitespace_tokens(normalized_text("text"))
+    bench = d.filter(F.col("doc_id") % 10 == 0).filter(F.size(toks) >= 12).select(
+        F.array_join(F.slice(toks, 5, 8), " ").alias("text")
+    )
+    return bloom_contaminated_docs(
+        corpus, bench, "doc_id", "text", n=8, expected_grams=100_000
+    )
+
+
+_AES_SQL = """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13))::BIGINT
+                       + 1.0) / 4503599627370497.0) / CAST(n_chars AS DOUBLE), 9) AS k
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(rn AS INT) AS sample_rank FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 25
+    """
+
+
+@_q("weighted_sample_sources", _AES_SQL, tags=("curation", "sampling", "weighted"))
+def weighted_sample_sources(spark, sf_dir):
+    """Deterministic weighted sampling without replacement: 25 docs
+    per source with inclusion probability scaling with ``n_chars``
+    (Efraimidis–Spirakis A-ES, key = ln(u)/w over a hash-derived
+    uniform; longer docs are likelier picks — the quality/length-
+    weighted variant of the curation mixture step). The oracle replays
+    the identical formula — key rounded to 9 dp with doc_id tiebreak,
+    so last-ulp ln() differences cannot flip a selection — and the
+    engines must agree on the exact sample membership AND order."""
+    from etl_rj_spark.operators.curation import weighted_sample_by_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_sample_by_group(
+        d, "source", "doc_id", "n_chars", k=25, seed="0"
+    )

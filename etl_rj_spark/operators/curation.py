@@ -176,6 +176,63 @@ def hash_threshold_resample(
     return trimmed.unionByName(capless).unionByName(null_grouped)
 
 
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement, ``k`` rows
+    per group (Efraimidis–Spirakis A-ES): each row draws a
+    hash-uniform ``u ∈ (0, 1]`` from ``md5(id ‖ ':' ‖ seed)`` and
+    ranks by ``key = ln(u) / w`` descending — the log-space form of
+    A-ES's ``u^(1/w)`` — so inclusion probability scales with the
+    weight (quality score, length, upvotes, …) while the sample stays
+    identical across runs, engines and partitionings (never
+    ``rand()``; the module's determinism contract). Completes the
+    sampling family: ``stratified_sample`` (unweighted pct),
+    ``hash_ranked_resample`` (unweighted cap), this (weighted cap).
+
+    Rows with NULL or non-positive weight carry zero probability mass
+    and are excluded. The key is ROUNDED TO 9 dp before ranking, with
+    ``id_col`` as tiebreak: a last-ulp ``ln`` difference between
+    engines cannot flip an order decision, so a SQL oracle replaying
+    the formula selects the identical sample (same rationale as the
+    scaled-integer rarity contract in unigram_rarity_score).
+
+    Scale: one shuffle (window by group). For billion-row groups the
+    same Chernoff-sliver upgrade as ``hash_threshold_resample``
+    applies — pre-filter on key above a padded per-group threshold,
+    then rank the sliver; the top-k by a hash-derived key never needs
+    the whole group sorted.
+
+    Returns the input columns plus ``sample_rank`` (1..k).
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("double")
+    )
+    # 13 hex digits = 52 bits: exact in a double; +1 keeps u > 0 so ln is finite
+    u = (h + F.lit(1.0)) / F.lit(float(16**13 + 1))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(group_col).orderBy(F.col("__aes_key").desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__aes_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__aes_key")
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     id_col: str,

@@ -614,6 +614,77 @@ def contaminated_docs(
     )
 
 
+def bloom_contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    bits_per_gram: int = 16,
+    expected_grams: int = 1_000_000,
+) -> DataFrame:
+    """:func:`contaminated_docs` through a BLOCKED-BLOOM probe — the
+    third rung of the decontamination scale ladder. Exact broadcast
+    ships the benchmark gram strings (~40 B/gram); ``hashed_probe``
+    ships 8-byte hashes; this variant compresses the gram set into a
+    register-blocked Bloom bitmap at ``bits_per_gram`` (16 default →
+    2 B/gram, another 4× smaller — and tunable independently of gram
+    length) built ENTIRELY from native expressions, so Catalyst sees
+    every step: each gram hashes to one 64-bit block
+    (``pmod(xxhash64(gram), num_words)``) and sets two bits in it
+    (two independent ``xxhash64`` lanes); a map-side-combinable
+    ``bit_or`` aggregate ORs the per-gram masks into a sparse
+    (block, word) table — ≤ ``num_words`` rows of 16 B, broadcast to
+    the corpus gram scan. The probe is a broadcast-hash equi-join on
+    the block id plus a bitwise containment filter
+    ``(word & mask) = mask``; a gram whose block is absent or whose
+    bits aren't all set is DEFINITELY not in the benchmark, so the
+    surviving sliver contains every true hit.
+
+    (Spark's C-side ``BloomFilterAggregate`` exists but is not
+    SQL-registered in stock builds — it backs runtime join pruning;
+    the blocked construction gives the same asymptotics with public
+    expressions only, and is replayable in any engine with xxhash64.)
+
+    Bloom false positives can only ADD candidates, so the exact-verify
+    join against the real gram set afterwards makes the output
+    byte-identical to the exact path (same argument, and same shared
+    oracle, as ``hashed_probe``) while touching only the candidate
+    sliver. Undersizing ``expected_grams`` degrades the false-positive
+    rate (more verify work), never correctness.
+    """
+    num_words = max(1, (expected_grams * bits_per_gram) // 64)
+
+    def block_and_mask(df):
+        return df.withColumns(
+            {
+                "__blk": F.expr(f"pmod(xxhash64(gram), CAST({num_words} AS BIGINT))"),
+                "__m": F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(gram, 1), 64) AS INT))"
+                    " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(gram, 2), 64) AS INT))"
+                ),
+            }
+        )
+
+    b = benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram")).distinct()
+    bloom = (
+        block_and_mask(b)
+        .groupBy("__blk")
+        .agg(F.expr("bit_or(__m)").alias("__word"))
+    )
+    c = corpus.select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram"))
+    cand = (
+        block_and_mask(c)
+        .join(F.broadcast(bloom), "__blk")  # absent block → definitely not present
+        .filter(F.expr("(__word & __m) = __m"))
+        .select(id_col, "gram")
+    )
+    # exact verify over candidates only (AQE broadcasts b when small;
+    # at eval-suite scale this join moves candidates, not the corpus)
+    hits = cand.join(b, "gram")
+    return hits.groupBy(id_col).agg(F.count_distinct("gram").alias("n_hit_grams"))
+
+
 # ---------------------------------------------------------------------------
 # Incremental near-dup: persisted index + per-batch probe
 # ---------------------------------------------------------------------------

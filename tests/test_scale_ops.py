@@ -262,6 +262,79 @@ def test_hash_threshold_resample_equals_exact(spark, sf_dir):
     assert fast == exact and len(exact) > 0
 
 
+def test_bloom_contaminated_equals_exact(spark, sf_dir):
+    """The blocked-Bloom decontamination probe must be byte-identical
+    to the exact broadcast path at ANY filter sizing — false positives
+    only add verify work. Checked well-sized and pathologically
+    undersized (1 word: every gram collides, the verify join carries
+    the whole contract)."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+    from etl_rj_spark.operators.text_dedup import (
+        bloom_contaminated_docs,
+        contaminated_docs,
+    )
+
+    d = read_parquet_table(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = whitespace_tokens(normalized_text("text"))
+    bench = d.filter(F.col("doc_id") % 10 == 0).filter(F.size(toks) >= 12).select(
+        F.array_join(F.slice(toks, 5, 8), " ").alias("text")
+    )
+    exact = {tuple(r) for r in contaminated_docs(d, bench, "doc_id", "text", n=8).collect()}
+    assert len(exact) > 0
+    sized = {
+        tuple(r)
+        for r in bloom_contaminated_docs(
+            d, bench, "doc_id", "text", n=8, expected_grams=10_000
+        ).collect()
+    }
+    tiny = {
+        tuple(r)
+        for r in bloom_contaminated_docs(
+            d, bench, "doc_id", "text", n=8, expected_grams=1, bits_per_gram=64
+        ).collect()
+    }
+    assert sized == exact and tiny == exact
+
+
+def test_weighted_sample_by_group_aes(spark):
+    """A-ES weighted sampling: deterministic across runs, excludes
+    non-positive/null weights, emits exactly k ranked rows per group,
+    and inclusion probability follows the weights (heavy items
+    dominate the sample)."""
+    from etl_rj_spark.operators.curation import weighted_sample_by_group
+
+    rows = [("g", i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    rows += [("g", 900, 0.0), ("g", 901, -5.0), ("g", 902, None)]  # zero mass
+    rows += [("h", i, 1.0) for i in range(3)]  # fewer rows than k
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+
+    out = weighted_sample_by_group(df, "grp", "id", "w", k=10)
+    got = out.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["g"]) == 10 and len(by_grp["h"]) == 3
+    assert sorted(r.sample_rank for r in by_grp["g"]) == list(range(1, 11))
+    assert not {900, 901, 902} & {r.id for r in got}
+    # weight-1000 items (10 of 200) should take nearly every slot
+    heavy = sum(1 for r in by_grp["g"] if r.id < 10)
+    assert heavy >= 8
+    # determinism: identical selection on re-run
+    again = {(r.grp, r.id, r.sample_rank) for r in weighted_sample_by_group(
+        df, "grp", "id", "w", k=10).collect()}
+    assert again == {(r.grp, r.id, r.sample_rank) for r in got}
+    # the seed is part of the hash draw: a different seed produces a
+    # different (still weight-respecting, still complete) ranking
+    other = weighted_sample_by_group(df, "grp", "id", "w", k=10, seed="7")
+    other_g = [r for r in other.collect() if r.grp == "g"]
+    assert len(other_g) == 10
+    assert [(r.id, r.sample_rank) for r in sorted(other_g, key=lambda r: r.sample_rank)] != [
+        (r.id, r.sample_rank) for r in sorted(by_grp["g"], key=lambda r: r.sample_rank)
+    ]
+
+
 def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     """max_bucket_len drops over-cap (band, bucket) groups whole — a
     boilerplate clique stops emitting C(m,2) candidates, while normal
