@@ -105,6 +105,7 @@ _PRIORITY = [
     # -- (ngram_jaccard_pairs onward in r1 registration order).
     "decontaminate_docs_bloom",   # new r7: blocked-bloom probe, exact-verified
     "weighted_sample_sources",    # new r7: A-ES weighted per-group sample
+    "hard_negative_mining",       # new r7: cell-confined contrastive negatives
 ]
 
 

@@ -2502,7 +2502,7 @@ def ann_ivfpq_topk(spark, sf_dir):
 # --- round-7 additions: bloom decontamination + A-ES weighted sample -------
 
 
-@_q("decontaminate_docs_bloom", _DECONTAM_ORACLE, tags=("decontamination", "bloom"))
+@_q("decontaminate_docs_bloom", _DECONTAM_ORACLE, bench=True, tags=("decontamination", "bloom"))
 def decontaminate_docs_bloom(spark, sf_dir):
     """Decontamination scale-ladder rung 3: the benchmark gram set is
     aggregated into ONE Bloom bitmap (native ``bloom_filter_agg``,
@@ -2544,7 +2544,7 @@ _AES_SQL = """
     """
 
 
-@_q("weighted_sample_sources", _AES_SQL, tags=("curation", "sampling", "weighted"))
+@_q("weighted_sample_sources", _AES_SQL, bench=True, tags=("curation", "sampling", "weighted"))
 def weighted_sample_sources(spark, sf_dir):
     """Deterministic weighted sampling without replacement: 25 docs
     per source with inclusion probability scaling with ``n_chars``
@@ -2560,3 +2560,47 @@ def weighted_sample_sources(spark, sf_dir):
     return weighted_sample_by_group(
         d, "source", "doc_id", "n_chars", k=25, seed="0"
     )
+
+
+_HARDNEG_SQL = f"""
+    WITH {_kmeans_oracle_ctes(fit_filter="vec_id >= 5")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT b.vec_id AS query_id, e.label AS anchor_label, b.dv AS qv, cells.cid AS cell
+          FROM base b JOIN embeddings e USING (vec_id) JOIN cells USING (vec_id)
+          WHERE b.vec_id < 5),
+    c AS (SELECT b.vec_id, e.label AS neg_label, b.dv AS cv, cells.cid AS cell
+          FROM base b JOIN embeddings e USING (vec_id) JOIN cells USING (vec_id)
+          WHERE b.vec_id >= 5),
+    scored AS (SELECT query_id, anchor_label, c.vec_id, neg_label, {{_SQL_COS}} AS score
+               FROM q JOIN c USING (cell)
+               WHERE neg_label <> anchor_label)
+    SELECT query_id, anchor_label, vec_id, neg_label, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """.format(_SQL_COS=_SQL_COS)
+
+
+@_q("hard_negative_mining", _HARDNEG_SQL, tags=("similarity-kmeans", "contrastive", "curation"))
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive hard-negative mining: for each of 5 anchor vectors,
+    the top-5 most-cosine-similar corpus vectors with a DIFFERENT
+    label, candidates confined to the anchor's trained k-means cell —
+    near-misses across the label boundary, the pairs a contrastive
+    objective actually learns from. The oracle replays the full
+    deterministic fit + cell assignment + label-filtered exact cosine
+    ranking; equality is on final ranks."""
+    from etl_rj_spark.operators.kmeans import hard_negative_mining as mine
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    centroids = kmeans_fit(corpus, k=8, iters=2)
+    return mine(corpus, queries, centroids, k=5)

@@ -200,6 +200,67 @@ def kmeans_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training data mining: for each anchor (query
+    vector), the top-k most-cosine-similar corpus vectors with a
+    DIFFERENT label — the "hard negatives" that dominate the gradient
+    signal of a contrastive/triplet objective (easy negatives are
+    information-free; the valuable ones are near-misses across the
+    label boundary).
+
+    Same scale shape as :func:`kmeans_ivf_topk`: both sides assign to
+    their trained cell map-side against broadcast centroids, the
+    candidate join is an equi-join on cell (hard negatives are by
+    definition NEAR the anchor, so cell confinement loses only easy
+    negatives), and exact cosine rescoring runs inside the cell with
+    the shared 9-dp/id-tiebreak determinism contract. The label
+    inequality is a pushed predicate on the candidate join, not a
+    post-filter over a wider top-k — so k SURVIVING negatives come
+    back even when the anchor's own class floods its neighborhood.
+
+    Returns (query_id, anchor label, vec_id, negative label, score,
+    rank 1..k).
+    """
+    from etl_rj_spark.operators.similarity import cosine, vec_double
+
+    c_cells = kmeans_assign(corpus, centroids, vec_col, id_col)
+    q_cells = kmeans_assign(queries, centroids, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        vec_double(vec_col).alias("__cv"),
+    ).join(c_cells, id_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(label_col).alias("anchor_label"),
+            vec_double(vec_col).alias("__qv"),
+        ).join(q_cells.select(F.col(id_col).alias(query_id_col), "cell"), query_id_col)
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            query_id_col,
+            "anchor_label",
+            id_col,
+            "neg_label",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # ---------------------------------------------------------------------------
 # Product Quantization (PQ) — ADC scan compression for embeddings
 # ---------------------------------------------------------------------------

@@ -236,3 +236,53 @@ def test_ivfpq_nprobe_ladder_recovers_recall(spark, sf_dir):
     assert r1 >= 0.5
     assert r2 >= r1
     assert r8 == 1.0  # all cells probed + 240-shortlist ⊇ exact top-10
+
+
+def test_hard_negative_mining_labels_and_ranks(spark, sf_dir):
+    """Hard negatives: every returned row crosses the label boundary,
+    ranks are 1..k per anchor, and each negative really is the best
+    available — no same-label row in the anchor's cell scores higher
+    than the rank-1 negative's score + tie rules."""
+    from etl_rj_spark.operators.kmeans import (
+        hard_negative_mining,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from etl_rj_spark.operators.similarity import cosine, vec_double
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cents = kmeans_fit(corpus, k=8, iters=2)
+    out = hard_negative_mining(corpus, queries, cents, k=5).collect()
+    assert all(r.neg_label != r.anchor_label for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # cross-check rank-1 per anchor against a direct in-cell scan
+    q_cells = {r.vec_id: r.cell for r in kmeans_assign(queries, cents).collect()}
+    c_cells = kmeans_assign(corpus, cents)
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    scored = (
+        corpus.select("vec_id", vec_double("embedding").alias("cv"))
+        .join(c_cells, "vec_id")
+        .crossJoin(
+            queries.select(
+                F.col("vec_id").alias("qid"), vec_double("embedding").alias("qv")
+            )
+        )
+        .select("qid", "vec_id", "cell", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("s"))
+        .collect()
+    )
+    for qid, rows in by_q.items():
+        best = max(
+            (r for r in scored
+             if r.qid == qid and r.cell == q_cells[qid]
+             and labels[r.vec_id] != labels[qid]),
+            key=lambda r: (r.s, -r.vec_id),
+        )
+        top = min(rows, key=lambda r: r.rank)
+        assert (top.vec_id, top.score) == (best.vec_id, best.s)
