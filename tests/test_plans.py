@@ -218,3 +218,27 @@ def test_scd2_multi_window_count_constant(spark, sf_dir):
     w200 = scd2_apply_multi(dim, batch(200), ["k"], ["seg"])._jdf.queryExecution(
     ).optimizedPlan().toString().count("Window")
     assert w1 == w200 <= 3, (w1, w200)
+
+
+def test_bloom_decontaminate_broadcast_only_plan(spark, sf_dir):
+    """New r7 bench row: the bitmap and the verify gram set both
+    broadcast — the corpus gram stream must never reach a shuffle
+    join; its only exchanges are the benchmark-side distinct and the
+    final per-doc aggregate."""
+    counts = explain_counts(REGISTRY["decontaminate_docs_bloom"].build(spark, sf_dir))
+    assert counts["broadcast_hash_join"] == 2, counts
+    assert counts["sort_merge_join"] == 0, counts
+
+
+def test_weighted_sample_single_shuffle_with_group_limit(spark, sf_dir):
+    """New r7 bench row: A-ES top-k per group = ONE exchange (by
+    group), with WindowGroupLimit pushed below it so each map task
+    pre-trims to k before shuffling."""
+    df = REGISTRY["weighted_sample_sources"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["broadcast_hash_join"] == 0, counts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, "map-side group-limit missing"
+    # one shuffle (by group); "Exchange" also matches BroadcastExchange
+    # but both join counters are pinned 0 above
+    assert counts["exchange"] <= 1, counts
