@@ -553,7 +553,9 @@ def span_dedup(
             lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    exploded = _fanout_partitions(df).select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    )
     w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("pos"))
     ranked = exploded.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(F.col("__rn") == 1, F.struct("pos", "span"))
@@ -570,6 +572,24 @@ def span_dedup(
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
+
+def _fanout_partitions(df: DataFrame) -> DataFrame:
+    """Pre-explode parallelism guard for the corpus gram scan: the
+    n-gram explode multiplies rows ~100×, but its parallelism is
+    whatever the PRE-explode scan had — a compact corpus (one parquet
+    row group) runs the entire gram materialization in 1-2 tasks no
+    matter how many cores exist (measured 6.7 s → 1.5 s at sf0.1 on
+    local[32] from this one change). Round-robin repartition of the
+    cheap pre-explode doc rows up to the session's default
+    parallelism, ONLY when the scan is under-partitioned — on a real
+    100 TB corpus the scan already has more splits than cores and this
+    is a no-op (never coalesce/shuffle a big corpus just to hit a
+    magic number)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 
 def contaminated_docs(
     corpus: DataFrame,
@@ -600,7 +620,9 @@ def contaminated_docs(
     add candidates, so after verification the result is byte-identical
     to the exact path — both variants share one oracle.
     """
-    c = corpus.select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram"))
+    c = _fanout_partitions(corpus).select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram")
+    )
     b = benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram")).distinct()
     if hashed_probe:
         bh = b.select(F.xxhash64("gram").alias("__gh")).distinct()
@@ -672,7 +694,9 @@ def bloom_contaminated_docs(
         .groupBy("__blk")
         .agg(F.expr("bit_or(__m)").alias("__word"))
     )
-    c = corpus.select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram"))
+    c = _fanout_partitions(corpus).select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram")
+    )
     cand = (
         block_and_mask(c)
         .join(F.broadcast(bloom), "__blk")  # absent block → definitely not present
