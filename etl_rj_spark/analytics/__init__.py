@@ -106,6 +106,7 @@ _PRIORITY = [
     "decontaminate_docs_bloom",   # new r7: blocked-bloom probe, exact-verified
     "weighted_sample_sources",    # new r7: A-ES weighted per-group sample
     "hard_negative_mining",       # new r7: cell-confined contrastive negatives
+    "ann_ivf_index_probe",        # new r7: persisted cell-partitioned ANN index + DPP probe
 ]
 
 

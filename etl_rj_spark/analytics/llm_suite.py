@@ -2604,3 +2604,62 @@ def hard_negative_mining(spark, sf_dir):
     corpus = e.filter(F.col("vec_id") >= 5)
     centroids = kmeans_fit(corpus, k=8, iters=2)
     return mine(corpus, queries, centroids, k=5)
+
+
+_IVF_INDEX_SQL = f"""
+    WITH {_kmeans_oracle_ctes(fit_filter="vec_id >= 5")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT b.vec_id AS query_id, b.dv AS qv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id < 5),
+    c AS (SELECT b.vec_id, b.dv AS cv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id >= 5),
+    scored AS (SELECT query_id, c.vec_id, {{_SQL_COS}} AS score
+               FROM q JOIN c USING (cell))
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """.format(_SQL_COS=_SQL_COS)
+
+
+@_q(
+    "ann_ivf_index_probe",
+    _IVF_INDEX_SQL,
+    tags=("similarity-kmeans", "incremental-index", "partitioned-layout"),
+)
+def ann_ivf_index_probe(spark, sf_dir):
+    """``ann_kmeans_ivf_topk``'s PERSISTED twin at the documented
+    scale layout — the embedding analog of ``minhash_index_probe``:
+    the trained index is WRITTEN as a cell-partitioned catalog table
+    (+ centroids + family-guard meta) and the query batch probes it
+    through the catalog, pruning the index scan to its probed cells
+    with zero index-side Exchange (pinned in tests/test_scale_ops.py).
+    Identical ANN semantics to the in-query variant, so the oracle is
+    the same full fit replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_rj_spark.operators.kmeans import (
+        kmeans_fit,
+        persist_ivf_index,
+        probe_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    prefix = "etl_rj_ivf_probe"
+    idx_dir = os.path.join(tempfile.gettempdir(), "etl_rj_ivf_probe_idx")
+    for suffix in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    centroids = kmeans_fit(corpus, k=8, iters=2)
+    persist_ivf_index(corpus, centroids, prefix, path_prefix=idx_dir)
+    return probe_ivf_index(spark, queries, prefix, k=5)

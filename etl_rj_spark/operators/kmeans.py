@@ -200,6 +200,117 @@ def kmeans_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Version tag of the cell-assignment arithmetic. BUMP whenever the
+#: quantization or distance changes: a persisted index probed under a
+#: different family routes queries to the wrong cells — recall
+#: silently collapses instead of erroring (the same hazard class as
+#: text_dedup.MINHASH_FAMILY, which caught exactly this in round 5).
+IVF_FAMILY = "int64-floor-q20-sqdist-v1"
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table_prefix: str,
+    path_prefix: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Write the corpus ANN index as a cell-PARTITIONED catalog table
+    (``{prefix}_cells``: id, vector, partition column ``cell``) plus
+    the trained centroids (``{prefix}_centroids``) and a ``_meta``
+    guard table — the embedding twin of
+    ``text_dedup.persist_minhash_index``. Written ONCE; every later
+    probe assigns its (tiny) query batch to cells map-side against the
+    broadcast centroids and joins ON THE PARTITION COLUMN, so the
+    scan of the corpus-sized index prunes to exactly the probed cells
+    (dynamic partition pruning) and the index side never shuffles —
+    re-clustering the corpus per query batch is the thing this layout
+    exists to avoid at 100 TB.
+
+    ``probe_ivf_index`` refuses a family/dim mismatch via ``_meta``
+    rather than silently probing wrong cells."""
+    spark = corpus.sparkSession
+    cells = kmeans_assign(corpus, centroids, vec_col, id_col)
+    idx = corpus.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
+    dim = len(centroids.select("cv").first()[0])
+
+    def _write(df, name, partition_by=None):
+        w = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        if path_prefix:
+            w = w.option("path", f"{path_prefix}_{name.rsplit('_', 1)[-1]}")
+        w.saveAsTable(name)
+
+    _write(idx, f"{table_prefix}_cells", partition_by="cell")
+    _write(centroids, f"{table_prefix}_centroids")
+    meta = spark.createDataFrame(
+        [(IVF_FAMILY, dim)], "family string, dim int"
+    )
+    _write(meta, f"{table_prefix}_meta")
+    return f"{table_prefix}_cells", f"{table_prefix}_centroids"
+
+
+def probe_ivf_index(
+    spark,
+    queries: DataFrame,
+    table_prefix: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k against a :func:`persist_ivf_index` layout: queries
+    assign to cells map-side (broadcast centroids), the broadcast
+    query batch joins the index on its PARTITION column (the scan
+    prunes to probed cells; zero Exchange on the index side), exact
+    cosine rescoring inside the cell under the shared 9-dp/id-tiebreak
+    contract."""
+    from etl_rj_spark.operators.similarity import cosine, vec_double
+
+    meta = spark.table(f"{table_prefix}_meta").first()
+    if meta.family != IVF_FAMILY:
+        raise ValueError(
+            f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r} — "
+            "rebuild the index; probing across families silently collapses recall"
+        )
+    centroids = spark.table(f"{table_prefix}_centroids")
+    # cell assignment INLINE over the packed-centroid broadcast (the
+    # zero-shuffle argmin of kmeans._assign) so the probe side carries
+    # (query_id, qv, cell) from one map pass — a separate
+    # kmeans_assign + re-join would plan probe-side shuffles for
+    # nothing
+    from etl_rj_spark.operators.similarity import quantize_vec
+
+    packed = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+    )
+    best = F.array_min(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                _sqdist(quantize_vec(vec_col), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    q = F.broadcast(
+        queries.crossJoin(packed).select(
+            F.col(id_col).alias(query_id_col),
+            vec_double(vec_col).alias("__qv"),
+            best["cid"].alias("cell"),
+        )
+    )
+    idx = spark.table(f"{table_prefix}_cells")
+    scored = q.join(idx, "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), vec_double(vec_col)), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     queries: DataFrame,

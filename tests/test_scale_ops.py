@@ -450,3 +450,69 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
         (F.col("l_extendedprice") >= ep_lo) & (F.col("l_extendedprice") <= ep_hi)
     ).count()
     assert got == want
+
+
+def test_ivf_index_partitioned_probe_dpp_and_family_guard(spark, sf_dir):
+    """The persisted IVF layout's contract: the probe's scan of the
+    corpus-sized cells table carries DYNAMIC PARTITION PRUNING (only
+    probed cells are read) and the index side feeds the join without
+    an Exchange; a family-version mismatch refuses to probe instead of
+    silently collapsing recall."""
+    import re
+
+    import pytest
+
+    from etl_rj_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_ivf_topk,
+        persist_ivf_index,
+        probe_ivf_index,
+    )
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    prefix = "etl_rj_ivf_test"
+    try:
+        for s in ("cells", "centroids", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+        cents = kmeans_fit(corpus, k=8, iters=2)
+        persist_ivf_index(corpus, cents, prefix)
+        probed = probe_ivf_index(spark, queries, prefix, k=5)
+        # identical answers to the in-query variant
+        want = {(r.query_id, r.vec_id, r.rank)
+                for r in kmeans_ivf_topk(corpus, queries, cents, k=5).collect()}
+        got = {(r.query_id, r.vec_id, r.rank) for r in probed.collect()}
+        assert got == want and len(got) > 0
+
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # the cells-table scan prunes partitions dynamically from the
+        # broadcast probe side
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # index side streams into a broadcast join — the corpus index
+        # is NEVER redistributed on the join key (an Exchange
+        # hash-partitioned on `cell` would be that red flag), and the
+        # only shuffle exchanges are probe-side centroid packing and
+        # the final top-k window
+        assert "hashpartitioning(cell" not in plan, plan[:2000]
+        # count shuffles in the FINAL adaptive plan only (the string
+        # also dumps the Initial Plan and the DPP subqueries, which
+        # textually repeat the same operators)
+        final = plan.split("== Initial Plan ==")[0].split("Subqueries")[0]
+        shuffles = sum(
+            final.count(f"Exchange {kind}")
+            for kind in ("hashpartitioning", "SinglePartition", "rangepartitioning")
+        )
+        # exactly: the final top-k window (query_id) + the probe-side
+        # centroid packing agg — the corpus index contributes none
+        assert shuffles <= 2, final[:2000]
+
+        # family guard: a mismatched index refuses to probe
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {prefix}_meta VALUES ('other-family-v0', 64)"
+        )
+        with pytest.raises(ValueError, match="family"):
+            probe_ivf_index(spark, queries, prefix, k=5)
+    finally:
+        for s in ("cells", "centroids", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
