@@ -107,6 +107,7 @@ _PRIORITY = [
     "weighted_sample_sources",    # new r7: A-ES weighted per-group sample
     "hard_negative_mining",       # new r7: cell-confined contrastive negatives
     "ann_ivf_index_probe",        # new r7: persisted cell-partitioned ANN index + DPP probe
+    "ann_ivf_index_append_probe", # new r7: no-refit append + redelivery no-op, K1 posture
 ]
 
 

@@ -2663,3 +2663,68 @@ def ann_ivf_index_probe(spark, sf_dir):
     centroids = kmeans_fit(corpus, k=8, iters=2)
     persist_ivf_index(corpus, centroids, prefix, path_prefix=idx_dir)
     return probe_ivf_index(spark, queries, prefix, k=5)
+
+
+_IVF_APPEND_SQL = f"""
+    WITH {_kmeans_oracle_ctes(fit_filter="vec_id >= 5 AND vec_id < 500")},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT b.vec_id AS query_id, b.dv AS qv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id < 5),
+    c AS (SELECT b.vec_id, b.dv AS cv, cells.cid AS cell
+          FROM base b JOIN cells USING (vec_id) WHERE b.vec_id >= 5),
+    scored AS (SELECT query_id, c.vec_id, {{_SQL_COS}} AS score
+               FROM q JOIN c USING (cell))
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """.format(_SQL_COS=_SQL_COS)
+
+
+@_q(
+    "ann_ivf_index_append_probe",
+    _IVF_APPEND_SQL,
+    tags=("similarity-kmeans", "incremental-index", "partitioned-layout"),
+)
+def ann_ivf_index_append_probe(spark, sf_dir):
+    """Incremental maintenance of the persisted IVF index
+    (``kmeans.append_ivf_index``): the index is built on the first
+    corpus slice (fit AND content = vec_id 5..499), a later batch
+    (vec_id ≥ 500) appends WITHOUT refitting — assigned against the
+    index's own persisted centroids — and the batch is then
+    REDELIVERED in full; the K1-style anti-join on existing ids makes
+    the second append a no-op. The probe after append must equal the
+    oracle's replay over the FULL corpus with the fit restricted to
+    the original slice — proving both the no-refit append semantics
+    and the redelivery idempotence in one verdict."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_rj_spark.operators.kmeans import (
+        append_ivf_index,
+        kmeans_fit,
+        persist_ivf_index,
+        probe_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    first = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 500))
+    batch = e.filter(F.col("vec_id") >= 500)
+    prefix = "etl_rj_ivf_appq"
+    idx_dir = os.path.join(tempfile.gettempdir(), "etl_rj_ivf_appq_idx")
+    for suffix in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    centroids = kmeans_fit(first, k=8, iters=2)
+    persist_ivf_index(first, centroids, prefix, path_prefix=idx_dir)
+    append_ivf_index(batch, prefix)
+    append_ivf_index(batch, prefix)  # redelivery: must be a no-op
+    return probe_ivf_index(spark, queries, prefix, k=5)

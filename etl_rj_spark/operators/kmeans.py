@@ -252,6 +252,48 @@ def persist_ivf_index(
     return f"{table_prefix}_cells", f"{table_prefix}_centroids"
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of NEW vectors into a :func:`persist_ivf_index`
+    layout without refitting: the batch assigns against the index's
+    OWN persisted centroids (family-guarded — assignment under a
+    different quantization would route to wrong cells) and appends
+    into the cell partitions. K1-style idempotence
+    (sinks/incremental.py posture): the batch anti-joins the index's
+    EXISTING ids first — projected to the id column only, restricted
+    to the batch's touched cells (≤ k partitions read, id column
+    pruned) — so a redelivered batch inserts nothing twice. Centroids
+    deliberately stay fixed: an IVF index's cells are its physical
+    layout; drift is handled by periodic re-layout, never by mutating
+    the layout under readers."""
+    spark = new_vectors.sparkSession
+    meta = spark.table(f"{table_prefix}_meta").first()
+    if meta.family != IVF_FAMILY:
+        raise ValueError(
+            f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r}"
+        )
+    centroids = spark.table(f"{table_prefix}_centroids")
+    cells = kmeans_assign(new_vectors, centroids, vec_col, id_col)
+    batch = new_vectors.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
+    touched = [r.cell for r in batch.select("cell").distinct().collect()]
+    if not touched:
+        return
+    existing = (
+        spark.table(f"{table_prefix}_cells")
+        .where(F.col("cell").isin(touched))
+        .select(id_col)
+    )
+    fresh = batch.join(existing, id_col, "left_anti")
+    # column order must match the table (partition column last)
+    fresh.select(id_col, vec_col, "cell").write.mode("append").insertInto(
+        f"{table_prefix}_cells"
+    )
+
+
 def probe_ivf_index(
     spark,
     queries: DataFrame,

@@ -516,3 +516,45 @@ def test_ivf_index_partitioned_probe_dpp_and_family_guard(spark, sf_dir):
     finally:
         for s in ("cells", "centroids", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+def test_ivf_index_append_is_redelivery_idempotent(spark, sf_dir):
+    """append_ivf_index: appended rows land in their assigned cell
+    partitions, a redelivered batch inserts NOTHING (anti-join on the
+    existing ids, touched cells only), and a probe after append equals
+    a fresh full rebuild under the same (first-slice-trained)
+    centroids."""
+    from etl_rj_spark.operators.kmeans import (
+        append_ivf_index,
+        kmeans_fit,
+        persist_ivf_index,
+        probe_ivf_index,
+    )
+
+    e = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    first = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    batch = e.filter(F.col("vec_id") >= 300)
+    pa, pb = "zz_ivf_app_a", "zz_ivf_app_b"
+    try:
+        for p in (pa, pb):
+            for s in ("cells", "centroids", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{s}")
+        cents = kmeans_fit(first, k=8, iters=2)
+        persist_ivf_index(first, cents, pa)
+        append_ivf_index(batch, pa)
+        n_after = spark.table(f"{pa}_cells").count()
+        assert n_after == first.count() + batch.count()
+        append_ivf_index(batch, pa)  # redelivery
+        assert spark.table(f"{pa}_cells").count() == n_after
+        # equivalence with a fresh rebuild over first ∪ batch (same cents)
+        persist_ivf_index(first.unionByName(batch), cents, pb)
+        got = {(r.query_id, r.vec_id, r.rank)
+               for r in probe_ivf_index(spark, queries, pa, k=5).collect()}
+        want = {(r.query_id, r.vec_id, r.rank)
+                for r in probe_ivf_index(spark, queries, pb, k=5).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        for p in (pa, pb):
+            for s in ("cells", "centroids", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{s}")
