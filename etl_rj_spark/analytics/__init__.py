@@ -108,6 +108,7 @@ _PRIORITY = [
     "hard_negative_mining",       # new r7: cell-confined contrastive negatives
     "ann_ivf_index_probe",        # new r7: persisted cell-partitioned ANN index + DPP probe
     "ann_ivf_index_append_probe", # new r7: no-refit append + redelivery no-op, K1 posture
+    "stream_ivf_maintenance",     # new r7: foreachBatch IVF maintainer, idempotence by anti-join
 ]
 
 

@@ -2728,3 +2728,57 @@ def ann_ivf_index_append_probe(spark, sf_dir):
     append_ivf_index(batch, prefix)
     append_ivf_index(batch, prefix)  # redelivery: must be a no-op
     return probe_ivf_index(spark, queries, prefix, k=5)
+
+
+@_q(
+    "stream_ivf_maintenance",
+    _IVF_APPEND_SQL,
+    tags=("similarity-kmeans", "incremental-index", "streaming"),
+)
+def stream_ivf_maintenance(spark, sf_dir):
+    """Streaming maintenance of the persisted IVF index
+    (streaming/vectors.py): the index is built on the first corpus
+    slice (fit AND content = vec_id 5..499); the remaining vectors
+    arrive as 3 micro-batches through foreachBatch, each routed via
+    the redelivery-idempotent ``append_ivf_index`` (no ledger needed —
+    the K1 anti-join IS the idempotence, same argument as the JDBC
+    sink); a FULL REDELIVERY of the stream under a fresh checkpoint
+    then changes nothing. The probe's verdict is the same oracle as
+    the batch append twin: the final table is independent of
+    micro-batching because centroids stay fixed and appends are
+    id-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_rj_spark.operators.kmeans import (
+        kmeans_fit,
+        persist_ivf_index,
+        probe_ivf_index,
+    )
+    from etl_rj_spark.streaming.vectors import stream_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    first = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 500))
+    rest = e.filter(F.col("vec_id") >= 500)
+    prefix = "etl_rj_ivf_stream"
+    root = os.path.join(tempfile.gettempdir(), "etl_rj_ivf_stream_scratch")
+    for suffix in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    centroids = kmeans_fit(first, k=8, iters=2)
+    persist_ivf_index(first, centroids, prefix, path_prefix=f"{root}/idx")
+    rest.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{root}/in")
+
+    stream_ivf_index(stream(), prefix, f"{root}/ck1").awaitTermination()
+    # full redelivery, fresh checkpoint: the anti-join makes it a no-op
+    stream_ivf_index(stream(), prefix, f"{root}/ck2").awaitTermination()
+    return probe_ivf_index(spark, queries, prefix, k=5)

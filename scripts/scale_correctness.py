@@ -51,7 +51,7 @@ SKIP_NAMES = {
     # catalog/Derby side-effect queries (per-cwd state, not data-scale)
     "k1_atomic_jdbc_roundtrip", "s5_jdbc_dim_roundtrip",
     "s6_jdbc_key_projection", "minhash_index_probe", "ann_ivf_index_probe",
-    "ann_ivf_index_append_probe",
+    "ann_ivf_index_append_probe", "stream_ivf_maintenance",
     # training-shard pipeline writes curated shards to scratch
     "training_shard_pipeline",
     # brute-force-by-design quadratic ORACLES: the fuzzy tier's DuckDB
