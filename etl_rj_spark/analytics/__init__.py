@@ -109,6 +109,8 @@ _PRIORITY = [
     "ann_ivf_index_probe",        # new r7: persisted cell-partitioned ANN index + DPP probe
     "ann_ivf_index_append_probe", # new r7: no-refit append + redelivery no-op, K1 posture
     "stream_ivf_maintenance",     # new r7: foreachBatch IVF maintainer, idempotence by anti-join
+    "keyword_search_topk",        # new r7: exact-integer TF-IDF lexical search
+    "hybrid_search_rrf",          # new r7: lexical + semantic reciprocal-rank fusion
 ]
 
 

@@ -2782,3 +2782,115 @@ def stream_ivf_maintenance(spark, sf_dir):
     # full redelivery, fresh checkpoint: the anti-join makes it a no-op
     stream_ivf_index(stream(), prefix, f"{root}/ck2").awaitTermination()
     return probe_ivf_index(spark, queries, prefix, k=5)
+
+
+_KW_TERMS = ("spark", "window", "hash")
+_KW_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term FROM
+        (SELECT doc_id, {_SQL_TOKS} AS tt FROM documents),
+        UNNEST(tt) AS t(term)
+      WHERE t.term IN ('spark', 'window', 'hash')
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    idf AS (SELECT term, (n.n * 1000000) // COUNT(DISTINCT doc_id) AS idf_ppm
+            FROM tf CROSS JOIN n GROUP BY term, n.n),
+    scored AS (SELECT doc_id, CAST(SUM(tf * idf_ppm) AS BIGINT) AS score
+               FROM tf JOIN idf USING (term) GROUP BY doc_id)
+    SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 15
+    """
+
+
+@_q("keyword_search_topk", _KW_SQL, tags=("search", "lexical", "tfidf"))
+def keyword_search_topk(spark, sf_dir):
+    """Lexical corpus search: top-15 documents for a 3-term query by
+    exact-integer TF·IDF (idf_ppm = (N·10⁶) div df — the monotone
+    integer cousin of ln-IDF, so the ranking is the one a log-space
+    scorer makes and the oracle replays it bit-for-bit). The corpus
+    explodes ONLY matching tokens (isin inside the scan stage), df
+    and scores are two map-side-combinable aggregates, one bounded
+    top-k window."""
+    from etl_rj_spark.operators.search import keyword_search_topk as kw
+
+    d = _t(spark, sf_dir, "documents")
+    return kw(d, _KW_TERMS, "doc_id", "text", k=15)
+
+
+_HYBRID_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term FROM
+        (SELECT doc_id, {_SQL_TOKS} AS tt FROM documents),
+        UNNEST(tt) AS t(term)
+      WHERE t.term IN ('spark', 'window', 'hash')
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    idf AS (SELECT term, (n.n * 1000000) // COUNT(DISTINCT doc_id) AS idf_ppm
+            FROM tf CROSS JOIN n GROUP BY term, n.n),
+    lex_scored AS (SELECT doc_id, CAST(SUM(tf * idf_ppm) AS BIGINT) AS score
+                   FROM tf JOIN idf USING (term) GROUP BY doc_id),
+    lex AS (SELECT doc_id, rank FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM lex_scored) WHERE rank <= 50),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < (SELECT n FROM n)),
+    qv AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id, round({{_SQL_DOT}} /
+             (sqrt({{_SQL_NRM_Q}}) * sqrt({{_SQL_NRM_C}})), 9) AS score
+      FROM emb e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    sem AS (SELECT doc_id, rank FROM (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM sem_scored) WHERE rank <= 50),
+    contrib AS (
+      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, 1000000000 // (60 + rank) AS c FROM sem
+    ),
+    fused AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+              FROM contrib GROUP BY doc_id)
+    SELECT doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """.format(
+    _SQL_DOT="list_sum(list_transform(range(1, 65), i -> e.v[i] * qv.qv[i]))",
+    _SQL_NRM_Q="list_sum(list_transform(range(1, 65), i -> qv.qv[i] * qv.qv[i]))",
+    _SQL_NRM_C="list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i]))",
+)
+
+
+@_q("hybrid_search_rrf", _HYBRID_SQL, tags=("search", "hybrid", "rrf"))
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: the lexical TF·IDF top-50 and a semantic
+    cosine top-50 (query = embedding 0, corpus = embeddings sharing
+    the documents' id range) fused by scaled-integer reciprocal-rank
+    fusion (Σ 10⁹ div (60 + rank)) — the standard two-retriever
+    recipe, rank-only so no score calibration between the lexical and
+    the embedding scales is needed. Exact int64 end-to-end except the
+    9-dp-rounded cosine ranks, so the oracle replays selection AND
+    order."""
+    from etl_rj_spark.operators.search import keyword_search_topk as kw
+    from etl_rj_spark.operators.search import rrf_fuse
+    from etl_rj_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    lex = kw(d, _KW_TERMS, "doc_id", "text", k=50)
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < n_docs)
+    sem = (
+        cosine_topk(
+            e.filter(F.col("vec_id") != 0),
+            e.filter(F.col("vec_id") == 0),
+            k=50,
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), sem], "doc_id", k=10)

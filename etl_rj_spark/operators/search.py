@@ -1,0 +1,121 @@
+"""Corpus retrieval: lexical keyword search and hybrid rank fusion.
+
+The LLM-pipeline counterpart of a search engine's serving path, used
+for corpus exploration, eval-set construction, and retrieval-augmented
+sampling: a lexical TF-IDF scorer (the exact-integer cousin of BM25)
+and reciprocal-rank fusion (RRF) to combine it with a semantic
+(embedding) ranking — the standard hybrid-retrieval recipe.
+
+Cross-engine determinism contract (the module's shared rule with
+unigram_rarity_score and tfidf_top_terms): every score is EXACT INT64
+— IDF is the scaled-integer inverse document frequency
+``(N·10⁶) div df`` instead of ``ln(N/df)`` (monotone, so every
+ranking decision a log-space scorer would make is preserved), and RRF
+is ``Σ 10⁹ div (k₀ + rank)`` instead of ``Σ 1/(k₀+rank)`` — so a SQL
+oracle replays selection AND order bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+
+#: RRF's smoothing constant — the value from the original Cormack et
+#: al. TREC paper, which virtually every implementation defaults to.
+RRF_K = 60
+
+#: Integer scale for the reciprocal: 1e9 div (k0+rank) keeps ~7
+#: significant digits at rank ≤ 1000 — far beyond where rank
+#: differences matter — while Σ over any realistic list count stays
+#: orders of magnitude under int64.
+_RRF_SCALE = 1_000_000_000
+
+
+def keyword_search_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Lexical top-k: score every document by
+    ``Σ_term tf(term, doc) · idf_ppm(term)`` over the normalized
+    whitespace tokens, where ``idf_ppm = (N·10⁶) div df`` (N = corpus
+    size, df = documents containing the term) — rare terms dominate,
+    exactly as ln-IDF would rank. Returns (id, score, rank 1..k),
+    rank ties broken by id.
+
+    Scale: the doc side explodes ONLY tokens matching the query terms
+    (an ``isin`` filter inside the scan stage — the corpus never
+    materializes its full token stream), df comes from one
+    map-side-combinable aggregate over that filtered stream, and the
+    per-doc score is a second aggregate keyed by (doc, term) → (doc).
+    One top-k window at the end; no full sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    n_docs = docs.select(F.col(id_col)).count()
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(whitespace_tokens(normalized_text(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .select(
+            "term",
+            F.expr(f"(CAST({n_docs} AS BIGINT) * 1000000) div df").alias("idf_ppm"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf_ppm")).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of any number of (id, rank) lists:
+    ``score(id) = Σ_lists 10⁹ div (k0 + rank)`` (scaled-integer RRF),
+    fused top-k by score desc, id-tiebreak. An id absent from a list
+    simply contributes nothing for it — RRF's defining robustness: no
+    score calibration between heterogeneous retrievers, only ranks.
+    """
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"CAST({_RRF_SCALE} AS BIGINT) div ({int(k0)} + {rank_col})").alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    all_ = contribs[0]
+    for c in contribs[1:]:
+        all_ = all_.unionByName(c)
+    fused = all_.groupBy(id_col).agg(F.sum("__c").alias("rrf_score"))
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf_score", "rank")
+    )

@@ -1,0 +1,61 @@
+"""Retrieval operators (operators/search.py): exact-integer TF·IDF
+ranking semantics and RRF fusion properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rj_spark.operators.search import keyword_search_topk, rrf_fuse
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common"),
+            (3, "common rare rare"),
+            (4, "nothing matches here"),
+            (5, "COMMON  rare"),  # case/whitespace-normalized
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_keyword_search_idf_weights_rare_terms(spark):
+    """One 'rare' (df=3) outweighs many 'common' (df=4): doc 3 with
+    rare×2 must beat doc 1 (rare×1 + common×3) and doc 2 (common×2);
+    non-matching docs are absent; ranks are 1..k with id tie-break."""
+    out = keyword_search_topk(_docs(spark), ["common", "rare"], k=10).collect()
+    by_rank = {r.rank: r.doc_id for r in out}
+    assert 4 not in {r.doc_id for r in out}
+    # idf_ppm(common) = 5e6 div 4 = 1_250_000; idf_ppm(rare) = 5e6 div 3 = 1_666_666
+    # doc1 = 3*1.25e6 + 1*1_666_666 = 5_416_666 ; doc3 = 2*1_666_666 + 1*1.25e6 = 4_583_332
+    # doc5 = 1.25e6 + 1_666_666 = 2_916_666 ; doc2 = 2.5e6
+    assert [by_rank[i] for i in range(1, 5)] == [1, 3, 5, 2]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] == 3 * 1_250_000 + 1_666_666
+    assert scores[3] == 2 * 1_666_666 + 1_250_000
+
+
+def test_keyword_search_query_terms_case_normalized(spark):
+    """Query terms are matched against NORMALIZED tokens, and the
+    operator lowercases the caller's terms symmetrically."""
+    out = keyword_search_topk(_docs(spark), ["RARE"], k=10).collect()
+    assert {r.doc_id for r in out} == {1, 3, 5}
+
+
+def test_rrf_fuse_consensus_beats_single_list_winner(spark):
+    """An id ranked mid-list in BOTH retrievers outranks an id that
+    tops one list but is absent from the other:
+    2/(60+3) > 1/(60+1). Absent ids contribute nothing (no NULLs)."""
+    a = spark.createDataFrame([(10, 1), (30, 3)], "id int, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 3)], "id int, rank int")
+    out = rrf_fuse([a, b], "id", k=10).collect()
+    by_rank = {r.rank: r.id for r in out}
+    assert by_rank[1] == 30            # consensus wins
+    assert {by_rank[2], by_rank[3]} == {10, 20}
+    scores = {r.id: r.rrf_score for r in out}
+    assert scores[30] == 2 * (1_000_000_000 // 63)
+    assert scores[10] == scores[20] == 1_000_000_000 // 61
+    # equal scores → id tie-break, deterministic
+    assert by_rank[2] == 10 and by_rank[3] == 20
