@@ -111,6 +111,7 @@ _PRIORITY = [
     "stream_ivf_maintenance",     # new r7: foreachBatch IVF maintainer, idempotence by anti-join
     "keyword_search_topk",        # new r7: exact-integer TF-IDF lexical search
     "hybrid_search_rrf",          # new r7: lexical + semantic reciprocal-rank fusion
+    "negative_sample_parts",      # new r7: integer-CDF popularity-weighted negative sampling
 ]
 
 

@@ -2894,3 +2894,76 @@ def hybrid_search_rrf(spark, sf_dir):
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex.select("doc_id", "rank"), sem], "doc_id", k=10)
+
+
+_NEGSAMPLE_SQL = """
+    WITH pop AS (
+      SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cdf AS (
+      SELECT partkey,
+             SUM(w) OVER (ORDER BY partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS lo,
+             SUM(w) OVER (ORDER BY partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM pop
+    ),
+    tot AS (SELECT MAX(hi) AS W FROM cdf),
+    users AS (SELECT c_custkey FROM customer WHERE c_custkey < 20),
+    draws AS (
+      SELECT u.c_custkey, s.slot,
+             (('0x' || substr(md5(CAST(u.c_custkey AS VARCHAR) || ':' ||
+                                  CAST(s.slot AS VARCHAR) || ':0'), 1, 13))::BIGINT)
+               % tot.W AS pos
+      FROM users u CROSS JOIN tot CROSS JOIN UNNEST(range(1, 6)) AS s(slot)
+    ),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.c_custkey, CAST(d.slot AS INT) AS slot, c.partkey,
+           CASE WHEN s.partkey IS NULL THEN 0 ELSE 1 END AS was_seen
+    FROM draws d
+    JOIN cdf c ON d.pos >= c.lo AND d.pos < c.hi
+    LEFT JOIN seen s ON s.c_custkey = d.c_custkey AND s.partkey = c.partkey
+    """
+
+
+@_q("negative_sample_parts", _NEGSAMPLE_SQL, tags=("curation", "sampling", "negative-sampling"))
+def negative_sample_parts(spark, sf_dir):
+    """Popularity-weighted negative sampling (the word2vec/recsys
+    training primitive): 5 deterministic draws per customer from the
+    parts catalog with P(part) ∝ its lineitem frequency, via
+    integer-CDF inverse-transform sampling (``weighted_draws`` — no
+    floats anywhere, the oracle replays positions and intervals
+    bit-for-bit), each draw flagged ``was_seen`` when the customer
+    actually bought that part (a training pipeline drops or
+    re-weights those)."""
+    from etl_rj_spark.operators.curation import weighted_draws
+
+    li = _t(spark, sf_dir, "lineitem")
+    pop = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    users = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 20)
+    draws = weighted_draws(pop, users, "partkey", "w", "c_custkey", k=5)
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c_custkey"),
+                F.col("l_partkey").alias("partkey"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        draws.join(seen, ["c_custkey", "partkey"], "left")
+        .select(
+            "c_custkey",
+            F.col("slot").cast("int").alias("slot"),
+            "partkey",
+            F.coalesce("__seen", F.lit(0)).alias("was_seen"),
+        )
+    )

@@ -233,6 +233,80 @@ def weighted_sample_by_group(
     )
 
 
+def weighted_draws(
+    items: DataFrame,
+    keys: DataFrame,
+    item_col: str,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    seed: str = "0",
+) -> DataFrame:
+    """``k`` WITH-replacement draws from the items' weight
+    distribution per key row — inverse-transform sampling on an
+    INTEGER CDF: each item covers ``[cum_prev, cum)`` of ``[0, W)``
+    (W = total integer weight), each (key, slot) hashes to a uniform
+    integer position in ``[0, W)``, and the covering interval is the
+    draw — so ``P(item) = w/W`` exactly, with no floats anywhere
+    (md5-derived position mod W; the ≤2⁵² hash range makes modulo
+    bias ≤ W/2⁵², unobservable). The negative-sampling primitive of
+    word2vec/recommender training (draw popularity-weighted items per
+    example), and the with-replacement complement of
+    :func:`weighted_sample_by_group`'s without-replacement A-ES.
+
+    Scale: the CDF is one window cumsum over the item catalog
+    (catalog-sized, usually broadcastable); draws are
+    ``keys × k`` rows from an in-row ``sequence`` explode; the
+    interval lookup is a broadcast range join — the big side (draws)
+    never shuffles. Deterministic across runs/engines/partitionings;
+    ``seed`` varies the draw set. Returns (key, slot 1..k, item).
+
+    Weights must be positive integers (cast yours up: ppm-scale a
+    float weight); NULL/non-positive rows carry no mass.
+    """
+    w_int = F.col(weight_col).cast("bigint")
+    cat = items.select(F.col(item_col), w_int.alias("__w")).filter(F.col("__w") > 0)
+    cw = Window.orderBy(F.col(item_col)).rowsBetween(Window.unboundedPreceding, 0)
+    cdf = cat.select(
+        item_col,
+        (F.sum("__w").over(cw) - F.col("__w")).alias("__lo"),
+        F.sum("__w").over(cw).alias("__hi"),
+    )
+    total = cdf.agg(F.max("__hi").alias("__W"))
+    draws = (
+        keys.select(F.col(key_col))
+        .select(key_col, F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "slot",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col(key_col).cast("string"),
+                                F.col("slot").cast("string"),
+                                F.lit(seed),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.col("__W"),
+            ).alias("__pos"),
+        )
+    )
+    return draws.join(
+        F.broadcast(cdf),
+        (F.col("__pos") >= F.col("__lo")) & (F.col("__pos") < F.col("__hi")),
+    ).select(key_col, "slot", item_col)
+
+
 def chunk_windows(
     df: DataFrame,
     id_col: str,

@@ -59,3 +59,27 @@ def test_rrf_fuse_consensus_beats_single_list_winner(spark):
     assert scores[10] == scores[20] == 1_000_000_000 // 61
     # equal scores → id tie-break, deterministic
     assert by_rank[2] == 10 and by_rank[3] == 20
+
+
+def test_weighted_draws_distribution_and_determinism(spark):
+    """Integer-CDF draws: exact output determinism, zero/null-weight
+    exclusion, k slots per key, and empirical proportionality — an
+    item holding 90% of the mass must win ~90% of a large draw set."""
+    from etl_rj_spark.operators.curation import weighted_draws
+
+    items = spark.createDataFrame(
+        [("heavy", 900), ("light", 100), ("zero", 0), ("nullw", None)],
+        "item string, w int",
+    )
+    keys = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    out = weighted_draws(items, keys, "item", "w", "k", k=10).collect()
+    assert len(out) == 2000
+    assert {r.slot for r in out} == set(range(1, 11))
+    drawn = [r.item for r in out]
+    assert "zero" not in drawn and "nullw" not in drawn
+    frac_heavy = drawn.count("heavy") / len(drawn)
+    assert 0.85 <= frac_heavy <= 0.95, frac_heavy
+    again = weighted_draws(items, keys, "item", "w", "k", k=10).collect()
+    assert {(r.k, r.slot, r.item) for r in again} == {(r.k, r.slot, r.item) for r in out}
+    other = weighted_draws(items, keys, "item", "w", "k", k=10, seed="9").collect()
+    assert {(r.k, r.slot, r.item) for r in other} != {(r.k, r.slot, r.item) for r in out}
