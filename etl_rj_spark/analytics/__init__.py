@@ -112,6 +112,7 @@ _PRIORITY = [
     "keyword_search_topk",        # new r7: exact-integer TF-IDF lexical search
     "hybrid_search_rrf",          # new r7: lexical + semantic reciprocal-rank fusion
     "negative_sample_parts",      # new r7: integer-CDF popularity-weighted negative sampling
+    "distribution_match_resample",  # new r7: thin corpus to a reference bin profile
 ]
 
 

@@ -2967,3 +2967,42 @@ def negative_sample_parts(spark, sf_dir):
             F.coalesce("__seen", F.lit(0)).alias("was_seen"),
         )
     )
+
+
+_DISTMATCH_SQL = """
+    WITH binned AS (
+      SELECT doc_id, n_chars, LEAST(n_chars // 30, 5) AS bin FROM documents
+    ),
+    ref AS (SELECT bin, COUNT(*) AS rn FROM binned WHERE n_chars <= 120 GROUP BY 1),
+    cur AS (SELECT bin, COUNT(*) AS cn FROM binned GROUP BY 1),
+    ratios AS (
+      SELECT cur.bin,
+             CAST(COALESCE(ref.rn, 0) AS DOUBLE) / CAST(cur.cn AS DOUBLE) AS ratio
+      FROM cur LEFT JOIN ref USING (bin)
+    ),
+    mx AS (SELECT MAX(ratio) AS mx FROM ratios),
+    probs AS (SELECT bin, round(ratio / mx.mx, 9) AS p FROM ratios CROSS JOIN mx)
+    SELECT b.doc_id, b.n_chars, b.bin
+    FROM binned b JOIN probs USING (bin)
+    WHERE (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 13))::BIGINT)
+            / 4503599627370496.0 < probs.p
+    """
+
+
+@_q("distribution_match_resample", _DISTMATCH_SQL, tags=("curation", "sampling", "distribution-match"))
+def distribution_match_resample(spark, sf_dir):
+    """Target-distribution thinning (`match_distribution_resample`):
+    the corpus's length-bin profile is reshaped to match a
+    short-skewed reference slice (docs ≤ 120 chars) — per-bin keep
+    probability ∝ ref_frac/cur_frac, normalized so the scarcest bin
+    keeps 100 % (maximum-retention thinning whose expected output
+    distribution IS the reference's). Hash-deterministic selection;
+    the oracle replays counts, 9-dp probabilities and the 52-bit hash
+    fraction bit-for-bit."""
+    from etl_rj_spark.operators.curation import match_distribution_resample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.least(F.expr("n_chars div 30"), F.lit(5)).alias("bin")
+    )
+    ref = d.filter(F.col("n_chars") <= 120)
+    return match_distribution_resample(d, ref, "bin", "doc_id")

@@ -307,6 +307,67 @@ def weighted_draws(
     ).select(key_col, "slot", item_col)
 
 
+def match_distribution_resample(
+    df: DataFrame,
+    reference: DataFrame,
+    bin_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Deterministically THIN ``df`` so the distribution of ``bin_col``
+    matches the ``reference`` corpus's (both sides pre-binned by the
+    caller: length decile, domain, language, …) — the
+    target-distribution curation step (match a pretraining mix to a
+    reference corpus's length/domain profile) as a pure filter.
+
+    Per-bin keep probability ``p(b) ∝ ref_frac(b) / cur_frac(b)``,
+    normalized so the MOST under-represented bin keeps 100 % — the
+    maximum-retention thinning whose expected output distribution
+    equals the reference's exactly. Selection is hash-deterministic
+    (``md5(key)`` fraction vs ``p(b)``, both sides of the comparison
+    reproducible to the bit: p is int64-count arithmetic in one fixed
+    op order rounded to 9 dp; the hash fraction is a 52-bit-exact
+    double), so re-runs, engines and partitionings agree row-for-row
+    — never ``rand()``, the module contract.
+
+    Scale: two map-side-combinable count aggregates (bins ≪ rows)
+    broadcast back as a KB map; the corpus-sized side is filtered in
+    the scan stage and never shuffles. Bins present in ``df`` but
+    absent from the reference keep nothing (ratio 0); bins absent
+    from ``df`` cannot be conjured — this matches shapes by thinning
+    only.
+    """
+    cur = df.groupBy(F.col(bin_col).alias("__b")).agg(F.count(F.lit(1)).alias("__cn"))
+    ref = reference.groupBy(F.col(bin_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__rn")
+    )
+    # ratio(b) = ref_frac/cur_frac = (rn * cur_total) / (cn * ref_total);
+    # normalize by the max ratio so the scarcest bin keeps everything.
+    # Totals are per-side scalars; (rn/cn) ordering is total-free, so
+    # compute ratios as rn/cn and divide by max(rn/cn) — the totals
+    # cancel. Fixed op order + 9-dp round = cross-engine determinism.
+    joined = cur.join(ref, "__b", "left").select(
+        "__b",
+        (F.coalesce(F.col("__rn"), F.lit(0)).cast("double") / F.col("__cn").cast("double")
+         ).alias("__ratio"),
+    )
+    mx = joined.agg(F.max("__ratio").alias("__mx"))
+    probs = F.broadcast(
+        joined.crossJoin(F.broadcast(mx)).select(
+            "__b", F.round(F.col("__ratio") / F.col("__mx"), 9).alias("__p")
+        )
+    )
+    hash_frac = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    return (
+        df.join(probs, df[bin_col] == probs["__b"], "left")
+        .filter(hash_frac < F.coalesce(F.col("__p"), F.lit(0.0)))
+        .drop("__b", "__p")
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     id_col: str,

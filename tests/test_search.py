@@ -83,3 +83,33 @@ def test_weighted_draws_distribution_and_determinism(spark):
     assert {(r.k, r.slot, r.item) for r in again} == {(r.k, r.slot, r.item) for r in out}
     other = weighted_draws(items, keys, "item", "w", "k", k=10, seed="9").collect()
     assert {(r.k, r.slot, r.item) for r in other} != {(r.k, r.slot, r.item) for r in out}
+
+
+def test_match_distribution_resample_reshapes_to_reference(spark):
+    """Thinning must reproduce the reference's bin fractions (in
+    expectation — checked within tolerance on 6k rows), keep the
+    scarcest bin whole, drop bins absent from the reference, and stay
+    deterministic."""
+    from etl_rj_spark.operators.curation import match_distribution_resample
+
+    # corpus: 3000 rows bin A, 2000 bin B, 1000 bin C
+    rows = [(i, "A") for i in range(3000)]
+    rows += [(10_000 + i, "B") for i in range(2000)]
+    rows += [(20_000 + i, "C") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, bin string")
+    # reference: equal A/B mass, no C
+    ref = spark.createDataFrame(
+        [(i, "A") for i in range(500)] + [(1000 + i, "B") for i in range(500)],
+        "id long, bin string",
+    )
+    out = match_distribution_resample(df, ref, "bin", "id").collect()
+    by_bin = {}
+    for r in out:
+        by_bin[r.bin] = by_bin.get(r.bin, 0) + 1
+    assert "C" not in by_bin                      # absent from reference
+    assert by_bin["B"] == 2000                    # scarcest matched bin kept whole
+    # A thinned to match B's mass: ratio_A/ratio_B = (500/3000)/(500/2000)
+    # → p_A = 2/3 → E[A kept] = 2000
+    assert abs(by_bin["A"] - 2000) < 150, by_bin
+    again = match_distribution_resample(df, ref, "bin", "id").collect()
+    assert {(r.id) for r in again} == {(r.id) for r in out}
