@@ -237,9 +237,11 @@ def minhash_index_probe(spark, sf_dir):
 
 # --- n-gram Jaccard (exact inverted index) ---------------------------------
 
-@_q(
-    "ngram_jaccard_pairs",
-    f"""
+#: Exact all-pairs token-3-gram Jaccard ≥ 0.7 over the near-dup corpus.
+#: SHARED by `ngram_jaccard_pairs` (any-shared-gram inverted index) and
+#: `set_similarity_prefix_pairs` (PPJoin prefix filtering): both engine
+#: paths must produce byte-identical answers to this ground truth.
+_NGRAM_JACCARD_ORACLE = f"""
     WITH corpus AS ({_NEAR_CORPUS}),
     sets AS (
       SELECT doc_id,
@@ -251,18 +253,46 @@ def minhash_index_probe(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     WHERE {_JACCARD} >= 0.7
-    """,
+    """
+
+
+def _near_dup_token_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    return d.unionByName(dup)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    _NGRAM_JACCARD_ORACLE,
     tags=("dedup-ngram-jaccard",),
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Token-3-gram Jaccard pairs ≥ 0.7 via inverted-index join —
     exact (recall 1), oracle equality is strict."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
-    dup = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
-    )
-    corpus = d.unionByName(dup)
+    corpus = _near_dup_token_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3)
+
+
+@_q(
+    "set_similarity_prefix_pairs",
+    _NGRAM_JACCARD_ORACLE,
+    tags=("dedup-prefix-filter",),
+)
+def set_similarity_prefix_pairs_q(spark, sf_dir):
+    """PPJoin-style prefix-filtered set-similarity join — the EXACT
+    Jaccard pairs again (same oracle as `ngram_jaccard_pairs`, answers
+    byte-identical by contract), but candidates come from each set's
+    ~(1-τ)·|s| globally-RAREST grams instead of every shared gram: the
+    any-gram index degenerates into one candidate clique on a common
+    gram (its posting cap trades exactness for scale), while the prefix
+    filter keeps recall 1 with bounded posting fan-out."""
+    from etl_rj_spark.operators.text_dedup import set_similarity_pairs_prefix
+
+    corpus = _near_dup_token_corpus(spark, sf_dir)
+    return set_similarity_pairs_prefix(corpus, "doc_id", "text", threshold=0.7, n=3)
 
 
 # --- SimHash ---------------------------------------------------------------

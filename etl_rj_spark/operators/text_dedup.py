@@ -441,6 +441,98 @@ def ngram_containment_pairs(
     )
 
 
+def _prefix_candidates(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs under PPJoin-style prefix filtering
+    (Chaudhuri et al., SSJoin; Xiao et al., PPJoin — public papers).
+
+    Tokens are globally ordered by (document frequency ASC, token ASC);
+    each set keeps only its first ``|s| - ceil(τ·|s|) + 1`` tokens in
+    that order. Any pair with Jaccard ≥ τ has overlap ≥ ceil(τ·max(|a|,
+    |b|)), so it MUST share a prefix token — recall is 1 by theorem,
+    and the candidate join touches only the rare prefix tokens instead
+    of every posting (a single stop-word no longer makes the whole
+    corpus one candidate clique). A small epsilon keeps float ceil from
+    rounding the required overlap UP past the true integer (a too-LONG
+    prefix only costs work; a too-short one would lose recall).
+
+    The size filter ``τ·|a| ≤ |b| ≤ |a|/τ`` prunes candidates before
+    the distinct. Expects ``sets`` = (id, __set) with non-empty
+    distinct-token arrays.
+    """
+    from pyspark.sql import Window
+
+    sz = F.size("__set")
+    posting = sets.select(
+        F.col(id_col), sz.alias("__sz"), F.explode("__set").alias("gram")
+    )
+    gram_df = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # per-DOC window: each doc ranks its own grams by global rarity —
+    # partitions are set-sized, never a global sort
+    w = Window.partitionBy(id_col).orderBy("__df", "gram")
+    prefix_len = F.col("__sz") - F.ceil(
+        F.col("__sz") * F.lit(threshold) - F.lit(1e-9)
+    ) + F.lit(1)
+    prefix = (
+        posting.join(gram_df, "gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(id_col, "__sz", "gram")
+    )
+    a = prefix.toDF("id_a", "__sz_a", "gram")
+    b = prefix.toDF("id_b", "__sz_b", "gram")
+    eps = F.lit(1e-9)
+    return (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sz_b") >= F.col("__sz_a") * F.lit(threshold) - eps)
+            & (F.col("__sz_a") >= F.col("__sz_b") * F.lit(threshold) - eps)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def set_similarity_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (≥ threshold) via prefix-filtered
+    set-similarity join — same answers as :func:`ngram_jaccard_pairs`
+    (identical oracle), different scale posture.
+
+    The any-shared-gram inverted index generates Σ|posting|² candidates:
+    one ubiquitous gram (boilerplate headers, stop-word trigrams) turns
+    the corpus into a single candidate clique, and the ``max_posting_len``
+    cap buys scale only by giving up exactness. Prefix filtering keeps
+    recall 1 at scale: candidates must share one of the ~(1-τ)·|s|
+    RAREST grams of each set, so posting lists that matter are the
+    short ones by construction. Shuffles: gram-frequency aggregate,
+    per-doc rank window, candidate join, verify joins — all on keys
+    that stay bounded as the corpus grows.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sets = (
+        df.select(F.col(id_col), token_ngrams(text_col, n).alias("__set"))
+        .filter(F.size("__set") > 0)
+    )
+    pairs = _prefix_candidates(sets, id_col, threshold)
+    sa = sets.toDF("id_a", "__set_a")
+    sb = sets.toDF("id_b", "__set_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """The deduplicated corpus: group near-dup pairs into connected
     components and keep one representative per component (the min id);

@@ -298,6 +298,60 @@ def test_bloom_contaminated_equals_exact(spark, sf_dir):
     assert sized == exact and tiny == exact
 
 
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """PPJoin prefix filtering must return EXACTLY the pairs of the
+    any-shared-gram inverted index (recall 1 by the prefix-filter
+    theorem, precision 1 by the shared exact-Jaccard verify) — while
+    generating strictly fewer candidate pairs. A planted ubiquitous
+    gram (same header sentence on every doc) makes the any-gram index
+    a full clique; the prefix filter must stay sub-quadratic."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.text_dedup import (
+        _prefix_candidates,
+        ngram_jaccard_pairs,
+        set_similarity_pairs_prefix,
+        token_ngrams,
+    )
+
+    d = read_parquet_table(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    # near-dups + a shared boilerplate header on EVERY doc
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    corpus = d.unionByName(dup).select(
+        "doc_id", F.concat(F.lit("common header line here "), "text").alias("text")
+    )
+
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in set_similarity_pairs_prefix(
+            corpus, "doc_id", "text", threshold=0.7, n=3
+        ).collect()
+    }
+    assert len(base) >= 150  # the planted replicas all pair up
+    assert pref == base
+
+    # candidate-generation work: the clique gram gives the any-gram
+    # index ≥ C(300,2) candidates; prefix filtering must cut that by
+    # orders of magnitude (every pair it emits shares a RARE gram)
+    sets = corpus.select("doc_id", token_ngrams("text", 3).alias("__set")).filter(
+        F.size("__set") > 0
+    )
+    n_pref = _prefix_candidates(sets, "doc_id", 0.7).count()
+    n_docs = sets.count()
+    full_clique = n_docs * (n_docs - 1) // 2
+    assert n_pref < full_clique / 20
+    assert n_pref >= len(base)  # candidates are a superset of answers
+
+
 def test_weighted_sample_by_group_aes(spark):
     """A-ES weighted sampling: deterministic across runs, excludes
     non-positive/null weights, emits exactly k ranked rows per group,
