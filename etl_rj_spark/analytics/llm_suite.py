@@ -295,6 +295,51 @@ def set_similarity_prefix_pairs_q(spark, sf_dir):
     return set_similarity_pairs_prefix(corpus, "doc_id", "text", threshold=0.7, n=3)
 
 
+@_q(
+    "split_leakage_audit",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                    AS INTEGER) AS bucket
+        FROM corpus
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           sa.split AS split_a, sb.split AS split_b, {_JACCARD} AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    JOIN splits sa ON sa.doc_id = a.doc_id
+    JOIN splits sb ON sb.doc_id = b.doc_id
+    WHERE {_JACCARD} >= 0.7 AND sa.split <> sb.split
+    """,
+    tags=("curation-leakage",),
+)
+def split_leakage_audit_q(spark, sf_dir):
+    """Train/test leakage audit: exact near-dup pairs that CROSS the
+    hash-split boundary. A hash split assigns a doc and its near-copy
+    independently (different ids → different buckets ~90% of the
+    time), so the planted replicas leak by construction — exactly the
+    silent eval-inflation this audit exists to catch. Composition of
+    `hash_split` and the prefix-filtered exact similarity join; the
+    oracle replays split assignment AND all-pairs Jaccard."""
+    from etl_rj_spark.operators.curation import hash_split, split_leakage_pairs
+
+    corpus = hash_split(_near_dup_token_corpus(spark, sf_dir), "doc_id")
+    return split_leakage_pairs(corpus, "doc_id", "text", "split", threshold=0.7, n=3)
+
+
 # --- SimHash ---------------------------------------------------------------
 
 @_q(

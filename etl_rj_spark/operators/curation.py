@@ -471,3 +471,41 @@ def epoch_upsample(
         n > 0, F.sequence(F.lit(0), n - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.select("*", F.explode(epochs).alias("epoch"))
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    threshold: float = 0.7,
+    n: int = 3,
+) -> DataFrame:
+    """Train/test LEAKAGE audit: exact near-dup pairs whose members sit
+    in DIFFERENT splits — the within-corpus counterpart of benchmark
+    decontamination (a test document whose near-copy is in train
+    inflates eval silently; hash splits assign near-dups independently,
+    so this failure mode is the default, not the exception).
+
+    Pairs come from the prefix-filtered exact set-similarity join
+    (recall 1 — an audit that can miss leakage is worse than none);
+    same-split near-dups are NOT reported (they are dedup's problem,
+    not leakage). Returns (id_a, id_b, split_a, split_b, jaccard),
+    id_a < id_b. Scale: the split join adds two id-keyed hash joins on
+    the (small) surviving pair set; everything heavy is the audited
+    pair production itself.
+    """
+    from etl_rj_spark.operators.text_dedup import set_similarity_pairs_prefix
+
+    pairs = set_similarity_pairs_prefix(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col, threshold, n
+    )
+    s = df.select(F.col(id_col), F.col(split_col))
+    sa = s.toDF("id_a", "split_a")
+    sb = s.toDF("id_b", "split_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

@@ -352,6 +352,32 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     assert n_pref >= len(base)  # candidates are a superset of answers
 
 
+def test_split_leakage_pairs_cross_split_only(spark):
+    """Leakage audit reports near-dup pairs ONLY when they cross the
+    split boundary; same-split near-dups and dissimilar cross-split
+    docs stay silent."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_rj_spark.operators.curation import split_leakage_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "train"),
+        (2, base + " zz", "test"),        # near-dup, crosses → reported
+        (3, base + " yy", "train"),       # near-dup of 1, same split → silent
+        (4, "completely different content about spark shuffles and joins here", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in split_leakage_pairs(df, "doc_id", "text", "split", threshold=0.7).collect()
+    }
+    assert (1, 2, "train", "test") in got
+    assert (2, 3, "test", "train") in got  # the two near-dups also pair up
+    assert all({a, b} != {1, 3} for a, b, *_ in got)  # same-split pair silent
+    assert not any(4 in (a, b) for a, b, *_ in got)
+
+
 def test_weighted_sample_by_group_aes(spark):
     """A-ES weighted sampling: deterministic across runs, excludes
     non-positive/null weights, emits exactly k ranked rows per group,
