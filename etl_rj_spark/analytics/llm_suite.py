@@ -1154,6 +1154,51 @@ def embedding_random_projection(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_standardize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 200),
+    x AS (
+      SELECT vec_id, i AS dim, CAST(ROUND(cv[i + 1] * 1000000) AS BIGINT) AS xi
+      FROM e, range(0, 64) t(i)
+    ),
+    stats AS (
+      SELECT dim, COUNT(*)::HUGEINT AS n, SUM(xi::HUGEINT) AS s, SUM(xi::HUGEINT * xi) AS q
+      FROM x GROUP BY dim
+    ),
+    z AS (
+      SELECT vec_id, dim,
+             CASE WHEN n * q - s * s = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ROUND((n * xi - s)::DOUBLE / sqrt((n * q - s * s)::DOUBLE)
+                                  * 1000000) AS BIGINT)
+             END AS zz
+      FROM x JOIN stats USING (dim)
+    )
+    SELECT vec_id, string_agg(CAST(zz AS VARCHAR), ',' ORDER BY dim) AS z_csv
+    FROM z GROUP BY vec_id
+    """,
+    tags=("similarity-standardize",),
+)
+def embedding_standardize_q(spark, sf_dir):
+    """Per-dimension z-score standardization in the exact-integer house
+    form: micros coordinates, decimal(38,0) Σx/Σx² per dimension, the
+    cleared form (n·x − S)/√(nQ − S²) — the oracle replays sums and
+    every z coordinate bit-for-bit. Zero-variance dims → 0, never NaN.
+    Stats broadcast back as one KB row; z is scan-stage work."""
+    from etl_rj_spark.operators.similarity import standardize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    out = standardize_embeddings(e, "embedding", 64)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("z_micros", lambda x: x.cast("string")), ","
+        ).alias("z_csv"),
+    )
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

@@ -501,3 +501,93 @@ def lsh_topk_multiprobe(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_col: str = "z_micros",
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the feature-scaling step before distance-based ops (k-means, ANN,
+    SemDeDup) when dimensions carry different scales.
+
+    Integer-deterministic house form: each coordinate is scaled to
+    exact integer micros ``x = round(v·10⁶)``; per-dimension sums
+    S = Σx and Q = Σx² accumulate in decimal(38,0) (order-independent
+    exact integers — a double mean/std would be partial-agg-order
+    dependent and hash-differ between engines). The z-score is the
+    algebraically-cleared form  z = (n·x − S) / sqrt(n·Q − S²)  whose
+    numerator and radicand are EXACT integers, so the one double
+    division and IEEE-correctly-rounded sqrt make the output
+    deterministic across engines; emitted as round(z·10⁶) micros.
+    Zero-variance dimensions standardize to 0 (the constant-feature
+    convention), never NaN.
+
+    Scale shape: posexplode feeds ONE ``dim``-keyed aggregate (64
+    groups, map-side partial); the KB-sized stats row broadcasts back
+    via crossJoin and z is a pure scan-stage array transform — no
+    per-row re-assembly shuffle, nothing grows with corpus size except
+    the scan. decimal(38,0) bounds: exact while n·Q < 10³⁸ (n ≲ 10¹⁶
+    rows at |v| ≤ 10³).
+
+    Rows with NULL vectors pass through with a NULL output; a
+    wrong-length vector raises at the site (silent zip-padding would
+    corrupt every downstream distance).
+    """
+    v = vec_double(vec_col)
+    xi = F.transform(v, lambda x: F.round(x * 1e6).cast("long"))
+    src = df.withColumn("__xi", xi)
+
+    ex = src.select(F.posexplode("__xi").alias("__dim", "__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    dec = F.col("__x").cast("decimal(38,0)")
+    stats_row = (
+        ex.groupBy("__dim")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(dec).alias("__s"),
+            F.sum(dec * F.col("__x")).alias("__q"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__dim", "__n", "__s", "__q"))
+            ).alias("__st")
+        )
+        .select(
+            F.transform("__st", lambda t: t["__n"]).alias("__n_arr"),
+            F.transform("__st", lambda t: t["__s"]).alias("__s_arr"),
+            F.transform("__st", lambda t: t["__n"] * t["__q"] - t["__s"] * t["__s"])
+            .alias("__den_arr"),
+        )
+    )
+
+    def z_elem(x: Column, i: Column) -> Column:
+        n_i = F.element_at("__n_arr", i + 1)
+        s_i = F.element_at("__s_arr", i + 1)
+        den = F.element_at("__den_arr", i + 1)
+        num = (n_i * x.cast("decimal(38,0)") - s_i).cast("double")
+        return (
+            F.when(den == F.lit(0).cast("decimal(38,0)"), F.lit(0).cast("long"))
+            .otherwise(F.round(num / F.sqrt(den.cast("double")) * 1e6).cast("long"))
+        )
+
+    z = (
+        F.when(_c(vec_col).isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(_c(vec_col)) == dim, F.transform("__xi", z_elem))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"standardize_embeddings: expected {dim}-dim vector, got "),
+                    F.size(_c(vec_col)).cast("string"),
+                )
+            ).cast("array<bigint>")
+        )
+    )
+    return (
+        src.crossJoin(F.broadcast(stats_row))
+        .withColumn(out_col, z)
+        .drop("__xi", "__n_arr", "__s_arr", "__den_arr")
+    )

@@ -352,6 +352,36 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     assert n_pref >= len(base)  # candidates are a superset of answers
 
 
+def test_standardize_embeddings_properties(spark):
+    """Per-dim z-scores: mean ~0 and sd ~1 per dimension, zero-variance
+    dims map to 0 (never NaN), NULL vectors pass through NULL, and a
+    wrong-length vector raises instead of zip-padding."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), 7.0, float(i * i % 13)]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df, "embedding", 3).collect()
+    by_id = {r.vec_id: r.z_micros for r in out}
+    assert by_id[99] is None
+    zs = [by_id[i] for i in range(40)]
+    for d in range(3):
+        col = [z[d] / 1e6 for z in zs]
+        mean = sum(col) / len(col)
+        var = sum(c * c for c in col) / len(col) - mean * mean
+        if d == 1:
+            assert col == [0.0] * 40  # constant feature
+        else:
+            assert abs(mean) < 1e-4 and abs(var - 1.0) < 1e-3
+
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="expected 3-dim"):
+        standardize_embeddings(bad, "embedding", 3).collect()
+
+
 def test_split_leakage_pairs_cross_split_only(spark):
     """Leakage audit reports near-dup pairs ONLY when they cross the
     split boundary; same-split near-dups and dissimilar cross-split
