@@ -1202,6 +1202,50 @@ def embedding_standardize_q(spark, sf_dir):
 # --- corpus curation -------------------------------------------------------
 
 @_q(
+    "preference_pairs_mined",
+    rf"""
+    WITH feats AS ({_sql_quality_feats('documents')}),
+    scored AS (
+      SELECT f.doc_id, d.lang || '/' || d.source AS grp,
+             {_SQL_QUALITY_SCORE} AS quality_score
+      FROM feats f
+      JOIN (SELECT doc_id, lang, source FROM documents) d ON f.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT grp, doc_id, quality_score,
+             row_number() OVER (PARTITION BY grp ORDER BY quality_score DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY grp ORDER BY quality_score ASC, doc_id) AS rw
+      FROM scored
+    )
+    SELECT b.grp, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.quality_score AS chosen_score, w.quality_score AS rejected_score,
+           b.quality_score - w.quality_score AS score_margin
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (grp)
+    WHERE b.doc_id <> w.doc_id
+      AND b.quality_score - w.quality_score >= 0.05
+    """,
+    tags=("curation-preference",),
+)
+def preference_pairs_mined_q(spark, sf_dir):
+    """DPO-style preference pairs: per (lang, source) group, the
+    best-quality doc paired against the worst, margin-gated at 0.05 —
+    deterministic tiebreaks, at most one pair per group. The oracle
+    replays the quality score (the shared fixed-operation-order
+    contract) plus both rank windows and the margin gate."""
+    from etl_rj_spark.operators.curation import preference_pairs
+    from etl_rj_spark.operators.text_analysis import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.concat("lang", F.lit("/"), "source").alias("grp"),
+        quality_features("text")["quality_score"].alias("quality_score"),
+    )
+    return preference_pairs(scored, "grp", "doc_id", "quality_score", margin=0.05)
+
+
+@_q(
     "hash_split_docs",
     """
     SELECT doc_id,

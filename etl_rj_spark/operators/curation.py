@@ -509,3 +509,60 @@ def split_leakage_pairs(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training data: per
+    group (prompt), pair the BEST-scored candidate against the WORST,
+    gated on a minimum score margin — low-contrast pairs teach a
+    reward model nothing and drown the signal.
+
+    Deterministic winner selection: chosen = first by (score DESC,
+    id ASC), rejected = first by (score ASC, id ASC); a group emits at
+    most ONE pair and only when chosen ≠ rejected AND
+    chosen_score − rejected_score ≥ margin (single-candidate and
+    flat-scored groups drop silently — they carry no preference).
+    Top-k variants are the same shape with rank ≤ k on both windows.
+
+    Scale: two row_number windows over the same group partitioning —
+    one shuffle on the group key, map-side WindowGroupLimit prunes to
+    a handful of rows per group before the shuffle.
+    """
+    w_best = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w_worst = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(group_col), F.col(id_col), F.col(score_col),
+        F.row_number().over(w_best).alias("__rb"),
+        F.row_number().over(w_worst).alias("__rw"),
+    )
+    best = ranked.filter(F.col("__rb") == 1).select(
+        group_col,
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("__rw") == 1).select(
+        group_col,
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return (
+        best.join(worst, group_col)
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .filter(
+            F.col("chosen_score") - F.col("rejected_score") >= F.lit(float(margin))
+        )
+        .select(
+            group_col, "chosen_id", "rejected_id", "chosen_score", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("score_margin"),
+        )
+    )

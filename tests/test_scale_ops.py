@@ -352,6 +352,26 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     assert n_pref >= len(base)  # candidates are a superset of answers
 
 
+def test_preference_pairs_margin_gate(spark):
+    """Preference mining emits one best-vs-worst pair per group, drops
+    single-candidate and below-margin groups, and breaks score ties by
+    id deterministically."""
+    from etl_rj_spark.operators.curation import preference_pairs
+
+    rows = [
+        ("p1", 1, 0.9), ("p1", 2, 0.2), ("p1", 3, 0.5),   # clear pair 1 vs 2
+        ("p2", 4, 0.5), ("p2", 5, 0.48),                  # margin 0.02 < 0.05 → drop
+        ("p3", 6, 0.7),                                   # single → drop
+        ("p4", 7, 0.8), ("p4", 8, 0.8), ("p4", 9, 0.1),   # tie on top → chosen id 7
+    ]
+    df = spark.createDataFrame(rows, "grp string, cid long, score double")
+    got = {
+        (r.grp, r.chosen_id, r.rejected_id)
+        for r in preference_pairs(df, "grp", "cid", "score", margin=0.05).collect()
+    }
+    assert got == {("p1", 1, 2), ("p4", 7, 9)}
+
+
 def test_standardize_embeddings_properties(spark):
     """Per-dim z-scores: mean ~0 and sd ~1 per dimension, zero-variance
     dims map to 0 (never NaN), NULL vectors pass through NULL, and a
