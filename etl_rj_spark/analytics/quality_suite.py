@@ -427,6 +427,43 @@ def unigram_rarity_score(spark, sf_dir):
     )
 
 
+@_q(
+    "bigram_fluency_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([t[i] for i in range(1, len(t))]) AS w1,
+             unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    p AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm FROM c2 JOIN c1 USING (w1))
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf.tf * p.p_ppm) // SUM(tf.tf) AS BIGINT) AS mean_cond_ppm,
+           CAST(MIN(p.p_ppm) AS BIGINT) AS min_cond_ppm
+    FROM tf JOIN p USING (w1, w2)
+    GROUP BY tf.doc_id
+    """,
+    tags=("text-analysis", "lm-score", "quality-filter"),
+)
+def bigram_fluency_score_q(spark, sf_dir):
+    """Bigram conditional-LM fluency screen — the transition-level
+    rung above unigram_rarity_score: word-salad docs score low even
+    when every token is individually common. Exact scaled-integer
+    conditionals, oracle replays the full count→conditional→aggregate
+    chain."""
+    from etl_rj_spark.operators.text_analysis import bigram_fluency_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_fluency_score(docs, "doc_id", "text")
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

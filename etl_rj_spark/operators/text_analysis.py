@@ -140,3 +140,62 @@ def minhash64(c: Column | str, k: int = 5) -> Column:
     """Single-value document fingerprint: min shingle-hash over k-char
     shingles (a 1-permutation minhash / 'rolling-hash' fingerprint)."""
     return F.array_min(F.transform(char_shingles(normalized_text(c), k), shingle_hash))
+
+
+def bigram_fluency_score(df, id_col: str, text_col: str):
+    """Bigram conditional-LM scoring of each document against the
+    corpus's OWN transition distribution — the next rung above
+    ``unigram_rarity_score`` on the KenLM-perplexity-filter ladder:
+    unigram rarity flags rare WORDS, the bigram conditional flags
+    implausible TRANSITIONS (word-salad and boilerplate-stitched docs
+    score low even when every individual token is common).
+
+    House integer contract: the conditional is the scaled integer
+    ``p_ppm(w2|w1) = (c(w1,w2)·10⁶) div c(w1·)`` with ``c(w1·)`` the
+    prefix's total transition count (so Σ_w2 p = 10⁶ up to truncation)
+    — bit-identical across engines where a float log-prob could drift
+    an ulp; the monotone mapping preserves every ranking. Per doc:
+    ``mean_cond_ppm`` (transition-frequency-weighted mean) and
+    ``min_cond_ppm`` (the single most surprising transition — the
+    sharpest screen). Docs with < 2 tokens have no transitions and
+    drop from the output, same convention as the unigram score.
+
+    Scale: bigrams are built SCAN-STAGE as an array transform (no
+    self-join of positions); the stream reduces to (doc, w1, w2, tf)
+    by one map-side-combinable aggregate before any join; corpus
+    transition counts key on (w1, w2) and prefix totals on w1 (AQE
+    splits head-word skew). int64-exact to ~10¹² corpus tokens.
+
+    Returns (id, n_bigrams, mean_cond_ppm, min_cond_ppm).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        df.select(F.col(id_col), F.explode(
+            F.when(F.size(toks) >= 2, bigrams).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("b"))
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    p = c2.join(c1, "w1").withColumn(
+        "p_ppm", F.expr("(c2 * CAST(1000000 AS BIGINT)) div c1")
+    ).select("w1", "w2", "p_ppm")
+    return (
+        tf.join(p, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.expr("sum(tf * p_ppm) div sum(tf)").alias("mean_cond_ppm"),
+            F.min("p_ppm").alias("min_cond_ppm"),
+        )
+    )

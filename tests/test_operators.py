@@ -394,3 +394,22 @@ class TestScd2MultiNullEff:
         assert rows == sorted(
             (r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in looped.collect()
         )
+
+
+class TestBigramFluency:
+    def test_word_salad_scores_below_fluent(self, spark):
+        """Transitions seen often in the corpus score high; a shuffled
+        bag of the same words scores low. Docs with < 2 tokens drop."""
+        from etl_rj_spark.operators.text_analysis import bigram_fluency_score
+
+        fluent = "the cat sat on the mat"
+        rows = [(i, fluent) for i in range(20)]
+        rows.append((100, "mat the on cat the sat"))  # same tokens, unseen transitions
+        rows.append((101, "solo"))                    # one token → no output row
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in bigram_fluency_score(df, "doc_id", "text").collect()}
+        assert 101 not in out
+        assert out[0].n_bigrams == 5
+        assert out[100].mean_cond_ppm < out[0].mean_cond_ppm
+        # every replica of the fluent doc scores identically
+        assert len({out[i].mean_cond_ppm for i in range(20)}) == 1
