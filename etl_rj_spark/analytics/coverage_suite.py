@@ -358,6 +358,43 @@ def orc_events_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "manifest_incremental_ingest",
+    """
+    SELECT event_id, user_id, value, event_type FROM events
+    WHERE event_id % 4 IN (0, 1)
+    """,
+    tags=("source", "incremental", "manifest"),
+)
+def manifest_incremental_ingest(spark, sf_dir):
+    """File-manifest incremental ingest (the file-level K1): a drop
+    directory receives two arrival batches; each ingest reads ONLY the
+    files the ledger has not recorded. The redelivery contract is
+    in-query: a third ingest after recording MUST be empty — if it
+    were not, its rows would double in the union and hash-mismatch
+    the oracle (which is simply the two batches' row predicate)."""
+    from etl_rj_spark.sources.manifest import ingest_new_files, record_processed
+
+    base = _scratch("manifest")
+    drop, ledger = f"{base}/drop", f"{base}/ledger"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    cols = ["event_id", "user_id", "value", "event_type"]
+
+    ev.filter(F.col("event_id") % 4 == 0).repartition(3).write.mode("append").parquet(drop)
+    df1, new1 = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    record_processed(spark, ledger, new1)
+
+    ev.filter(F.col("event_id") % 4 == 1).repartition(2).write.mode("append").parquet(drop)
+    df2, new2 = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    record_processed(spark, ledger, new2)
+
+    out = df1.select(*cols).unionByName(df2.select(*cols))
+    df3, _new3 = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    if df3 is not None:  # redelivery failure → deliberate hash mismatch
+        out = out.unionByName(df3.select(*cols))
+    return out
+
+
+@_q(
     "xml_feed_roundtrip",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

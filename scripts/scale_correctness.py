@@ -47,6 +47,7 @@ SKIP_NAMES = {
     "jsonl_shard_export", "arrow_ipc_roundtrip", "fixed_width_roundtrip",
     "orc_events_roundtrip", "parquet_schema_evolution", "xml_feed_roundtrip",
     "csv_corrupt_quarantine", "binary_file_ingest", "wav_audio_stats",
+    "manifest_incremental_ingest",
     "image_header_sniff", "xml_column_extract", "variant_props_extract",
     # catalog/Derby side-effect queries (per-cwd state, not data-scale)
     "k1_atomic_jdbc_roundtrip", "s5_jdbc_dim_roundtrip",

@@ -352,6 +352,41 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     assert n_pref >= len(base)  # candidates are a superset of answers
 
 
+def test_manifest_ingest_ledger_contract(spark, tmp_path):
+    """File-manifest ingest: only unrecorded files read; a crash between
+    ingest and record re-processes the SAME batch (converges, never
+    skips); re-recording is a no-op; nothing pending at the end."""
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.sources.manifest import (
+        ingest_new_files,
+        pending_files,
+        record_processed,
+    )
+
+    drop, ledger = str(tmp_path / "drop"), str(tmp_path / "ledger")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    df.filter("k < 50").repartition(2).write.mode("append").parquet(drop)
+
+    got1, new1 = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    assert len(new1) == 2 and got1.count() == 50
+    # simulated crash BEFORE record: a re-run sees the same batch again
+    got1b, new1b = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    assert new1b == new1 and got1b.count() == 50
+    assert record_processed(spark, ledger, new1) == 2
+    assert record_processed(spark, ledger, new1) == 0  # re-record no-op
+
+    df.filter("k >= 50").repartition(3).write.mode("append").parquet(drop)
+    got2, new2 = ingest_new_files(spark, f"{drop}/part-*", ledger)
+    assert len(new2) == 3 and got2.count() == 50
+    assert not set(new2) & set(new1)
+    assert {r.k for r in got2.select("k").collect()} == set(range(50, 100))
+    record_processed(spark, ledger, new2)
+    assert pending_files(spark, f"{drop}/part-*", ledger) == []
+    # the source-file stamp points back at real ingested files
+    assert got2.select("_source_file").distinct().count() == 3
+
+
 def test_preference_pairs_margin_gate(spark):
     """Preference mining emits one best-vs-worst pair per group, drops
     single-candidate and below-margin groups, and breaks score ties by
