@@ -1199,6 +1199,44 @@ def embedding_standardize_q(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_mean_pool",
+    """
+    WITH x AS (
+      SELECT label,
+             unnest([i for i in range(1, 65)]) AS dim,
+             unnest([CAST(ROUND(cv[i] * 1000000) AS BIGINT) for i in range(1, 65)]) AS xi
+      FROM (SELECT label, embedding::DOUBLE[] AS cv FROM embeddings)
+    ),
+    agg AS (
+      SELECT label, dim, CAST(SUM(xi) AS BIGINT) AS s, COUNT(*) AS c
+      FROM x GROUP BY label, dim
+    )
+    SELECT label,
+           string_agg(CAST(CAST(ROUND(s::DOUBLE / c) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY dim) AS mean_csv
+    FROM agg GROUP BY label
+    """,
+    tags=("similarity-pool",),
+)
+def embedding_mean_pool_q(spark, sf_dir):
+    """Per-label mean-pooled embedding (the profile/centroid
+    aggregation) in exact-integer micros: per-(group, dim) integer
+    sums, one correctly-rounded division — the oracle replays every
+    coordinate. Map-side-combinable aggregate, dim-sorted
+    deterministic re-assembly."""
+    from etl_rj_spark.operators.similarity import mean_pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool_embeddings(e, "label", "embedding")
+    return pooled.select(
+        "label",
+        F.array_join(
+            F.transform("mean_micros", lambda x: x.cast("string")), ","
+        ).alias("mean_csv"),
+    )
+
+
 # --- corpus curation -------------------------------------------------------
 
 @_q(

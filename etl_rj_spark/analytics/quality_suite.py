@@ -464,6 +464,101 @@ def bigram_fluency_score_q(spark, sf_dir):
     return bigram_fluency_score(docs, "doc_id", "text")
 
 
+@_q(
+    "equi_depth_price_bins",
+    """
+    WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    counts AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY cents),
+    cum AS (
+      SELECT cents,
+             SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - c AS before
+      FROM counts
+    ),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    bins AS (SELECT cents, CAST((before * 20) // n AS INTEGER) AS bin
+             FROM cum CROSS JOIN tot)
+    SELECT bin, COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v JOIN bins USING (cents)
+    GROUP BY bin
+    """,
+    tags=("stats-binning",),
+)
+def equi_depth_price_bins(spark, sf_dir):
+    """Equi-depth discretization of order totals into 20 bins WITHOUT
+    a global row sort: counts reduce per distinct cents value, the
+    cumulative runs over the distinct-value table, and the bin map
+    broadcast-joins back (ntile's single-partition window is the shape
+    that dies first at scale). Exact integer assignment — the oracle
+    replays the cumulative and the (before·k) div n rule."""
+    from etl_rj_spark.operators.stats import equi_depth_bins
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return (
+        equi_depth_bins(o, "cents", 20)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@_q(
+    "mad_outlier_events",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (SELECT event_type, cents AS median FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT v.event_type, v.event_id, v.cents, m.median,
+             ABS(v.cents - m.median) AS ad
+      FROM v JOIN med m USING (event_type)
+    ),
+    devr AS (
+      SELECT event_type, event_id, ad,
+             row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (SELECT event_type, ad AS mad FROM devr WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, d.event_id, d.cents, d.median, mad.mad
+    FROM dev d JOIN mad USING (event_type)
+    WHERE d.ad * 1000 > 5000 * mad.mad
+    """,
+    tags=("stats-robust",),
+)
+def mad_outlier_events(spark, sf_dir):
+    """MAD-based robust outlier screen over event values (integer
+    cents): lower-median and lower-MAD per event type, flag
+    |x − med|·1000 > 5000·MAD — integer-exact end to end, immune to
+    the aggregation-order drift AND the outlier-drag that break a
+    mean/stddev z-score. The oracle replays both rank windows and the
+    ppt comparison."""
+    from etl_rj_spark.operators.stats import mad_outlier_screen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = mad_outlier_screen(ev, "event_type", "cents", "event_id", k_ppt=5000)
+    return out.filter("is_outlier").select(
+        "event_type", "event_id", "cents", "median", "mad"
+    )
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

@@ -591,3 +591,42 @@ def standardize_embeddings(
         .withColumn(out_col, z)
         .drop("__xi", "__n_arr", "__s_arr", "__den_arr")
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    out_col: str = "mean_micros",
+) -> DataFrame:
+    """Per-group mean-pooled embedding (user profile from event
+    vectors, document vector from chunk vectors, cluster centroid
+    refresh) in the exact-integer house form: coordinates scale to
+    integer micros, per-(group, dim) sums/counts reduce map-side, and
+    the mean is one correctly-rounded double division of exact
+    integers — deterministic across engines and partitionings where a
+    naive float mean would drift with aggregation order.
+
+    Scale shape: posexplode → ONE (group, dim)-keyed aggregate
+    (map-side combinable; dim fans out ×64 but reduces immediately)
+    → per-group re-assembly over |groups|·dim rows, dim-sorted so the
+    output array order is deterministic. NULL vectors contribute
+    nothing; a group with only NULL vectors is absent from the output.
+    Returns (group, out_col: array<bigint> mean micros).
+    """
+    xi = F.transform(vec_double(vec_col), lambda x: F.round(x * 1e6).cast("long"))
+    ex = df.select(F.col(group_col), F.posexplode(xi).alias("__dim", "__x"))
+    agg = ex.groupBy(group_col, "__dim").agg(
+        F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        agg.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__dim", "__s", "__c"))).alias("__st"))
+        .select(
+            group_col,
+            F.transform(
+                "__st",
+                lambda t: F.round(t["__s"].cast("double") / t["__c"]).cast("long"),
+            ).alias(out_col),
+        )
+    )

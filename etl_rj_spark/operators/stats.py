@@ -1,0 +1,112 @@
+"""Robust / distributional statistics operators in the engine's
+exact-integer house form: equi-depth feature binning and MAD-based
+outlier screening. Both avoid the classic scale trap of a GLOBAL
+row-rank window (all rows to one partition): ranks are derived from
+per-VALUE counts, so the only ordered pass runs over the distinct
+values of the column — vocabulary-sized, not corpus-sized — and every
+row-side step is a broadcast-join + scan-stage expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth (quantile) discretization into ``k`` bins: each row's
+    bin is ``(rows_before_its_value · k) div n`` — all ties share a bin
+    (depths are equal up to tie mass), assignments are exact integers
+    an oracle replays bit-for-bit, and NO global row sort happens:
+    counts reduce per distinct value map-side, the cumulative runs over
+    the distinct-value table, and the bin map broadcast-joins back.
+
+    NULL values pass through with a NULL bin. Compare ``ntile``: same
+    semantics on distinct-heavy columns, but ntile is a single-
+    partition global window — the thing that dies first at 100 TB.
+
+    The bin map is broadcast, so this shape assumes the DISTINCT
+    values fit a broadcast (ids, dates, quantized measures). For a
+    near-unique continuous column, quantize first (round to the
+    precision you bin at — binning is a coarsening anyway) or swap the
+    broadcast for a sort-merge join; the cumulative window over
+    distinct values is the part worth keeping either way.
+    """
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        F.col(value_col),
+        (F.sum("__c").over(w) - F.col("__c")).alias("__before"),
+    )
+    total = vals.agg(F.sum("__c").alias("__n"))
+    bins = cum.join(F.broadcast(total)).select(
+        value_col,
+        F.expr(f"(__before * {int(k)}) div __n").cast("int").alias(bin_col),
+    )
+    return df.join(F.broadcast(bins), value_col, "left")
+
+
+def mad_outlier_screen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k_ppt: int = 5000,
+) -> DataFrame:
+    """Robust per-group outlier screen: flag rows where
+    ``|x − median| · 1000 > k_ppt · MAD`` (k_ppt=5000 ≈ the classic
+    5·MAD rule in parts-per-thousand, kept integer so the comparison
+    is exact). Median and MAD are LOWER medians (the (n+1) div 2-th
+    order statistic) — integer-valued on integer inputs, so the whole
+    screen is engine-exact where a mean/stddev z-score would drift
+    with partial-aggregation order AND get dragged by the very
+    outliers it hunts.
+
+    Two per-GROUP rank windows (groups bounded, never a global sort).
+    Returns (group, id, value, median, mad, is_outlier). Constant
+    groups (MAD = 0) flag any deviation, the conventional degenerate
+    case; the caller can pre-filter if that is too sharp. NULL values
+    are dropped up front (a missing measurement is not an outlier,
+    and engines disagree on NULL sort position).
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    w_rank = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(
+        F.col(group_col), F.col(id_col), F.col(value_col),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    med = (
+        ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col(value_col).alias("median"))
+    )
+    dev = df.join(med, group_col).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("median"))
+    )
+    w_dev = Window.partitionBy(group_col).orderBy(F.col("__ad"), F.col(id_col))
+    dev_ranked = dev.select(
+        group_col, "median", F.col("__ad"),
+        F.row_number().over(w_dev).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    mad = (
+        dev_ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col("__ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, group_col)
+        .select(
+            group_col, id_col, value_col, "median", "mad",
+            (F.col("__ad") * F.lit(1000) > F.lit(int(k_ppt)) * F.col("mad"))
+            .alias("is_outlier"),
+        )
+    )
