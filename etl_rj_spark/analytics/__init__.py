@@ -113,6 +113,15 @@ _PRIORITY = [
     "hybrid_search_rrf",          # new r7: lexical + semantic reciprocal-rank fusion
     "negative_sample_parts",      # new r7: integer-CDF popularity-weighted negative sampling
     "distribution_match_resample",  # new r7: thin corpus to a reference bin profile
+    "set_similarity_prefix_pairs",  # new r7: PPJoin prefix filter, exact-Jaccard scale path
+    "split_leakage_audit",        # new r7: cross-split near-dup contamination check
+    "embedding_standardize",      # new r7: per-dim z-score, exact-integer cleared form
+    "preference_pairs_mined",     # new r7: margin-gated DPO pair mining
+    "bigram_fluency_score",       # new r7: transition-level LM screen
+    "manifest_incremental_ingest",  # new r7: file-ledger only-new-files ingest
+    "embedding_mean_pool",        # new r7: integer-exact group profile vectors
+    "equi_depth_price_bins",      # new r7: quantile binning without a global row sort
+    "mad_outlier_events",         # new r7: robust lower-median/MAD screen
 ]
 
 
