@@ -559,6 +559,42 @@ def mad_outlier_events(spark, sf_dir):
     )
 
 
+@_q(
+    "event_cooccurrence_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id AS bk, event_type AS it FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    ic AS (SELECT it, COUNT(*) AS c FROM b GROUP BY it),
+    nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+    sup AS (
+      SELECT a.it AS item_a, c.it AS item_b, COUNT(*) AS support
+      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT item_a, item_b, support,
+           CAST((support::HUGEINT * n * 1000000) // (ca.c::HUGEINT * cb.c)
+                AS BIGINT) AS lift_ppm
+    FROM sup
+    JOIN ic ca ON ca.it = item_a
+    JOIN ic cb ON cb.it = item_b
+    CROSS JOIN nb
+    """,
+    tags=("stats-association",),
+)
+def event_cooccurrence_lift(spark, sf_dir):
+    """Market-basket co-occurrence with integer-ppm lift: event-type
+    pairs sharing a user, support ≥ 5, lift = support·n/(cₐ·c_b) in
+    exact decimal arithmetic (> 10⁶ ⇒ the pair co-occurs beyond
+    independence). Presence rows dedup map-side before the
+    within-basket self-join; the oracle replays counts and lift."""
+    from etl_rj_spark.operators.stats import cooccurrence_pairs
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return cooccurrence_pairs(ev, "user_id", "event_type", min_support=5)
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

@@ -110,3 +110,57 @@ def mad_outlier_screen(
             .alias("is_outlier"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: unordered item pairs that
+    appear together in ≥ ``min_support`` baskets, with integer-ppm
+    LIFT — ``lift_ppm = (support · n_baskets · 10⁶) div (c_a · c_b)``
+    over basket-presence counts (decimal(38,0), exact at any corpus
+    size; > 10⁶ means the pair co-occurs more than independence
+    predicts).
+
+    Scale shape: presence rows are deduped to (basket, item) FIRST
+    (map-side combinable), then the within-basket self-join does
+    Σ|basket|² candidate work — the honest cost of pair mining,
+    bounded by the basket-size cap every retail/telemetry dataset has
+    in practice. For heavy-tailed baskets, pre-cap with
+    ``hash_ranked_resample`` on the basket key; support counts of
+    surviving pairs are unaffected for pairs wholly below the cap.
+    NULL items/baskets are dropped (a NULL key never co-occurs).
+    """
+    b = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    item_counts = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
+    n_baskets = b.select("__b").distinct().agg(F.count(F.lit(1)).alias("__n"))
+    left = b.toDF("__b", "item_a")
+    right = b.toDF("__b", "item_b")
+    sup = (
+        left.join(right, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    ca = item_counts.toDF("item_a", "__ca")
+    cb = item_counts.toDF("item_b", "__cb")
+    return (
+        sup.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "support",
+            F.expr(
+                "cast((cast(support as decimal(38,0)) * __n * 1000000)"
+                " div (cast(__ca as decimal(38,0)) * __cb) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )

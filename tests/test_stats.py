@@ -63,3 +63,22 @@ def test_mean_pool_embeddings_exact(spark):
     df = spark.createDataFrame(rows, "g string, embedding array<double>")
     out = {r.g: r.mean_micros for r in mean_pool_embeddings(df, "g", "embedding").collect()}
     assert out == {"a": [2_000_000, 1_500_000]}
+
+
+def test_cooccurrence_pairs_support_and_lift(spark):
+    from etl_rj_spark.operators.stats import cooccurrence_pairs
+
+    rows = []
+    # items x,y co-occur in 4 of 6 baskets; z appears alone in 2
+    for b in range(4):
+        rows += [(b, "x"), (b, "y"), (b, "x")]  # dup presence collapses
+    rows += [(4, "z"), (5, "z"), (5, None), (None, "x")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_pairs(df, "bk", "it").collect()}
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r.support == 4
+    # lift = 4*6/(4*4) = 1.5 -> 1_500_000 ppm
+    assert r.lift_ppm == 1_500_000
+    # support threshold filters the pair out
+    assert cooccurrence_pairs(df, "bk", "it", min_support=5).count() == 0
