@@ -595,6 +595,71 @@ def event_cooccurrence_lift(spark, sf_dir):
     return cooccurrence_pairs(ev, "user_id", "event_type", min_support=5)
 
 
+@_q(
+    "join_key_skew_audit",
+    """
+    WITH c AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type),
+    t AS (SELECT COUNT(*) AS n FROM events)
+    SELECT event_type, n_rows,
+           CAST((n_rows * 1000000) // n AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN t
+    WHERE (n_rows * 1000000) // n >= 100000
+    """,
+    tags=("stats-skew", "diagnostics"),
+)
+def join_key_skew_audit(spark, sf_dir):
+    """Shuffle-key skew audit: keys whose row share exceeds 10% in
+    exact integer ppm — the pre-flight check before a 100 TB join
+    hangs one reducer (salt / AQE-split / broadcast decisions need
+    this number). One map-side aggregate + broadcast total."""
+    from etl_rj_spark.operators.skew import skew_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_audit(ev, "event_type", threshold_ppm=100_000)
+
+
+@_q(
+    "value_trend_slope",
+    """
+    WITH v AS (
+      SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(x::HUGEINT) AS sx,
+             SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * y) AS sxy,
+             SUM(x::HUGEINT * x) AS sxx
+      FROM v GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(ROUND((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE * 1000000) AS BIGINT)
+             AS slope_ppm,
+           CAST(ROUND((sy::DOUBLE
+                       - ((n * sxy - sx * sy)::DOUBLE
+                          / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                      / n::DOUBLE * 1000000) AS BIGINT)
+             AS intercept_ppm
+    FROM m WHERE n * sxx - sx * sx <> 0
+    """,
+    tags=("stats-regression",),
+)
+def value_trend_slope(spark, sf_dir):
+    """Per-event-type OLS trend of value-cents over epoch days, from
+    exact decimal moment sums — order-independent where regr_slope's
+    float reduction is not; one correctly-rounded division per
+    coefficient, oracle replays the identical operation order."""
+    from etl_rj_spark.operators.stats import ols_slope_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return ols_slope_by_group(ev, "event_type", "x", "y")
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

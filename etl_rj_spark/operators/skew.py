@@ -40,3 +40,30 @@ def salted_join(
     )
     out = salted_facts.join(replicas, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_audit(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    threshold_ppm: int = 10_000,
+) -> DataFrame:
+    """Join/shuffle-key skew audit: the keys whose row share exceeds
+    ``threshold_ppm`` (default 1%) — the pre-flight check that tells
+    you whether a planned join/groupBy needs :func:`salted_join`, an
+    AQE skew split, or a broadcast, BEFORE the 100 TB shuffle hangs on
+    one reducer. Share is exact integer ppm ``(c·10⁶) div n``; NULL
+    keys are reported as their own row (they hash to one reducer too —
+    the most common real-world skew). One map-side-combinable
+    aggregate; the total broadcasts back as one row.
+
+    Returns (key cols…, n_rows, share_ppm), heavy keys only.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn("share_ppm", F.expr("(n_rows * CAST(1000000 AS BIGINT)) div __n"))
+        .filter(F.col("share_ppm") >= int(threshold_ppm))
+        .drop("__n")
+    )

@@ -164,3 +164,51 @@ def cooccurrence_pairs(
             ).alias("lift_ppm"),
         )
     )
+
+
+def ols_slope_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares slope and intercept from EXACT
+    integer moment sums: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with
+    every moment accumulated in decimal(38,0) (order-independent),
+    then ONE correctly-rounded double division — deterministic across
+    engines and partitionings where ``regr_slope``'s float reduction
+    is not. Inputs must be integer-valued columns (scale yours up:
+    cents, epoch days, micros). Slope/intercept ship ×10⁶ as rounded
+    integer ppm.
+
+    Groups with < 2 points or zero x-variance have no defined slope
+    and are dropped. One map-side-combinable aggregate, no window.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    m = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * F.col(y_col)).alias("__sxy"),
+            F.sum(x * F.col(x_col)).alias("__sxx"),
+        )
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    return (
+        m.filter(den != F.lit(0).cast("decimal(38,0)"))
+        .select(
+            group_col,
+            F.col("__n").cast("bigint").alias("n_points"),
+            F.round(slope * 1e6).cast("long").alias("slope_ppm"),
+            F.round(intercept * 1e6).cast("long").alias("intercept_ppm"),
+        )
+    )

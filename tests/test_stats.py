@@ -82,3 +82,28 @@ def test_cooccurrence_pairs_support_and_lift(spark):
     assert r.lift_ppm == 1_500_000
     # support threshold filters the pair out
     assert cooccurrence_pairs(df, "bk", "it", min_support=5).count() == 0
+
+
+def test_skew_audit_reports_null_and_hot_keys(spark):
+    from etl_rj_spark.operators.skew import skew_audit
+
+    rows = [(None,)] * 300 + [("hot",)] * 650 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in skew_audit(df, "k", threshold_ppm=50_000).collect()}
+    assert set(got) == {None, "hot"}  # cold keys (0.1% each) silent
+    assert got["hot"].share_ppm == 650_000
+    assert got[None].n_rows == 300  # NULL reducer skew reported
+
+
+def test_ols_slope_exact(spark):
+    from etl_rj_spark.operators.stats import ols_slope_by_group
+
+    rows = [("g", x, 3 * x + 7) for x in range(100)]       # perfect line
+    rows += [("flat", x, 42) for x in range(10)]            # slope 0
+    rows += [("deg", 5, 1), ("deg", 5, 9)]                  # zero x-variance → drop
+    rows += [("one", 1, 1)]                                 # single point → drop
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in ols_slope_by_group(df, "g", "x", "y").collect()}
+    assert set(got) == {"g", "flat"}
+    assert got["g"].slope_ppm == 3_000_000 and got["g"].intercept_ppm == 7_000_000
+    assert got["flat"].slope_ppm == 0 and got["flat"].intercept_ppm == 42_000_000
