@@ -1200,6 +1200,47 @@ def embedding_standardize_q(spark, sf_dir):
 
 
 @_q(
+    "knn_label_vote",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 40),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, label, {_SQL_COS} AS score
+      FROM q CROSS JOIN c WHERE vec_id <> query_id
+    ),
+    neigh AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored QUALIFY rnk <= 15
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes FROM neigh GROUP BY 1, 2
+    ),
+    tot AS (SELECT query_id, COUNT(*) AS n_neighbors FROM neigh GROUP BY 1)
+    SELECT query_id, label AS pred_label, votes, n_neighbors
+    FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes QUALIFY vr = 1
+    ) JOIN tot USING (query_id)
+    """,
+    tags=("similarity-knn-vote",),
+)
+def knn_label_vote_q(spark, sf_dir):
+    """kNN pseudo-labeling: majority vote of the 15 exactly-nearest
+    labeled vectors per query, self-matches excluded before ranking,
+    deterministic (votes DESC, label) tie-break — the oracle replays
+    scoring, ranking, voting, and the winner selection."""
+    from etl_rj_spark.operators.similarity import knn_label_vote
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(e, e.filter(F.col("vec_id") < 40), k=15)
+
+
+@_q(
     "embedding_mean_pool",
     """
     WITH x AS (

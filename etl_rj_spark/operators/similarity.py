@@ -630,3 +630,64 @@ def mean_pool_embeddings(
             ).alias(out_col),
         )
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """kNN pseudo-labeling: predict each query's label by MAJORITY VOTE
+    of its k exactly-nearest labeled corpus vectors (cosine) — the
+    weak-supervision step that propagates a small labeled seed over an
+    unlabeled corpus (label bootstrapping, eval-set sanity checks,
+    semantic-cell tagging).
+
+    Self-matches are excluded by id BEFORE ranking, so seeding queries
+    from the corpus itself never lets a vector vote for itself. Ties:
+    neighbors rank by (score DESC, id), the winning label by
+    (votes DESC, label) — fully deterministic, no float in the vote
+    compare. Returns (query_id, pred_label, votes, n_neighbors).
+
+    Scale: the same broadcast-queries/map-side-score shape as
+    :func:`cosine_topk` (the exact baseline); swap in the IVF/LSH
+    shortlists for the index-backed variant when the query side stops
+    fitting a broadcast.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), vec_double(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(label_col), vec_double(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col, label_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("__score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__score"), id_col)
+    neigh = scored.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
+    )
+    votes = neigh.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_v = Window.partitionBy(query_id_col).orderBy(
+        F.desc("votes"), F.col(label_col)
+    )
+    totals = neigh.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_neighbors"))
+    return (
+        votes.withColumn("__vr", F.row_number().over(w_v))
+        .filter(F.col("__vr") == 1)
+        .join(totals, query_id_col)
+        .select(
+            query_id_col, F.col(label_col).alias("pred_label"), "votes", "n_neighbors"
+        )
+    )

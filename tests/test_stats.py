@@ -107,3 +107,19 @@ def test_ols_slope_exact(spark):
     assert set(got) == {"g", "flat"}
     assert got["g"].slope_ppm == 3_000_000 and got["g"].intercept_ppm == 7_000_000
     assert got["flat"].slope_ppm == 0 and got["flat"].intercept_ppm == 42_000_000
+
+
+def test_knn_label_vote_majority_and_self_exclusion(spark):
+    from etl_rj_spark.operators.similarity import knn_label_vote
+
+    # two tight clusters in 2-d; labels follow clusters except one
+    # mislabeled point whose vote the majority overrides
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 1) for i in range(5)]
+    rows.append((5, [1.05, 0.0], 2))             # mislabeled in cluster 1
+    rows += [(10 + i, [0.0, 1.0 + 0.01 * i], 2) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = corpus.filter("vec_id in (0, 10)")
+    got = {r.query_id: r for r in knn_label_vote(corpus, queries, k=5).collect()}
+    assert got[0].pred_label == 1 and got[0].votes == 4   # 4 of 5 neighbors labeled 1
+    assert got[10].pred_label == 2
+    assert got[0].n_neighbors == 5  # self excluded, still k neighbors
