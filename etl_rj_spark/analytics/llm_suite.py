@@ -1199,6 +1199,63 @@ def embedding_standardize_q(spark, sf_dir):
     )
 
 
+_SQL_COS_NANO = (
+    f"CAST(ROUND(({_SQL_DOT}) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))) "
+    "* 1000000000) AS BIGINT)"
+)
+
+@_q(
+    "margin_bitext_pairs",
+    f"""
+    WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 30),
+    t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 400),
+    scored AS (
+      SELECT src_id, tgt_id, {_SQL_COS_NANO} AS score_nano FROM s CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id ORDER BY score_nano DESC, tgt_id) AS rs,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY score_nano DESC, src_id) AS rt
+      FROM scored
+    ),
+    ss AS (SELECT src_id, SUM(score_nano) AS sum_s FROM ranked WHERE rs <= 4 GROUP BY 1),
+    st AS (SELECT tgt_id, SUM(score_nano) AS sum_t FROM ranked WHERE rt <= 4 GROUP BY 1),
+    cand AS (
+      SELECT r.src_id, r.tgt_id, r.score_nano,
+             CAST(8 * r.score_nano - ss.sum_s - st.sum_t AS BIGINT) AS margin_scaled
+      FROM ranked r JOIN ss USING (src_id) JOIN st USING (tgt_id)
+      WHERE rs <= 4 OR rt <= 4
+    ),
+    best AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id ORDER BY margin_scaled DESC, tgt_id) AS bs,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY margin_scaled DESC, src_id) AS bt
+      FROM cand
+    )
+    SELECT src_id, tgt_id, score_nano, margin_scaled
+    FROM best WHERE bs = 1 AND bt = 1 AND margin_scaled >= 0
+    """,
+    tags=("similarity-bitext",),
+)
+def margin_bitext_pairs_q(spark, sf_dir):
+    """Margin-based bitext mining between two embedding pools:
+    mutual-best pairs under the division-free scaled difference margin
+    2k·s − (Σtopk_src + Σtopk_tgt) — the local-density normalization
+    that raw cosine thresholds lack. Pure int64 after the nano round;
+    the oracle replays scoring, both top-k sums, margins, and the
+    mutuality filter."""
+    from etl_rj_spark.operators.similarity import margin_bitext_mine
+
+    e = _t(spark, sf_dir, "embeddings")
+    return margin_bitext_mine(
+        e.filter(F.col("vec_id") < 30), e.filter(F.col("vec_id") >= 400), k=4
+    )
+
+
 @_q(
     "knn_label_vote",
     f"""

@@ -691,3 +691,84 @@ def knn_label_vote(
             query_id_col, F.col(label_col).alias("pred_label"), "votes", "n_neighbors"
         )
     )
+
+
+def margin_bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold_scaled: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (the public LASER/CCMatrix recipe,
+    difference-margin variant): align two embedding spaces (source /
+    target sentence pools) by keeping MUTUAL-BEST pairs whose cosine
+    clears the average of both sides' top-k neighborhoods — raw cosine
+    thresholds over-select from dense regions ("hubs"); the margin
+    normalizes by local density.
+
+    Integer contract: cosines land as nano ints (round ×10⁹); the
+    margin is the DIVISION-FREE scaled difference
+    ``m = 2k·s − (Σtopk_src + Σtopk_tgt)`` (positive ⇔ the pair beats
+    the mean of its two neighborhoods; monotone in the distance margin
+    a − (μ_src+μ_tgt)/2) — pure int64 adds/multiplies, so Spark and an
+    oracle agree bit-for-bit even for negative cosines where integer
+    division truncation differs between engines.
+
+    A pair survives iff it is BOTH its source's and its target's
+    best-margin candidate AND ``m ≥ threshold_scaled`` (0 = beat your
+    neighborhood mean). Candidates are the union of forward and
+    backward top-k. Returns (src_id, tgt_id, score_nano,
+    margin_scaled). Assumes ≥ k rows on each side.
+
+    Scale: broadcast the smaller pool; scoring is map-side. For pools
+    past broadcast size, generate candidates with the ANN shortlists
+    and feed them through the same margin/mutuality windows.
+    """
+    s_pool = F.broadcast(
+        src.select(F.col(id_col).alias("src_id"), vec_double(vec_col).alias("__sv"))
+    )
+    t_pool = tgt.select(F.col(id_col).alias("tgt_id"), vec_double(vec_col).alias("__tv"))
+    scored = s_pool.crossJoin(t_pool).select(
+        "src_id", "tgt_id",
+        F.round(cosine(F.col("__sv"), F.col("__tv")) * 1e9).cast("long").alias("score_nano"),
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("score_nano"), "tgt_id")
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("score_nano"), "src_id")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_s).alias("__rs"),
+        F.row_number().over(w_t).alias("__rt"),
+    )
+    sum_s = (
+        ranked.filter(F.col("__rs") <= k)
+        .groupBy("src_id").agg(F.sum("score_nano").alias("__sum_s"))
+    )
+    sum_t = (
+        ranked.filter(F.col("__rt") <= k)
+        .groupBy("tgt_id").agg(F.sum("score_nano").alias("__sum_t"))
+    )
+    cand = (
+        ranked.filter((F.col("__rs") <= k) | (F.col("__rt") <= k))
+        .join(F.broadcast(sum_s), "src_id")
+        .join(F.broadcast(sum_t), "tgt_id")
+        .withColumn(
+            "margin_scaled",
+            F.lit(2 * k) * F.col("score_nano") - F.col("__sum_s") - F.col("__sum_t"),
+        )
+    )
+    w_ms = Window.partitionBy("src_id").orderBy(F.desc("margin_scaled"), "tgt_id")
+    w_mt = Window.partitionBy("tgt_id").orderBy(F.desc("margin_scaled"), "src_id")
+    return (
+        cand.select(
+            "src_id", "tgt_id", "score_nano", "margin_scaled",
+            F.row_number().over(w_ms).alias("__bs"),
+            F.row_number().over(w_mt).alias("__bt"),
+        )
+        .filter(
+            (F.col("__bs") == 1) & (F.col("__bt") == 1)
+            & (F.col("margin_scaled") >= int(threshold_scaled))
+        )
+        .select("src_id", "tgt_id", "score_nano", "margin_scaled")
+    )

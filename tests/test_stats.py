@@ -123,3 +123,25 @@ def test_knn_label_vote_majority_and_self_exclusion(spark):
     assert got[0].pred_label == 1 and got[0].votes == 4   # 4 of 5 neighbors labeled 1
     assert got[10].pred_label == 2
     assert got[0].n_neighbors == 5  # self excluded, still k neighbors
+
+
+def test_margin_bitext_mutual_best(spark):
+    from etl_rj_spark.operators.similarity import margin_bitext_mine
+
+    # target pool = rotated copies of the source pool (ids offset 100):
+    # the planted alignment is src i <-> tgt 100+i
+    import math
+    srows, trows = [], []
+    for i in range(8):
+        a = 2 * math.pi * i / 8
+        v = [math.cos(a), math.sin(a), 1.0]
+        srows.append((i, v))
+        trows.append((100 + i, [x * 2.0 for x in v]))  # scale-invariant cosine
+    src = spark.createDataFrame(srows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(trows, "vec_id long, embedding array<double>")
+    got = {(r.src_id, r.tgt_id) for r in margin_bitext_mine(src, tgt, k=3).collect()}
+    assert got == {(i, 100 + i) for i in range(8)}
+    # each side appears at most once (mutual-best is a partial matching)
+    rows = margin_bitext_mine(src, tgt, k=3).collect()
+    assert len({r.src_id for r in rows}) == len(rows)
+    assert len({r.tgt_id for r in rows}) == len(rows)
