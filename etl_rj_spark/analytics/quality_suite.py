@@ -660,6 +660,51 @@ def value_trend_slope(spark, sf_dir):
     return ols_slope_by_group(ev, "event_type", "x", "y")
 
 
+@_q(
+    "exact_auc_purchase_value",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM v GROUP BY s),
+    cum AS (
+      SELECT s, c, p,
+             SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - c AS before
+      FROM per
+    )
+    SELECT CAST(((SUM(p::HUGEINT * (2 * before + c + 1))
+                  - SUM(p::HUGEINT) * (SUM(p::HUGEINT) + 1)) * 1000000)
+                // (2 * SUM(p::HUGEINT) * SUM((c - p)::HUGEINT)) AS BIGINT)
+             AS auc_ppm,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(c - p) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+    tags=("stats-auc", "evaluation"),
+)
+def exact_auc_purchase_value(spark, sf_dir):
+    """EXACT distributed ROC-AUC (does event value predict purchase?)
+    via the Mann–Whitney rank-sum with integer midranks — per-score
+    counts reduce map-side and the only ordered pass runs over the
+    score vocabulary, never a global row sort. decimal-exact to the
+    final ppm division; oracle replays ranks, tie handling, and the
+    rank-sum identity."""
+    from etl_rj_spark.operators.stats import exact_auc
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    return exact_auc(ev, "s", "y")
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

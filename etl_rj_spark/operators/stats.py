@@ -212,3 +212,52 @@ def ols_slope_by_group(
             F.round(intercept * 1e6).cast("long").alias("intercept_ppm"),
         )
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC of an integer score against a binary label,
+    computed distributed via the Mann–Whitney rank-sum — with NO
+    global row sort: per-distinct-score counts reduce map-side, one
+    cumulative runs over the score VOCABULARY, and tied scores get the
+    standard midrank. Doubled ranks (2·avg_rank = 2·before + c + 1)
+    keep midranks integer; decimal(38,0) keeps every sum exact at any
+    corpus size, and the single ppm division is the only rounding:
+
+        auc_ppm = (Σ2ranks₊ − n₊(n₊+1)) · 10⁶ div (2·n₊·n₋)
+
+    Labels must be 0/1 (NULL score or label rows are dropped).
+    Returns one row (auc_ppm, n_pos, n_neg) — 500000 = random,
+    1000000 = perfect separation.
+    """
+    v = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"), F.col(label_col).cast("long").alias("__y")
+    )
+    per = v.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "__s", "__c", "__p", (F.sum("__c").over(w) - F.col("__c")).alias("__before")
+    )
+    dec = "cast(__p as decimal(38,0))"
+    return (
+        cum.agg(
+            F.expr(f"sum({dec} * (2 * __before + __c + 1))").alias("__s2"),
+            F.expr("cast(sum(__p) as decimal(38,0))").alias("__np"),
+            F.expr("cast(sum(__c - __p) as decimal(38,0))").alias("__nn"),
+        )
+        .select(
+            F.expr(
+                "cast(((__s2 - __np * (__np + 1)) * 1000000)"
+                " div (2 * __np * __nn) as bigint)"
+            ).alias("auc_ppm"),
+            F.col("__np").cast("bigint").alias("n_pos"),
+            F.col("__nn").cast("bigint").alias("n_neg"),
+        )
+    )

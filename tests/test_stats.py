@@ -145,3 +145,20 @@ def test_margin_bitext_mutual_best(spark):
     rows = margin_bitext_mine(src, tgt, k=3).collect()
     assert len({r.src_id for r in rows}) == len(rows)
     assert len({r.tgt_id for r in rows}) == len(rows)
+
+
+def test_exact_auc_known_values(spark):
+    from etl_rj_spark.operators.stats import exact_auc
+
+    def auc(pairs):
+        df = spark.createDataFrame(pairs, "s long, y int")
+        r = exact_auc(df, "s", "y").collect()[0]
+        return r.auc_ppm, r.n_pos, r.n_neg
+
+    assert auc([(1, 0), (2, 0), (3, 1), (4, 1)]) == (1_000_000, 2, 2)   # perfect
+    assert auc([(4, 0), (3, 0), (2, 1), (1, 1)])[0] == 0                 # inverted
+    assert auc([(1, 0), (1, 1), (2, 0), (2, 1)])[0] == 500_000           # all tied
+    # midrank tie handling: pairs (2,1)=1, (2,2)=0.5, (3,1)=1, (3,2)=1 -> 3.5/4
+    assert auc([(1, 0), (2, 0), (2, 1), (3, 1)])[0] == 875_000
+    # null rows dropped
+    assert auc([(1, 0), (2, 1), (None, 1), (3, None)]) == (1_000_000, 1, 1)
