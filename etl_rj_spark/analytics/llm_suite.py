@@ -1382,6 +1382,43 @@ def preference_pairs_mined_q(spark, sf_dir):
 
 
 @_q(
+    "temperature_mix_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'big'
+                  WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS source
+      FROM documents
+    ),
+    c AS (SELECT source AS b, COUNT(*) AS n FROM docs GROUP BY 1),
+    r AS (SELECT b, sqrt(sqrt(n::DOUBLE)) / n::DOUBLE AS ratio FROM c),
+    mx AS (SELECT MAX(ratio) AS m FROM r),
+    p AS (SELECT b, round(ratio / m, 9) AS p FROM r CROSS JOIN mx)
+    SELECT d.doc_id, d.source
+    FROM docs d JOIN p ON d.source = p.b
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          / 4503599627370496.0 < p.p
+    """,
+    tags=("curation-mix", "temperature"),
+)
+def temperature_mix_docs(spark, sf_dir):
+    """Temperature-4 source mixing over a skewed 70/20/10 source split:
+    per-source keep probability ∝ n^(1/4)/n, scarcest source keeps
+    100 % — n^(1/4) as two correctly-rounded sqrt steps (never pow),
+    hash-deterministic selection the oracle replays row-for-row."""
+    from etl_rj_spark.operators.curation import temperature_mix_resample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("small")
+        .alias("source"),
+    )
+    return temperature_mix_resample(d, "source", "doc_id", temperature=4)
+
+
+@_q(
     "hash_split_docs",
     """
     SELECT doc_id,

@@ -566,3 +566,65 @@ def preference_pairs(
             (F.col("chosen_score") - F.col("rejected_score")).alias("score_margin"),
         )
     )
+
+
+def temperature_mix_resample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    temperature: int = 2,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual √-mix):
+    thin each source so its share moves from ``n_b`` toward
+    ``n_b^(1/T)`` — big corpora stop drowning small ones, without the
+    small ones being upsampled. Per-source keep probability
+    ``p(b) ∝ n_b^(1/T) / n_b`` normalized so the scarcest source
+    keeps 100 % (maximum-retention thinning; expected output shares
+    ∝ n^(1/T) exactly).
+
+    ``temperature`` must be a power of two: n^(1/T) is computed as a
+    chain of IEEE-correctly-rounded ``sqrt`` steps (pow() is NOT
+    correctly-rounded-guaranteed across libm implementations — the
+    same reason the decay operator uses λ=½). Selection is the
+    module's hash-deterministic rule (md5 fraction vs 9-dp p), so
+    re-runs, engines and partitionings agree row-for-row.
+
+    NULL-source rows pass through untouched (no mix weight to apply —
+    the null-group convention of the resamplers). Scale: one KB count
+    aggregate broadcast back; the corpus side filters in the scan
+    stage and never shuffles.
+    """
+    t = int(temperature)
+    if t < 2 or (t & (t - 1)) != 0:
+        raise ValueError(
+            f"temperature must be a power of two >= 2 (got {temperature}): "
+            "n^(1/T) is computed by repeated correctly-rounded sqrt"
+        )
+    counts = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = F.col("__n").cast("double")
+    steps = t.bit_length() - 1
+    for _ in range(steps):
+        w = F.sqrt(w)
+    ratios = counts.select("__b", (w / F.col("__n").cast("double")).alias("__ratio"))
+    mx = ratios.agg(F.max("__ratio").alias("__mx"))
+    probs = F.broadcast(
+        ratios.crossJoin(F.broadcast(mx)).select(
+            "__b", F.round(F.col("__ratio") / F.col("__mx"), 9).alias("__p")
+        )
+    )
+    hash_frac = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    kept = (
+        df.filter(F.col(source_col).isNotNull())
+        .join(probs, F.col(source_col) == F.col("__b"))
+        .filter(hash_frac < F.col("__p"))
+        .drop("__b", "__p")
+    )
+    return kept.unionByName(df.filter(F.col(source_col).isNull()))

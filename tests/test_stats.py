@@ -162,3 +162,27 @@ def test_exact_auc_known_values(spark):
     assert auc([(1, 0), (2, 0), (2, 1), (3, 1)])[0] == 875_000
     # null rows dropped
     assert auc([(1, 0), (2, 1), (None, 1), (3, None)]) == (1_000_000, 1, 1)
+
+
+def test_temperature_mix_resample_contract(spark):
+    import pytest
+
+    from etl_rj_spark.operators.curation import temperature_mix_resample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(30)]
+    rows += [(2000, None), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix_resample(df, "source", "doc_id", temperature=2).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, set()).add(r.doc_id)
+    assert kept[None] == {2000, 2001}             # null rows pass through
+    assert len(kept["small"]) == 30               # scarcest keeps 100%
+    # big thins toward sqrt scaling: p_big = (sqrt(900)/900)/(sqrt(30)/30)
+    # = 30/900 * 30/sqrt(30*900) ... ≈ 0.183 → ~165 of 900
+    assert 100 < len(kept["big"]) < 260
+    # deterministic
+    again = {r.doc_id for r in temperature_mix_resample(df, "source", "doc_id", 2).collect()}
+    assert again == {r.doc_id for r in out}
+    with pytest.raises(ValueError, match="power of two"):
+        temperature_mix_resample(df, "source", "doc_id", temperature=3)
