@@ -685,6 +685,52 @@ def kmeans_cells(spark, sf_dir):
     return kmeans_assign(e, centroids)
 
 
+_DOC_FEATS_SOURCE = rf"""(
+  SELECT doc_id AS vec_id,
+         list_filter(string_split_regex({_NT}, '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)"""
+
+_DOC_FEATS_IV = """list_transform(range(0, 16), j ->
+  CAST(len(list_filter(toks, t ->
+    ('0x' || substr(md5(t), 1, 12))::BIGINT % 16 = j)) AS BIGINT) * 1048576)"""
+
+
+@_q(
+    "doc_topic_cells",
+    f"""
+    WITH {_kmeans_oracle_ctes(k=6, dim=16, source=_DOC_FEATS_SOURCE, iv_expr=_DOC_FEATS_IV)},
+    final AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 17), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
+        FROM base p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id AS doc_id, cid AS cell FROM final
+    """,
+    tags=("text-topics", "similarity-kmeans"),
+)
+def doc_topic_cells(spark, sf_dir):
+    """Text → topic cells with NO model artifacts: md5 feature-hashed
+    token-count vectors (16 buckets) clustered by the deterministic
+    integer k-means (k=6, 2 Lloyd iterations) — the full
+    featurize→train→assign chain is exact integer arithmetic, so the
+    oracle replays tokenization, hashing, BOTH training iterations,
+    and the final assignment bit-for-bit. At scale this is topic
+    routing/layout: write the corpus bucketed by cell."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from etl_rj_spark.operators.text_analysis import feature_hash_vectors
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    feats = feature_hash_vectors(docs, "doc_id", "text", dim=16)
+    cents = kmeans_fit(feats, vec_col="features", id_col="doc_id", k=6, iters=2)
+    return kmeans_assign(feats, cents, vec_col="features", id_col="doc_id")
+
+
 @_q(
     "cell_balanced_sample",
     f"""

@@ -199,3 +199,33 @@ def bigram_fluency_score(df, id_col: str, text_col: str):
             F.min("p_ppm").alias("min_cond_ppm"),
         )
     )
+
+
+def feature_hash_vectors(df, id_col: str, text_col: str, dim: int = 16):
+    """Hashing-trick document feature vectors: ``dim``-length integer
+    token-count vectors, bucket = md5-hash of the token mod ``dim`` —
+    the dependency-free, vocabulary-free featurization that turns raw
+    text into something the integer k-means / IVF / similarity stack
+    can cluster (topic cells, near-topic routing) without training or
+    shipping a vocabulary. md5 keeps the bucket assignment
+    engine-portable (the module's cross-engine hash contract).
+
+    Counts are emitted as ``array<double>`` so the vectors slot
+    directly into the quantizing k-means ops (floor(c·2²⁰) rescales
+    them exactly — counts are integers). Scan-stage only: the
+    per-token bucket filter is O(dim·|tokens|) per doc, fine for the
+    routing-sized dims this exists for (≤ 64); for wide feature spaces
+    explode tokens and pivot through a (doc, bucket) aggregate
+    instead. NULL text → NULL vector (filter before clustering).
+    """
+    toks = whitespace_tokens(normalized_text(text_col))
+
+    def bucket(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % dim
+
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(toks, lambda t: bucket(t) == j)).cast("double"),
+    )
+    feats = F.when(F.col(text_col).isNull(), F.lit(None).cast("array<double>")).otherwise(feats)
+    return df.select(F.col(id_col), feats.alias("features"))

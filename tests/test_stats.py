@@ -186,3 +186,29 @@ def test_temperature_mix_resample_contract(spark):
     assert again == {r.doc_id for r in out}
     with pytest.raises(ValueError, match="power of two"):
         temperature_mix_resample(df, "source", "doc_id", temperature=3)
+
+
+def test_feature_hash_topic_clustering(spark):
+    """Docs drawn from two disjoint vocabularies cluster into separate
+    k-means cells via feature-hashed count vectors; NULL text yields a
+    NULL vector."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from etl_rj_spark.operators.text_analysis import feature_hash_vectors
+
+    va = "alpha beta gamma delta epsilon"
+    vb = "uno dos tres cuatro cinco"
+    rows = [(i, f"{va} {va}") for i in range(10)]
+    rows += [(100 + i, f"{vb} {vb} {vb}") for i in range(10)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = feature_hash_vectors(df, "doc_id", "text", dim=8)
+    got = {r.doc_id: r.features for r in feats.collect()}
+    assert got[999] is None
+    assert got[0] == got[1] and sum(got[0]) == 10.0  # identical docs, 10 tokens
+    fit_in = feats.filter("features is not null")
+    cents = kmeans_fit(fit_in, vec_col="features", id_col="doc_id", k=2, iters=2)
+    cells = {r.doc_id: r.cell for r in kmeans_assign(
+        fit_in, cents, vec_col="features", id_col="doc_id").collect()}
+    a_cells = {cells[i] for i in range(10)}
+    b_cells = {cells[100 + i] for i in range(10)}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
