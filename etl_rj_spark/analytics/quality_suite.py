@@ -705,6 +705,36 @@ def exact_auc_purchase_value(spark, sf_dir):
     return exact_auc(ev, "s", "y")
 
 
+@_q(
+    "retention_labels_events",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN nxt IS NOT NULL AND nxt <= ts + INTERVAL 7 DAY
+                THEN 1 ELSE 0 END AS retained,
+           (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS gap_seconds
+    FROM w
+    """,
+    tags=("feature-labels", "windows"),
+)
+def retention_labels_events(spark, sf_dir):
+    """Retention labels: 1 iff the user has another event within 7
+    days — one lead over the (user, ts, id) window (sorted events make
+    next-within-horizon ⟺ any-within-horizon), no future self-join.
+    gap_seconds in exact integer micros→seconds; last events are
+    right-censored to 0."""
+    from etl_rj_spark.operators.windows import future_window_label
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return future_window_label(ev, "user_id", "ts", "event_id", horizon_days=7).drop(
+        "ts"
+    )
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

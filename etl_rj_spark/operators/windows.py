@@ -57,3 +57,48 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def future_window_label(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon_days: int,
+    label_col: str = "retained",
+) -> DataFrame:
+    """Supervised retention/churn labels WITHOUT leakage gymnastics:
+    each row is labeled 1 iff the same group has ANOTHER event within
+    ``horizon_days`` after it. Because events sorted by time make "any
+    future event within the horizon" equivalent to "the NEXT event
+    within the horizon", one ``lead`` over the (group, ts, id) window
+    suffices — no self-join against the future, no per-row range scan.
+
+    Also emits ``gap_seconds`` to the next event (NULL for each
+    group's last event; its label is 0 — the right-censoring
+    convention, callers typically drop rows whose observation window
+    extends past the data's end). Deterministic: the window orders by
+    (ts, id); gap arithmetic is exact integer micros → seconds.
+
+    One shuffle on the group key — the same partitioning every other
+    per-entity feature wants, so at scale this rides an existing
+    repartition.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
+    nxt = F.lead(ts_col).over(w)
+    # integer micros → whole seconds: subtract the remainder first so
+    # the double division is exact (numerator a multiple of 10⁶, well
+    # under 2^53) — same trick as the range-join bucketing
+    diff = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    gap_s = ((diff - diff % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
+    return df.select(
+        "*",
+        F.when(
+            nxt.isNotNull()
+            & (nxt <= F.col(ts_col) + F.expr(f"INTERVAL {int(horizon_days)} DAYS")),
+            1,
+        )
+        .otherwise(0)
+        .alias(label_col),
+        gap_s.alias("gap_seconds"),
+    )

@@ -212,3 +212,23 @@ def test_feature_hash_topic_clustering(spark):
     a_cells = {cells[i] for i in range(10)}
     b_cells = {cells[100 + i] for i in range(10)}
     assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
+def test_future_window_label(spark):
+    import datetime
+
+    from etl_rj_spark.operators.windows import future_window_label
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", 1, t0),
+        ("u", 2, t0 + datetime.timedelta(days=3)),     # within 7d of #1
+        ("u", 3, t0 + datetime.timedelta(days=20)),    # next gap 17d → #2 label 0
+        ("v", 9, t0),                                  # singleton → 0, NULL gap
+    ]
+    df = spark.createDataFrame(rows, "u string, eid long, ts timestamp")
+    got = {r.eid: r for r in future_window_label(df, "u", "ts", "eid", 7).collect()}
+    assert got[1].retained == 1 and got[1].gap_seconds == 3 * 86400
+    assert got[2].retained == 0 and got[2].gap_seconds == 17 * 86400
+    assert got[3].retained == 0 and got[3].gap_seconds is None
+    assert got[9].retained == 0 and got[9].gap_seconds is None
