@@ -242,3 +242,41 @@ def test_weighted_sample_single_shuffle_with_group_limit(spark, sf_dir):
     # one shuffle (by group); "Exchange" also matches BroadcastExchange
     # but both join counters are pinned 0 above
     assert counts["exchange"] <= 1, counts
+
+
+def test_prefix_filter_no_cartesian(spark, sf_dir):
+    """New r7: the prefix-filtered set-similarity join must stay an
+    equi-join pipeline — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere (the all-pairs shape it exists to avoid)."""
+    df = REGISTRY["set_similarity_prefix_pairs"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_equi_depth_bins_broadcast_map_back(spark, sf_dir):
+    """New r7: the bin map and the scalar total broadcast back — the
+    row side never shuffle-joins, and no global row sort exists (the
+    single sort is over the distinct-value table inside the window)."""
+    counts = explain_counts(REGISTRY["equi_depth_price_bins"].build(spark, sf_dir))
+    assert counts["sort_merge_join"] == 0 and counts["shuffled_hash_join"] == 0, counts
+    assert counts["broadcast_hash_join"] >= 1, counts
+
+
+def test_standardize_stats_broadcast_scan_stage_z(spark, sf_dir):
+    """New r7: standardization stats ride ONE broadcast row back into
+    a scan-stage transform — no join shuffle on the vector side."""
+    df = REGISTRY["embedding_standardize"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["shuffled_hash_join"] == 0, counts
+
+
+def test_exact_auc_no_row_sort(spark, sf_dir):
+    """New r7: AUC's only Sort is the vocabulary cumulative window —
+    the row-level relation is never globally sorted (per-score counts
+    reduce first)."""
+    df = REGISTRY["exact_auc_purchase_value"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window (the cumulative over distinct scores)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0, counts
