@@ -709,6 +709,77 @@ def stream_topk_maintenance(spark, sf_dir):
 
 
 @_q(
+    "stream_moments_maintenance",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, 1 AS n_is_2x,
+           CAST(ROUND(SUM(c)::DOUBLE / COUNT(*) * 1000000) AS BIGINT) AS mean_ppm,
+           CAST(ROUND((COUNT(*)::HUGEINT * SUM(c::HUGEINT * c)
+                       - SUM(c::HUGEINT) * SUM(c))::DOUBLE
+                      / (COUNT(*)::HUGEINT * COUNT(*))::DOUBLE
+                      * 1000000) AS BIGINT) AS var_ppm
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "moments", "incremental", "exact-state"),
+)
+def stream_moments_maintenance(spark, sf_dir):
+    """Streaming EXACT moment-state maintenance (streaming/moments.py)
+    — the fourth class in the state taxonomy: integer (n, Σx, Σx²)
+    sums are additive like frequent-items (so the batch-id ledger
+    carries idempotence) but exact (no sketch error). Events drain as
+    3 micro-batches; one extra whole-table fold under a fresh id
+    doubles every sum, and REDELIVERING that id must change nothing.
+    The contract exploits exact-doubling invariance: served mean/var
+    from the (2n, 2Σx, 2Σx²) state must equal the single-pass values
+    the oracle computes directly from events (powers of two scale IEEE
+    doubles exactly), and ``n_is_2x`` pins the ledger arithmetic."""
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.moments import (
+        fold_moments_batch,
+        serve_moment_stats,
+        stream_moment_partials,
+    )
+
+    root = _scratch("stream_moments")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    stream_moment_partials(
+        stream, f"{root}/partials", f"{root}/ck"
+    ).awaitTermination()
+    fold_moments_batch(ev, 99, f"{root}/partials")
+    fold_moments_batch(ev, 99, f"{root}/partials")  # ledgered no-op
+
+    served = serve_moment_stats(spark, f"{root}/partials").select(
+        F.col("grp").alias("event_type"),
+        F.col("n").alias("__served_n"),
+        "mean_ppm", "var_ppm",
+    )
+    exact = (
+        ev.filter(F.col("cents").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.join(served, "event_type")
+        .select(
+            "event_type", "n",
+            (F.lit(2) * F.col("n") == F.col("__served_n")).cast("int").alias("n_is_2x"),
+            "mean_ppm", "var_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "stream_theta_overlap",
     """
     WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),

@@ -996,3 +996,43 @@ def test_stream_theta_partials_overlap_and_idempotent(spark, sf_dir, tmp_path):
         spark, f"{root}/partials", "nope_a", "nope_b"
     ).collect()[0]
     assert (r.n_both, r.n_only_a, r.n_any) == (0, 0, 0)
+
+
+def test_moment_fold_ledger_null_day_and_exact_serve(spark, tmp_path):
+    """Exact moment maintenance: ledgered redelivery is a no-op, NULL
+    days and NULL groups are real cells (never silently dropped), NULL
+    values carry no mass, and the served mean/var equal the direct
+    computation."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.streaming.moments import (
+        fold_moments_batch,
+        serve_moment_stats,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        ("a", t0, 10), ("a", t0, 20),
+        ("a", t0 + datetime.timedelta(days=1), 40),
+        (None, t0, 7),            # NULL group cell
+        ("a", None, 5),           # NULL day cell
+        ("a", t0, None),          # NULL value: no mass
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, cents long")
+    path = str(tmp_path / "partials")
+    fold_moments_batch(df, 1, path)
+    fold_moments_batch(df, 1, path)  # redelivered id: must change nothing
+    served = {r.grp: r for r in serve_moment_stats(spark, path).collect()}
+    a = served["a"]
+    # values 10,20,40,5 -> n=4, sum=75, sumsq=2125, mean=18.75,
+    # var=(4*2125-75^2)/16 = 2875/16 = 179.6875
+    assert a.n == 4 and a.mean_ppm == 18_750_000
+    assert a.var_ppm == round((4 * 2125 - 75 * 75) / 16 * 1e6)
+    assert served[None].n == 1 and served[None].mean_ppm == 7_000_000
+    # a distinct batch id doubles the sums; mean/var invariant
+    fold_moments_batch(df, 2, path)
+    served2 = {r.grp: r for r in serve_moment_stats(spark, path).collect()}
+    assert served2["a"].n == 8
+    assert served2["a"].mean_ppm == a.mean_ppm and served2["a"].var_ppm == a.var_ppm
