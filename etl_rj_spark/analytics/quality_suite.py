@@ -735,6 +735,88 @@ def retention_labels_events(spark, sf_dir):
     )
 
 
+@_q(
+    "calibration_bins_events",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM v),
+    b AS (
+      SELECT CAST(((s - lo) * 10) // (hi - lo + 1) AS INTEGER) AS bin, s, y
+      FROM v CROSS JOIN rng
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(ROUND(SUM(y::HUGEINT)::DOUBLE / COUNT(*) * 1000000) AS BIGINT)
+             AS pos_rate_ppm,
+           CAST(ROUND(SUM(s::HUGEINT)::DOUBLE / COUNT(*) * 1000000) AS BIGINT)
+             AS mean_score_ppm
+    FROM b GROUP BY bin
+    """,
+    tags=("stats-calibration", "evaluation"),
+)
+def calibration_bins_events(spark, sf_dir):
+    """Reliability bins (calibration companion to the exact AUC): 10
+    equi-width score bins with exact-integer assignment and
+    correctly-rounded per-bin positive rates — AUC ranks, calibration
+    asks whether the score's value means what it claims."""
+    from etl_rj_spark.operators.stats import calibration_bins
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    return calibration_bins(ev, "s", "y", k=10)
+
+
+@_q(
+    "user_feature_snapshot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))::DOUBLE
+                      / COUNT(value) * 1000000) AS BIGINT) AS mean_cents_ppm,
+           MAX(ts) AS last_ts,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active
+    FROM events GROUP BY user_id
+    """,
+    tags=("feature-store", "A3-generalized"),
+)
+def user_feature_snapshot(spark, sf_dir):
+    """Feature-store materialization: one wide row per user — event
+    counts overall and per type (conditional sums, never a
+    nondeterministic pivot column order), exact-integer mean value,
+    last-seen timestamp, distinct active days. ONE map-side-combinable
+    aggregate over the user key; at 100 TB this is the canonical
+    nightly feature snapshot written partitioned by run date."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def n_type(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint")
+
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_type("click").alias("n_click"),
+        n_type("purchase").alias("n_purchase"),
+        n_type("view").alias("n_view"),
+        F.round(
+            F.sum(cents).cast("double") / F.count("value") * 1e6
+        ).cast("long").alias("mean_cents_ppm"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct(F.to_date("ts")).alias("days_active"),
+    )
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13

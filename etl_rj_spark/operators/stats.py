@@ -261,3 +261,48 @@ def exact_auc(
             F.col("__nn").cast("bigint").alias("n_neg"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for an integer score against a binary
+    label: ``k`` equi-WIDTH bins over [min, max] with per-bin count,
+    positive rate (ppm) and mean score (ppm) — the calibration
+    companion to :func:`exact_auc` (AUC ranks; calibration asks
+    whether the score's VALUE means what it claims).
+
+    Bin assignment is exact integer arithmetic:
+    ``bin = ((s − lo) · k) div (hi − lo + 1)`` (the +1 keeps the max
+    score inside bin k−1). The [lo, hi] range is one map-side
+    aggregate broadcast back; rates are single correctly-rounded
+    divisions of exact sums. Degenerate constant scores land in one
+    bin. NULL score/label rows are dropped.
+    """
+    v = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"), F.col(label_col).cast("long").alias("__y")
+    )
+    rng = v.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    binned = v.join(F.broadcast(rng)).withColumn(
+        "bin",
+        F.expr(f"((__s - __lo) * {int(k)}) div (__hi - __lo + 1)").cast("int"),
+    )
+    dec = "cast(__y as decimal(38,0))"
+    sdec = "cast(__s as decimal(38,0))"
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"cast(round(cast(sum({dec}) as double) / count(1) * 1000000) as bigint)"
+            ).alias("pos_rate_ppm"),
+            F.expr(
+                f"cast(round(cast(sum({sdec}) as double) / count(1) * 1000000) as bigint)"
+            ).alias("mean_score_ppm"),
+        )
+    )

@@ -232,3 +232,19 @@ def test_future_window_label(spark):
     assert got[2].retained == 0 and got[2].gap_seconds == 17 * 86400
     assert got[3].retained == 0 and got[3].gap_seconds is None
     assert got[9].retained == 0 and got[9].gap_seconds is None
+
+
+def test_calibration_bins_assignment(spark):
+    from etl_rj_spark.operators.stats import calibration_bins
+
+    # scores 0..99, label = score >= 50: low bins pure 0, high pure 1
+    rows = [(s, 1 if s >= 50 else 0) for s in range(100)]
+    rows.append((None, 1))
+    rows.append((10, None))
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r.bin: r for r in calibration_bins(df, "s", "y", k=10).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b].n == 10 for b in range(10))
+    assert all(out[b].pos_rate_ppm == 0 for b in range(5))
+    assert all(out[b].pos_rate_ppm == 1_000_000 for b in range(5, 10))
+    assert out[0].mean_score_ppm == 4_500_000  # mean of 0..9
