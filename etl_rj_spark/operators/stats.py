@@ -133,6 +133,9 @@ def cooccurrence_pairs(
     ``hash_ranked_resample`` on the basket key; support counts of
     surviving pairs are unaffected for pairs wholly below the cap.
     NULL items/baskets are dropped (a NULL key never co-occurs).
+    The per-item count and basket-total sides broadcast — fine for
+    SKU/event vocabularies; swap the item-count broadcasts for plain
+    equi-joins if the item vocabulary outgrows one.
     """
     b = (
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
