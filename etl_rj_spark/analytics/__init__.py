@@ -122,6 +122,7 @@ _PRIORITY = [
     "embedding_mean_pool",        # new r7: integer-exact group profile vectors
     "equi_depth_price_bins",      # new r7: quantile binning without a global row sort
     "mad_outlier_events",         # new r7: robust lower-median/MAD screen
+    "pareto_revenue_report",      # new r7: 80/20 concentration, integer-ppm shares
 ]
 
 

@@ -817,6 +817,64 @@ def user_feature_snapshot(spark, sf_dir):
     )
 
 
+@_q(
+    "pareto_revenue_report",
+    """
+    WITH rev AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(cents::HUGEINT) AS t FROM rev),
+    ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+             SUM(cents::HUGEINT) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    )
+    SELECT o_custkey, cents, CAST(rnk AS BIGINT) AS rnk,
+           CAST((cents::HUGEINT * 1000000) // t AS BIGINT) AS share_ppm,
+           CAST((cum * 1000000) // t AS BIGINT) AS cum_share_ppm
+    FROM ranked CROSS JOIN tot
+    WHERE ((cum - cents) * 1000000) // t < 800000
+    """,
+    tags=("stats-pareto", "A3-generalized"),
+)
+def pareto_revenue_report(spark, sf_dir):
+    """Pareto (80/20) concentration report: customers ranked by exact
+    integer revenue cents with ppm shares and cumulative shares; keeps
+    the 'vital few' — every customer whose cumulative share BEFORE
+    them is under 80% (so the customer crossing the line is included).
+    The rank window runs over the AGGREGATED customer table (dim-sized
+    — the facts never see a global sort); all divisions are positive
+    integer div."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("__t"))
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    ranked = rev.select(
+        "o_custkey", "cents",
+        F.row_number().over(w).alias("rnk"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(F.expr("((__cum - cents) * 1000000) div __t < 800000"))
+        .select(
+            "o_custkey", "cents", F.col("rnk").cast("bigint").alias("rnk"),
+            F.expr("cast((cast(cents as decimal(38,0)) * 1000000) div __t as bigint)")
+            .alias("share_ppm"),
+            F.expr("cast((__cum * 1000000) div __t as bigint)").alias("cum_share_ppm"),
+        )
+    )
+
+
 _UP_WEIGHTS = {"src0": 2.3, "src1": 0.4, "src2": 3.0, "src3": 0.0}
 _UP_DEFAULT = 1.0
 _UP_HMAX = 16 ** 13
