@@ -123,6 +123,12 @@ _PRIORITY = [
     "equi_depth_price_bins",      # new r7: quantile binning without a global row sort
     "mad_outlier_events",         # new r7: robust lower-median/MAD screen
     "pareto_revenue_report",      # new r7: 80/20 concentration, integer-ppm shares
+    "bpe_pair_merge_candidates",  # new r7: tokenizer-trainer inner statistic
+    "golden_record_docs",         # new r7: per-field survivorship merge
+    "trimmed_mean_price_brand",   # new r7: robust location, exact-integer cut
+    "referential_integrity_audit",  # new r7: FK orphan/null/distinct report
+    "poisson_bootstrap_revenue",  # new r7: 32-replicate distributed bootstrap
+    "purchase_attribution_linear",  # new r7: multi-touch credit split
 ]
 
 

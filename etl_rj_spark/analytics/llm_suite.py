@@ -3389,3 +3389,103 @@ def distribution_match_resample(spark, sf_dir):
     )
     ref = d.filter(F.col("n_chars") <= 120)
     return match_distribution_resample(d, ref, "bin", "doc_id")
+
+
+@_q(
+    "bpe_pair_merge_candidates",
+    """
+    WITH words AS (
+      SELECT w.word AS word
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w(word)
+      WHERE length(w.word) >= 2
+    ), pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+      FROM words, UNNEST(range(1, length(word))) AS r(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM pairs GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50
+    """,
+    tags=("tokenizer", "bpe", "text-analysis"),
+)
+def bpe_pair_merge_candidates(spark, sf_dir):
+    """Top-50 BPE first-merge candidates over the corpus: adjacent
+    character-pair counts within alphabetic words (ties broken by pair
+    for a deterministic leaderboard). The trainer's argmax is row 1;
+    re-running after applying a merge gives iteration 2 — this query is
+    the distributed inner statistic of tokenizer training. The pair
+    fan-out happens scan-stage (transform over sequence, one explode);
+    the aggregate key space is ≤ 26² so the shuffle is KB-sized at any
+    corpus scale."""
+    from etl_rj_spark.operators.text_analysis import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(d, "text")
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(50)
+    )
+
+
+@_q(
+    "golden_record_docs",
+    f"""
+    WITH base AS (
+      SELECT md5(substring({_NT}, 1, 40)) AS cluster_key,
+             doc_id, n_chars, lang, source
+      FROM documents
+    ),
+    surv AS (
+      SELECT cluster_key, doc_id,
+             row_number() OVER (PARTITION BY cluster_key
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM base
+    ),
+    mode1 AS (
+      SELECT cluster_key, lang,
+             row_number() OVER (PARTITION BY cluster_key
+                                ORDER BY c DESC, lang ASC) AS rn
+      FROM (SELECT cluster_key, lang, COUNT(*) AS c FROM base GROUP BY 1, 2)
+    ),
+    agg AS (
+      SELECT cluster_key, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             array_to_string(list_sort(list(DISTINCT source)), ',') AS all_sources
+      FROM base GROUP BY 1
+    )
+    SELECT a.cluster_key, a.n_members, a.total_chars,
+           s.doc_id AS survivor_doc_id, m.lang AS mode_lang, a.all_sources
+    FROM agg a
+    JOIN (SELECT cluster_key, doc_id FROM surv WHERE rn = 1) s USING (cluster_key)
+    JOIN (SELECT cluster_key, lang FROM mode1 WHERE rn = 1) m USING (cluster_key)
+    ORDER BY a.cluster_key
+    """,
+    tags=("mdm", "golden-record", "J4-generalized"),
+)
+def golden_record_docs(spark, sf_dir):
+    """Golden-record synthesis per duplicate cluster (clusters keyed by
+    the md5 of the normalized text's 40-char prefix — the same prefix
+    fingerprint family the near-dup tier blocks on): survivor id by
+    completeness (max n_chars, ties to lowest id), consensus language
+    (mode, ties lexicographic), provenance union of sources, and
+    cluster accounting. The survivorship step the reference's
+    drop_duplicates performs implicitly (keep-first) made explicit and
+    per-field."""
+    from etl_rj_spark.operators.curation import golden_record_merge
+    from etl_rj_spark.operators.text_analysis import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.substring(normalized_text("text"), 1, 40))
+    return (
+        golden_record_merge(
+            d, key, id_col="doc_id", size_col="n_chars",
+            mode_col="lang", set_col="source",
+        )
+        .select(
+            "cluster_key", "n_members",
+            F.col("total_size").alias("total_chars"),
+            F.col("survivor_id").alias("survivor_doc_id"),
+            F.col("mode_value").alias("mode_lang"),
+            "all_sources",
+        )
+        .orderBy("cluster_key")
+    )

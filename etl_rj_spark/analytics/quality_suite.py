@@ -1187,3 +1187,134 @@ def benford_first_digit(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+@_q(
+    "trimmed_mean_price_brand",
+    """
+    WITH c AS (
+      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents FROM part
+    ), r AS (
+      SELECT p_brand, cents,
+             row_number() OVER (PARTITION BY p_brand ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM c
+    )
+    SELECT p_brand, CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents::HUGEINT) // COUNT(*) AS BIGINT) AS trimmed_mean,
+           MIN(cents) AS min_kept, MAX(cents) AS max_kept
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("stats-robust", "A3-generalized"),
+)
+def trimmed_mean_price_brand(spark, sf_dir):
+    """10% two-sided trimmed mean of part retail price per brand, in
+    exact integer cents — the robust location estimate beside the MAD
+    screen's robust spread. Rank cut ties among equal cents are
+    value-identical, so the kept SUM/COUNT/MIN/MAX are deterministic."""
+    from etl_rj_spark.operators.stats import trimmed_mean_by_group
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("cents")
+    )
+    return trimmed_mean_by_group(p, "p_brand", "cents", trim_denom=10).orderBy("p_brand")
+
+
+_RI_RELATIONS = [
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+_RI_BLOCK = """
+    SELECT '{label}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(SUM(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) AS distinct_keys,
+           CAST(SUM(CASE WHEN c.{ck} IS NOT NULL AND p.__pk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+      ON c.{ck} = p.__pk
+"""
+
+
+@_q(
+    "referential_integrity_audit",
+    " UNION ALL ".join(
+        _RI_BLOCK.format(label=label, child=child, ck=ck, parent=parent, pk=pk)
+        for label, child, ck, parent, pk in _RI_RELATIONS
+    )
+    + " ORDER BY relation",
+    tags=("validation", "referential-integrity", "J4-generalized"),
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Warehouse-wide FK integrity report: every declared relation's
+    child-row / null-key / distinct-key / orphan counts in one frame —
+    the load-time invariant check the reference performs implicitly by
+    trusting its dim lookups (unmapped-name reports, SURVEY §5) made an
+    explicit queryable contract. All-zero orphan columns over the clean
+    synthetic warehouse ARE the assertion; the operator exists for
+    corpora where they are not."""
+    from etl_rj_spark.operators.validate import referential_orphan_audit
+
+    rels = [
+        (label, _t(spark, sf_dir, child), ck, pk, _t(spark, sf_dir, parent), "")
+        for label, child, ck, parent, pk in _RI_RELATIONS
+    ]
+    return referential_orphan_audit(rels).orderBy("relation")
+
+
+_POIS_SQL_W = """CASE
+      WHEN h < 1656781714176974 THEN 0
+      WHEN h < 3313563428353948 THEN 1
+      WHEN h < 4141954285442435 THEN 2
+      WHEN h < 4418084571138597 THEN 3
+      WHEN h < 4487117142562638 THEN 4
+      ELSE 5 END"""
+
+
+@_q(
+    "poisson_bootstrap_revenue",
+    f"""
+    WITH fan AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(r.r AS INTEGER) AS replicate
+      FROM orders, (SELECT UNNEST(range(0, 32)) AS r) r
+    ), h AS (
+      SELECT replicate, cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                                 CAST(replicate AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM fan
+    ), w AS (
+      SELECT replicate, cents, {_POIS_SQL_W} AS w FROM h
+    )
+    SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w::HUGEINT * cents) // SUM(w) AS BIGINT) AS mean_value
+    FROM w GROUP BY replicate ORDER BY replicate
+    """,
+    tags=("stats-bootstrap", "A3-generalized"),
+)
+def poisson_bootstrap_revenue(spark, sf_dir):
+    """32 bootstrap replicate means of order value (exact integer
+    cents) via deterministic Poisson(1) multiplicities — the spread
+    across replicates is the standard error of mean revenue WITHOUT
+    materializing a single resampled copy: every order draws its own
+    per-replicate weight map-side from md5(key:replicate) against
+    precomputed 52-bit integer CDF thresholds (no float anywhere), and
+    one partial-aggregating shuffle with 32 output groups yields all
+    replicates in a single pass. The scan reads 2 columns; the fan-out
+    is 32× rows but 0× extra I/O."""
+    from etl_rj_spark.operators.stats import poisson_bootstrap_means
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return poisson_bootstrap_means(o, "o_orderkey", "cents", replicates=32).orderBy(
+        "replicate"
+    )

@@ -595,3 +595,56 @@ def top_event_type_per_user(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "purchase_attribution_linear",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.event_id, p.cents, t.event_type, t.ts AS tts
+      FROM p LEFT JOIN t ON t.user_id = p.user_id
+        AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 7 DAYS
+    ), c AS (
+      SELECT event_id, coalesce(event_type, '(none)') AS touch_type, cents,
+             COUNT(tts) OVER (PARTITION BY event_id) AS n
+      FROM j
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN n = 0 THEN cents ELSE cents // n END) AS BIGINT)
+             AS attributed_cents
+    FROM c GROUP BY touch_type ORDER BY touch_type
+    """,
+    tags=("attribution", "range-join", "W1-generalized"),
+)
+def purchase_attribution_linear(spark, sf_dir):
+    """Multi-touch linear attribution: every purchase's value (exact
+    integer cents) splits equally over the user's click/view touches in
+    the preceding 7 days; floor division leaves remainder cents
+    unattributed by documented contract, and untouched purchases report
+    under '(none)'. The step past `asof_purchase_last_view`'s
+    last-touch-only credit — same per-user join geometry, plus the
+    per-conversion touch-count window on the partitioning the join
+    already established."""
+    from etl_rj_spark.operators.asof import linear_attribution
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", "ts"
+    )
+    return linear_attribution(
+        purchases, touches,
+        user_col="user_id", purchase_id="event_id", purchase_ts="ts",
+        value_cents="cents", touch_type="event_type", touch_ts="ts",
+        window_days=7,
+    ).orderBy("touch_type")

@@ -167,3 +167,74 @@ def range_join_count(
         *[lt[c] for c in left.columns],
         F.coalesce(ht[count_alias], F.lit(0)).alias(count_alias),
     )
+
+
+def linear_attribution(
+    purchases: DataFrame,
+    touches: DataFrame,
+    user_col: str,
+    purchase_id: str,
+    purchase_ts: str,
+    value_cents: str,
+    touch_type: str,
+    touch_ts: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value splits
+    equally across every touch event by the same user in the preceding
+    ``window_days`` — the step past the as-of join's last-touch-only
+    answer. Credit is exact integer cents with floor division
+    (``cents div n_touches`` per touch; the ≤ n−1 remainder cents stay
+    unattributed — documented floor semantics so every engine agrees).
+    Conversions with NO in-window touch report under type ``(none)``
+    with full value.
+
+    Returns one row per touch type: ``n_touches``,
+    ``n_conversions`` (distinct conversions the type participated in),
+    ``attributed_cents``.
+
+    Scale: ONE shuffle joining both sides on the user key with the
+    time-range predicate applied inside the join; per-user fan-out is
+    bounded by per-user activity in the window. For power-user skew,
+    pre-bucket both sides by (user, day) so each conversion probes
+    ``window_days + 1`` buckets — the range_join_count construction;
+    this form keeps the per-conversion n_touches window on the natural
+    user partitioning.
+    """
+    from pyspark.sql import Window
+
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_id).alias("__pid"),
+        F.col(purchase_ts).alias("__pts"),
+        F.col(value_cents).cast("long").alias("__cents"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_type).alias("__ttype"),
+        F.col(touch_ts).alias("__tts"),
+    )
+    joined = p.join(
+        t,
+        (p["__u"] == t["__u"])
+        & (t["__tts"] <= p["__pts"])
+        & (t["__tts"] > p["__pts"] - F.expr(f"INTERVAL {int(window_days)} DAYS")),
+        "left",
+    ).select(p["__pid"], p["__cents"], t["__ttype"], t["__tts"])
+    n_w = Window.partitionBy("__pid")
+    credited = joined.select(
+        "__pid",
+        F.coalesce(F.col("__ttype"), F.lit("(none)")).alias("touch_type"),
+        F.count("__tts").over(n_w).alias("__n"),
+        F.col("__cents"),
+    ).withColumn(
+        "__credit",
+        F.when(F.col("__n") == 0, F.col("__cents")).otherwise(
+            F.expr("__cents div __n")
+        ),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("__pid").alias("n_conversions"),
+        F.sum("__credit").alias("attributed_cents"),
+    )

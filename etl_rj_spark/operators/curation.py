@@ -628,3 +628,61 @@ def temperature_mix_resample(
         .drop("__b", "__p")
     )
     return kept.unionByName(df.filter(F.col(source_col).isNull()))
+
+
+def golden_record_merge(
+    df: DataFrame,
+    cluster_key: Column,
+    id_col: str,
+    size_col: str,
+    mode_col: str,
+    set_col: str,
+) -> DataFrame:
+    """Master-data golden-record construction: collapse each duplicate
+    cluster to ONE synthesized record whose fields follow per-field
+    survivorship policies (the step after dedup DETECTION — near-dup
+    pipelines find the clusters, this decides what the surviving row
+    says):
+
+    - ``survivor_id``   — id of the largest member (``size_col`` max,
+      ties to the LOWEST id): completeness-wins survivorship;
+    - ``mode_value``    — most frequent ``mode_col`` value in the
+      cluster (ties to the lexicographically smallest): consensus-wins;
+    - ``all_sources``   — sorted distinct ``set_col`` values joined
+      with ',': provenance union;
+    - ``n_members``, ``total_size`` — cluster accounting.
+
+    Two aggregations at different grains — (cluster) and
+    (cluster, mode_col) — both shuffle on the same leading key, and the
+    mode side reduces to ≤ |values| rows per cluster before its window.
+    The survivor argmax is a max-of-struct (size, -id), not a window
+    over raw rows, so the cluster-grain agg is one map-side-combinable
+    pass. Output key is ``cluster_key`` verbatim (caller picks a
+    compact key — md5 prefix keys keep the shuffle rows narrow).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        cluster_key.alias("__key"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(size_col).cast("long").alias("__size"),
+        F.col(mode_col).cast("string").alias("__mode"),
+        F.col(set_col).cast("string").alias("__src"),
+    )
+    per_cluster = base.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("__size").alias("total_size"),
+        (-F.max(F.struct(F.col("__size"), (-F.col("__id")).alias("__neg")))["__neg"]).alias(
+            "survivor_id"
+        ),
+        F.array_join(F.array_sort(F.collect_set("__src")), ",").alias("all_sources"),
+    )
+    mode_w = Window.partitionBy("__key").orderBy(F.desc("__cnt"), F.asc("__mode"))
+    modes = (
+        base.groupBy("__key", "__mode")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__rn", F.row_number().over(mode_w))
+        .filter(F.col("__rn") == 1)
+        .select("__key", F.col("__mode").alias("mode_value"))
+    )
+    return per_cluster.join(modes, "__key").withColumnRenamed("__key", "cluster_key")

@@ -309,3 +309,130 @@ def calibration_bins(
             ).alias("mean_score_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed (winsorizing-cut) mean
+# ---------------------------------------------------------------------------
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_denom: int = 10,
+) -> DataFrame:
+    """Per-group trimmed mean over exact integer values: drop the
+    lowest and highest ``floor(n / trim_denom)`` values in each group,
+    then report the mean of the kept middle as a floor integer
+    division — robust to the outliers MAD merely flags.
+
+    ``value_col`` must already be an exact integer (cents, ppm — the
+    house forms); the trimmed mean is then ``SUM(kept) div COUNT(kept)``
+    with no float in the pipeline. Rank ties among equal values are
+    cut arbitrarily, but every tied row carries the SAME value, so the
+    kept SUM/COUNT/MIN/MAX are deterministic regardless of which tied
+    row the cut drops.
+
+    Scale: ONE shuffle on the group key; the rank window sorts within
+    each group partition (group-sized, not corpus-sized). For grouping
+    columns with huge per-group cardinality, cut by value-count ranks
+    instead (the equi_depth_bins construction) — this is the exact
+    row-rank form for dimension-sized groups.
+    """
+    n_w = Window.partitionBy(group_col)
+    r_w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(group_col, value_col).select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(r_w).alias("__rn"),
+        F.count(F.lit(1)).over(n_w).alias("__n"),
+    )
+    cut = F.expr(f"__n div {int(trim_denom)}")
+    kept = ranked.filter((F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut))
+    return kept.groupBy(group_col).agg(
+        F.max("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("cast(sum(cast(__v as decimal(38,0))) div count(1) as bigint)").alias(
+            "trimmed_mean"
+        ),
+        F.min("__v").alias("min_kept"),
+        F.max("__v").alias("max_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+#: floor(CDF_Poisson(1)(k) * 2^52) for k = 0..4 — integer thresholds so
+#: the inverse-CDF draw is a pure integer comparison on the 52-bit md5
+#: hash (no float anywhere; both engines compare identical literals).
+_POIS1_T52 = (
+    1656781714176974,   # P(X <= 0)
+    3313563428353948,   # P(X <= 1)
+    4141954285442435,   # P(X <= 2)
+    4418084571138597,   # P(X <= 3)
+    4487117142562638,   # P(X <= 4); above -> capped at 5
+)
+
+
+def poisson_weight_expr(id_col: str, replicate_col: str) -> F.Column:
+    """Deterministic Poisson(1) replicate weight for (row, replicate):
+    u52 = 52-bit integer from md5(id ':' replicate); the weight is the
+    inverse-CDF step count over precomputed integer thresholds (capped
+    at 5 — P(X>5) < 6e-4 and the cap keeps the CASE finite).
+
+    This IS the distributed bootstrap: instead of materializing B
+    resampled copies (a B× shuffle), every row draws its own
+    multiplicity per replicate map-side, and one aggregation keyed by
+    replicate yields all B statistics in a single pass. The md5 seed
+    makes the draw reproducible across runs AND engines.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.col(replicate_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(5)
+    for k in range(len(_POIS1_T52) - 1, -1, -1):
+        w = F.when(h < F.lit(_POIS1_T52[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+) -> DataFrame:
+    """B bootstrap replicate means of an exact-integer value column via
+    the Poisson(1) multiplicity trick: one row per replicate with
+    ``n_eff`` (total drawn multiplicity) and ``mean_value``
+    (floor-integer replicate mean).
+
+    The replicate fan-out is a map-side ``explode(sequence(0, B-1))``
+    — B× rows into ONE partial-aggregating shuffle of B output groups,
+    never B passes over the data and never a resampled copy on disk.
+    """
+    fan = df.select(
+        F.col(id_col), F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("replicate"),
+    )
+    weighted = fan.withColumn("__w", poisson_weight_expr(id_col, "replicate"))
+    return (
+        weighted.groupBy("replicate")
+        .agg(
+            F.sum("__w").alias("n_eff"),
+            F.expr(
+                "cast(sum(cast(__w as decimal(38,0)) * __v) div sum(__w) as bigint)"
+            ).alias("mean_value"),
+        )
+    )

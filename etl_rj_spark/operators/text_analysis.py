@@ -229,3 +229,33 @@ def feature_hash_vectors(df, id_col: str, text_col: str, dim: int = 16):
     )
     feats = F.when(F.col(text_col).isNull(), F.lit(None).cast("array<double>")).otherwise(feats)
     return df.select(F.col(id_col), feats.alias("features"))
+
+
+def bpe_pair_counts(df, text_col: str, min_word_len: int = 2):
+    """First-iteration BPE merge-candidate statistics: corpus-wide
+    counts of adjacent character pairs inside alphabetic words (the
+    pair a byte-pair-encoding trainer would merge first is the argmax).
+    Tokenization is the lower+split-on-non-letters pre-tokenizer, so
+    pairs never span word boundaries.
+
+    Scale shape: the fan-out (one row per within-word pair) happens in
+    the scan stage via transform-over-sequence — a single explode of a
+    precomputed array, all expression-level. The aggregation key space
+    is at most 26² pairs, so the groupBy is a map-side partial combine
+    into a trivially small shuffle regardless of corpus size — the
+    whole op is scan-bound, which is what a tokenizer-trainer pass over
+    100 TB must be. Subsequent BPE iterations re-run with the learned
+    merges applied (driver loop, one pass each) — the classic
+    distributed trainer loop; this operator is its inner statistic.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col).cast("string")), "[^a-z]+")).alias(
+            "word"
+        )
+    ).filter(F.length("word") >= int(min_word_len))
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))

@@ -37,3 +37,45 @@ def quarantine_split(
     valid = flagged.filter(F.size(REASONS_COL) == 0).drop(REASONS_COL)
     quarantined = flagged.filter(F.size(REASONS_COL) > 0)
     return valid, quarantined
+
+
+def referential_orphan_audit(
+    relations: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit: one row per relation with the child
+    row count, NULL-key count, distinct-key count, and orphan count
+    (child keys absent from the parent). ``relations`` entries are
+    ``(label, child_df, child_key, parent_key, parent_df, _unused)``
+    — label shows in the report; pass e.g.
+    ``("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+    "o_orderkey", orders, "")``.
+
+    Each relation is ONE pass: left join the child's key column against
+    the parent's distinct keys, then a single aggregate counts all four
+    measures (the orphan test is "child key present, parent side null").
+    The join shuffles both sides on the key — the honest shape for
+    fact→fact relations; dimension parents broadcast automatically
+    under AQE's size threshold. The per-relation outputs are 1-row
+    frames unioned into the report.
+    """
+    reports = []
+    for label, child, ck, pk, parent, _ in relations:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        joined = child.select(F.col(ck).alias("__ck")).join(
+            keys, F.col("__ck") == F.col("__pk"), "left"
+        )
+        reports.append(
+            joined.agg(
+                F.lit(label).alias("relation"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.when(F.col("__ck").isNull(), 1).otherwise(0)).alias("null_keys"),
+                F.countDistinct("__ck").alias("distinct_keys"),
+                F.sum(
+                    F.when(F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1).otherwise(0)
+                ).alias("orphan_rows"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
