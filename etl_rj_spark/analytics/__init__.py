@@ -129,6 +129,10 @@ _PRIORITY = [
     "referential_integrity_audit",  # new r7: FK orphan/null/distinct report
     "poisson_bootstrap_revenue",  # new r7: 32-replicate distributed bootstrap
     "purchase_attribution_linear",  # new r7: multi-touch credit split
+    "cusum_changepoint_revenue",  # new r7: n-scaled integer CUSUM screen
+    "weighted_percentiles_price",  # new r7: exact weighted P50/90/99, value-grain
+    "cms_user_event_counts",      # new r7: count-min sketch as relational state
+    "ann_eval_recall_mrr",        # new r7: recall@10/MRR eval harness in ppm
 ]
 
 

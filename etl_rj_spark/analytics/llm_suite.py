@@ -3489,3 +3489,58 @@ def golden_record_docs(spark, sf_dir):
         )
         .orderBy("cluster_key")
     )
+
+
+@_q(
+    "ann_eval_recall_mrr",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {_SQL_CELL} AS cell
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, {_SQL_CELL} AS cell
+               FROM embeddings WHERE vec_id >= 5),
+         truth AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT query_id, vec_id, {_SQL_COS} AS score FROM q CROSS JOIN c)
+           QUALIFY rank <= 10
+         ),
+         approx AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rank
+           FROM (SELECT query_id, c.vec_id, {_SQL_COS} AS score FROM q JOIN c USING (cell))
+           QUALIFY rank <= 10
+         ),
+         hits AS (
+           SELECT t.query_id, COUNT(*) AS n_hits,
+                  MAX(CASE WHEN t.rank = 1 THEN a.rank END) AS top1_rank
+           FROM truth t JOIN approx a
+             ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+           GROUP BY 1
+         )
+    SELECT qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm,
+           CAST(coalesce(1000000 // h.top1_rank, 0) AS BIGINT) AS mrr_ppm
+    FROM (SELECT DISTINCT query_id FROM truth) qs
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY qs.query_id
+    """,
+    tags=("similarity-eval", "recall-mrr"),
+)
+def ann_eval_recall_mrr(spark, sf_dir):
+    """Retrieval-eval harness: per-query recall@10 and MRR (both
+    integer ppm) of the sign-bit IVF probe against the brute-force
+    ground truth — the recall ladders' in-query asserts promoted to a
+    queryable metrics frame (the form an eval dashboard consumes).
+    Both top-k inputs share the deterministic tie-break contract, so
+    the metrics are exact integers, not float approximations."""
+    from etl_rj_spark.operators.similarity import topk_eval_metrics
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    truth = cosine_topk(corpus, queries, k=10)
+    approx = ivf_topk(corpus, queries, k=10)
+    return topk_eval_metrics(truth, approx, k=10).orderBy("query_id")

@@ -1318,3 +1318,95 @@ def poisson_bootstrap_revenue(spark, sf_dir):
     return poisson_bootstrap_means(o, "o_orderkey", "cents", replicates=32).orderBy(
         "replicate"
     )
+
+
+@_q(
+    "weighted_percentiles_price",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    vals AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM c GROUP BY v),
+    tot AS (SELECT SUM(w::HUGEINT) AS tw FROM vals),
+    cum AS (
+      SELECT v, SUM(w::HUGEINT) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, tw
+      FROM vals CROSS JOIN tot
+    )
+    SELECT pct, MIN(v) AS value, CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum, (SELECT UNNEST([50, 90, 99]) AS pct) p
+    WHERE cum * 100 >= tw * pct
+    GROUP BY pct ORDER BY pct
+    """,
+    tags=("stats-percentile", "A3-generalized"),
+)
+def weighted_percentiles_price(spark, sf_dir):
+    """Exact quantity-weighted P50/P90/P99 of extended price (integer
+    cents) — the weighted complement of the KLL sketch's approximate
+    quantiles. The cumulative pass runs over DISTINCT price values
+    (vocabulary-sized, the equi_depth construction), and the threshold
+    test stays in cross-multiplied integer form."""
+    from etl_rj_spark.operators.stats import weighted_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_percentiles(li, "cents", "qty", percentiles=(50, 90, 99)).orderBy(
+        "pct"
+    )
+
+
+_CMS_COL = (
+    "('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 13))::BIGINT % 64"
+)
+
+
+@_q(
+    "cms_user_event_counts",
+    f"""
+    WITH ev AS (SELECT user_id FROM events),
+    sk AS (
+      SELECT rr.r, {_CMS_COL.format(r='rr.r', key='user_id')} AS col,
+             COUNT(*) AS counter
+      FROM ev, (SELECT UNNEST(range(0, 4)) AS r) rr
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM ev GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probe AS (
+      SELECT t.user_id, t.exact_n, rr.r,
+             {_CMS_COL.format(r='rr.r', key='t.user_id')} AS col
+      FROM top t, (SELECT UNNEST(range(0, 4)) AS r) rr
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(coalesce(s.counter, 0)) AS BIGINT) AS est_n
+    FROM probe p LEFT JOIN sk s ON s.r = p.r AND s.col = p.col
+    GROUP BY 1, 2 ORDER BY p.user_id
+    """,
+    tags=("sketch-cms", "A3-generalized"),
+)
+def cms_user_event_counts(spark, sf_dir):
+    """Count-min sketch round trip: build the 4×64 CMS of per-user
+    event frequencies as a relational state table (additive/mergeable —
+    the frequent-items ledger discipline applies verbatim), then probe
+    it for the 10 heaviest users beside their exact counts. The
+    guaranteed one-sided error (est ≥ exact) is visible in the output;
+    the deliberately narrow width shows the collision overcount the
+    depth's MIN bounds."""
+    from etl_rj_spark.streaming.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk = cms_sketch(ev, "user_id", depth=4, width=64)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    return cms_estimate(sk, top, "user_id", depth=4, width=64).orderBy("user_id")

@@ -648,3 +648,39 @@ def purchase_attribution_linear(spark, sf_dir):
         value_cents="cents", touch_type="event_type", touch_ts="ts",
         window_days=7,
     ).orderBy("touch_type")
+
+
+@_q(
+    "cusum_changepoint_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(cents::HUGEINT) AS s FROM daily),
+    c AS (
+      SELECT day, cents,
+             SUM(n * cents::HUGEINT - s) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM daily CROSS JOIN tot
+    )
+    SELECT day, cents, CAST(cusum AS BIGINT) AS cusum_scaled,
+           abs(cusum) = MAX(abs(cusum)) OVER () AS is_changepoint
+    FROM c ORDER BY day
+    """,
+    tags=("changepoint", "cusum", "W1-generalized"),
+)
+def cusum_changepoint_revenue(spark, sf_dir):
+    """CUSUM mean-shift screen over daily order revenue: n-scaled
+    integer deviations (no division, no float), running sum, and the
+    |max| day flagged as the binary-segmentation changepoint candidate.
+    The facts reduce to day grain in the one corpus-sized aggregate;
+    both ordered windows run over days."""
+    from etl_rj_spark.operators.stats import cusum_changepoint
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    return cusum_changepoint(daily, "day", "cents").orderBy("day")

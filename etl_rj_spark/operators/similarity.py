@@ -772,3 +772,52 @@ def margin_bitext_mine(
         )
         .select("src_id", "tgt_id", "score_nano", "margin_scaled")
     )
+
+
+def topk_eval_metrics(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieval-quality metrics of an approximate top-k against the
+    exact ground truth, per query: ``n_hits`` (overlap size),
+    ``recall_ppm`` (n_hits·10⁶ div k), and ``mrr_ppm`` (10⁶ div the
+    approx rank of the TRUE nearest neighbor; 0 when the approx list
+    misses it entirely). Integer-exact — the eval harness for every ANN
+    recall ladder, as a queryable frame instead of an in-query assert.
+
+    Both inputs are (query, id, rank) frames from the same deterministic
+    tie-break contract (score desc rounded to 9 dp, then id). The join
+    keys on (query, id) — top-k-sized inputs, so the whole evaluation is
+    a few KB regardless of corpus scale.
+    """
+    t = truth.select(
+        F.col(query_id_col).alias("__q"), F.col(id_col).alias("__id"), F.col("rank")
+    )
+    a = approx.select(
+        F.col(query_id_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col("rank").alias("__arank"),
+    )
+    hits = (
+        t.join(a, ["__q", "__id"])
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(F.when(F.col("rank") == 1, F.col("__arank"))).alias("__top1_rank"),
+        )
+    )
+    qs = t.select("__q").distinct()
+    return (
+        qs.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0L) * 1000000L div {int(k)}").alias("recall_ppm"),
+            F.coalesce(
+                F.expr("1000000L div __top1_rank"), F.lit(0).cast("long")
+            ).alias("mrr_ppm"),
+        )
+    )

@@ -436,3 +436,91 @@ def poisson_bootstrap_means(
             ).alias("mean_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint(
+    df: DataFrame, time_col: str, value_col: str
+) -> DataFrame:
+    """Mean-shift changepoint screen over a per-period integer series:
+    the classic CUSUM statistic in n-scaled exact-integer form.
+    With S = Σx and n periods, the scaled deviation of period t is
+    ``d_t = n·x_t − S`` (= n·(x_t − mean), so no division ever happens)
+    and ``cusum_t = Σ_{i≤t} d_i``; the period where |cusum| peaks is
+    the single-changepoint argmax of the standard binary-segmentation
+    step. Output per period: value, cusum_scaled, is_changepoint (the
+    |max| row; ties → every tied row flags, deterministically).
+
+    Scale: ``df`` must already be PERIOD grain (aggregate facts to
+    days/hours first — the caller's groupBy is the only corpus-sized
+    pass). The ordered windows here run over periods — thousands of
+    rows at century scale — so the single-partition window is a
+    dim-sized driver-adjacent step by construction, same contract as
+    the Pareto report's rank window.
+    """
+    tot = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__s"),
+    )
+    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    cur = (
+        df.join(F.broadcast(tot))
+        .withColumn("__d", F.expr(f"__n * cast({value_col} as decimal(38,0)) - __s"))
+        .withColumn("cusum_scaled", F.sum("__d").over(w).cast("decimal(38,0)"))
+        .withColumn("__maxabs", F.max(F.abs(F.col("cusum_scaled"))).over(all_w))
+        .withColumn(
+            "is_changepoint", F.abs(F.col("cusum_scaled")) == F.col("__maxabs")
+        )
+    )
+    return cur.select(
+        time_col, value_col,
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        "is_changepoint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentiles
+# ---------------------------------------------------------------------------
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact weighted percentiles of an integer value column without a
+    global ROW sort: the cumulative pass runs over DISTINCT values
+    (value-count ranks, the equi_depth_bins construction), so the only
+    ordered window is vocabulary-sized. The p-th percentile is the
+    smallest value whose cumulative weight reaches ``ceil(p·W/100)``
+    — the inequality is kept in cross-multiplied integer form
+    (``100·cum ≥ p·W``), so no division or float appears anywhere.
+
+    Returns one row per requested percentile: (pct, value, total_weight).
+    """
+    vals = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    tot = vals.agg(F.sum(F.col("__w").cast("decimal(38,0)")).alias("__tw"))
+    cum_w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vals.withColumn("__cum", F.sum(F.col("__w").cast("decimal(38,0)")).over(cum_w))
+        .join(F.broadcast(tot))
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in percentiles])
+    ).alias("pct")
+    return (
+        cum.select("__v", "__cum", "__tw", pcts)
+        .filter(F.expr("__cum * 100 >= __tw * pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("__v").alias("value"),
+            F.max(F.col("__tw").cast("long")).alias("total_weight"),
+        )
+    )

@@ -406,3 +406,63 @@ def theta_overlap(
         )
         .alias("n_any"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as relational state
+# ---------------------------------------------------------------------------
+
+def _cms_col(key: Column, row: Column, width: int) -> Column:
+    """Counter column for (key, hash-row): 52-bit md5 integer of
+    'row:key' mod width — identical in any engine with md5 (the house
+    cross-engine hash contract)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", row.cast("string"), key.cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch of a key column's frequencies as a RELATIONAL
+    state table: ``(row, col, counter)`` with ``depth × width`` rows at
+    most. Like the topk/HLL/theta family, the value of the sketch form
+    is its algebra — two sketches over disjoint batches MERGE by
+    summing counters on (row, col) (plain additive state → the batch-id
+    ledger idempotence discipline, same class as frequent-items), and
+    the estimate never under-counts.
+
+    Build cost: one map-side ``depth×`` fan-out into a ≤ depth·width
+    group aggregate — KB-sized state from any input scale.
+    """
+    fan = df.select(
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    )
+    return (
+        fan.withColumn("col", _cms_col(F.col("__k"), F.col("row"), width))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each probe key: the estimate is the
+    MIN counter over the key's ``depth`` cells (missing cells → 0).
+    Returns the probe frame plus ``est_n``. The sketch side is KB-sized
+    — broadcast — so probing any number of keys is map-side."""
+    fan = probes.withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+    ).withColumn("col", _cms_col(F.col(key_col), F.col("row"), width))
+    probed = fan.join(F.broadcast(sketch), ["row", "col"], "left").withColumn(
+        "__c", F.coalesce(F.col("counter"), F.lit(0))
+    )
+    group_cols = [c for c in probes.columns]
+    return probed.groupBy(*group_cols).agg(F.min("__c").alias("est_n"))
