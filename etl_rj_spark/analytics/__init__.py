@@ -133,6 +133,9 @@ _PRIORITY = [
     "weighted_percentiles_price",  # new r7: exact weighted P50/90/99, value-grain
     "cms_user_event_counts",      # new r7: count-min sketch as relational state
     "ann_eval_recall_mrr",        # new r7: recall@10/MRR eval harness in ppm
+    "stream_cms_maintenance",     # new r7: ledgered CMS fold, 2x-doubling contract
+    "event_debounce_weekly",      # new r7: LAG-gap temporal dedup
+    "bpe_second_merge_candidates",  # new r7: trainer iteration 2 via broadcast merge
 ]
 
 

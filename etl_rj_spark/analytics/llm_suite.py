@@ -3544,3 +3544,70 @@ def ann_eval_recall_mrr(spark, sf_dir):
     truth = cosine_topk(corpus, queries, k=10)
     approx = ivf_topk(corpus, queries, k=10)
     return topk_eval_metrics(truth, approx, k=10).orderBy("query_id")
+
+
+@_q(
+    "bpe_second_merge_candidates",
+    """
+    WITH words AS (
+      SELECT w.word AS word
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w(word)
+      WHERE length(w.word) >= 2
+    ), pc AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+      FROM words, UNNEST(range(1, length(word))) AS r(i)
+    ), top1 AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS n FROM pc GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+      )
+    ), w2 AS (
+      SELECT replace(word, (SELECT pair FROM top1), '0') AS word FROM words
+    ), p2 AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+      FROM w2, UNNEST(range(1, length(word))) AS r(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM p2 GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50
+    """,
+    tags=("tokenizer", "bpe", "text-analysis"),
+)
+def bpe_second_merge_candidates(spark, sf_dir):
+    """BPE trainer iteration 2: apply the corpus's argmax merge (the
+    winning pair becomes the single symbol '0' — outside the a-z word
+    alphabet, so merged units participate in new pairs exactly as BPE
+    requires) and recount pair frequencies over the rewritten symbol
+    streams. The merge rule is a 1-row broadcast into a scan-stage
+    replace — each trainer iteration is one corpus pass with KB-sized
+    state, the distributed-BPE loop shape. Both engines replace
+    leftmost-non-overlapping, which the oracle equality pins."""
+    from etl_rj_spark.operators.text_analysis import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text").cast("string")), "[^a-z]+")).alias(
+            "word"
+        )
+    ).filter(F.length("word") >= 2)
+    top1 = (
+        bpe_pair_counts(d, "text")
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("__merge"))
+    )
+    rewritten = (
+        words.join(F.broadcast(top1))
+        .select(F.expr("replace(word, __merge, '0')").alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = rewritten.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(50)
+    )

@@ -1410,3 +1410,85 @@ def cms_user_event_counts(spark, sf_dir):
         .limit(10)
     )
     return cms_estimate(sk, top, "user_id", depth=4, width=64).orderBy("user_id")
+
+
+@_q(
+    "stream_cms_maintenance",
+    f"""
+    WITH ev AS (SELECT user_id FROM events),
+    sk AS (
+      SELECT rr.r, {_CMS_COL.format(r='rr.r', key='user_id')} AS col,
+             COUNT(*) AS counter
+      FROM ev, (SELECT UNNEST(range(0, 4)) AS r) rr
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM ev GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probe AS (
+      SELECT t.user_id, t.exact_n, rr.r,
+             {_CMS_COL.format(r='rr.r', key='t.user_id')} AS col
+      FROM top t, (SELECT UNNEST(range(0, 4)) AS r) rr
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(coalesce(s.counter, 0)) AS BIGINT) AS est_n,
+           1 AS stream_is_2x
+    FROM probe p LEFT JOIN sk s ON s.r = p.r AND s.col = p.col
+    GROUP BY 1, 2 ORDER BY p.user_id
+    """,
+    tags=("streaming", "sketch-cms", "incremental"),
+)
+def stream_cms_maintenance(spark, sf_dir):
+    """Streaming count-min maintenance (streaming/sketches.py): events
+    drain as 3 micro-batches folding per-day CMS partials (additive →
+    batch-id ledger, the frequent-items class); one extra whole-table
+    fold under a fresh id EXACTLY DOUBLES every counter, and
+    redelivering that id must change nothing. The served estimate for
+    each heavy user must therefore equal 2× the direct single-pass CMS
+    estimate the oracle replays (CMS is linear under exact duplication
+    — integer counters, no rounding), which ``stream_is_2x`` pins; the
+    reported ``est_n`` is the undoubled estimate so the output matches
+    the batch query's semantics."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.sketches import (
+        cms_estimate,
+        cms_sketch,
+        fold_cms_batch,
+        serve_cms_sketch,
+        stream_cms_partials,
+    )
+
+    root = _scratch("stream_cms")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select("user_id", "ts")
+    ev.repartition(3).write.parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    stream_cms_partials(
+        stream, f"{root}/partials", f"{root}/ck"
+    ).awaitTermination()
+    fold_cms_batch(ev, 99, f"{root}/partials")
+    fold_cms_batch(ev, 99, f"{root}/partials")  # ledgered no-op
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    served = cms_estimate(
+        serve_cms_sketch(spark, f"{root}/partials"), top, "user_id"
+    ).withColumnRenamed("est_n", "__served")
+    batch = cms_estimate(cms_sketch(ev, "user_id"), top, "user_id")
+    return (
+        batch.join(served.select("user_id", "__served"), "user_id")
+        .select(
+            "user_id", "exact_n", "est_n",
+            (F.col("__served") == 2 * F.col("est_n")).cast("int")
+            .alias("stream_is_2x"),
+        )
+        .orderBy("user_id")
+    )

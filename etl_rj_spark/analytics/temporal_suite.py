@@ -684,3 +684,47 @@ def cusum_changepoint_revenue(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
     return cusum_changepoint(daily, "day", "cents").orderBy("day")
+
+
+@_q(
+    "event_debounce_weekly",
+    """
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 7 DAYS
+    ORDER BY event_id
+    """,
+    tags=("debounce", "dedup-temporal", "W1-generalized"),
+)
+def event_debounce_weekly(spark, sf_dir):
+    """Gap debounce: keep an event only when it arrives more than 7
+    days after the PREVIOUS raw event of the same (user, type) — the
+    temporal dedup that collapses repeat signals into one per burst
+    window (first event of each burst survives; LAG-gap formulation,
+    deterministic tie-break on event_id). One shuffle on the
+    (user, type) key. The hysteresis variant (gap measured from the
+    previous KEPT event) needs sequential state — that lives in
+    streaming/stateful.py's applyInPandasWithState tier; this is the
+    window-expressible form."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.lag("ts").over(w).alias("__prev"),
+    )
+    return (
+        lagged.filter(
+            F.col("__prev").isNull()
+            | (F.col("ts") > F.col("__prev") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )

@@ -466,3 +466,120 @@ def cms_estimate(
     )
     group_cols = [c for c in probes.columns]
     return probed.groupBy(*group_cols).agg(F.min("__c").alias("est_n"))
+
+
+def cms_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per-day CMS partial for one slice of rows:
+    (day, row, col, counter) — ≤ depth·width rows per day."""
+    fan = df.select(
+        F.to_date(ts_col).alias("day"),
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("row"),
+    )
+    return (
+        fan.withColumn("col", _cms_col(F.col("__k"), F.col("row"), width))
+        .groupBy("day", "row", "col")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def fold_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 64,
+) -> None:
+    """Fold one micro-batch's CMS partials into the day-partitioned
+    state at ``target_path``. Counters are ADDITIVE (the frequent-items
+    class), so redelivery safety is the batch-id ledger: a day that
+    already folded this ``batch_id`` keeps every counter untouched.
+    Same null-day-safe mechanics as ``fold_topk_batch`` — a day's whole
+    ≤ depth·width cell block folds atomically in one dynamic-partition
+    overwrite, so the ledger lives per day (carried on each cell row).
+    """
+    spark = batch_df.sparkSession
+    fresh = cms_batch(batch_df, key_col, ts_col, depth, width).localCheckpoint()
+    cond = _touched_days_cond(fresh)
+    if cond is None:
+        return
+    if _table_exists(spark, target_path):
+        existing = spark.read.parquet(target_path).where(cond)
+    else:
+        existing = fresh.select(
+            "day", "row", "col", "counter",
+            F.array().cast("array<long>").alias("batch_ids"),
+        ).limit(0)
+    existing = existing.localCheckpoint()
+
+    folded = (
+        existing.filter(F.array_contains("batch_ids", F.lit(batch_id)))
+        .select(F.col("day").alias("__fday"))
+        .distinct()
+    )
+    fresh_new = fresh.join(
+        folded, F.col("day").eqNullSafe(F.col("__fday")), "left_anti"
+    )
+    merged = (
+        existing.select("day", "row", "col", "counter", "batch_ids")
+        .unionByName(
+            fresh_new.select(
+                "day", "row", "col", "counter",
+                F.array(F.lit(batch_id).cast("long")).alias("batch_ids"),
+            )
+        )
+        .groupBy("day", "row", "col")
+        .agg(
+            F.sum("counter").alias("counter"),
+            F.array_distinct(F.flatten(F.collect_list("batch_ids")))
+            .alias("batch_ids"),
+        )
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(target_path)
+
+
+def stream_cms_partials(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 64,
+) -> StreamingQuery:
+    """Drain available input, folding each micro-batch's count-min
+    partials into the persisted day-partitioned state — the CMS member
+    of the maintenance family (additive → ledgered, like
+    frequent-items and the exact moments)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_cms_batch(batch_df, batch_id, target_path, key_col, ts_col, depth, width)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def serve_cms_sketch(spark: SparkSession, path: str) -> DataFrame:
+    """Serving read: collapse the day partials into one queryable CMS
+    state (row, col, counter) — counters sum across days (the merge IS
+    addition), ready for ``cms_estimate``."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("row", "col")
+        .agg(F.sum("counter").alias("counter"))
+    )

@@ -280,3 +280,58 @@ def test_exact_auc_no_row_sort(spark, sf_dir):
     assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
     counts = explain_counts(df)
     assert counts["sort_merge_join"] == 0, counts
+
+
+def test_poisson_bootstrap_single_pass(spark, sf_dir):
+    """New r7: all 32 bootstrap replicates come from ONE
+    partial-aggregating pass — the replicate fan-out is a scan-stage
+    Generate, with no join anywhere and a single data shuffle of 32
+    groups (plus the output sort)."""
+    df = REGISTRY["poisson_bootstrap_revenue"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["broadcast_hash_join"] == 0, counts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert counts["exchange"] <= 2, counts  # 32-group hash + output range
+
+
+def test_bpe_pair_counts_scan_bound(spark, sf_dir):
+    """New r7: the BPE pair statistic is scan-bound — pair fan-out in
+    the scan stage (two Generates), partial count before the single
+    tiny exchange, no joins, text column only."""
+    df = REGISTRY["bpe_pair_merge_candidates"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["broadcast_hash_join"] == 0, counts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2, plan.count("Generate")
+    scan_line = next(l for l in plan.splitlines() if "Scan parquet" in l)
+    assert "text" in scan_line and "doc_id" not in scan_line
+
+
+def test_attribution_no_nested_loop(spark, sf_dir):
+    """New r7: the 7-day window join must stay an equi-join on the
+    user key (hash or broadcast by size) with the range predicate as a
+    join condition — never a BroadcastNestedLoopJoin/CartesianProduct,
+    and both event scans keep their type filters pushed."""
+    df = REGISTRY["purchase_attribution_linear"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert pushed_filters(df), "event_type filters must reach the scans"
+
+
+def test_weighted_percentiles_value_grain_window(spark, sf_dir):
+    """New r7: the cumulative window runs over DISTINCT values (the
+    per-value aggregate reduces first) and the scalar total broadcasts
+    back — no shuffle join touches the row-level relation."""
+    df = REGISTRY["weighted_percentiles_price"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["shuffled_hash_join"] == 0, counts
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """New r7: the count-min state is KB-sized; the probe side joins
+    it as a broadcast — no shuffle join between probes and sketch."""
+    df = REGISTRY["cms_user_event_counts"].build(spark, sf_dir)
+    counts = explain_counts(df)
+    assert counts["sort_merge_join"] == 0 and counts["shuffled_hash_join"] == 0, counts
+    assert counts["broadcast_hash_join"] >= 1, counts
