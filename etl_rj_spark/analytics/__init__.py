@@ -136,6 +136,7 @@ _PRIORITY = [
     "stream_cms_maintenance",     # new r7: ledgered CMS fold, 2x-doubling contract
     "event_debounce_weekly",      # new r7: LAG-gap temporal dedup
     "bpe_second_merge_candidates",  # new r7: trainer iteration 2 via broadcast merge
+    "nearest_view_to_purchase",   # new r7: bidirectional as-of, nearest either way
 ]
 
 

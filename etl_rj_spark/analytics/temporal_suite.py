@@ -728,3 +728,61 @@ def event_debounce_weekly(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "ts")
         .orderBy("event_id")
     )
+
+
+@_q(
+    "nearest_view_to_purchase",
+    """
+    WITH v AS (SELECT user_id, ts, MAX(event_id) AS vid
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT p.event_id, v.ts AS bts, v.vid AS bvid
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.ts >= v.ts),
+         f AS (SELECT p.event_id, v.ts AS fts, v.vid AS fvid
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.ts <= v.ts)
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+                THEN bts ELSE fts END AS nearest_ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+                THEN bvid ELSE fvid END AS nearest_view_event_id,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+                THEN 'back'
+                WHEN fts IS NOT NULL THEN 'fwd' END AS nearest_dir
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    tags=("asof-join", "nearest", "bidirectional"),
+)
+def nearest_view_to_purchase(spark, sf_dir):
+    """Bidirectional as-of: for each purchase, the user's temporally
+    NEAREST view in either direction (equidistant → backward, the
+    pandas merge_asof(direction='nearest') convention) — what the
+    backward-only `asof_purchase_last_view` cannot answer for
+    purchases preceded by nothing. One tagged-union shuffle, two
+    window passes on the same partitioning, exact integer-microsecond
+    gap comparison."""
+    from etl_rj_spark.operators.asof import nearest_event_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = nearest_event_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["view_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "nearest_ts",
+        F.col("nearest_view_event_id").alias("nearest_view_event_id"),
+        "nearest_dir",
+    )

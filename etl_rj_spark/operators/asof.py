@@ -238,3 +238,82 @@ def linear_attribution(
         F.countDistinct("__pid").alias("n_conversions"),
         F.sum("__credit").alias("attributed_cents"),
     )
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """Bidirectional as-of: for each left row, attach the temporally
+    NEAREST right row in either direction within the same key — the
+    join ``asof_join`` cannot express (backward-only). Ties (equidistant
+    candidates) prefer the backward match, the convention pandas'
+    ``merge_asof(direction='nearest')`` uses. ``right`` must be unique
+    per (on, right_ts) — pre-aggregate if not.
+
+    Composition, not a new engine primitive: ONE tagged-union shuffle
+    on the key, then two window passes over the same partitioning (the
+    backward last-seen and the forward mirror — the second window
+    re-sorts within partitions but never re-exchanges), and an exact
+    integer-microsecond gap comparison picks the winner. Adds columns
+    ``nearest_<v>`` for each value, plus ``nearest_ts`` and
+    ``nearest_dir`` ('back' / 'fwd', null when no candidate exists).
+    """
+    on = list(on)
+    rv = list(right_values)
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_proj = (
+        right.select(
+            *on,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in rv],
+        )
+        .withColumn("__is_left", F.lit(0))
+        .withColumn("__rts", F.col("__ts"))
+    )
+    unioned = l_tagged.unionByName(r_proj, allowMissingColumns=True)
+
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cols = {"__bts": F.last("__rts", ignorenulls=True).over(w_back),
+            "__fts": F.last("__rts", ignorenulls=True).over(w_fwd)}
+    for c in rv:
+        cols[f"__b_{c}"] = F.last(f"__r_{c}", ignorenulls=True).over(w_back)
+        cols[f"__f_{c}"] = F.last(f"__r_{c}", ignorenulls=True).over(w_fwd)
+    matched = unioned.withColumns(cols).filter(F.col("__is_left") == 1)
+
+    lus = F.unix_micros(F.col("__ts").cast("timestamp"))
+    bus = F.unix_micros(F.col("__bts").cast("timestamp"))
+    fus = F.unix_micros(F.col("__fts").cast("timestamp"))
+    back_wins = F.col("__bts").isNotNull() & (
+        F.col("__fts").isNull() | ((lus - bus) <= (fus - lus))
+    )
+    out_cols = [
+        F.when(back_wins, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(
+            f"nearest_{c}"
+        )
+        for c in rv
+    ]
+    return matched.select(
+        *left.columns,
+        F.when(back_wins, F.col("__bts")).otherwise(F.col("__fts")).alias("nearest_ts"),
+        *out_cols,
+        F.when(back_wins, F.lit("back"))
+        .when(F.col("__fts").isNotNull(), F.lit("fwd"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("nearest_dir"),
+    )
