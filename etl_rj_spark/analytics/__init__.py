@@ -137,6 +137,9 @@ _PRIORITY = [
     "event_debounce_weekly",      # new r7: LAG-gap temporal dedup
     "bpe_second_merge_candidates",  # new r7: trainer iteration 2 via broadcast merge
     "nearest_view_to_purchase",   # new r7: bidirectional as-of, nearest either way
+    "pk_uniqueness_audit",        # new r7: PK half of constraint checking
+    "zorder_layout_buckets",      # new r7: Morton keys + pruning-range audit
+    "shard_source_diversity",     # new r7: Gini-Simpson ppm per hash shard
 ]
 
 

@@ -1492,3 +1492,159 @@ def stream_cms_maintenance(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_PK_TABLES = [('customer', 'customer', ['c_custkey']), ('documents', 'documents', ['doc_id']), ('embeddings', 'embeddings', ['vec_id']), ('events', 'events', ['event_id']), ('lineitem', 'lineitem', ['l_orderkey', 'l_linenumber']), ('nation', 'nation', ['n_nationkey']), ('orders', 'orders', ['o_orderkey']), ('part', 'part', ['p_partkey']), ('region', 'region', ['r_regionkey']), ('supplier', 'supplier', ['s_suppkey'])]
+
+
+@_q(
+    "pk_uniqueness_audit",
+    """
+    SELECT 'customer' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+    UNION ALL
+    SELECT 'documents' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+    UNION ALL
+    SELECT 'embeddings' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY vec_id)
+    UNION ALL
+    SELECT 'events' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+    UNION ALL
+    SELECT 'lineitem' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'nation' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM nation GROUP BY n_nationkey)
+    UNION ALL
+    SELECT 'orders' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'part' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_partkey)
+    UNION ALL
+    SELECT 'region' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM region GROUP BY r_regionkey)
+    UNION ALL
+    SELECT 'supplier' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM supplier GROUP BY s_suppkey)
+    ORDER BY table_name
+    """,
+    tags=("validation", "pk-integrity", "A2-generalized"),
+)
+def pk_uniqueness_audit_q(spark, sf_dir):
+    """Warehouse-wide primary-key report: every table's row count,
+    distinct-key count, and rows participating in duplicated keys —
+    the uniqueness half of constraint checking beside the FK orphan
+    audit. One map-side-combinable pass per table; all-zero
+    ``n_dup_rows`` over the clean warehouse IS the assertion."""
+    from etl_rj_spark.operators.validate import pk_uniqueness_audit
+
+    tables = [(label, _t(spark, sf_dir, tbl), keys) for label, tbl, keys in _PK_TABLES]
+    return pk_uniqueness_audit(tables).orderBy("table_name")
+
+
+@_q(
+    "zorder_layout_buckets",
+    """
+    WITH k AS (
+      SELECT (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b FROM lineitem
+    ), m AS (
+      SELECT ((((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1)) + ((((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3)) + ((((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5)) + ((((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7)) + ((((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9)) + ((((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11)) + ((((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13)) + ((((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15)) + ((((a >> 8) & 1) << 16) + (((b >> 8) & 1) << 17)) + ((((a >> 9) & 1) << 18) + (((b >> 9) & 1) << 19)) + ((((a >> 10) & 1) << 20) + (((b >> 10) & 1) << 21)) + ((((a >> 11) & 1) << 22) + (((b >> 11) & 1) << 23)) + ((((a >> 12) & 1) << 24) + (((b >> 12) & 1) << 25)) + ((((a >> 13) & 1) << 26) + (((b >> 13) & 1) << 27)) + ((((a >> 14) & 1) << 28) + (((b >> 14) & 1) << 29)) + ((((a >> 15) & 1) << 30) + (((b >> 15) & 1) << 31)) AS mkey FROM k
+    )
+    SELECT mkey >> 22 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(mkey) AS min_key, MAX(mkey) AS max_key
+    FROM m GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("layout", "zorder", "K2-generalized"),
+)
+def zorder_layout_buckets(spark, sf_dir):
+    """Z-ORDER layout audit: Morton keys interleaving (l_partkey,
+    l_suppkey) low bits, bucketed to the top 10 bits — the key a
+    write-time ``sortWithinPartitions(morton_key)`` would cluster by
+    so min/max file statistics prune scans filtered on EITHER column.
+    The per-bucket min/max ranges in the output are exactly the
+    pruning metadata such a layout yields; pure bit surgery, one
+    aggregate."""
+    from etl_rj_spark.operators.stats import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        morton_key(F.col("l_partkey"), F.col("l_suppkey"), bits=16).alias("mkey")
+    )
+    return (
+        keyed.select(F.shiftright("mkey", 22).alias("bucket"), "mkey")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("mkey").alias("min_key"),
+            F.max("mkey").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "shard_source_diversity",
+    """
+    WITH sharded AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8
+               AS shard, source
+      FROM documents
+    ), cnt AS (
+      SELECT shard, source, COUNT(*) AS c FROM sharded GROUP BY 1, 2
+    )
+    SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(1000000 - (SUM(c::HUGEINT * c) * 1000000)
+                // (SUM(c::HUGEINT) * SUM(c)) AS BIGINT) AS gini_simpson_ppm
+    FROM cnt GROUP BY shard ORDER BY shard
+    """,
+    tags=("diversity", "curation", "A3-generalized"),
+)
+def shard_source_diversity(spark, sf_dir):
+    """Per-training-shard source-diversity report: Gini–Simpson index
+    (1 − Σpᵢ²) in exact integer ppm over each hash shard's source mix
+    — the skewed-shard detector a curriculum builder runs after
+    sharding (a low-diversity shard trains on one source for a whole
+    step). Shards come from the same md5 bucket assignment the
+    splitters use; two nested map-side aggregates, no float."""
+    from etl_rj_spark.operators.curation import split_bucket
+
+    d = _t(spark, sf_dir, "documents").select(
+        split_bucket(F.col("doc_id"), 8).alias("shard"), "source"
+    )
+    cnt = d.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("shard")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.expr(
+                "cast(1000000 - (sum(cast(c as decimal(38,0)) * c) * 1000000)"
+                " div (sum(cast(c as decimal(38,0))) * sum(c)) as bigint)"
+            ).alias("gini_simpson_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -524,3 +524,28 @@ def weighted_percentiles(
             F.max(F.col("__tw").cast("long")).alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys
+# ---------------------------------------------------------------------------
+
+def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleaved-bit Morton key of two non-negative integer columns
+    (each truncated to ``bits`` low bits) — the space-filling-curve
+    sort key behind multi-dimensional data clustering: writing a table
+    ordered by this key co-locates rows that are close in BOTH
+    dimensions, so min/max file statistics prune scans filtered on
+    either column (the Z-ORDER layout step of lakehouse table
+    maintenance, as a pure expression). Bit surgery only — exact,
+    engine-portable, codegen-friendly."""
+    a = a.cast("long") % F.lit(1 << bits)
+    b = b.cast("long") % F.lit(1 << bits)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        )
+    return out

@@ -79,3 +79,34 @@ def referential_orphan_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def pk_uniqueness_audit(
+    tables: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Primary-key integrity report — the other half of constraint
+    checking beside ``referential_orphan_audit``: one row per table
+    with the row count, distinct-key count, and the number of rows
+    participating in a duplicated key (0 means the PK holds).
+    Composite keys are checked as the column tuple. Each table costs
+    one partial-aggregating pass keyed on its PK (per-key counts
+    reduce map-side), then a tiny second aggregate over the key-count
+    table; the 1-row results union into the report.
+    """
+    reports = []
+    for label, df, key_cols in tables:
+        per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+        reports.append(
+            per_key.agg(
+                F.lit(label).alias("table_name"),
+                F.sum("__c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct_keys"),
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+                    "n_dup_rows"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
