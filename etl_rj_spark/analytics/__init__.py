@@ -140,6 +140,8 @@ _PRIORITY = [
     "pk_uniqueness_audit",        # new r7: PK half of constraint checking
     "zorder_layout_buckets",      # new r7: Morton keys + pruning-range audit
     "shard_source_diversity",     # new r7: Gini-Simpson ppm per hash shard
+    "session_path_topk",          # new r7: top session paths, sorted-struct agg
+    "embedding_centroid_drift",   # new r7: L1 centroid drift per label
 ]
 
 

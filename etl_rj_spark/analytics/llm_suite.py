@@ -3611,3 +3611,76 @@ def bpe_second_merge_candidates(spark, sf_dir):
         .orderBy(F.desc("n_pair"), "pair")
         .limit(50)
     )
+
+
+@_q(
+    "embedding_centroid_drift",
+    """
+    WITH h AS (
+      SELECT label, vec_id % 2 AS half, embedding FROM embeddings
+      WHERE label IS NOT NULL
+    ), d AS (
+      SELECT label, half, r.i AS dim,
+             CAST(FLOOR(embedding[CAST(r.i AS INTEGER)]::DOUBLE * 1048576) AS BIGINT)
+               + 2097152 AS q
+      FROM h, UNNEST(range(1, 65)) AS r(i)
+    ), cents AS (
+      SELECT label, half, dim,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS cent,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2, 3
+    )
+    SELECT e.label,
+           CAST(MAX(e.n) AS BIGINT) AS n_even, CAST(MAX(o.n) AS BIGINT) AS n_odd,
+           CAST(SUM(ABS(e.cent - o.cent)) AS BIGINT) AS l1_drift
+    FROM cents e JOIN cents o
+      ON e.label = o.label AND e.dim = o.dim AND e.half = 0 AND o.half = 1
+    GROUP BY e.label ORDER BY e.label
+    """,
+    tags=("embedding-drift", "monitoring"),
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the L1 distance between the
+    quantized integer centroids of two population halves (vec_id
+    parity stands in for the before/after snapshots a production
+    monitor compares) — the vector-space twin of the token χ² drift
+    screen. Values quantize to floor(x·2²⁰)+2²¹ (offset keeps every
+    sum non-negative so floor-division is engine-exact; the offset
+    cancels in the difference). One posexplode pass into a
+    (label, half, dim)-keyed exact-integer aggregate; centroid state
+    is KB-sized."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    d = (
+        e.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("dim0", "x"),
+        )
+        .select(
+            "label", "half", (F.col("dim0") + 1).alias("dim"),
+            (
+                F.floor(F.col("x").cast("double") * F.lit(1 << 20)).cast("long")
+                + F.lit(1 << 21)
+            ).alias("q"),
+        )
+    )
+    cents = d.groupBy("label", "half", "dim").agg(
+        F.expr("cast(sum(q) div count(1) as bigint)").alias("cent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    even = cents.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("cent").alias("ce"), F.col("n").alias("ne")
+    )
+    odd = cents.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("cent").alias("co"), F.col("n").alias("no")
+    )
+    return (
+        even.join(odd, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("ne").alias("n_even"),
+            F.max("no").alias("n_odd"),
+            F.sum(F.abs(F.col("ce") - F.col("co"))).alias("l1_drift"),
+        )
+        .orderBy("label")
+    )

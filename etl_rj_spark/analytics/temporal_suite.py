@@ -786,3 +786,55 @@ def nearest_view_to_purchase(spark, sf_dir):
         F.col("nearest_view_event_id").alias("nearest_view_event_id"),
         "nearest_dir",
     )
+
+
+@_q(
+    "session_path_topk",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o
+    ), p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("path-analysis", "sessionization", "W1-generalized"),
+)
+def session_path_topk(spark, sf_dir):
+    """Top-20 session paths: the ordered event-type sequence of every
+    30-min-gap session, counted across users — the behavioral-flow
+    report funnel analytics starts from. The path string is built by
+    sorting each session's collected (ts, event_id, type) structs —
+    array_sort on the already-grouped rows, deterministic where a bare
+    collect_list is not — so the only shuffles are the session key and
+    the final small path count."""
+    from etl_rj_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id")
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
