@@ -3405,6 +3405,7 @@ def distribution_match_resample(spark, sf_dir):
     SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair
     FROM pairs GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50
     """,
+    bench=True,
     tags=("tokenizer", "bpe", "text-analysis"),
 )
 def bpe_pair_merge_candidates(spark, sf_dir):

@@ -1298,6 +1298,7 @@ _POIS_SQL_W = """CASE
            CAST(SUM(w::HUGEINT * cents) // SUM(w) AS BIGINT) AS mean_value
     FROM w GROUP BY replicate ORDER BY replicate
     """,
+    bench=True,
     tags=("stats-bootstrap", "A3-generalized"),
 )
 def poisson_bootstrap_revenue(spark, sf_dir):
