@@ -142,6 +142,10 @@ _PRIORITY = [
     "shard_source_diversity",     # new r7: Gini-Simpson ppm per hash shard
     "session_path_topk",          # new r7: top session paths, sorted-struct agg
     "embedding_centroid_drift",   # new r7: L1 centroid drift per label
+    "rfm_segmentation",           # new r7: equi-depth RFM quartile codes
+    "weekday_seasonality_revenue",  # new r7: integer-ppm seasonal index
+    "cdc_apply_orders",           # new r7: CDC apply with deletes, version wins
+    "neardup_eval_simhash",       # new r7: dedup precision/recall harness
 ]
 
 

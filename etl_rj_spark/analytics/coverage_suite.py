@@ -1301,3 +1301,53 @@ def recursive_reachability(spark, sf_dir):
 
     register_tables(spark, sf_dir)
     return spark.sql(_REACH_SQL.format(dst_expr=_DST_SPARK))
+
+
+@_q(
+    "cdc_apply_orders",
+    """
+    WITH log AS (
+      SELECT l_orderkey AS k, l_linenumber AS seq,
+             CASE WHEN l_linenumber % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS new_cents
+      FROM lineitem
+    ), last AS (
+      SELECT k, seq, op, new_cents,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC, new_cents DESC, op DESC) AS rn
+      FROM log
+    ), l1 AS (SELECT k, seq, op, new_cents FROM last WHERE rn = 1),
+    base AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT coalesce(base.o_orderkey, l1.k) AS o_orderkey,
+           CASE WHEN l1.op IS NULL THEN base.cents ELSE l1.new_cents END AS cents,
+           CAST(coalesce(l1.seq, 0) AS BIGINT) AS version
+    FROM base FULL OUTER JOIN l1 ON base.o_orderkey = l1.k
+    WHERE l1.op IS NULL OR l1.op <> 'D'
+    """,
+    tags=("cdc", "merge-deletes", "K1-generalized"),
+)
+def cdc_apply_orders(spark, sf_dir):
+    """CDC apply with deletes: lineitem stands in for an ordered
+    operation log over order keys (linenumber = sequence; every 5th
+    line a delete, the rest updates carrying extendedprice cents); the
+    highest-sequence op per key wins against the orders base — deletes
+    drop the key, untouched keys keep their base value at version 0.
+    The merge shape `merge_upsert_orders` cannot express; one window
+    pass on the log plus one key-shuffled full-outer join."""
+    from etl_rj_spark.operators.scd import cdc_apply_log
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return cdc_apply_log(
+        base, li, key_cols=["o_orderkey"], seq_col="seq", op_col="op",
+        value_col="cents",
+    )

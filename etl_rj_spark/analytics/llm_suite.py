@@ -3685,3 +3685,87 @@ def embedding_centroid_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@_q(
+    "neardup_eval_simhash",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
+               ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.7
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN list_sum(list_transform(th, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split_regex({_NT}, '\\s+'),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+        FROM corpus
+      )
+    ),
+    found AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ),
+    t AS (SELECT COUNT(*) AS n_truth FROM truth),
+    f AS (SELECT COUNT(*) AS n_found FROM found),
+    h AS (SELECT COUNT(*) AS n_hits FROM truth JOIN found USING (id_a, id_b))
+    SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits * 1000000 // NULLIF(n_found, 0), 0) AS BIGINT)
+             AS precision_ppm,
+           CAST(coalesce(n_hits * 1000000 // NULLIF(n_truth, 0), 0) AS BIGINT)
+             AS recall_ppm
+    FROM t CROSS JOIN f CROSS JOIN h
+    """,
+    tags=("dedup-eval", "precision-recall"),
+)
+def neardup_eval_simhash(spark, sf_dir):
+    """Dedup-eval harness: precision/recall (integer ppm) of the
+    SimHash hamming≤3 candidate pairs against the exact token-3-gram
+    Jaccard≥0.7 ground truth on the planted near-dup corpus — the
+    ANN-eval pattern (`ann_eval_recall_mrr`) applied to the text
+    near-dup family: fingerprint screens trade precision for speed,
+    and this frame is where that trade becomes a monitored number
+    instead of a docstring claim. All pair frames are near-dup-sized
+    (KB), so the metric joins are trivial at any corpus scale."""
+    from etl_rj_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    corpus = _near_dup_token_corpus(spark, sf_dir)
+    truth = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3).select(
+        "id_a", "id_b"
+    )
+    found = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    f_ = found.agg(F.count(F.lit(1)).alias("n_found"))
+    h = truth.join(found, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.join(F.broadcast(f_)).join(F.broadcast(h))
+        .select(
+            "n_truth", "n_found", "n_hits",
+            F.coalesce(
+                F.expr("n_hits * 1000000L div nullif(n_found, 0)"), F.lit(0).cast("long")
+            ).alias("precision_ppm"),
+            F.coalesce(
+                F.expr("n_hits * 1000000L div nullif(n_truth, 0)"), F.lit(0).cast("long")
+            ).alias("recall_ppm"),
+        )
+    )

@@ -1649,3 +1649,138 @@ def shard_source_diversity(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@_q(
+    "rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT COUNT(*) AS n FROM cust),
+    rb AS (SELECT v, CAST((before * 4) // n AS INTEGER) AS bin FROM (
+             SELECT recency AS v, SUM(COUNT(*)) OVER (ORDER BY recency
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before0,
+               COUNT(*) AS c
+             FROM cust GROUP BY recency) CROSS JOIN n,
+             LATERAL (SELECT coalesce(before0, 0) AS before)),
+    fb AS (SELECT v, CAST((before * 4) // n AS INTEGER) AS bin FROM (
+             SELECT frequency AS v, SUM(COUNT(*)) OVER (ORDER BY frequency
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before0,
+               COUNT(*) AS c
+             FROM cust GROUP BY frequency) CROSS JOIN n,
+             LATERAL (SELECT coalesce(before0, 0) AS before)),
+    mb AS (SELECT v, CAST((before * 4) // n AS INTEGER) AS bin FROM (
+             SELECT monetary AS v, SUM(COUNT(*)) OVER (ORDER BY monetary
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before0,
+               COUNT(*) AS c
+             FROM cust GROUP BY monetary) CROSS JOIN n,
+             LATERAL (SELECT coalesce(before0, 0) AS before))
+    SELECT (rb.bin + 1) * 100 + (fb.bin + 1) * 10 + (mb.bin + 1) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cust.monetary) AS BIGINT) AS total_cents
+    FROM cust
+    JOIN rb ON cust.recency = rb.v
+    JOIN fb ON cust.frequency = fb.v
+    JOIN mb ON cust.monetary = mb.v
+    GROUP BY 1 ORDER BY segment
+    """,
+    tags=("rfm", "segmentation", "A3-generalized"),
+)
+def rfm_segmentation(spark, sf_dir):
+    """Classic RFM customer segmentation with engine-exact quartile
+    codes: recency (days since last order vs corpus max date),
+    frequency (order count), monetary (exact cents) each discretized
+    by the equi-depth construction — bins from DISTINCT-value
+    cumulative counts, so ties share a bin, assignments replay
+    bit-for-bit, and no global row sort exists. Output is the ~64
+    segment rollup (code = R·100 + F·10 + M, quartiles 1..4)."""
+    from etl_rj_spark.operators.stats import equi_depth_bins
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__mx"))
+    cust = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.max("__mx").alias("__mx2"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff("__mx2", "__last").alias("recency"),
+            "frequency", "monetary",
+        )
+    )
+    binned = equi_depth_bins(cust, "recency", 4, bin_col="__rb")
+    binned = equi_depth_bins(binned, "frequency", 4, bin_col="__fb")
+    binned = equi_depth_bins(binned, "monetary", 4, bin_col="__mb")
+    return (
+        binned.select(
+            ((F.col("__rb") + 1) * 100 + (F.col("__fb") + 1) * 10 + F.col("__mb") + 1)
+            .alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_q(
+    "weekday_seasonality_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nd, SUM(c::HUGEINT) AS t FROM daily)
+    SELECT isodow(d) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST((SUM(c::HUGEINT) * nd * 1000000) // (COUNT(*) * t) AS BIGINT)
+             AS index_ppm
+    FROM daily CROSS JOIN tot
+    GROUP BY dow, nd, t ORDER BY dow
+    """,
+    tags=("seasonality", "A3-generalized"),
+)
+def weekday_seasonality_revenue(spark, sf_dir):
+    """Weekday seasonality profile: each ISO weekday's mean daily
+    revenue relative to the overall mean daily revenue, as the exact
+    integer-ppm index ``(Σc_dow · n_days · 10⁶) div (n_dow · Σc)`` —
+    the multiplicative seasonal factor a deseasonalizing monitor
+    divides by. Day-grain after one corpus aggregate; the totals ride
+    a broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("__t"),
+    )
+    return (
+        daily.join(F.broadcast(tot))
+        .select((F.weekday("d") + 1).alias("dow"), "c", "__nd", "__t")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("total_cents"),
+            F.expr(
+                "cast((sum(cast(c as decimal(38,0))) * max(__nd) * 1000000)"
+                " div (count(1) * max(__t)) as bigint)"
+            ).alias("index_ppm"),
+        )
+        .orderBy("dow")
+    )

@@ -224,3 +224,61 @@ def scd2_apply_multi(
             F.lead("__eff").over(wo).cast(vt_type).alias(valid_to),
         ).select(dim.columns)
     )
+
+
+def cdc_apply_log(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Apply a change-data-capture operation log to a base snapshot:
+    per key the HIGHEST-``seq_col`` log row wins — ``'D'`` deletes the
+    key, any other op upserts ``value_col``; keys the log never touches
+    keep their base value (version 0). The merge-with-deletes form
+    ``merge_upsert`` cannot express.
+
+    ONE window pass picks each key's last op (WindowGroupLimit trims
+    map-side), then a single full-outer join against the base — both
+    sides shuffle on the key once. Returns (key..., ``value_col``,
+    ``version`` = applied seq or 0) with deleted keys absent.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # seq ties break by value (then op) — rows tying on all three are
+    # interchangeable, so the apply stays deterministic even on logs
+    # whose sequence column is not a strict total order
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc(value_col), F.desc(op_col)
+    )
+    last = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+            F.col(op_col).alias("__op"),
+            F.col(seq_col).alias("__seq"),
+            F.col(value_col).alias("__new"),
+        )
+    )
+    cond = None
+    for k in key_cols:
+        c = base[k] == F.col(f"__k_{k}")
+        cond = c if cond is None else cond & c
+    joined = base.join(last, cond, "full_outer")
+    return (
+        joined.filter((F.col("__op").isNull()) | (F.col("__op") != "D"))
+        .select(
+            *[
+                F.coalesce(base[k], F.col(f"__k_{k}")).alias(k)
+                for k in key_cols
+            ],
+            F.when(F.col("__op").isNull(), F.col(value_col))
+            .otherwise(F.col("__new"))
+            .alias(value_col),
+            F.coalesce(F.col("__seq"), F.lit(0)).cast("long").alias("version"),
+        )
+    )
