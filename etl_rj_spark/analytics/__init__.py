@@ -146,6 +146,9 @@ _PRIORITY = [
     "weekday_seasonality_revenue",  # new r7: integer-ppm seasonal index
     "cdc_apply_orders",           # new r7: CDC apply with deletes, version wins
     "neardup_eval_simhash",       # new r7: dedup precision/recall harness
+    "ohlc_daily_value",           # new r7: M4/OHLC downsampling bars
+    "rolling_7day_active_users",  # new r7: exact rolling-distinct WAU
+    "trending_event_types",       # new r7: rolling top-k leaderboard
 ]
 
 

@@ -838,3 +838,147 @@ def session_path_topk(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@_q(
+    "ohlc_daily_value",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT day, cents,
+             row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents,
+           MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+           CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents
+    FROM r GROUP BY day ORDER BY day
+    """,
+    tags=("ohlc", "m4-downsample", "W1-generalized"),
+)
+def ohlc_daily_value(spark, sf_dir):
+    """OHLC / M4 downsampling: per day the first, max, min, and last
+    event value (exact cents; first/last tie-broken by event_id) — the
+    canonical time-series reduction that preserves a chart's visual
+    extremes at any zoom level, and the bar shape every financial
+    rollup starts from. One window pass per direction on the day
+    partitioning the aggregate needs anyway; at scale the bucket is
+    whatever the zoom requires (minute/hour/day) — same plan."""
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"), "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wf = Window.partitionBy("day").orderBy("ts", "event_id")
+    wl = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = e.select(
+        "day", "cents",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return (
+        r.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rf") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rl") == 1, F.col("cents"))).alias("close_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
+    "rolling_7day_active_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du
+      ON du.day <= d.day AND du.day > d.day - 7
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("active-users", "rolling-distinct", "W1-generalized"),
+)
+def rolling_7day_active_users(spark, sf_dir):
+    """Trailing-7-day active users per day (WAU) — rolling DISTINCT,
+    which no window frame can partial-aggregate: facts dedup to
+    (day, user) pairs first (the one corpus-sized, map-side-combinable
+    step), then each report day joins its ≤7 trailing day-slices of
+    that deduped table. The 7× fan-out is the honest cost of exact
+    rolling distinct; swap the distinct-count for HLL partials
+    (streaming/sketches.py) when approximate WAU is acceptable and the
+    fan-out is not."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        days.join(
+            du,
+            (F.col("day") <= F.col("d")) & (F.col("day") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("d").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@_q(
+    "trending_event_types",
+    """
+    WITH dt AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), spine AS (SELECT DISTINCT day FROM dt),
+    rolled AS (
+      SELECT s.day, dt.event_type, CAST(SUM(dt.n) AS BIGINT) AS n7
+      FROM spine s JOIN dt ON dt.day <= s.day AND dt.day > s.day - 7
+      GROUP BY 1, 2
+    )
+    SELECT day, event_type, n7,
+           CAST(row_number() OVER (PARTITION BY day ORDER BY n7 DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM rolled QUALIFY rnk <= 3 ORDER BY day, rnk
+    """,
+    tags=("trending", "rolling-topk", "W1-generalized"),
+)
+def trending_event_types(spark, sf_dir):
+    """Trending leaderboard: top-3 event types per day by trailing-7-
+    day volume. Facts reduce to (day, type) counts first, the rolling
+    sum joins each report day to its ≤7 trailing slices of that
+    day-grain table, and the rank window runs per day over ≤|types|
+    rows — every post-reduction step is dimension-sized."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    dt = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = dt.select("day").distinct().withColumnRenamed("day", "d")
+    rolled = (
+        spine.join(
+            dt,
+            (F.col("day") <= F.col("d")) & (F.col("day") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d", "event_type")
+        .agg(F.sum("n").alias("n7"))
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("n7"), "event_type")
+    return (
+        rolled.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("d").alias("day"), "event_type", "n7", "rnk")
+        .orderBy("day", "rnk")
+    )
