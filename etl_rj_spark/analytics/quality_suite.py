@@ -1784,3 +1784,57 @@ def weekday_seasonality_revenue(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@_q(
+    "prorate_order_totals",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total
+      FROM orders
+    ), j AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.w, o.total,
+             SUM(l.w::HUGEINT) OVER (PARTITION BY l.l_orderkey) AS W
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+    ), b AS (
+      SELECT *, CAST((total::HUGEINT * w) // W AS BIGINT) AS base,
+             (total::HUGEINT * w) - ((total::HUGEINT * w) // W) * W AS rem
+      FROM j
+    ), r AS (
+      SELECT *, total - CAST(SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS R,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber, w DESC) AS rk
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber, w,
+           CAST(base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    """,
+    tags=("proration", "largest-remainder", "N-generalized"),
+)
+def prorate_order_totals(spark, sf_dir):
+    """Largest-remainder proration: each order's exact total cents
+    distributed across its lineitems in proportion to extended price,
+    with the leftover cents going to the largest scaled remainders —
+    integer allocations that sum EXACTLY to the order total (the
+    invariant a float split loses a cent on, at 100 TB a reconciliation
+    break). One shuffle on the order key; three windows share it."""
+    from etl_rj_spark.operators.aggregates import prorate_largest_remainder
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    lines = li.join(o, "l_orderkey")
+    return prorate_largest_remainder(
+        lines, ["l_orderkey"], "w", "total",
+        tiebreak_cols=["l_linenumber"], out_col="alloc",
+    ).select("l_orderkey", "l_linenumber", "w", "alloc")

@@ -61,3 +61,50 @@ def merge_partial_sums(state, delta, keys, sum_cols):
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def prorate_largest_remainder(
+    lines: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    total_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "alloc",
+) -> DataFrame:
+    """Exact proration by the largest-remainder (Hamilton) method:
+    distribute each group's integer ``total_col`` across its rows in
+    proportion to ``weight_col`` so the allocations are integers that
+    SUM EXACTLY to the total — the invariant float proration loses a
+    cent on. Every row gets ``floor(total·w / W)``; the leftover
+    ``R < n`` cents go one each to the R rows with the largest scaled
+    remainder (ties by ``tiebreak_cols`` — rows identical on weight and
+    every tiebreak are interchangeable, so the allocation multiset is
+    deterministic).
+
+    All arithmetic is decimal(38,0) products and floor division — no
+    float. Three window passes over ONE group partitioning (weight
+    total, base-allocation total, remainder rank); at scale this is a
+    single shuffle on the group key. ``total_col`` must be constant
+    within each group (it rides on every line, the join the caller
+    already did)."""
+    from pyspark.sql import Window
+
+    g = Window.partitionBy(*group_cols)
+    dec = f"cast({total_col} as decimal(38,0)) * cast({weight_col} as decimal(38,0))"
+    w_total = F.sum(F.col(weight_col).cast("decimal(38,0)")).over(g)
+    step = lines.withColumn("__W", w_total).withColumn(
+        "__base", F.expr(f"cast(({dec}) div __W as bigint)")
+    ).withColumn(
+        # scaled remainder: total·w − base·W ∈ [0, W)
+        "__rem", F.expr(f"cast(({dec}) - cast(__base as decimal(38,0)) * __W as decimal(38,0))")
+    )
+    rank_w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__rem"), *[F.col(c) for c in tiebreak_cols]
+    )
+    step = step.withColumn("__R", F.col(total_col) - F.sum("__base").over(g)).withColumn(
+        "__rk", F.row_number().over(rank_w)
+    )
+    return step.withColumn(
+        out_col,
+        F.col("__base") + F.when(F.col("__rk") <= F.col("__R"), 1).otherwise(0),
+    ).drop("__W", "__base", "__rem", "__R", "__rk")
