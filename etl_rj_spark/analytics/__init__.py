@@ -31,124 +31,92 @@ from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queri
 #: register deterministic DuckDB oracles for their contract-flag
 #: output (see llm_suite) so a future check can go full-green.
 #:
-#: ROUND-7 ROTATION (executed per VERDICT r6 directive #3): the 15
-#: names staged last round (7 never-checked holdovers + 8 round-6-new
-#: operators) plus the two re-oracled recall-contract queries
-#: (`minhash_lsh_pairs_scaled` / `embedding_near_pairs_lsh_scaled` —
-#: last driver verdict on file is still the r5 `no_oracle`; their
-#: DuckDB oracles landed in r6) lead the prefix; the remaining 33
-#: slots backfill with the OLDEST previously-green names (all
-#: r1-checked, never re-sampled since) in registration order for
-#: re-confirmation. `ecommerce_rewrite` is among them and matters this
-#: round: its oracle+query were rewritten to the reference's TWO-branch
-#: literals ('Walmart Ecommerce'/'Amazon', cartera.py:101-108 — the r6
-#: parity fix), so the driver re-verdict lands on the corrected spec.
-#: With this window, every one of the registered queries has had a
-#: driver verdict at least once (union r1–r7).
+#: ROUND-8 ROTATION (executed per VERDICT r7 directive #2): 59
+#: registered queries had never had a driver verdict at the end of
+#: round 7 (the whole round-7-new tier — CORRECTNESS_r07 rotated
+#: through earlier names).  59 > 50, so this prefix is the 50
+#: highest-value of them, leading with the index / streaming / search
+#: contracts whose redelivery + idempotence claims were only ever
+#: self-run, and including `prorate_order_totals` (its DuckDB oracle
+#: carried a case-colliding `w`/`W` alias — fixed this round, engine
+#: op unchanged; see quality_suite.py) plus the three de-single-
+#: partitioned ranked reports (`keyword_search_topk`,
+#: `hybrid_search_rrf`, `pareto_revenue_report` — rewritten this round
+#: to distributed top-k / bucket-then-rank with identical oracle
+#: hashes).  The 9 lowest-stakes names (simple agg / window variants
+#: of already-verdicted shapes) are staged first for round 9.
 _PRIORITY = [
-    # -- 17 first-time / re-oracled verdicts --------------------------
-    "topk_sketch_rollup",        # new r6: mergeable frequent-items rollup
-    "stream_topk_maintenance",   # new r6: ledgered streaming heavy hitters
-    "theta_segment_algebra",     # new r6: theta intersection/difference
-    "cluster_quality_keep",      # new r6: quality-aware near-dup collapse
-    "fuzzy_best_match_blocked",  # new r6: suffix-key-blocked fuzzy scale path
-    "fuzzy_multipass_rescue",    # new r6: union-of-blocks, 100% recall by construction
-    "stream_theta_overlap",      # new r6: streamed theta partials, serve-time set algebra
-    "cell_balanced_sample",      # new r6: per-semantic-cell capped diversity sample
-    "resample_source_mix_threshold",
-    "decontaminate_docs_hashed",
-    "embedding_random_projection",
-    "image_header_sniff",
-    "orc_events_roundtrip",
-    "hll_sketch_rollup",
-    "stream_hll_maintenance",
-    "minhash_lsh_pairs_scaled",       # re-oracled r6, last verdict no_oracle (r5)
-    "embedding_near_pairs_lsh_scaled",  # re-oracled r6, last verdict no_oracle (r5)
-    # -- 33 oldest-green backfill (r1-checked, not sampled since) -----
-    "trend_total_by_snapshot",
-    "latest_snapshot",
-    "monthly_order_stats",
-    "lag_day_over_day",
-    "last_two_snapshots_delta",
-    "client_zone_rollup",
-    "distinct_topk_dates",
-    "dim_enrich_left",
-    "unmapped_clients_report",
-    "incremental_anti_join",
-    "clean_name_kernel",
-    "money_parse_kernel",
-    "thousands_int_kernel",
-    "date_parse_kernel",
-    "temporal_dims_kernel",
-    "recode_static_map",
-    "month_es_en_recode",
-    "ecommerce_rewrite",         # r7 parity fix: two-branch reference literals
-    "truncate_fields",
-    "contains_scrub_filter",
-    "threshold_filter",
-    "zone_coalesce_default",
-    "union_schema_drift",
-    "pricing_summary",
-    "pivot_status_by_priority",
-    "topk_orders_per_customer",
-    "windowed_event_counts",
-    "sessionization",
-    "json_extract_props",
-    "session_window_native",
-    "unpivot_flag_measures",
-    "exact_dedup_docs",
-    "minhash_lsh_pairs",
+    # -- index / streaming / search contracts first (self-run only) ---
+    "ann_ivf_index_probe",        # persisted cell-partitioned ANN index + DPP probe
+    "ann_ivf_index_append_probe", # no-refit append + redelivery no-op, K1 posture
+    "stream_ivf_maintenance",     # foreachBatch IVF maintainer, anti-join idempotence
+    "stream_cms_maintenance",     # ledgered CMS fold, 2x-doubling contract
+    "stream_moments_maintenance", # ledgered exact-moments fold
+    "manifest_incremental_ingest",  # file-ledger only-new-files ingest
+    "keyword_search_topk",        # exact-integer TF-IDF lexical search (r8: distributed top-k)
+    "hybrid_search_rrf",          # lexical + semantic RRF fusion (r8: distributed top-k)
+    "cms_user_event_counts",      # count-min sketch as relational state
+    # -- dedup / retrieval / curation tier ----------------------------
+    "decontaminate_docs_bloom",   # blocked-bloom probe, exact-verified
+    "set_similarity_prefix_pairs",  # PPJoin prefix filter, exact-Jaccard scale path
+    "split_leakage_audit",        # cross-split near-dup contamination check
+    "golden_record_docs",         # per-field survivorship merge
+    "neardup_eval_simhash",       # dedup precision/recall harness
+    "ann_eval_recall_mrr",        # recall@10/MRR eval harness in ppm
+    "hard_negative_mining",       # cell-confined contrastive negatives
+    "knn_label_vote",             # cell-confined kNN majority vote
+    "margin_bitext_pairs",        # margin-scored bitext mining
+    "preference_pairs_mined",     # margin-gated DPO pair mining
+    "doc_topic_cells",            # feature-hash topic cells
+    "temperature_mix_docs",       # temperature-scaled source mixing
+    "weighted_sample_sources",    # A-ES weighted per-group sample
+    "negative_sample_parts",      # integer-CDF popularity-weighted negative sampling
+    "distribution_match_resample",  # thin corpus to a reference bin profile
+    "bigram_fluency_score",       # transition-level LM screen
+    "bpe_pair_merge_candidates",  # tokenizer-trainer inner statistic
+    # -- embeddings ---------------------------------------------------
+    "embedding_standardize",      # per-dim z-score, exact-integer cleared form
+    "embedding_mean_pool",        # integer-exact group profile vectors (r8: null-element fix)
+    # -- stats / eval / attribution tier ------------------------------
+    "equi_depth_price_bins",      # quantile binning without a global row sort
+    "mad_outlier_events",         # robust lower-median/MAD screen
+    "pareto_revenue_report",      # 80/20 concentration (r8: bucket-then-rank)
+    "trimmed_mean_price_brand",   # robust location, exact-integer cut
+    "poisson_bootstrap_revenue",  # 32-replicate distributed bootstrap
+    "purchase_attribution_linear",  # multi-touch credit split
+    "cusum_changepoint_revenue",  # n-scaled integer CUSUM screen
+    "weighted_percentiles_price",  # exact weighted P50/90/99, value-grain
+    "value_trend_slope",          # per-key OLS slope, closed form
+    "exact_auc_purchase_value",   # exact AUC via rank-sum, value-grain
+    "retention_labels_events",    # horizon-labeled retention cohorts
+    "calibration_bins_events",    # score-bin calibration table
+    "user_feature_snapshot",      # point-in-time feature assembly
+    "event_cooccurrence_lift",    # pairwise lift, explode-join-free
+    "prorate_order_totals",       # largest-remainder proration (r8: oracle alias fix)
+    # -- CDC / as-of / audits -----------------------------------------
+    "cdc_apply_orders",           # CDC apply with deletes, version wins
+    "nearest_view_to_purchase",   # bidirectional as-of, nearest either way
+    "referential_integrity_audit",  # FK orphan/null/distinct report
+    "pk_uniqueness_audit",        # PK half of constraint checking
+    "join_key_skew_audit",        # hot-key histogram + skew ratio
+    "zorder_layout_buckets",      # Morton keys + pruning-range audit
+    "shard_source_diversity",     # Gini-Simpson ppm per hash shard
     # ---- 50-query driver prefix ends here ----
-    # -- staged for round 8: round-7-new queries (oracle-green in
-    # -- self-run at sf0.001 and sf0.01), then continue the oldest-
-    # -- green re-confirmation backfill from where round 7 stopped
-    # -- (ngram_jaccard_pairs onward in r1 registration order).
-    "decontaminate_docs_bloom",   # new r7: blocked-bloom probe, exact-verified
-    "weighted_sample_sources",    # new r7: A-ES weighted per-group sample
-    "hard_negative_mining",       # new r7: cell-confined contrastive negatives
-    "ann_ivf_index_probe",        # new r7: persisted cell-partitioned ANN index + DPP probe
-    "ann_ivf_index_append_probe", # new r7: no-refit append + redelivery no-op, K1 posture
-    "stream_ivf_maintenance",     # new r7: foreachBatch IVF maintainer, idempotence by anti-join
-    "keyword_search_topk",        # new r7: exact-integer TF-IDF lexical search
-    "hybrid_search_rrf",          # new r7: lexical + semantic reciprocal-rank fusion
-    "negative_sample_parts",      # new r7: integer-CDF popularity-weighted negative sampling
-    "distribution_match_resample",  # new r7: thin corpus to a reference bin profile
-    "set_similarity_prefix_pairs",  # new r7: PPJoin prefix filter, exact-Jaccard scale path
-    "split_leakage_audit",        # new r7: cross-split near-dup contamination check
-    "embedding_standardize",      # new r7: per-dim z-score, exact-integer cleared form
-    "preference_pairs_mined",     # new r7: margin-gated DPO pair mining
-    "bigram_fluency_score",       # new r7: transition-level LM screen
-    "manifest_incremental_ingest",  # new r7: file-ledger only-new-files ingest
-    "embedding_mean_pool",        # new r7: integer-exact group profile vectors
-    "equi_depth_price_bins",      # new r7: quantile binning without a global row sort
-    "mad_outlier_events",         # new r7: robust lower-median/MAD screen
-    "pareto_revenue_report",      # new r7: 80/20 concentration, integer-ppm shares
-    "bpe_pair_merge_candidates",  # new r7: tokenizer-trainer inner statistic
-    "golden_record_docs",         # new r7: per-field survivorship merge
-    "trimmed_mean_price_brand",   # new r7: robust location, exact-integer cut
-    "referential_integrity_audit",  # new r7: FK orphan/null/distinct report
-    "poisson_bootstrap_revenue",  # new r7: 32-replicate distributed bootstrap
-    "purchase_attribution_linear",  # new r7: multi-touch credit split
-    "cusum_changepoint_revenue",  # new r7: n-scaled integer CUSUM screen
-    "weighted_percentiles_price",  # new r7: exact weighted P50/90/99, value-grain
-    "cms_user_event_counts",      # new r7: count-min sketch as relational state
-    "ann_eval_recall_mrr",        # new r7: recall@10/MRR eval harness in ppm
-    "stream_cms_maintenance",     # new r7: ledgered CMS fold, 2x-doubling contract
-    "event_debounce_weekly",      # new r7: LAG-gap temporal dedup
-    "bpe_second_merge_candidates",  # new r7: trainer iteration 2 via broadcast merge
-    "nearest_view_to_purchase",   # new r7: bidirectional as-of, nearest either way
-    "pk_uniqueness_audit",        # new r7: PK half of constraint checking
-    "zorder_layout_buckets",      # new r7: Morton keys + pruning-range audit
-    "shard_source_diversity",     # new r7: Gini-Simpson ppm per hash shard
-    "session_path_topk",          # new r7: top session paths, sorted-struct agg
-    "embedding_centroid_drift",   # new r7: L1 centroid drift per label
-    "rfm_segmentation",           # new r7: equi-depth RFM quartile codes
-    "weekday_seasonality_revenue",  # new r7: integer-ppm seasonal index
-    "cdc_apply_orders",           # new r7: CDC apply with deletes, version wins
-    "neardup_eval_simhash",       # new r7: dedup precision/recall harness
-    "ohlc_daily_value",           # new r7: M4/OHLC downsampling bars
-    "rolling_7day_active_users",  # new r7: exact rolling-distinct WAU
-    "trending_event_types",       # new r7: rolling top-k leaderboard
+    # -- staged for round 9: the 9 remaining never-checked round-7
+    # -- names (simple agg/window variants of already-verdicted
+    # -- shapes), then continue the oldest-green re-confirmation
+    # -- backfill (r1-green names from ngram_jaccard_pairs onward in
+    # -- registration order — ordered_registry() appends the rest of
+    # -- the registry in registration order automatically).
+    "session_path_topk",          # top session paths, sorted-struct agg
+    "embedding_centroid_drift",   # L1 centroid drift per label
+    "rfm_segmentation",           # equi-depth RFM quartile codes
+    "weekday_seasonality_revenue",  # integer-ppm seasonal index
+    "ohlc_daily_value",           # M4/OHLC downsampling bars
+    "rolling_7day_active_users",  # exact rolling-distinct WAU
+    "trending_event_types",       # rolling top-k leaderboard
+    "event_debounce_weekly",      # LAG-gap temporal dedup
+    "bpe_second_merge_candidates",  # trainer iteration 2 via broadcast merge
 ]
 
 

@@ -845,23 +845,24 @@ def pareto_revenue_report(spark, sf_dir):
     integer revenue cents with ppm shares and cumulative shares; keeps
     the 'vital few' — every customer whose cumulative share BEFORE
     them is under 80% (so the customer crossing the line is included).
-    The rank window runs over the AGGREGATED customer table (dim-sized
-    — the facts never see a global sort); all divisions are positive
-    integer div."""
-    from pyspark.sql import Window
+
+    Scale (VERDICT r7 #3): per-customer revenue at 100 TB is ~10⁹ rows
+    — far too big for a global row_number/running-sum window. The rank
+    and cumulative sum come from ``global_rank_cumsum``: range-bucket
+    by (cents DESC, custkey), rank + cumsum per bucket under a
+    PARTITIONED window, then shift each bucket by the exact
+    count/total of the buckets above it (a triangular join over the
+    KB-sized per-bucket stats) — identical values, no task ever sorts
+    more than its bucket. All divisions are positive integer div."""
+    from etl_rj_spark.operators.windows import global_rank_cumsum
 
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
     tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("__t"))
-    w = Window.orderBy(F.desc("cents"), "o_custkey")
-    ranked = rev.select(
-        "o_custkey", "cents",
-        F.row_number().over(w).alias("rnk"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("__cum"),
+    ranked = global_rank_cumsum(
+        rev, "cents", ["o_custkey"], rank_col="rnk", cum_col="__cum"
     )
     return (
         ranked.join(F.broadcast(tot))
@@ -1798,11 +1799,11 @@ def weekday_seasonality_revenue(spark, sf_dir):
       FROM orders
     ), j AS (
       SELECT l.l_orderkey, l.l_linenumber, l.w, o.total,
-             SUM(l.w::HUGEINT) OVER (PARTITION BY l.l_orderkey) AS W
+             SUM(l.w::HUGEINT) OVER (PARTITION BY l.l_orderkey) AS w_sum
       FROM l JOIN o ON l.l_orderkey = o.o_orderkey
     ), b AS (
-      SELECT *, CAST((total::HUGEINT * w) // W AS BIGINT) AS base,
-             (total::HUGEINT * w) - ((total::HUGEINT * w) // W) * W AS rem
+      SELECT *, CAST((total::HUGEINT * w) // w_sum AS BIGINT) AS base,
+             (total::HUGEINT * w) - ((total::HUGEINT * w) // w_sum) * w_sum AS rem
       FROM j
     ), r AS (
       SELECT *, total - CAST(SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS R,

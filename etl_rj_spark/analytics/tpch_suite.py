@@ -670,7 +670,13 @@ def small_qty_revenue_q17(spark, sf_dir):
 )
 def ntile_acctbal_quartiles(spark, sf_dir):
     """ntile quartiles over a deterministic total order (unique
-    c_custkey tiebreaker), rolled up per quartile."""
+    c_custkey tiebreaker), rolled up per quartile.
+
+    This is the documented TPC-H window SHAPE — ntile is inherently a
+    global sort through one partition. The scale-safe form of the same
+    statistic is ``rfm_segmentation`` (quality_suite): equi-depth
+    quartile codes from approx-quantile boundaries, value-grain, no
+    global window — prefer it on anything bigger than a dim table."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")

@@ -19,10 +19,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_rj_spark.operators.text_analysis import normalized_text, whitespace_tokens
+from etl_rj_spark.operators.windows import ranked_topk
 
 #: RRF's smoothing constant — the value from the original Cormack et
 #: al. TREC paper, which virtually every implementation defaults to.
@@ -54,10 +55,16 @@ def keyword_search_topk(
     materializes its full token stream), df comes from one
     map-side-combinable aggregate over that filtered stream, and the
     per-doc score is a second aggregate keyed by (doc, term) → (doc).
-    One top-k window at the end; no full sort.
+    The corpus size N stays IN the lazy plan (a broadcast 1-row
+    aggregate — no eager count at build time, and it can never go
+    stale against the input). The final ranking is a distributed
+    top-k (``ranked_topk``: per-partition heaps + a bounded-by-k rank
+    stamp) — with a common query term over 100 TB the match set is
+    millions of rows, and a global row_number window would pull every
+    one of them through a single task; this never does.
     """
     terms = [t.lower() for t in query_terms]
-    n_docs = docs.select(F.col(id_col)).count()
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
     toks = (
         docs.select(
             F.col(id_col),
@@ -69,9 +76,10 @@ def keyword_search_topk(
     idf = (
         tf.groupBy("term")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .join(F.broadcast(n))
         .select(
             "term",
-            F.expr(f"(CAST({n_docs} AS BIGINT) * 1000000) div df").alias("idf_ppm"),
+            F.expr("(CAST(__n AS BIGINT) * 1000000) div df").alias("idf_ppm"),
         )
     )
     scored = (
@@ -79,12 +87,9 @@ def keyword_search_topk(
         .groupBy(id_col)
         .agg(F.sum(F.col("tf") * F.col("idf_ppm")).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
-    )
+    return ranked_topk(
+        scored, [(F.col("score"), False), (F.col(id_col), True)], k
+    ).select(id_col, "score", "rank")
 
 
 def rrf_fuse(
@@ -99,6 +104,9 @@ def rrf_fuse(
     fused top-k by score desc, id-tiebreak. An id absent from a list
     simply contributes nothing for it — RRF's defining robustness: no
     score calibration between heterogeneous retrievers, only ranks.
+    The fused ranking uses the same distributed top-k as
+    ``keyword_search_topk`` (no unpartitioned window — the candidate
+    union can be arbitrarily large when the input lists are deep).
     """
     contribs = [
         r.select(
@@ -113,9 +121,6 @@ def rrf_fuse(
     for c in contribs[1:]:
         all_ = all_.unionByName(c)
     fused = all_.groupBy(id_col).agg(F.sum("__c").alias("rrf_score"))
-    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rrf_score", "rank")
-    )
+    return ranked_topk(
+        fused, [(F.col("rrf_score"), False), (F.col(id_col), True)], k
+    ).select(id_col, "rrf_score", "rank")
