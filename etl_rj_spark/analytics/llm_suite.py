@@ -3292,13 +3292,13 @@ _NEGSAMPLE_SQL = """
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
       FROM pop
     ),
-    tot AS (SELECT MAX(hi) AS W FROM cdf),
+    tot AS (SELECT MAX(hi) AS w_total FROM cdf),
     users AS (SELECT c_custkey FROM customer WHERE c_custkey < 20),
     draws AS (
       SELECT u.c_custkey, s.slot,
              (('0x' || substr(md5(CAST(u.c_custkey AS VARCHAR) || ':' ||
                                   CAST(s.slot AS VARCHAR) || ':0'), 1, 13))::BIGINT)
-               % tot.W AS pos
+               % tot.w_total AS pos
       FROM users u CROSS JOIN tot CROSS JOIN UNNEST(range(1, 6)) AS s(slot)
     ),
     seen AS (

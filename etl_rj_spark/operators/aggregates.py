@@ -86,25 +86,31 @@ def prorate_largest_remainder(
     total, base-allocation total, remainder rank); at scale this is a
     single shuffle on the group key. ``total_col`` must be constant
     within each group (it rides on every line, the join the caller
-    already did)."""
+    already did).
+
+    (Internal columns avoid any name that is a case-variant of a
+    plausible caller column: Spark resolves case-insensitively by
+    default, so an internal ``__W`` silently binds to a caller's
+    ``__w`` — the same identifier-collision class as the r7 DuckDB
+    oracle bug, caught by ``stratified_split_exact``.)"""
     from pyspark.sql import Window
 
     g = Window.partitionBy(*group_cols)
     dec = f"cast({total_col} as decimal(38,0)) * cast({weight_col} as decimal(38,0))"
     w_total = F.sum(F.col(weight_col).cast("decimal(38,0)")).over(g)
-    step = lines.withColumn("__W", w_total).withColumn(
-        "__base", F.expr(f"cast(({dec}) div __W as bigint)")
+    step = lines.withColumn("__wsum", w_total).withColumn(
+        "__base", F.expr(f"cast(({dec}) div __wsum as bigint)")
     ).withColumn(
-        # scaled remainder: total·w − base·W ∈ [0, W)
-        "__rem", F.expr(f"cast(({dec}) - cast(__base as decimal(38,0)) * __W as decimal(38,0))")
+        # scaled remainder: total·w − base·wsum ∈ [0, wsum)
+        "__rem", F.expr(f"cast(({dec}) - cast(__base as decimal(38,0)) * __wsum as decimal(38,0))")
     )
     rank_w = Window.partitionBy(*group_cols).orderBy(
         F.desc("__rem"), *[F.col(c) for c in tiebreak_cols]
     )
-    step = step.withColumn("__R", F.col(total_col) - F.sum("__base").over(g)).withColumn(
+    step = step.withColumn("__topup", F.col(total_col) - F.sum("__base").over(g)).withColumn(
         "__rk", F.row_number().over(rank_w)
     )
     return step.withColumn(
         out_col,
-        F.col("__base") + F.when(F.col("__rk") <= F.col("__R"), 1).otherwise(0),
-    ).drop("__W", "__base", "__rem", "__R", "__rk")
+        F.col("__base") + F.when(F.col("__rk") <= F.col("__topup"), 1).otherwise(0),
+    ).drop("__wsum", "__base", "__rem", "__topup", "__rk")

@@ -686,3 +686,77 @@ def golden_record_merge(
         .select("__key", F.col("__mode").alias("mode_value"))
     )
     return per_cluster.join(modes, "__key").withColumnRenamed("__key", "cluster_key")
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: list[tuple[str, int]],
+    salt: str = "split",
+) -> DataFrame:
+    """Exact stratified train/val/test assignment: each stratum is
+    split into parts whose sizes are the LARGEST-REMAINDER (Hamilton)
+    apportionment of its row count over integer ``weights`` — so the
+    per-stratum split sizes are exactly right (a Bernoulli split is
+    only right in expectation; at 20 strata × 3 parts the drift is
+    visible in every eval), and membership is a deterministic function
+    of (id, salt): rows rank within their stratum by md5 hash and the
+    rank-interval decides the part.
+
+    Scale: the apportionment runs on the per-stratum COUNTS (a
+    vocabulary-grain frame, rows = strata × parts, KB); the only
+    corpus-sized work is one partitionBy(stratum) rank window — the
+    partitioned-window shape every per-group operation already pays.
+    Returns df + (split_rank, split). Weights must sum to ≤ 10⁶ or
+    any convenient base — only ratios matter.
+    """
+    from etl_rj_spark.operators.aggregates import prorate_largest_remainder
+
+    wtot = sum(w for _, w in weights)
+    counts = df.groupBy(F.col(stratum_col)).agg(F.count(F.lit(1)).alias("__n"))
+    parts = counts.select(
+        stratum_col, "__n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ord"), F.lit(name).alias("part"),
+                    F.lit(int(w)).alias("w"),
+                )
+                for i, (name, w) in enumerate(weights)
+            ])
+        ).alias("__p"),
+    ).select(
+        stratum_col, "__n",
+        F.col("__p.ord").alias("__ord"),
+        F.col("__p.part").alias("__part"),
+        F.col("__p.w").cast("long").alias("__w"),
+    )
+    sized = prorate_largest_remainder(
+        parts, [stratum_col], "__w", "__n", tiebreak_cols=["__ord"], out_col="__sz"
+    )
+    w_cum = Window.partitionBy(stratum_col).orderBy("__ord")
+    # rename the stratum key on the bounds side: both frames descend
+    # from ``df``, so joining on same-named columns silently resolves
+    # to a trivially-true self-reference
+    bounds = sized.select(
+        F.col(stratum_col).alias("__stratum"), "__part",
+        F.sum("__sz").over(w_cum.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__lo"),
+        F.sum("__sz").over(w_cum.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__hi"),
+    ).withColumn("__lo", F.coalesce(F.col("__lo"), F.lit(0)))
+    w_rank = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        F.col(id_col),
+    )
+    ranked = df.withColumn("split_rank", F.row_number().over(w_rank))
+    return (
+        ranked.join(
+            F.broadcast(bounds),
+            (F.col(stratum_col) == F.col("__stratum"))
+            & (F.col("split_rank") > F.col("__lo"))
+            & (F.col("split_rank") <= F.col("__hi")),
+        )
+        .select(*df.columns, "split_rank", F.col("__part").alias("split"))
+    )

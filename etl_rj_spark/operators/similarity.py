@@ -612,12 +612,16 @@ def mean_pool_embeddings(
     → per-group re-assembly over |groups|·dim rows, dim-sorted so the
     output array order is deterministic. NULL vectors contribute
     nothing; a group with only NULL vectors is absent from the output.
+    NULL *elements* inside a vector are likewise excluded from that
+    dimension's mean (``F.count("__x")`` skips nulls exactly as the
+    SUM does — counting positions instead would silently deflate the
+    mean; ADVICE r7).
     Returns (group, out_col: array<bigint> mean micros).
     """
     xi = F.transform(vec_double(vec_col), lambda x: F.round(x * 1e6).cast("long"))
     ex = df.select(F.col(group_col), F.posexplode(xi).alias("__dim", "__x"))
     agg = ex.groupBy(group_col, "__dim").agg(
-        F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__c")
+        F.sum("__x").alias("__s"), F.count("__x").alias("__c")
     )
     return (
         agg.groupBy(group_col)

@@ -9,7 +9,7 @@ row-side step is a broadcast-join + scan-stage expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -376,7 +376,9 @@ _POIS1_T52 = (
 )
 
 
-def poisson_weight_expr(id_col: str, replicate_col: str) -> F.Column:
+def poisson_weight_expr(
+    id_col: str, replicate_col: str, hash: str = "md5"
+) -> F.Column:
     """Deterministic Poisson(1) replicate weight for (row, replicate):
     u52 = 52-bit integer from md5(id ':' replicate); the weight is the
     inverse-CDF step count over precomputed integer thresholds (capped
@@ -387,20 +389,35 @@ def poisson_weight_expr(id_col: str, replicate_col: str) -> F.Column:
     multiplicity per replicate map-side, and one aggregation keyed by
     replicate yields all B statistics in a single pass. The md5 seed
     makes the draw reproducible across runs AND engines.
+
+    ``hash='xxhash64'`` (VERDICT r7 #6) is the production fast path:
+    the low 52 bits of the JVM-native xxhash64 replace the
+    md5→hex→conv chain (the dominant cost of a B×-fanned-out draw).
+    Still deterministic across runs/partitionings — but JVM-only, so
+    md5 stays the default and the cross-engine oracle contract.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col(id_col).cast("string"), F.col(replicate_col).cast("string")
-                )
+    if hash == "xxhash64":
+        h = F.xxhash64(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col(replicate_col).cast("string")
+            )
+        ).bitwiseAND(F.lit((1 << 52) - 1))
+    elif hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.col(replicate_col).cast("string")
+                    )
+                ),
+                1,
+                13,
             ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
+            16,
+            10,
+        ).cast("long")
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown hash {hash!r} (use 'md5' or 'xxhash64')")
     w = F.lit(5)
     for k in range(len(_POIS1_T52) - 1, -1, -1):
         w = F.when(h < F.lit(_POIS1_T52[k]), F.lit(k)).otherwise(w)
@@ -412,6 +429,7 @@ def poisson_bootstrap_means(
     id_col: str,
     value_col: str,
     replicates: int = 32,
+    hash: str = "md5",
 ) -> DataFrame:
     """B bootstrap replicate means of an exact-integer value column via
     the Poisson(1) multiplicity trick: one row per replicate with
@@ -426,7 +444,7 @@ def poisson_bootstrap_means(
         F.col(id_col), F.col(value_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("replicate"),
     )
-    weighted = fan.withColumn("__w", poisson_weight_expr(id_col, "replicate"))
+    weighted = fan.withColumn("__w", poisson_weight_expr(id_col, "replicate", hash=hash))
     return (
         weighted.groupBy("replicate")
         .agg(
@@ -458,8 +476,8 @@ def cusum_changepoint(
     days/hours first — the caller's groupBy is the only corpus-sized
     pass). The ordered windows here run over periods — thousands of
     rows at century scale — so the single-partition window is a
-    dim-sized driver-adjacent step by construction, same contract as
-    the Pareto report's rank window.
+    dim-sized driver-adjacent step by construction (the bounded
+    "period series" grain of SCALE.md §3's unpartitioned-window rule).
     """
     tot = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -549,3 +567,248 @@ def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
             + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
         )
     return out
+
+
+def gini_concentration(
+    df: DataFrame, value_col: str, tiebreak_cols: list[str]
+) -> DataFrame:
+    """Exact Gini coefficient of an integer value column, in ppm:
+    with x(1..n) ascending, ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``.
+    The ascending rank comes from :func:`..windows.global_rank_cumsum`
+    (descending rank r → i = n − r + 1), so NO unpartitioned window
+    touches the data — the two-phase range-bucket rank is the whole
+    point of using this over a bare ``row_number`` at 10⁹ groups.
+    All arithmetic decimal(38,0); one output row ``(n, total,
+    gini_ppm)`` with ``gini_ppm = (2·S1 − (n+1)·S)·10⁶ div (n·S)``.
+    """
+    from etl_rj_spark.operators.windows import global_rank_cumsum
+
+    ranked = global_rank_cumsum(df, value_col, list(tiebreak_cols), rank_col="__r")
+    v = F.col(value_col).cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        # Σ rank_desc · x  →  Σ i·x = (n+1)·S − Σ r·x
+        F.sum(F.col("__r").cast("decimal(38,0)") * v).alias("__rs"),
+    )
+    return agg.select(
+        F.col("__n").alias("n"),
+        F.col("__s").cast("bigint").alias("total"),
+        F.expr(
+            "cast((2 * ((__n + 1) * __s - __rs) - (__n + 1) * __s) * 1000000"
+            " div (__n * __s) as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square independence screen for two categorical
+    columns, fully exact-integer: per cell,
+    ``contrib_ppm = ((o·N − r·c)² · 10⁶) div (N·r·c)`` (the identity
+    ``(o−e)²/e = (o·N−r·c)²/(N·r·c)`` with e = r·c/N cleared of the
+    division), summed exactly — no float ever appears, so the
+    statistic is bit-identical across engines and partitionings.
+    Output: one row (n, dof, chi2_ppm). The contingency table is
+    |A|·|B| cells — a value-vocabulary grain, KB-sized after one
+    map-side-combinable aggregate over the corpus.
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    rows = df.groupBy(col_a).agg(F.count(F.lit(1)).alias("__r"))
+    cols = df.groupBy(col_b).agg(F.count(F.lit(1)).alias("__c"))
+    tot = df.agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_distinct(F.col(col_a)).alias("__ka"),
+        F.count_distinct(F.col(col_b)).alias("__kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(rows), col_a)
+        .join(F.broadcast(cols), col_b)
+        .join(F.broadcast(tot))
+    )
+    contrib = joined.select(
+        F.expr(
+            "cast((cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
+            " * (cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
+            " * 1000000 div (cast(__t as decimal(38,0)) * __r * __c) as decimal(38,0))"
+        ).alias("__chi"),
+        F.col("__t"), F.col("__ka"), F.col("__kb"),
+    )
+    return contrib.groupBy("__t", "__ka", "__kb").agg(
+        F.sum("__chi").alias("__sum")
+    ).select(
+        F.col("__t").alias("n"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("bigint").alias("dof"),
+        F.col("__sum").cast("bigint").alias("chi2_ppm"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    success_col: str,
+    arm_expr: Column,
+) -> DataFrame:
+    """A/B two-proportion z-test over deterministic arm assignment:
+    aggregate exact per-arm (n, successes), then compute the pooled
+    z-statistic ``(p1−p0) / sqrt(p·(1−p)·(1/n0+1/n1))`` as ONE double
+    expression over exact integers, rounded to 9 dp. Because the float
+    work happens after aggregation on scalars (a single IEEE
+    expression — no reduction-order variance), the result is
+    cross-engine stable. Output: one row
+    (n0, n1, conv0, conv1, lift_ppm, z_9dp).
+
+    ``arm_expr`` must be a deterministic 0/1 column (hash-based
+    assignment keeps re-runs and engines aligned).
+    """
+    per_unit = df.groupBy(F.col(unit_col)).agg(
+        F.max(F.col(success_col)).alias("__s")
+    )
+    armed = per_unit.select(
+        arm_expr.alias("__arm"), F.col("__s")
+    )
+    arms = armed.groupBy().agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__s")).otherwise(0)).alias("conv0"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__s")).otherwise(0)).alias("conv1"),
+    )
+    return arms.select(
+        "n0", "n1", "conv0", "conv1",
+        # difference of two NONNEGATIVE integer divisions — never an
+        # integer division of a negative (engines disagree on
+        # truncate-vs-floor there); NULL when an arm is empty
+        F.expr(
+            "case when n0 > 0 and n1 > 0 then"
+            " cast((cast(conv1 as decimal(38,0)) * 1000000) div n1"
+            " - (cast(conv0 as decimal(38,0)) * 1000000) div n0 as bigint)"
+            " end"
+        ).alias("lift_ppm"),
+        # degenerate designs (empty arm, all-convert / none-convert
+        # pool) have zero pooled variance: z is undefined → NULL, not
+        # a divide-by-zero (ANSI mode errors; engines disagree on inf)
+        F.when(
+            (F.col("n0") > 0)
+            & (F.col("n1") > 0)
+            & (F.col("conv0") + F.col("conv1") > 0)
+            & (F.col("conv0") + F.col("conv1") < F.col("n0") + F.col("n1")),
+            F.round(
+                (
+                    F.col("conv1") / F.col("n1") - F.col("conv0") / F.col("n0")
+                )
+                / F.sqrt(
+                    ((F.col("conv0") + F.col("conv1")) / (F.col("n0") + F.col("n1")))
+                    * (1 - (F.col("conv0") + F.col("conv1")) / (F.col("n0") + F.col("n1")))
+                    * (1 / F.col("n0") + 1 / F.col("n1"))
+                ),
+                9,
+            ),
+        ).alias("z_9dp"),
+    )
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    taps: int = 10,
+) -> DataFrame:
+    """Exponentially-weighted moving value over a PERIOD series with
+    dyadic (power-of-two) weights and a finite horizon: for day t,
+    ``ewma_t = (Σ_{j=0..taps−1} x_{t−j} · 2^(taps−1−j)) div (Σ weights
+    present)`` — α=½ smoothing as pure integer arithmetic, so the
+    filter is bit-exact on any engine (a float EWMA recursion drifts
+    AND can't be windowed). Missing periods inside the horizon simply
+    contribute nothing; the divisor is the sum of weights actually
+    present, so series edges and gaps are handled without imputation.
+
+    ``df`` must already be period grain (day-level after the caller's
+    corpus aggregate): the horizon join fans each period to ≤``taps``
+    rows — a bounded-series grain per SCALE.md §3, never corpus-sized.
+    Output: (time_col, value_col, ewma).
+    """
+    a = df.select(F.col(time_col).alias("__d"), F.col(value_col).alias("__x"))
+    b = df.select(F.col(time_col).alias("__d2"), F.col(value_col).alias("__x2"))
+    j = a.join(
+        b,
+        (F.col("__d2") <= F.col("__d"))
+        & (F.datediff(F.col("__d"), F.col("__d2")) < taps),
+    )
+    wexp = (taps - 1) - F.datediff(F.col("__d"), F.col("__d2"))
+    return (
+        j.select(
+            "__d", "__x",
+            F.shiftleft(F.lit(1), wexp.cast("int")).cast("long").alias("__w"),
+            F.col("__x2"),
+        )
+        .groupBy("__d", "__x")
+        .agg(
+            F.expr("cast(sum(cast(__w as decimal(38,0)) * __x2) div sum(__w) as bigint)")
+            .alias("ewma")
+        )
+        .select(
+            F.col("__d").alias(time_col), F.col("__x").alias(value_col), "ewma"
+        )
+    )
+
+
+def group_entropy_ppm(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy (bits) of each group's category distribution,
+    in ppm: per (group, category) count n and group total g, each
+    category contributes ``round((n/g)·log2(g/n)·10⁶)`` — ONE double
+    expression on exact integers, rounded to an int64 BEFORE the final
+    sum, so the cross-category addition is exact-integer and immune to
+    aggregation order (the float-sum version differs per partitioning).
+    Output: (group, n_events, n_cats, entropy_ppm). Two
+    map-side-combinable aggregates; the category vocabulary bounds the
+    inner fan-out.
+    """
+    cat = df.groupBy(group_col, cat_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__g"))
+    term = cat.join(tot, group_col).select(
+        F.col(group_col),
+        F.col("__g"),
+        F.round(
+            (F.col("__n") / F.col("__g"))
+            * (F.log2(F.col("__g")) - F.log2(F.col("__n")))
+            * 1e6
+        ).cast("long").alias("__t"),
+    )
+    return (
+        term.groupBy(group_col)
+        .agg(
+            F.max("__g").alias("n_events"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum("__t").alias("entropy_ppm"),
+        )
+    )
+
+
+def skyline_max2(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """2-D skyline (Pareto front), both dimensions maximized: keep
+    rows no other row dominates (≥ in both, > in at least one).
+    Computed on the VALUE GRAIN, never pairwise: per distinct x, the
+    max y; a suffix-max over distinct-x descending (a bounded
+    value-vocabulary window, SCALE.md §3); a row survives iff its y
+    equals its x's max-y AND strictly exceeds the suffix-max of all
+    larger x (larger-x ties in y dominate via strict x). Duplicate
+    skyline points all survive — neither dominates the other.
+    One corpus aggregate + one broadcast join back; the naive
+    NOT-EXISTS self-join this replaces is O(n²).
+    """
+    per_x = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__maxy")
+    )
+    w = Window.orderBy(F.desc("__x")).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_x.select(
+        "__x", "__maxy", F.max("__maxy").over(w).alias("__suf")
+    ).filter(F.col("__suf").isNull() | (F.col("__maxy") > F.col("__suf")))
+    return df.join(
+        F.broadcast(frontier),
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__maxy")),
+    ).drop("__x", "__maxy", "__suf")

@@ -200,3 +200,38 @@ def global_rank_cumsum(
         .withColumn(cum_col, (F.col("__off_s") + F.col("__lcum")).cast("decimal(38,0)"))
         .drop("__pid", "__lrk", "__lcum", "__off_n", "__off_s")
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: per
+    entity, LAG the state over (ts, tiebreak); count (prev, cur)
+    pairs; emit the row-normalized transition probability as exact
+    integer ppm ``(n·10⁶) div row_total``. Each entity's first event
+    (prev NULL) is excluded — it has no transition.
+
+    One shuffle on the entity key for the LAG, then a
+    vocabulary-grain aggregate (|states|² cells). Output:
+    (prev_state, state, n, p_ppm).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.lag(state_col).over(w).alias("prev_state"),
+            F.col(state_col).alias("state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = pairs.groupBy("prev_state").agg(F.sum("n").alias("__rt"))
+    return pairs.join(F.broadcast(row_tot), "prev_state").select(
+        "prev_state", "state", "n",
+        F.expr("(n * 1000000) div __rt").alias("p_ppm"),
+    )

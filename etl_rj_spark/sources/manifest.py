@@ -23,6 +23,13 @@ Contracts:
   before recording re-processes the batch next run — safe when the
   downstream sink is itself idempotent (K1 anti-join / snapshot
   overwrite), which is this engine's sink posture everywhere.
+- SINGLE WRITER (ADVICE r7): the pending→process→record cycle is
+  idempotent under sequential redelivery but NOT under concurrency —
+  two simultaneous runs both see the same files as pending and both
+  process them (duplicate ledger rows; duplicate output unless the
+  downstream sink dedups, which the K1 sink does). Run one ingest at
+  a time per ledger — the natural posture for a scheduled job; guard
+  ad-hoc runs with an external lock/marker if overlap is possible.
 """
 
 from __future__ import annotations

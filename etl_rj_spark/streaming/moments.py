@@ -100,6 +100,14 @@ def fold_moments_batch(
             F.sum("n").alias("n"),
             F.sum("s").cast("decimal(38,0)").alias("s"),
             F.sum("ss").cast("decimal(38,0)").alias("ss"),
+            # RETENTION (ADVICE r7): the per-cell ledger grows one id
+            # per folded batch forever. On a long-running stream,
+            # compact it periodically by dropping ids ≤ the streaming
+            # checkpoint's committed epoch (redelivery below that
+            # epoch is impossible, so those ids can never be probed
+            # again) — the same snapshot-retention pass the IVF
+            # maintainer documents. Array cost is per-CELL, so the
+            # state row stays KB-sized between compactions.
             F.array_distinct(F.flatten(F.collect_list("batch_ids")))
             .alias("batch_ids"),
         )

@@ -79,3 +79,28 @@ def compare_spark_duck(spark_df, con, sql):
     assert len(sr) == len(dr), f"row count mismatch: spark={len(sr)} duck={len(dr)}"
     for i, (a, b) in enumerate(zip(sr, dr)):
         assert a == b, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
+
+
+def lint_case_colliding_aliases(sql: str) -> list[tuple[str, str]]:
+    """Round-8 registration-time lint for the r7 `prorate_order_totals`
+    bug class: DuckDB identifiers are case-insensitive, so two aliases
+    in one oracle that differ ONLY by case (`w` vs `W`) silently
+    resolve to the same column — the oracle then computes something
+    other than what it reads as. Returns the offending pairs (empty =
+    clean). Scans `AS <ident>` aliases only; same-case repeats across
+    CTEs are normal SQL and not flagged."""
+    import re
+
+    aliases = re.findall(
+        r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)", sql, flags=re.IGNORECASE
+    )
+    seen: dict[str, str] = {}
+    bad = []
+    for a in aliases:
+        k = a.casefold()
+        if k in seen and seen[k] != a:
+            pair = tuple(sorted({seen[k], a}))
+            if pair not in bad:
+                bad.append(pair)
+        seen.setdefault(k, a)
+    return bad

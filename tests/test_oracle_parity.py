@@ -42,3 +42,19 @@ def test_entry_smoke(spark):
     # every query key has a callable; oracle keys are a subset
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_no_case_colliding_oracle_aliases():
+    """Registration-time guard for the r7 `prorate_order_totals` bug
+    class (VERDICT r7 #1/#8): DuckDB identifiers are case-insensitive,
+    so two aliases differing only by case silently collapse into one
+    column. Lint every registered oracle."""
+    from etl_rj_spark.analytics import REGISTRY
+    from tests.oracle_utils import lint_case_colliding_aliases
+
+    bad = {
+        name: pairs
+        for name, q in REGISTRY.items()
+        if q.oracle and (pairs := lint_case_colliding_aliases(q.oracle))
+    }
+    assert not bad, f"case-colliding oracle aliases: {bad}"

@@ -75,3 +75,25 @@ def test_global_rank_cumsum_single_row_and_ties(spark):
         (int(r.rnk), r.id) for r in global_rank_cumsum(ties, "v", ["id"], num_partitions=4).collect()
     )
     assert out == [(i + 1, i) for i in range(20)]
+
+
+def test_poisson_xxhash_fast_path_distribution_sane(spark):
+    from etl_rj_spark.operators.stats import poisson_bootstrap_means
+
+    df = spark.createDataFrame([(i, 100) for i in range(2000)], "id long, v long")
+    rows = poisson_bootstrap_means(df, "id", "v", replicates=4, hash="xxhash64").collect()
+    assert len(rows) == 4
+    for r in rows:
+        # Poisson(1) draws from the 52-bit xxhash64 path: n_eff ≈ n,
+        # constant values → replicate mean is exactly the constant
+        assert 1700 <= r.n_eff <= 2300
+        assert r.mean_value == 100
+
+
+def test_poisson_unknown_hash_rejected(spark):
+    import pytest
+
+    from etl_rj_spark.operators.stats import poisson_weight_expr
+
+    with pytest.raises(ValueError):
+        poisson_weight_expr("id", "replicate", hash="sha1")
