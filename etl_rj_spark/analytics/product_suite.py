@@ -305,3 +305,378 @@ def skyline_parts(spark, sf_dir):
         "p_size",
     )
     return skyline_max2(p, "cents", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA smoothing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ewma_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.d, a.cents,
+           CAST(SUM((CAST(1 AS HUGEINT) << (9 - (a.d - b.d))) * b.cents)
+                // SUM(CAST(1 AS HUGEINT) << (9 - (a.d - b.d))) AS BIGINT) AS ewma
+    FROM daily a JOIN daily b ON b.d <= a.d AND a.d - b.d < 10
+    GROUP BY a.d, a.cents
+    """,
+    tags=("timeseries", "ewma", "A3-generalized"),
+)
+def ewma_daily_revenue(spark, sf_dir):
+    """Exponentially-weighted daily revenue with dyadic weights
+    (α=½, 10-tap horizon): pure integer arithmetic — powers of two
+    and one floor division — so the smoothed series is bit-exact on
+    any engine, where a float EWMA recursion both drifts and refuses
+    to parallelize. Gaps/edges divide by the weights actually present.
+    The horizon join runs on the DAY grain (bounded period series,
+    SCALE.md §3) after one corpus aggregate."""
+    from etl_rj_spark.operators.stats import dyadic_ewma
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    return dyadic_ewma(daily, "d", "cents", taps=10)
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy
+# ---------------------------------------------------------------------------
+
+@_q(
+    "entropy_event_type_users",
+    """
+    WITH cat AS (
+      SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, COUNT(*)::BIGINT AS g FROM events GROUP BY 1),
+    term AS (
+      SELECT c.user_id, t.g,
+             CAST(ROUND((c.n / CAST(t.g AS DOUBLE))
+                        * (log2(t.g) - log2(c.n)) * 1000000) AS BIGINT) AS tm
+      FROM cat c JOIN tot t USING (user_id)
+    )
+    SELECT user_id, MAX(g) AS n_events, COUNT(*)::BIGINT AS n_cats,
+           CAST(SUM(tm) AS BIGINT) AS entropy_ppm
+    FROM term GROUP BY user_id
+    """,
+    tags=("stats-entropy", "profiling"),
+)
+def entropy_event_type_users(spark, sf_dir):
+    """Shannon entropy (bits, ppm) of each user's event-type mix —
+    the behavioral-diversity feature (bots are low-entropy, explorers
+    high). Each category's term is ONE double expression on exact
+    integers rounded to an int64 BEFORE the cross-category sum, so
+    the addition is exact-integer and aggregation-order-proof.
+    Two map-side-combinable aggregates, vocabulary-bounded fan-out."""
+    from etl_rj_spark.operators.stats import group_entropy_ppm
+
+    ev = _t(spark, sf_dir, "events")
+    return group_entropy_ppm(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV
+# ---------------------------------------------------------------------------
+
+@_q(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT source, t.term FROM
+        (SELECT source, {_SQL_TOKS} AS tt FROM documents),
+        UNNEST(tt) AS t(term)
+    ),
+    counts AS (SELECT term, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term) AS r FROM counts
+      ) WHERE r <= 100
+    ),
+    flag AS (
+      SELECT s.source, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks s LEFT JOIN vocab v USING (term)
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM flag GROUP BY source
+    """,
+    tags=("tokenizer", "vocab-coverage", "oov"),
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage audit: build the top-100 corpus vocabulary
+    (by frequency, term-tiebreak — via ``ranked_topk``, so the
+    vocabulary cut is a distributed top-k, no global window) and
+    report each source's out-of-vocabulary token rate in ppm — the
+    screen that catches a source whose text a fixed tokenizer will
+    shred into bytes. Token stream is (doc, term) grain; the vocab
+    broadcasts back."""
+    from etl_rj_spark.operators.text_analysis import (
+        normalized_text,
+        whitespace_tokens,
+    )
+    from etl_rj_spark.operators.windows import ranked_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(whitespace_tokens(normalized_text("text"))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = ranked_topk(
+        counts, [(F.col("n"), False), (F.col("term"), True)], 100
+    ).select("term", F.lit(1).alias("__v"))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source", "n_tokens", "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dup_cluster_size_histogram",
+    """
+    WITH c AS (SELECT md5(text) AS h, COUNT(*)::BIGINT AS sz
+               FROM documents GROUP BY 1)
+    SELECT sz AS cluster_size, COUNT(*)::BIGINT AS n_clusters
+    FROM c GROUP BY 1
+    """,
+    tags=("dedup", "histogram", "ops-report"),
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Exact-duplicate cluster-size histogram — the one-line health
+    report of a dedup pass (how much of the corpus is singleton vs
+    boilerplate explosions). Two map-side-combinable aggregates; the
+    second runs on cluster grain."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap distribution
+# ---------------------------------------------------------------------------
+
+@_q(
+    "interpurchase_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT CAST(o_orderdate AS DATE)
+             - lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap
+      FROM orders
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    v AS (SELECT gap, COUNT(*)::BIGINT AS c FROM g GROUP BY 1),
+    cum AS (
+      SELECT gap, SUM(c) OVER (ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM v
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM g)
+    SELECT MAX(n.n) AS n_gaps,
+           CAST(MIN(CASE WHEN cum.hi >= (n.n + 1) // 2 THEN cum.gap END)
+                AS BIGINT) AS median_gap,
+           CAST(MIN(CASE WHEN cum.hi >= (9 * n.n + 9) // 10 THEN cum.gap END)
+                AS BIGINT) AS p90_gap
+    FROM cum CROSS JOIN n
+    """,
+    tags=("stats-quantile", "value-grain", "W1-generalized"),
+)
+def interpurchase_gap_stats(spark, sf_dir):
+    """Inter-purchase interval distribution: per-customer consecutive
+    order-date gaps (days), then the exact LOWER median and lower P90
+    of all gaps computed on the VALUE grain — counts per distinct gap,
+    one cumulative window over the gap vocabulary (bounded by the date
+    range, never corpus-sized), pick the first value whose cumulative
+    count crosses the rank. One shuffle on the customer key for the
+    LAG, one vocabulary aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    v = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    cum = v.select("gap", F.sum("c").over(wc).alias("hi"))
+    n = gaps.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.join(F.broadcast(n))
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.min(
+                F.when(F.expr("hi >= (n + 1) div 2"), F.col("gap"))
+            ).cast("bigint").alias("median_gap"),
+            F.min(
+                F.when(F.expr("hi >= (9 * n + 9) div 10"), F.col("gap"))
+            ).cast("bigint").alias("p90_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted outlier days
+# ---------------------------------------------------------------------------
+
+@_q(
+    "seasonal_adjusted_outlier_days",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS nd, SUM(cents::HUGEINT) AS t FROM daily),
+    idx AS (
+      SELECT (dayofweek(d) + 6) % 7 + 1 AS dow,
+             CAST((SUM(cents::HUGEINT) * nd * 1000000) // (COUNT(*) * t)
+                  AS BIGINT) AS index_ppm
+      FROM daily CROSS JOIN tot GROUP BY 1, nd, t
+    ),
+    deseason AS (
+      SELECT d.d, d.cents,
+             CAST((d.cents::HUGEINT * 1000000) // i.index_ppm AS BIGINT) AS adj
+      FROM daily d JOIN idx i ON (dayofweek(d.d) + 6) % 7 + 1 = i.dow
+    ),
+    ranked AS (
+      SELECT d, adj, row_number() OVER (ORDER BY adj, d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM deseason
+    ),
+    med AS (SELECT adj AS median FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT ds.d, ds.cents, ds.adj, m.median, ABS(ds.adj - m.median) AS ad
+      FROM deseason ds CROSS JOIN med m
+    ),
+    devr AS (
+      SELECT ad, row_number() OVER (ORDER BY ad, d) AS rn, COUNT(*) OVER () AS n
+      FROM dev
+    ),
+    mad AS (SELECT ad AS mad FROM devr WHERE rn = (n + 1) // 2)
+    SELECT dev.d, dev.cents, dev.adj, dev.median, mad.mad,
+           dev.ad * 1000 > 5000 * mad.mad AS is_outlier
+    FROM dev CROSS JOIN mad
+    """,
+    tags=("timeseries", "seasonality", "stats-robust"),
+)
+def seasonal_adjusted_outlier_days(spark, sf_dir):
+    """Seasonally-adjusted daily-revenue anomaly screen: divide each
+    day by its weekday's exact integer-ppm seasonal index (the
+    ``weekday_seasonality_revenue`` statistic), then flag days where
+    the DESEASONALIZED value fails the 5·MAD robust screen — a plain
+    MAD screen on raw dailies would flag every healthy Sunday. All
+    integer; the MAD windows run on the day grain (bounded period
+    series, SCALE.md §3) via ``mad_outlier_screen`` on one constant
+    group."""
+    from etl_rj_spark.operators.stats import mad_outlier_screen
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("__t"),
+    )
+    idx = (
+        daily.join(F.broadcast(tot))
+        .select((F.weekday("d") + 1).alias("dow"), "cents", "__nd", "__t")
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "cast((sum(cast(cents as decimal(38,0))) * max(__nd) * 1000000)"
+                " div (count(1) * max(__t)) as bigint)"
+            ).alias("index_ppm")
+        )
+    )
+    deseason = (
+        daily.withColumn("dow", F.weekday("d") + 1)
+        .join(F.broadcast(idx), "dow")
+        .select(
+            "d", "cents",
+            F.expr(
+                "cast((cast(cents as decimal(38,0)) * 1000000) div index_ppm"
+                " as bigint)"
+            ).alias("adj"),
+        )
+        .withColumn("__g", F.lit(1))
+    )
+    return (
+        mad_outlier_screen(deseason.select("__g", "d", "adj", "cents"),
+                           "__g", "adj", "d")
+        .join(deseason.select("d", "cents"), "d")
+        .select("d", "cents", F.col("adj"), "median", "mad", "is_outlier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDF percentile-rank normalization
+# ---------------------------------------------------------------------------
+
+@_q(
+    "percentile_rank_chars",
+    """
+    WITH v AS (SELECT n_chars, COUNT(*)::BIGINT AS c FROM documents GROUP BY 1),
+    cum AS (
+      SELECT n_chars,
+             SUM(c) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS lt
+      FROM v
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+    SELECT d.doc_id, d.n_chars,
+           CAST((cum.lt * 1000000) // n.n AS BIGINT) AS pct_ppm
+    FROM documents d JOIN cum USING (n_chars) CROSS JOIN n
+    """,
+    tags=("stats-cdf", "normalize", "value-grain"),
+)
+def percentile_rank_chars(spark, sf_dir):
+    """Percentile-rank (CDF) normalization of document length:
+    ``pct_ppm = (rows strictly below my value)·10⁶ div n`` — the
+    scale-free feature transform that makes heterogeneous quality
+    scores comparable across sources. NO global row rank: per-value
+    counts, one cumulative window over the value VOCABULARY, broadcast
+    map joined back — the same posture as ``equi_depth_bins``."""
+    d = _t(spark, sf_dir, "documents")
+    v = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = v.select(
+        "n_chars", (F.sum("__c").over(wc) - F.col("__c")).alias("__lt")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    cdf = cum.join(F.broadcast(n)).select(
+        "n_chars",
+        F.expr("cast((__lt * 1000000) div __n as bigint)").alias("pct_ppm"),
+    )
+    return d.select("doc_id", "n_chars").join(F.broadcast(cdf), "n_chars").select(
+        "doc_id", "n_chars", "pct_ppm"
+    )

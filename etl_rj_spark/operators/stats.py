@@ -735,11 +735,12 @@ def dyadic_ewma(
         (F.col("__d2") <= F.col("__d"))
         & (F.datediff(F.col("__d"), F.col("__d2")) < taps),
     )
-    wexp = (taps - 1) - F.datediff(F.col("__d"), F.col("__d2"))
     return (
         j.select(
             "__d", "__x",
-            F.shiftleft(F.lit(1), wexp.cast("int")).cast("long").alias("__w"),
+            F.expr(
+                f"cast(shiftleft(1, {int(taps) - 1} - datediff(__d, __d2)) as long)"
+            ).alias("__w"),
             F.col("__x2"),
         )
         .groupBy("__d", "__x")

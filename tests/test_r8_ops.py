@@ -97,3 +97,118 @@ def test_poisson_unknown_hash_rejected(spark):
 
     with pytest.raises(ValueError):
         poisson_weight_expr("id", "replicate", hash="sha1")
+
+
+def test_skyline_ties_and_duplicates(spark):
+    from etl_rj_spark.operators.stats import skyline_max2
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5), (2, 10, 5),   # duplicate skyline points: both kept
+            (3, 10, 4),               # dominated by 1/2 (same x, smaller y)
+            (4, 12, 5),               # dominates 1/2? same y, larger x -> yes
+            (5, 8, 9),                # skyline (higher y)
+            (6, 12, 3),               # dominated by 4
+        ],
+        "id long, x long, y long",
+    )
+    kept = {r.id for r in skyline_max2(df, "x", "y").collect()}
+    # (12,5) dominates (10,5) via strict x; (8,9) survives on y
+    assert kept == {4, 5}
+
+
+def test_skyline_single_row_and_monotone(spark):
+    from etl_rj_spark.operators.stats import skyline_max2
+
+    one = spark.createDataFrame([(1, 3, 3)], "id long, x long, y long")
+    assert [r.id for r in skyline_max2(one, "x", "y").collect()] == [1]
+    # strictly anti-monotone staircase: everything is skyline
+    stair = spark.createDataFrame(
+        [(i, i, 10 - i) for i in range(5)], "id long, x long, y long"
+    )
+    assert skyline_max2(stair, "x", "y").count() == 5
+
+
+def test_transition_counts_first_event_excluded(spark):
+    from etl_rj_spark.operators.windows import transition_counts
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (2, 1, "a")],
+        "u long, t long, s string",
+    )
+    rows = {(r.prev_state, r.state): (r.n, r.p_ppm)
+            for r in transition_counts(df, "u", "t", "s").collect()}
+    # user 2's lone event contributes no transition
+    assert rows == {("a", "b"): (1, 1000000), ("b", "b"): (1, 1000000)}
+
+
+def test_group_entropy_degenerate_single_category(spark):
+    from etl_rj_spark.operators.stats import group_entropy_ppm
+
+    df = spark.createDataFrame(
+        [(1, "x")] * 4 + [(2, "x"), (2, "y")], "g long, c string"
+    )
+    rows = {r.g: (r.n_events, r.n_cats, r.entropy_ppm)
+            for r in group_entropy_ppm(df, "g", "c").collect()}
+    assert rows[1] == (4, 1, 0)          # one category -> zero entropy
+    assert rows[2] == (2, 2, 1000000)    # 50/50 -> exactly 1 bit
+
+
+def test_dyadic_ewma_gap_and_edge(spark):
+    import datetime
+
+    from etl_rj_spark.operators.stats import dyadic_ewma
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(d(2024, 1, 1), 100), (d(2024, 1, 2), 200), (d(2024, 1, 12), 300)],
+        "d date, x long",
+    )
+    rows = {r.d: r.ewma for r in dyadic_ewma(df, "d", "x", taps=10).collect()}
+    assert rows[d(2024, 1, 1)] == 100  # first day: itself
+    # day 2: (200*512 + 100*256) div (512+256) = 168 (exact floor)
+    assert rows[d(2024, 1, 2)] == (200 * 512 + 100 * 256) // (512 + 256)
+    # day 12: day 2 is 10 days back (outside taps), day 1 is 11 back
+    assert rows[d(2024, 1, 12)] == 300
+
+
+def test_chi_square_perfect_independence_is_zero(spark):
+    from etl_rj_spark.operators.stats import chi_square_independence
+
+    # perfectly independent 2x2: every cell o*N == r*c
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4 + [("b", "y")] * 4
+    )
+    df = spark.createDataFrame(rows, "p string, q string")
+    r = chi_square_independence(df, "p", "q").collect()[0]
+    assert (r.n, r.dof, r.chi2_ppm) == (16, 1, 0)
+
+
+def test_stratified_split_exact_sizes_and_determinism(spark):
+    from etl_rj_spark.operators.curation import stratified_split_exact
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(97)], "id long, stratum string"
+    )
+    out = stratified_split_exact(
+        df, "stratum", "id", [("train", 8), ("val", 1), ("test", 1)]
+    )
+    sizes = {
+        (r.stratum, r.split): r.n
+        for r in out.groupBy("stratum", "split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # exact Hamilton apportionment: s0 has 33 rows -> 27/3/3 (train's
+    # remainder 4 wins the one leftover slot); s1/s2 have 32 -> 26/3/3
+    assert sizes == {
+        ("s0", "train"): 27, ("s0", "val"): 3, ("s0", "test"): 3,
+        ("s1", "train"): 26, ("s1", "val"): 3, ("s1", "test"): 3,
+        ("s2", "train"): 26, ("s2", "val"): 3, ("s2", "test"): 3,
+    }
+    # deterministic: same assignment on re-run
+    a = {(r.id): r.split for r in out.collect()}
+    b = {(r.id): r.split for r in stratified_split_exact(
+        df, "stratum", "id", [("train", 8), ("val", 1), ("test", 1)]
+    ).collect()}
+    assert a == b
