@@ -118,6 +118,22 @@ _PRIORITY = [
     "trending_event_types",       # rolling top-k leaderboard
     "event_debounce_weekly",      # LAG-gap temporal dedup
     "bpe_second_merge_candidates",  # trainer iteration 2 via broadcast merge
+    # -- round-8-new product/experimentation tier (oracle-green in
+    # -- self-run at sf0.001 + sf0.01 and in the ×10 sweep; first
+    # -- driver verdicts due round 9 after the 9 names above) --------
+    "markov_event_transitions",   # new r8: first-order transition matrix, ppm
+    "gini_revenue_customers",     # new r8: exact Gini via two-phase global rank
+    "chi_square_priority_status", # new r8: exact-integer chi-square screen
+    "ab_test_purchase_conversion",  # new r8: deterministic-arm two-proportion z
+    "stratified_split_sources",   # new r8: Hamilton-exact train/val/test split
+    "skyline_parts",              # new r8: value-grain staircase Pareto front
+    "ewma_daily_revenue",         # new r8: dyadic integer EWMA
+    "entropy_event_type_users",   # new r8: behavioral entropy ppm
+    "vocab_oov_rate",             # new r8: top-k vocab coverage audit
+    "dup_cluster_size_histogram", # new r8: dedup health report
+    "interpurchase_gap_stats",    # new r8: value-grain gap median/p90
+    "seasonal_adjusted_outlier_days",  # new r8: deseasonalized MAD screen
+    "percentile_rank_chars",      # new r8: CDF percentile-rank normalize
 ]
 
 
