@@ -680,3 +680,73 @@ def percentile_rank_chars(spark, sf_dir):
     return d.select("doc_id", "n_chars").join(F.broadcast(cdf), "n_chars").select(
         "doc_id", "n_chars", "pct_ppm"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov-matrix maintenance
+# ---------------------------------------------------------------------------
+
+@_q(
+    "stream_transition_maintenance",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_state, event_type AS state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT prev_state, SUM(n) AS rt FROM pairs GROUP BY 1)
+    SELECT p.prev_state, p.state, p.n,
+           CAST((p.n * 1000000) // r.rt AS BIGINT) AS p_ppm,
+           1 AS boundary_exact
+    FROM pairs p JOIN rt r USING (prev_state)
+    """,
+    tags=("streaming", "markov", "incremental", "exact-state"),
+)
+def stream_transition_maintenance(spark, sf_dir):
+    """Streaming Markov-matrix maintenance
+    (streaming/transitions.py) — the fifth point in the
+    state-maintenance taxonomy: SNAPSHOT-VERSIONED state with a
+    commit-marker publish and monotone-batch-id idempotence. The
+    events table folds as 3 TIME-RANGE slices (the ordered log-segment
+    contract); the transition spanning each slice boundary is visible
+    to neither slice alone, so the maintained matrix equals the
+    single-pass batch matrix ONLY if boundary stitching via the
+    stored per-user last-seen state is exact — that equality (to the
+    oracle's direct LAG) is the check, ``boundary_exact`` pins it
+    in-schema. Redelivering a committed fold id and an out-of-order
+    old id must both no-op (asserted in tests/test_streaming.py)."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.transitions import (
+        fold_transitions_batch,
+        serve_transition_matrix,
+    )
+
+    root = _scratch("stream_transitions")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # three contiguous time slices — each entity's events arrive in
+    # order across folds, per the maintainer's log-segment contract
+    bounds = ev.agg(
+        F.expr("percentile_approx(cast(ts as double), 0.34)").alias("t1"),
+        F.expr("percentile_approx(cast(ts as double), 0.67)").alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds.t1, bounds.t2
+    slices = [
+        ev.filter(F.col("ts").cast("double") <= t1),
+        ev.filter((F.col("ts").cast("double") > t1) & (F.col("ts").cast("double") <= t2)),
+        ev.filter(F.col("ts").cast("double") > t2),
+    ]
+    for i, s in enumerate(slices):
+        fold_transitions_batch(s, i, root)
+    fold_transitions_batch(slices[2], 2, root)  # redelivery: no-op
+    fold_transitions_batch(slices[0], 0, root)  # stale id: no-op
+    return serve_transition_matrix(spark, root).withColumn(
+        "boundary_exact", F.lit(1)
+    )

@@ -1036,3 +1036,116 @@ def test_moment_fold_ledger_null_day_and_exact_serve(spark, tmp_path):
     served2 = {r.grp: r for r in serve_moment_stats(spark, path).collect()}
     assert served2["a"].n == 8
     assert served2["a"].mean_ppm == a.mean_ppm and served2["a"].var_ppm == a.var_ppm
+
+
+def test_transition_fold_boundary_stitch_and_idempotence(spark, tmp_path):
+    """Boundary transitions (last event of fold k -> first of k+1)
+    must be stitched exactly; committed/stale batch ids must no-op."""
+    import datetime
+
+    from etl_rj_spark.streaming.transitions import (
+        fold_transitions_batch,
+        serve_transition_matrix,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: a(0) b(1) | b(2) c(3)  -> a->b, b->b (boundary), b->c
+        (1, t(0), 0, "a"), (1, t(1), 1, "b"),
+        (1, t(2), 2, "b"), (1, t(3), 3, "c"),
+        # user 2: only in fold 1: a(0) a(1) -> a->a
+        (2, t(0), 4, "a"), (2, t(1), 5, "a"),
+        # user 3: one event per fold -> purely boundary: c->a
+        (3, t(1), 6, "c"), (3, t(2), 7, "a"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    root = str(tmp_path / "trans")
+    f1 = df.filter(F.col("ts") <= t(1))
+    f2 = df.filter(F.col("ts") > t(1))
+    fold_transitions_batch(f1, 0, root)
+    fold_transitions_batch(f2, 1, root)
+    got = {
+        (r.prev_state, r.state): r.n
+        for r in serve_transition_matrix(spark, root).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1,
+        ("a", "a"): 1, ("c", "a"): 1,
+    }
+    # redelivery of fold 1 and a stale fold 0: both no-ops
+    fold_transitions_batch(f2, 1, root)
+    fold_transitions_batch(f1, 0, root)
+    again = {
+        (r.prev_state, r.state): r.n
+        for r in serve_transition_matrix(spark, root).collect()
+    }
+    assert again == got
+
+
+def test_transition_crash_recovery_overwrites_uncommitted(spark, tmp_path):
+    """A version directory without its commit marker (crash mid-write)
+    is invisible to serving and gets overwritten by the retry."""
+    import datetime
+
+    from etl_rj_spark.streaming.transitions import (
+        fold_transitions_batch,
+        latest_version,
+        serve_transition_matrix,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df = spark.createDataFrame(
+        [(1, t(0), 0, "a"), (1, t(1), 1, "b")], schema
+    )
+    root = str(tmp_path / "trans2")
+    fold_transitions_batch(df, 0, root)
+    assert latest_version(spark, root) == 0
+    # simulate a crash: v=1 written without commit
+    spark.createDataFrame([("a", "b", 99)], "prev_state string, state string, n long") \
+        .write.parquet(f"{root}/v=1/pairs")
+    assert latest_version(spark, root) == 0  # uncommitted -> invisible
+    df2 = spark.createDataFrame([(1, t(2), 2, "c")], schema)
+    fold_transitions_batch(df2, 1, root)  # retry overwrites the garbage
+    assert latest_version(spark, root) == 1
+    got = {
+        (r.prev_state, r.state): r.n
+        for r in serve_transition_matrix(spark, root).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_stream_transition_runner_end_to_end(spark, tmp_path):
+    """The foreachBatch runner drains a file stream through the same
+    fold; the served matrix equals the batch transition_counts."""
+    import datetime
+
+    from etl_rj_spark.operators.windows import transition_counts
+    from etl_rj_spark.streaming.transitions import (
+        serve_transition_matrix,
+        stream_transition_partials,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df = spark.createDataFrame(
+        [(1, t(0), 0, "a"), (1, t(1), 1, "b"), (2, t(0), 2, "b"),
+         (2, t(1), 3, "b"), (1, t(2), 4, "a")], schema
+    )
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    root = str(tmp_path / "state")
+    stream_transition_partials(
+        stream, root, str(tmp_path / "ck")
+    ).awaitTermination()
+    got = {
+        (r.prev_state, r.state, r.n, r.p_ppm)
+        for r in serve_transition_matrix(spark, root).collect()
+    }
+    want = {
+        (r.prev_state, r.state, r.n, r.p_ppm)
+        for r in transition_counts(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert got == want
