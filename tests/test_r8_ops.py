@@ -212,3 +212,87 @@ def test_stratified_split_exact_sizes_and_determinism(spark):
         df, "stratum", "id", [("train", 8), ("val", 1), ("test", 1)]
     ).collect()}
     assert a == b
+
+
+# --- property tests: allocation/split invariants ---------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 10_000)),
+        min_size=1, max_size=20,
+    ),
+    st.integers(0, 10_000_000),
+)
+def test_prorate_property_sums_exactly(spark, lines, total):
+    """For ANY weights and total: integer allocations, per-group sum
+    EXACTLY the total, each alloc within 1 of the real-valued share."""
+    from etl_rj_spark.operators.aggregates import prorate_largest_remainder
+
+    rows = [(g, i, w, total) for i, (g, w) in enumerate(lines)]
+    df = spark.createDataFrame(rows, "g long, ln long, w long, total long")
+    out = prorate_largest_remainder(df, ["g"], "w", "total", ["ln"]).collect()
+    by_g = {}
+    wsum = {}
+    for g, _, w, _ in rows:
+        wsum[g] = wsum.get(g, 0) + w
+    for r in out:
+        by_g.setdefault(r.g, 0)
+        by_g[r.g] += r.alloc
+        exact = total * r.w / wsum[r.g]
+        assert exact - 1 < r.alloc < exact + 1
+    for g, s in by_g.items():
+        assert s == total
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 500), min_size=2, max_size=6))
+def test_stratified_split_property_exact_and_partition(spark, sizes):
+    """Splits partition each stratum exactly (no row lost/duplicated)
+    and part sizes differ from the ideal share by < 1."""
+    from etl_rj_spark.operators.curation import stratified_split_exact
+
+    rows = []
+    rid = 0
+    for s, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((rid, f"s{s}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    out = stratified_split_exact(
+        df, "stratum", "id", [("train", 7), ("val", 2), ("test", 1)]
+    ).collect()
+    assert len(out) == len(rows)
+    assert len({r.id for r in out}) == len(rows)
+    sz = {}
+    for r in out:
+        sz[(r.stratum, r.split)] = sz.get((r.stratum, r.split), 0) + 1
+    for s, n in enumerate(sizes):
+        for part, w in [("train", 7), ("val", 2), ("test", 1)]:
+            got = sz.get((f"s{s}", part), 0)
+            ideal = n * w / 10
+            assert ideal - 1 < got < ideal + 1, (s, n, part, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40))
+def test_gini_property_bounds_and_invariance(spark, vals):
+    """0 ≤ G < 1; equal values → 0; G is scale-free in the values."""
+    from etl_rj_spark.operators.stats import gini_concentration
+
+    if sum(vals) == 0:
+        vals = [v + 1 for v in vals]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    g = gini_concentration(df, "v", ["id"]).collect()[0]
+    assert 0 <= g.gini_ppm < 1_000_000
+    assert g.n == len(vals) and g.total == sum(vals)
+    g2 = gini_concentration(
+        df.select("id", (F.col("v") * 3).alias("v")), "v", ["id"]
+    ).collect()[0]
+    # scaling all values by 3 changes G only via integer-div rounding
+    assert abs(g2.gini_ppm - g.gini_ppm) <= 1
