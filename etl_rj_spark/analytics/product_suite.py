@@ -43,6 +43,7 @@ from etl_rj_spark.analytics.suite import _q, _t
            CAST((p.n * 1000000) // r.rt AS BIGINT) AS p_ppm
     FROM pairs p JOIN rt r USING (prev_state)
     """,
+    bench=True,  # NEW bench row r8 (add, never replace)
     tags=("markov", "sequence", "W1-generalized"),
 )
 def markov_event_transitions(spark, sf_dir):
@@ -83,6 +84,7 @@ def markov_event_transitions(spark, sf_dir):
            CAST(((n+1)*s - 2*rs) * 1000000 // (n*s) AS BIGINT) AS gini_ppm
     FROM agg
     """,
+    bench=True,  # NEW bench row r8 (add, never replace): two-phase global rank
     tags=("stats-gini", "concentration"),
 )
 def gini_revenue_customers(spark, sf_dir):
