@@ -752,3 +752,298 @@ def stream_transition_maintenance(spark, sf_dir):
     return serve_transition_matrix(spark, root).withColumn(
         "boundary_exact", F.lit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast evaluation (naive seasonal baseline)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "forecast_eval_naive7",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    e7 AS (
+      SELECT a.d, ABS(a.c - b.c) AS e, a.c AS actual
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    ),
+    e1 AS (
+      SELECT ABS(a.c - b.c) AS e FROM daily a JOIN daily b ON b.d = a.d - 1
+    ),
+    agg7 AS (
+      SELECT COUNT(*)::BIGINT AS n7, SUM(e::HUGEINT) AS se7,
+             SUM((e::HUGEINT * 1000000) // actual) AS mape_terms
+      FROM e7
+    ),
+    agg1 AS (SELECT COUNT(*)::BIGINT AS n1, SUM(e::HUGEINT) AS se1 FROM e1)
+    SELECT n7,
+           CAST(se7 // n7 AS BIGINT) AS mae_cents,
+           CAST(mape_terms // n7 AS BIGINT) AS mape_ppm,
+           CAST((se7 * n1 * 1000000) // (se1 * n7) AS BIGINT) AS mase_ppm
+    FROM agg7 CROSS JOIN agg1
+    """,
+    tags=("forecast-eval", "timeseries", "A3-generalized"),
+)
+def forecast_eval_naive7(spark, sf_dir):
+    """Forecast-accuracy harness over the seasonal-naive baseline
+    (forecast(d) = actual(d−7)): exact-integer MAE (cents), MAPE (mean
+    of per-day integer-ppm terms), and MASE (scaled against the
+    naive-1 baseline, the denominator that makes error comparable
+    across series — Hyndman & Koehler 2006). Everything is date-grain
+    after one corpus aggregate; the ratios are nonneg integer div, so
+    the whole scorecard is engine-exact — the eval loop for any
+    downstream revenue model."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    )
+    a = daily.alias("a")
+    f7 = daily.select(F.date_add(F.col("d"), 7).alias("d"), F.col("c").alias("__f"))
+    e7 = a.join(f7, "d").select(
+        F.abs(F.col("c") - F.col("__f")).alias("e"), F.col("c").alias("actual")
+    )
+    f1 = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("c").alias("__f"))
+    e1 = a.join(f1, "d").select(F.abs(F.col("c") - F.col("__f")).alias("e"))
+    agg7 = e7.agg(
+        F.count(F.lit(1)).alias("n7"),
+        F.sum(F.col("e").cast("decimal(38,0)")).alias("__se7"),
+        F.sum(
+            F.expr("(cast(e as decimal(38,0)) * 1000000) div actual")
+        ).alias("__mt"),
+    )
+    agg1 = e1.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("e").cast("decimal(38,0)")).alias("__se1"),
+    )
+    return agg7.join(F.broadcast(agg1)).select(
+        "n7",
+        F.expr("cast(__se7 div n7 as bigint)").alias("mae_cents"),
+        F.expr("cast(__mt div n7 as bigint)").alias("mape_ppm"),
+        F.expr(
+            "cast((__se7 * n1 * 1000000) div (__se1 * n7) as bigint)"
+        ).alias("mase_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@_q(
+    "benford_first_digit_audit",
+    f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM v),
+    obs AS (SELECT digit, COUNT(*)::BIGINT AS n_d FROM v GROUP BY 1),
+    exp_ AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())})
+      AS t(digit, expected_ppm))
+    SELECT o.digit, o.n_d,
+           CAST((o.n_d * 1000000) // n.n AS BIGINT) AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST((o.n_d * 1000000) // n.n - e.expected_ppm AS BIGINT) AS dev_ppm
+    FROM obs o JOIN exp_ e USING (digit) CROSS JOIN n
+    """,
+    tags=("audit", "benford", "data-quality"),
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected ``log10(1+1/d)`` digit frequencies in exact integer ppm
+    (the expected table is a 9-row literal, identical in engine and
+    oracle) — the classic fabricated-data / broken-ETL screen. One
+    scan-stage digit extraction into a 9-cell aggregate; the signed
+    deviation is a subtraction, never a division of a negative."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    n = v.agg(F.count(F.lit(1)).alias("__n"))
+    exp_ = spark.createDataFrame(
+        list(_BENFORD_PPM.items()), "digit int, expected_ppm int"
+    )
+    return (
+        obs.join(F.broadcast(exp_), "digit")
+        .join(F.broadcast(n))
+        .select(
+            "digit", "n_d",
+            F.expr("(n_d * 1000000) div __n").alias("observed_ppm"),
+            F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
+            F.expr(
+                "(n_d * 1000000) div __n - expected_ppm"
+            ).cast("bigint").alias("dev_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@_q(
+    "triangle_count_copurchase",
+    """
+    WITH pres AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS u, b.p AS v, COUNT(*)::BIGINT AS sup
+      FROM pres a JOIN pres b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM pairs WHERE sup >= 2),
+    deg AS (
+      SELECT n, COUNT(*)::BIGINT AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS n_nodes,
+             SUM((d * (d - 1)) // 2)::HUGEINT AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e)
+    SELECT agg.n_nodes, ne.n_edges, CAST(agg.n_wedges AS BIGINT) AS n_wedges,
+           tri.t AS n_triangles,
+           CASE WHEN agg.n_wedges > 0 THEN
+             CAST((tri.t::HUGEINT * 3000000) // agg.n_wedges AS BIGINT)
+           END AS global_cc_ppm
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+    """,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def triangle_count_copurchase(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph (parts co-occurring in ≥2 orders — the support
+    floor keeps the graph signal, not noise): ``triangle_stats`` uses
+    DEGREE ORIENTATION (edges point from the (deg,id)-smaller
+    endpoint), capping every out-neighborhood at O(√m) so wedge
+    enumeration is O(m^1.5) instead of Σdeg² — the standard
+    MapReduce-era trick that makes triangles feasible on a
+    billion-edge graph. The oracle counts the same triangles by the
+    textbook ordered three-way join."""
+    from etl_rj_spark.operators.components import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    pres = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pres.alias("a")
+    b = pres.select(F.col("o"), F.col("p").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    return triangle_stats(edges, "u", "v")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: view sessions × error bursts
+# ---------------------------------------------------------------------------
+
+@_q(
+    "session_error_overlap",
+    """
+    WITH views AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'view'
+    ),
+    vs AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM views
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM vs GROUP BY 1, 2
+    ),
+    errs AS (
+      SELECT ts, event_id, lag(ts) OVER (ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'error'
+    ),
+    eb AS (
+      SELECT ts,
+             SUM(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 300000000
+                 THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS burst_id
+      FROM errs
+    ),
+    bursts AS (
+      SELECT CAST(burst_id AS BIGINT) AS burst_id,
+             MIN(ts) AS b_start, MAX(ts) AS b_end
+      FROM eb GROUP BY 1
+    )
+    SELECT s.user_id, s.session_id, s.s_start, s.s_end,
+           b.burst_id, b.b_start, b.b_end
+    FROM sessions s JOIN bursts b
+      ON s.s_start <= b.b_end AND b.b_start <= s.s_end
+    """,
+    tags=("temporal-join", "interval-overlap", "sessionization"),
+)
+def session_error_overlap(spark, sf_dir):
+    """Interval × interval overlap join — the third temporal-join
+    shape (``interval_overlap_join``): per-user view sessions (30-min
+    gap) overlapped with global error bursts (5-min gap), the
+    "was this session exposed to an incident?" question. Each interval
+    explodes to its covering hour buckets; candidates meet on a bucket
+    EQUI-join (never a nested-loop theta join) and the exact closed
+    overlap predicate filters. The oracle runs the textbook theta
+    join."""
+    from etl_rj_spark.operators.asof import interval_overlap_join
+    from etl_rj_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    views = sessionize(
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id"),
+        "user_id", "ts", 1800, tiebreak_col="event_id",
+    )
+    sessions = views.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    errs = sessionize(
+        ev.filter(F.col("event_type") == "error")
+        .select(F.lit(0).alias("__g"), "ts", "event_id"),
+        "__g", "ts", 300, tiebreak_col="event_id",
+    )
+    bursts = errs.groupBy(
+        F.col("session_id").cast("bigint").alias("burst_id")
+    ).agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    return interval_overlap_join(
+        sessions, bursts, "s_start", "s_end", "b_start", "b_end",
+        bucket_seconds=3600,
+    ).select(
+        "user_id", "session_id", "s_start", "s_end",
+        "burst_id", "b_start", "b_end",
+    )

@@ -317,3 +317,52 @@ def nearest_event_join(
         .otherwise(F.lit(None).cast("string"))
         .alias("nearest_dir"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``ls ≤ re AND rs ≤ le``,
+    closed ends) without a BroadcastNestedLoopJoin: each interval
+    explodes to the time buckets it covers, candidates meet on a
+    bucket EQUI-join, duplicates from multi-bucket overlaps drop via
+    DISTINCT on the pair payload, and the exact predicate filters the
+    candidates. The third temporal-join shape beside ``asof_join``
+    (point←point) and ``range_join_count`` (point←interval).
+
+    ``bucket_seconds`` trades fan-out for candidate precision: an
+    interval of length L explodes to ~L/bucket + 1 rows — set it near
+    the TYPICAL interval length so fan-out is O(1) per row and every
+    bucket meet is a near-hit. All bucket arithmetic is exact integer
+    micros. Columns of both inputs are kept (name-collisions are the
+    caller's to resolve); output grain is one row per overlapping
+    pair.
+    """
+    step = int(bucket_seconds) * 1_000_000
+
+    # same exact long floor-division grid as range_join_count: double
+    # division or `div` on negatives would silently mis-bucket a
+    # boundary candidate, and the bucket join is the candidate filter
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        tagged = df.withColumn("__s_us", _epoch_us(df, s)).withColumn(
+            "__e_us", _epoch_us(df, e)
+        )
+        b0 = F.expr(f"(__s_us - pmod(__s_us, {step})) div {step}")
+        b1 = F.expr(f"(__e_us - pmod(__e_us, {step})) div {step}")
+        return tagged.withColumn(
+            "__bucket", F.explode(F.sequence(b0, b1))
+        ).drop("__s_us", "__e_us")
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    joined = lb.join(rb, "__bucket").drop("__bucket").distinct()
+    return joined.filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )

@@ -242,3 +242,80 @@ def pagerank_integer(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected simple graph, with the DEGREE-ORIENTATION trick that
+    makes triangle counting feasible at scale (public algorithm —
+    Schank & Wagner 2005 / Suri & Vassilvitskii 2011): orient every
+    edge from its (degree, id)-smaller endpoint to the larger, which
+    caps every out-neighborhood at O(√m); wedges then enumerate as the
+    oriented adjacency self-joined on its source — O(m^1.5) candidate
+    pairs instead of Σdeg² — and each triangle is counted exactly once
+    when the closing edge exists (checked oriented, a join not a
+    broadcast: the edge set is corpus-sized).
+
+    Input: one row per undirected edge, either orientation, self-loops
+    and duplicates tolerated (canonicalized + distinct'd first).
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_cc_ppm = 3·T·10⁶ div wedges — the fraction of wedges that
+    close; 0-wedge graphs report NULL).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    # orient from (deg, id)-smaller to larger: total order, no cycles
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("o")
+    ).select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    o1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges_or = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    closing = oriented.select(
+        F.least("s", "t").alias("cu"), F.greatest("s", "t").alias("cv")
+    )
+    tri = wedges_or.join(
+        closing,
+        (F.least("t1", "t2") == F.col("cu"))
+        & (F.greatest("t1", "t2") == F.col("cv")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    wedge_total = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedge_total.join(F.broadcast(n_edges)).join(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.expr(
+                "case when n_wedges > 0 then"
+                " cast((cast(n_triangles as decimal(38,0)) * 3000000)"
+                " div n_wedges as bigint) end"
+            ).alias("global_cc_ppm"),
+        )
+    )

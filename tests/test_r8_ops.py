@@ -296,3 +296,57 @@ def test_gini_property_bounds_and_invariance(spark, vals):
     ).collect()[0]
     # scaling all values by 3 changes G only via integer-div rounding
     assert abs(g2.gini_ppm - g.gini_ppm) <= 1
+
+
+def test_triangle_stats_known_graphs(spark):
+    from etl_rj_spark.operators.components import triangle_stats
+
+    # K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, cc = 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "a long, b long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_cc_ppm == 1_000_000
+    # path graph: wedges but zero triangles
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_triangles, r.global_cc_ppm) == (0, 0)
+    # duplicate edges / reversed orientation / self-loops are cleaned
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2)], "a long, b long"
+    )
+    r = triangle_stats(messy).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_interval_overlap_join_edges(spark):
+    import datetime
+
+    from etl_rj_spark.operators.asof import interval_overlap_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), t(10)), (2, t(30), t(40))], "lid long, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(10), t(12)),   # touches interval 1 at the closed end
+         (11, t(41), t(50)),   # overlaps nothing
+         (12, t(5), t(35))],   # spans both
+        "rid long, rs timestamp, re timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=60
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 12), (2, 12)}
+    # tiny buckets (heavy fan-out) give identical pairs
+    got_fine = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=7
+        ).collect()
+    }
+    assert got_fine == got
