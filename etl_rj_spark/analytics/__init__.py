@@ -134,6 +134,11 @@ _PRIORITY = [
     "interpurchase_gap_stats",    # new r8: value-grain gap median/p90
     "seasonal_adjusted_outlier_days",  # new r8: deseasonalized MAD screen
     "percentile_rank_chars",      # new r8: CDF percentile-rank normalize
+    "stream_transition_maintenance",  # new r8: snapshot-versioned Markov maintainer
+    "forecast_eval_naive7",       # new r8: MAE/MAPE/MASE forecast scorecard
+    "benford_first_digit_audit",  # new r8: first-digit ppm audit
+    "triangle_count_copurchase",  # new r8: degree-oriented triangle census
+    "session_error_overlap",      # new r8: interval-overlap temporal join
 ]
 
 
