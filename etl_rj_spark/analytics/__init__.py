@@ -139,6 +139,7 @@ _PRIORITY = [
     "benford_first_digit_audit",  # new r8: first-digit ppm audit
     "triangle_count_copurchase",  # new r8: degree-oriented triangle census
     "session_error_overlap",      # new r8: interval-overlap temporal join
+    "xls_datasource_roundtrip",   # new r8: PySpark-4 Python DataSource surface
 ]
 
 

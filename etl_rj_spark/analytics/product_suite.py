@@ -1047,3 +1047,50 @@ def session_error_overlap(spark, sf_dir):
         "user_id", "session_id", "s_start", "s_end",
         "burst_id", "b_start", "b_end",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource surface: spark.read.format("xls")
+# ---------------------------------------------------------------------------
+
+@_q(
+    "xls_datasource_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    tags=("S3", "datasource-api", "python-datasource"),
+)
+def xls_datasource_roundtrip(spark, sf_dir):
+    """The PySpark-4 Python DataSource surface
+    (`sources/xls_datasource.py`): nation split into TWO real BIFF8
+    workbooks in a drop directory, read back through the STANDARD
+    reader API — ``spark.read.format('xls').option('path', glob)`` —
+    with one input partition per file (the planner lists metadata
+    only; each task opens only its own workbook). Cells surface as
+    strings + _file/_row_idx lineage; the typed casts here are the
+    parse-kernel step every .xls ingest performs."""
+    import os
+
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.sinks.xls_legacy import write_xls
+    from etl_rj_spark.sources.xls_datasource import register_xls_source
+
+    d = _scratch("xlsds")
+    os.makedirs(d)
+    rows = sorted(
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in _t(spark, sf_dir, "nation").collect()
+    )
+    header = ["n_nationkey", "n_name", "n_regionkey"]
+    half = len(rows) // 2
+    write_xls(os.path.join(d, "a.xls"), {"Hoja1": [header] + [list(r) for r in rows[:half]]})
+    write_xls(os.path.join(d, "b.xls"), {"Hoja1": [header] + [list(r) for r in rows[half:]]})
+    register_xls_source(spark)
+    df = spark.read.format("xls").option("path", f"{d}/*.xls").load()
+    return df.select(
+        F.col("n_nationkey").cast("bigint"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint"),
+    )
