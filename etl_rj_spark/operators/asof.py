@@ -342,7 +342,9 @@ def interval_overlap_join(
     bucket meet is a near-hit. All bucket arithmetic is exact integer
     micros. Columns of both inputs are kept (name-collisions are the
     caller's to resolve); output grain is one row per overlapping
-    pair.
+    pair — the DISTINCT that collapses multi-bucket duplicates also
+    collapses fully-duplicate input rows, so feed unique-keyed
+    intervals (every session/burst table has a key).
     """
     step = int(bucket_seconds) * 1_000_000
 

@@ -754,7 +754,10 @@ def stratified_split_exact(
     return (
         ranked.join(
             F.broadcast(bounds),
-            (F.col(stratum_col) == F.col("__stratum"))
+            # null-safe: a NULL stratum is a legitimate stratum (groupBy
+            # and the rank window both treat NULLs as one group — a
+            # null-unsafe equality would silently drop its rows here)
+            F.col(stratum_col).eqNullSafe(F.col("__stratum"))
             & (F.col("split_rank") > F.col("__lo"))
             & (F.col("split_rank") <= F.col("__hi")),
         )

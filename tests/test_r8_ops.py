@@ -350,3 +350,18 @@ def test_interval_overlap_join_edges(spark):
         ).collect()
     }
     assert got_fine == got
+
+
+def test_stratified_split_null_stratum_kept(spark):
+    from etl_rj_spark.operators.curation import stratified_split_exact
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], "id long, stratum string"
+    )
+    out = stratified_split_exact(
+        df, "stratum", "id", [("train", 1), ("test", 1)]
+    ).collect()
+    # NULL stratum is a legitimate stratum: nothing dropped, 1/1 split
+    assert len(out) == 4
+    null_rows = [r for r in out if r.stratum is None]
+    assert sorted(r.split for r in null_rows) == ["test", "train"]
