@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _META_COLS = ("_file", "_row_idx")
@@ -126,7 +131,50 @@ class XlsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _XlsReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "_XlsSimpleStreamReader":
+        return _XlsSimpleStreamReader(schema, self.options)
+
 
 def register_xls_source(spark) -> None:
     """Idempotent registration of the ``xls`` format on a session."""
     spark.dataSource.register(XlsDataSource)
+
+
+class _XlsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the ``xls`` source: the drop-directory as an
+    UNBOUNDED table. Offsets are the sorted list of files already
+    delivered — each micro-batch reads exactly the complement, and
+    ``readBetweenOffsets`` replays a committed range deterministically
+    (same file set → same rows), so checkpoint recovery is
+    exactly-once: the DataSource-level form of the
+    `sources/manifest.py` ledger contract.
+
+    The offset grows with one path per file ever seen — fine for the
+    daily-export cadence this wraps (hundreds of files); compact to a
+    high-water-mark offset if filenames are ordered.
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.inner = _XlsReader(schema, options)
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def _rows_for(self, files):
+        # materialized list, not a generator: the simple-stream harness
+        # pickles the returned rows for partition planning/prefetch
+        out = []
+        for f in files:
+            out.extend(self.inner.read(_XlsPartition(f)))
+        return out
+
+    def read(self, start):
+        seen = set(start.get("seen", []))
+        new = [f for f in _glob_files(self.inner.pattern) if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return iter(self._rows_for(new)), end
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start.get("seen", []))
+        replay = [f for f in end.get("seen", []) if f not in seen]
+        return iter(self._rows_for(replay))

@@ -60,3 +60,40 @@ def test_xls_datasource_missing_files_and_option(spark, tmp_path):
     register_xls_source(spark)
     with pytest.raises(Exception, match="matched no files"):
         spark.read.format("xls").option("path", f"{tmp_path}/none/*.xls").load()
+
+
+def test_xls_datasource_streaming_only_new_files(spark, tmp_path):
+    """readStream.format('xls'): each trigger delivers exactly the
+    files not yet in the committed offset — manifest semantics at the
+    DataSource level."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _write(drop / "a.xls", [["acme", "1"]])
+    register_xls_source(spark)
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        (
+            spark.readStream.format("xls")
+            .option("path", f"{drop}/*.xls")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.cliente for r in got.collect()} == {"acme"}
+    # second file arrives; next drain delivers ONLY it
+    _write(drop / "b.xls", [["beta", "2"]])
+    drain()
+    rows = sorted((r.cliente, r.total) for r in
+                  spark.read.parquet(str(tmp_path / "out")).collect())
+    assert rows == [("acme", "1"), ("beta", "2")]
+    # a third drain with nothing new appends nothing
+    drain()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
