@@ -140,6 +140,7 @@ _PRIORITY = [
     "triangle_count_copurchase",  # new r8: degree-oriented triangle census
     "session_error_overlap",      # new r8: interval-overlap temporal join
     "xls_datasource_roundtrip",   # new r8: PySpark-4 Python DataSource surface
+    "km_view_to_purchase_survival",  # new r8: exact integer-ppm Kaplan-Meier
 ]
 
 

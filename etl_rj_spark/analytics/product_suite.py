@@ -1094,3 +1094,104 @@ def xls_datasource_roundtrip(spark, sf_dir):
         "n_name",
         F.col("n_regionkey").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve
+# ---------------------------------------------------------------------------
+
+@_q(
+    "km_view_to_purchase_survival",
+    """
+    WITH RECURSIVE bounds AS (SELECT MAX(ts) AS obs_end FROM events),
+    fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT f.user_id, MIN(e.ts) AS first_purchase
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.first_view
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT f.user_id,
+             CASE WHEN p.first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', f.first_view, p.first_purchase) AS INT)
+                  ELSE CAST(date_diff('day', f.first_view, b.obs_end) AS INT)
+             END AS t,
+             CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM fv f LEFT JOIN fp p USING (user_id) CROSS JOIN bounds b
+    ),
+    tab AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST((SELECT COUNT(*) FROM subj)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+      FROM tab
+    ),
+    ord AS (SELECT *, row_number() OVER (ORDER BY t) AS i FROM risk),
+    km AS (
+      SELECT i, t, n, d, c,
+             CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.i, o.t, o.n, o.d, o.c,
+             CAST((km.s * (o.n - o.d)) // o.n AS BIGINT)
+      FROM ord o JOIN km ON o.i = km.i + 1
+    )
+    SELECT t, n AS n_at_risk, d AS d_events, c AS n_censored,
+           s AS survival_ppm
+    FROM km
+    """,
+    tags=("survival", "kaplan-meier", "stats-exact"),
+)
+def km_view_to_purchase_survival(spark, sf_dir):
+    """Kaplan–Meier survival of time-to-purchase: per user, days from
+    first view to first purchase (event) or to the observation end
+    (right-censored), then the KM curve via ``kaplan_meier`` — the
+    exact integer-ppm recurrence ``s ← (s·(n−d)) div n`` folded over
+    the sorted duration vocabulary, which the oracle replays with a
+    recursive CTE (a float Π(1−d/n) would drift with grouping). The
+    churn/conversion-lifetime statistic with censoring done right."""
+    from etl_rj_spark.operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    obs_end = ev.agg(F.max("ts").alias("__end"))
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        fv.join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("__pts")),
+            "user_id",
+        )
+        .filter(F.col("__pts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("__pts").alias("first_purchase"))
+    )
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .join(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff(F.col("first_purchase"), F.col("first_view")),
+            )
+            .otherwise(F.datediff(F.col("__end"), F.col("first_view")))
+            .cast("int")
+            .alias("t"),
+            F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    return kaplan_meier(subj, "t", "ev")

@@ -813,3 +813,69 @@ def skyline_max2(
         F.broadcast(frontier),
         (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__maxy")),
     ).drop("__x", "__maxy", "__suf")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with an EXACT integer-ppm
+    recurrence: at each distinct duration t (ascending),
+    ``s_t = (s_prev · (n_t − d_t)) div n_t`` with ``s_0 = 10⁶`` —
+    the per-step integer division REPLACES the float product, so the
+    curve is bit-identical on any engine (an oracle replays it with a
+    recursive CTE; a float Π(1−d/n) depends on multiplication
+    grouping). Standard at-risk convention: subjects censored at t
+    remain at risk through t.
+
+    Scale: subjects reduce to the DURATION VOCABULARY first (one
+    map-side-combinable aggregate); the at-risk counts come from one
+    cumulative window over distinct durations, and the sequential
+    recurrence folds over the SORTED vocabulary array in a single
+    1-row ``aggregate`` — a bounded-grain step (distinct durations ≤
+    the observation window in days), never a corpus-sized sort.
+    Output: (t, n_at_risk, d_events, n_censored, survival_ppm),
+    ``event_col`` must be 0/1.
+    """
+    tab = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col)).cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col)).cast("long").alias("c"),
+    )
+    n_total = tab.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = tab.join(F.broadcast(n_total)).select(
+        "t", "d", "c",
+        (F.col("__N") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)))
+        .cast("long").alias("n"),
+    )
+    packed = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "n", "d", "c"))).alias("__a")
+    )
+    folded = packed.select(
+        F.expr(
+            """
+            aggregate(
+              __a,
+              struct(
+                cast(1000000 as bigint) as s,
+                cast(array() as array<struct<t:int,n:bigint,d:bigint,c:bigint,s:bigint>>) as out
+              ),
+              (acc, x) -> struct(
+                cast((acc.s * (x.n - x.d)) div x.n as bigint) as s,
+                concat(acc.out, array(struct(
+                  x.t as t, x.n as n, x.d as d, x.c as c,
+                  cast((acc.s * (x.n - x.d)) div x.n as bigint) as s))) as out
+              ),
+              acc -> acc.out
+            )
+            """
+        ).alias("__steps")
+    )
+    return folded.select(F.explode("__steps").alias("__x")).select(
+        F.col("__x.t").alias("t"),
+        F.col("__x.n").alias("n_at_risk"),
+        F.col("__x.d").alias("d_events"),
+        F.col("__x.c").alias("n_censored"),
+        F.col("__x.s").alias("survival_ppm"),
+    )

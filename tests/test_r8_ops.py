@@ -365,3 +365,31 @@ def test_stratified_split_null_stratum_kept(spark):
     assert len(out) == 4
     null_rows = [r for r in out if r.stratum is None]
     assert sorted(r.split for r in null_rows) == ["test", "train"]
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from etl_rj_spark.operators.stats import kaplan_meier
+
+    # classic: events at t=1 (1 of 5), t=3 (1 of 3); censored at 2, 4, 5
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)], "t int, ev int"
+    )
+    rows = {r.t: (r.n_at_risk, r.d_events, r.n_censored, r.survival_ppm)
+            for r in kaplan_meier(df, "t", "ev").collect()}
+    # s(1) = 1e6*4//5 = 800000; s(3) = 800000*2//3 = 533333
+    assert rows[1] == (5, 1, 0, 800000)
+    assert rows[2] == (4, 0, 1, 800000)   # censoring leaves s unchanged
+    assert rows[3] == (3, 1, 0, 533333)
+    assert rows[4] == (2, 0, 1, 533333)
+    assert rows[5] == (1, 0, 1, 533333)
+
+
+def test_kaplan_meier_all_events_and_all_censored(spark):
+    from etl_rj_spark.operators.stats import kaplan_meier
+
+    allev = spark.createDataFrame([(1, 1), (1, 1)], "t int, ev int")
+    r = kaplan_meier(allev, "t", "ev").collect()[0]
+    assert (r.t, r.n_at_risk, r.d_events, r.survival_ppm) == (1, 2, 2, 0)
+    nocens = spark.createDataFrame([(2, 0), (7, 0)], "t int, ev int")
+    rows = {r.t: r.survival_ppm for r in kaplan_meier(nocens, "t", "ev").collect()}
+    assert rows == {2: 1000000, 7: 1000000}
