@@ -141,6 +141,7 @@ _PRIORITY = [
     "session_error_overlap",      # new r8: interval-overlap temporal join
     "xls_datasource_roundtrip",   # new r8: PySpark-4 Python DataSource surface
     "km_view_to_purchase_survival",  # new r8: exact integer-ppm Kaplan-Meier
+    "correlation_matrix_lineitem",  # new r8: one-aggregate pairwise Pearson matrix
 ]
 
 

@@ -1195,3 +1195,67 @@ def km_view_to_purchase_survival(spark, sf_dir):
         )
     )
     return kaplan_meier(subj, "t", "ev")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+def _corr_oracle() -> str:
+    cols = ["qty", "cents", "disc_bp", "tax_bp"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    arms = []
+    for a, b in pairs:
+        num = f"(n1 * sp_{a}_{b} - s_{a} * s_{b})"
+        va = f"(n1 * ss_{a} - s_{a} * s_{a})"
+        vb = f"(n1 * ss_{b} - s_{b} * s_{b})"
+        arms.append(
+            f"SELECT '{a}' AS m1, '{b}' AS m2, CAST(n1 AS BIGINT) AS n, "
+            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+            f"ROUND(CAST({num} AS DOUBLE) / SQRT(CAST({va} AS DOUBLE) * CAST({vb} AS DOUBLE)), 9) "
+            f"END AS r_9dp FROM m"
+        )
+    sums = ", ".join(
+        f"SUM({c}::HUGEINT) AS s_{c}, SUM({c}::HUGEINT * {c}) AS ss_{c}"
+        for c in cols
+    )
+    sps = ", ".join(
+        f"SUM({a}::HUGEINT * {b}) AS sp_{a}_{b}" for a, b in pairs
+    )
+    return f"""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_bp,
+             CAST(ROUND(l_tax * 10000) AS BIGINT) AS tax_bp
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    m AS (SELECT COUNT(*)::HUGEINT AS n1, {sums}, {sps} FROM v)
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@_q(
+    "correlation_matrix_lineitem",
+    _corr_oracle(),
+    tags=("stats-correlation", "exact-moments"),
+)
+def correlation_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson matrix over four lineitem measures (quantity,
+    price cents, discount/tax basis points) via ``correlation_matrix``
+    — every pairwise product is a scan-stage expression, all six
+    moment sets reduce in ONE map-side aggregate, and each r is a
+    single 9-dp IEEE expression on exact decimals (``corr()``'s float
+    accumulation drifts with partitioning; this doesn't). The
+    drift-screen for feature redundancy."""
+    from etl_rj_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+    )
+    return correlation_matrix(li, ["qty", "cents", "disc_bp", "tax_bp"])

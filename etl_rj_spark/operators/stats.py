@@ -879,3 +879,51 @@ def kaplan_meier(
         F.col("__x.c").alias("n_censored"),
         F.col("__x.s").alias("survival_ppm"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations of k integer measures WITHOUT a
+    shuffle per pair: every pairwise product is a scan-stage
+    expression in ONE projection, all k(k−1)/2 moment sets reduce in
+    ONE map-side-combinable aggregate (decimal(38,0), exact and
+    order-independent), and each r is a single IEEE expression on
+    exact scalars rounded to 9 dp — deterministic where ``corr()``'s
+    float accumulation drifts with partitioning. Rows with a NULL in
+    ANY measure are dropped (complete-case, the convention a matrix
+    needs for a shared n). Output: (m1, m2, n, r_9dp) per unordered
+    pair; zero-variance measures yield NULL r.
+    """
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        d = F.col(c).cast("decimal(38,0)")
+        aggs.append(F.sum(d).alias(f"__s_{c}"))
+        aggs.append(F.sum(d * F.col(c)).alias(f"__ss_{c}"))
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(f"__sp_{a}_{b}")
+        )
+    m = df.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n, sa, sb = "__n", f"__s_{a}", f"__s_{b}"
+        num = f"(cast({n} as decimal(38,0)) * __sp_{a}_{b} - {sa} * {sb})"
+        va = f"(cast({n} as decimal(38,0)) * __ss_{a} - {sa} * {sa})"
+        vb = f"(cast({n} as decimal(38,0)) * __ss_{b} - {sb} * {sb})"
+        return (
+            f"case when {va} > 0 and {vb} > 0 then "
+            f"round(cast({num} as double) / sqrt(cast({va} as double) * cast({vb} as double)), 9) end"
+        )
+
+    structs = ", ".join(
+        f"struct('{a}' as m1, '{b}' as m2, cast(__n as bigint) as n, "
+        f"{r_expr(a, b)} as r_9dp)"
+        for a, b in pairs
+    )
+    return m.select(F.expr(f"explode(array({structs}))").alias("__p")).select(
+        "__p.m1", "__p.m2", "__p.n", "__p.r_9dp"
+    )

@@ -393,3 +393,24 @@ def test_kaplan_meier_all_events_and_all_censored(spark):
     nocens = spark.createDataFrame([(2, 0), (7, 0)], "t int, ev int")
     rows = {r.t: r.survival_ppm for r in kaplan_meier(nocens, "t", "ev").collect()}
     assert rows == {2: 1000000, 7: 1000000}
+
+
+def test_correlation_matrix_known_values(spark):
+    from etl_rj_spark.operators.stats import correlation_matrix
+
+    # y = 2x (r=1), z anti-correlated with x (r=-1), w constant (NULL)
+    df = spark.createDataFrame(
+        [(1, 2, 9, 5), (2, 4, 8, 5), (3, 6, 7, 5), (4, 8, 6, 5)],
+        "x long, y long, z long, w long",
+    )
+    rows = {(r.m1, r.m2): r.r_9dp for r in
+            correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert rows[("x", "y")] == 1.0
+    assert rows[("x", "z")] == -1.0
+    assert rows[("y", "z")] == -1.0
+    assert rows[("x", "w")] is None and rows[("z", "w")] is None
+    # complete-case: a NULL in any measure drops the row everywhere
+    df2 = df.union(spark.createDataFrame([(5, None, 5, 5)], df.schema))
+    rows2 = {(r.m1, r.m2): (r.n, r.r_9dp) for r in
+             correlation_matrix(df2, ["x", "y", "z", "w"]).collect()}
+    assert rows2[("x", "z")] == (4, -1.0)
