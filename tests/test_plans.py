@@ -364,3 +364,14 @@ def test_pareto_windows_are_partitioned(spark, sf_dir):
     assert win_lines, "expected the per-bucket windows"
     for l in win_lines:
         assert "__pid" in l, ("unpartitioned window in pareto plan", l)
+
+
+def test_gini_windows_are_partitioned(spark, sf_dir):
+    """The Gini rank must ride the two-phase range-bucket form — every
+    window in its plan partitioned by __pid (VERDICT r7 #3 family)."""
+    df = REGISTRY["gini_revenue_customers"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the per-bucket windows"
+    for l in win_lines:
+        assert "__pid" in l, ("unpartitioned window in gini plan", l)
