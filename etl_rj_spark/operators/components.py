@@ -264,6 +264,9 @@ def triangle_stats(
     global_cc_ppm = 3·T·10⁶ div wedges — the fraction of wedges that
     close; 0-wedge graphs report NULL).
     """
+    # materialize the canonical edge set once: degrees, orientation and
+    # the closing-edge probe all reuse it — lazy lineage would re-run
+    # the caller's (possibly expensive) edge construction three times
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -271,6 +274,7 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
@@ -289,7 +293,7 @@ def triangle_stats(
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
         .alias("o")
-    ).select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    ).select(F.col("o.s").alias("s"), F.col("o.t").alias("t")).localCheckpoint()
     o1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
     wedges_or = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
