@@ -838,10 +838,13 @@ def kaplan_meier(
     Output: (t, n_at_risk, d_events, n_censored, survival_ppm),
     ``event_col`` must be 0/1.
     """
+    # materialize the vocabulary-grain table once: the total, the
+    # at-risk window and the fold all reuse it — lazily each would
+    # re-run the corpus aggregate
     tab = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.col(event_col)).cast("long").alias("d"),
         F.sum(F.lit(1) - F.col(event_col)).cast("long").alias("c"),
-    )
+    ).localCheckpoint()
     n_total = tab.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     risk = tab.join(F.broadcast(n_total)).select(

@@ -167,6 +167,12 @@ def global_rank_cumsum(
     to the single-window form row for row. ``cum_col`` is
     decimal(38,0) (overflow-proof running sum); (value, tiebreaks)
     must be a total order for a deterministic rank.
+
+    Stays LAZY deliberately: the per-bucket frame feeds both the stats
+    aggregate and the output join, but the range Exchange is reused by
+    Spark (ReusedExchange) and only the cheap bucket-local window
+    re-evaluates — a checkpoint barrier here would hide the window
+    nodes from plan audits and force eager execution at build time.
     """
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
