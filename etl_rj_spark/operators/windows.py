@@ -169,10 +169,12 @@ def global_rank_cumsum(
     must be a total order for a deterministic rank.
 
     Stays LAZY deliberately: the per-bucket frame feeds both the stats
-    aggregate and the output join, but the range Exchange is reused by
-    Spark (ReusedExchange) and only the cheap bucket-local window
-    re-evaluates — a checkpoint barrier here would hide the window
-    nodes from plan audits and force eager execution at build time.
+    aggregate and the output join, and at runtime AQE's exchange reuse
+    dedupes the identical range shuffles (verified: 2 ReusedExchange
+    nodes in the executed adaptive plan) so the input shuffles once —
+    only the cheap bucket-local window re-evaluates. A checkpoint
+    barrier here would hide the window nodes from plan audits and
+    force eager execution at build time.
     """
     sess = df.sparkSession
     p = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
