@@ -142,6 +142,8 @@ _PRIORITY = [
     "xls_datasource_roundtrip",   # new r8: PySpark-4 Python DataSource surface
     "km_view_to_purchase_survival",  # new r8: exact integer-ppm Kaplan-Meier
     "correlation_matrix_lineitem",  # new r8: one-aggregate pairwise Pearson matrix
+    "bm25_search_topk",           # new r8: exact-integer Okapi BM25
+    "phrase_search_docs",         # new r8: positional phrase search
 ]
 
 

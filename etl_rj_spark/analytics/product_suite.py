@@ -1259,3 +1259,92 @@ def correlation_matrix_lineitem(spark, sf_dir):
         F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
     )
     return correlation_matrix(li, ["qty", "cents", "disc_bp", "tax_bp"])
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer BM25 and positional phrase search
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bm25_search_topk",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_SQL_TOKS} AS tt FROM documents),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(tt) END AS dl
+      FROM base
+    ),
+    stats AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+      FROM dl
+    ),
+    toks AS (
+      SELECT b.doc_id, t.term FROM base b, UNNEST(tt) AS t(term)
+      WHERE t.term IN ('spark', 'window', 'hash')
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    idf AS (
+      SELECT term, (s.n * 1000000) // COUNT(DISTINCT doc_id) AS idf_ppm
+      FROM tf CROSS JOIN stats s GROUP BY term, s.n
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM((idf_ppm * tf.tf * 44 * s.avgdl)
+                      // (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * d.dl))
+                  AS BIGINT) AS score
+      FROM tf JOIN idf USING (term)
+           JOIN dl d ON d.doc_id = tf.doc_id
+           CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 15
+    """,
+    tags=("search", "bm25", "lexical"),
+)
+def bm25_search_topk(spark, sf_dir):
+    """Okapi BM25 top-15 in the exact-integer form: k1 = 6/5 and
+    b = 3/4 clear the textbook denominator to pure int64
+    (``(idf·tf·44·avgdl) div (20·tf·avgdl + 6·avgdl + 18·dl)``), so
+    the oracle replays saturation, length normalization, selection
+    AND order bit-for-bit — float BM25 ties differ per libm. Same
+    scan-stage isin explode / distributed-top-k shape as the TF·IDF
+    scorer."""
+    from etl_rj_spark.operators.search import bm25_search_topk as bm25
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25(d, ("spark", "window", "hash"), "doc_id", "text", k=15)
+
+
+@_q(
+    "phrase_search_docs",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS tt FROM documents),
+    pos AS (
+      SELECT b.doc_id, b.tt[r.i] AS term, r.i AS p
+      FROM base b, UNNEST(range(1, len(b.tt) + 1)) AS r(i)
+      WHERE b.tt[r.i] IN ('sort', 'merge')
+    ),
+    s0 AS (SELECT doc_id, p AS start FROM pos WHERE term = 'sort'),
+    s1 AS (SELECT doc_id, p - 1 AS start FROM pos WHERE term = 'merge')
+    SELECT s0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s0 JOIN s1 USING (doc_id, start)
+    GROUP BY s0.doc_id
+    """,
+    tags=("search", "phrase", "positional-index"),
+)
+def phrase_search_docs(spark, sf_dir):
+    """Positional phrase search: documents containing the exact
+    adjacent phrase "sort merge", with occurrence counts — the
+    positional-index query bag-of-words scoring cannot answer. Only
+    matching tokens explode (isin in the scan stage); adjacency is a
+    (doc, position) equi-join, hash-partitionable at any corpus
+    size."""
+    from etl_rj_spark.operators.search import phrase_match_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_match_docs(d, ("sort", "merge"), "doc_id", "text")

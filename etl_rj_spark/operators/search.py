@@ -124,3 +124,113 @@ def rrf_fuse(
     return ranked_topk(
         fused, [(F.col("rrf_score"), False), (F.col(id_col), True)], k
     ).select(id_col, "rrf_score", "rank")
+
+
+#: BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).
+#: With these, the per-term denominator clears to pure integers (see
+#: bm25_search_topk) — no float ever enters the score.
+_BM25_K1_NUM, _BM25_K1_DEN = 6, 5
+_BM25_B_NUM, _BM25_B_DEN = 3, 4
+
+
+def bm25_search_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k with EXACT INTEGER scoring: with k1 = 6/5 and
+    b = 3/4 the textbook per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    clears (multiply through by 20·avgdl) to
+
+        (idf_ppm · tf · 44 · avgdl) div (20·tf·avgdl + 6·avgdl + 18·dl)
+
+    — every quantity an int64, every division a nonneg integer div, so
+    selection AND order replay bit-for-bit on any engine (float BM25
+    scores differ in the last ulp across libm's and tie-break
+    differently). ``idf_ppm = (N·10⁶) div df`` (the same monotone
+    integer IDF as ``keyword_search_topk``); ``avgdl = Σdl div N``
+    (floor — part of the contract). Saturation and length
+    normalization behave exactly as textbook BM25 at these constants.
+
+    Scale shape: doc lengths come from one scan-stage ``size()``
+    aggregate rider; only query-term tokens explode; df/score are two
+    map-side-combinable aggregates; the final ranking is the
+    distributed ``ranked_topk``. Returns (id, score, rank).
+    """
+    terms = [t.lower() for t in query_terms]
+    base = docs.select(
+        F.col(id_col),
+        whitespace_tokens(normalized_text(text_col)).alias("__toks"),
+    ).select(F.col(id_col), "__toks", F.size("__toks").alias("__dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+    ).select("__n", F.expr("__sumdl div __n").alias("__avgdl"))
+    toks = base.select(
+        F.col(id_col), "__dl", F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr("(CAST(__n AS BIGINT) * 1000000) div df").alias("idf_ppm"),
+            "__avgdl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            F.expr(
+                "(idf_ppm * tf * 44 * __avgdl)"
+                " div (20 * tf * __avgdl + 6 * __avgdl + 18 * __dl)"
+            ).alias("__term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__term_score").alias("score"))
+    )
+    return ranked_topk(
+        scored, [(F.col("score"), False), (F.col(id_col), True)], k
+    ).select(id_col, "score", "rank")
+
+
+def phrase_match_docs(
+    docs: DataFrame,
+    phrase_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over the positional index: documents where
+    ``phrase_terms`` occur as ADJACENT tokens (in order), with the
+    occurrence count — the positional-index query a bag-of-words
+    scorer cannot answer. Each term's positions explode ONLY for
+    matching tokens (isin inside the scan stage); adjacency is an
+    equi-join on (doc, position+offset) — hash-partitionable, never a
+    string re-scan. Returns (id, n_occurrences).
+    """
+    terms = [t.lower() for t in phrase_terms]
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least two terms")
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(whitespace_tokens(normalized_text(text_col))).alias(
+            "__p", "__term"
+        ),
+    ).filter(F.col("__term").isin(terms))
+    out = pos.filter(F.col("__term") == terms[0]).select(
+        F.col(id_col), F.col("__p").alias("__start")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("__term") == F.lit(t)).select(
+            F.col(id_col), (F.col("__p") - i).alias("__start")
+        )
+        out = out.join(nxt, [id_col, "__start"])
+    return out.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -113,3 +113,45 @@ def test_match_distribution_resample_reshapes_to_reference(spark):
     assert abs(by_bin["A"] - 2000) < 150, by_bin
     again = match_distribution_resample(df, ref, "bin", "id").collect()
     assert {(r.id) for r in again} == {(r.id) for r in out}
+
+
+def test_bm25_length_normalization_and_saturation(spark):
+    from etl_rj_spark.operators.search import bm25_search_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare word"),                       # short doc, one hit
+            (2, "rare " + "filler " * 20),          # long doc, one hit
+            (3, "rare rare rare rare " + "x " * 4), # tf saturates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.score, r.rank) for r in
+           bm25_search_topk(docs, ["rare"], k=10).collect()}
+    # same tf, shorter doc scores higher (length normalization)
+    assert out[1][0] > out[2][0]
+    # higher tf scores higher, but sublinearly (saturation): tf=4 in a
+    # similar-length doc must score < 4x the tf=1 short doc
+    assert out[3][0] > out[1][0]
+    assert out[3][0] < 4 * out[1][0]
+
+
+def test_phrase_match_requires_adjacency_and_order(spark):
+    from etl_rj_spark.operators.search import phrase_match_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sort merge join"),          # 1 occurrence
+            (2, "merge sort"),               # wrong order: no match
+            (3, "sort the merge"),           # not adjacent: no match
+            (4, "sort merge sort merge"),    # 2 occurrences
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences for r in
+           phrase_match_docs(docs, ["sort", "merge"]).collect()}
+    assert got == {1: 1, 4: 2}
+    # three-term phrase
+    got3 = {r.doc_id: r.n_occurrences for r in
+            phrase_match_docs(docs, ["sort", "merge", "join"]).collect()}
+    assert got3 == {1: 1}
