@@ -144,6 +144,7 @@ _PRIORITY = [
     "correlation_matrix_lineitem",  # new r8: one-aggregate pairwise Pearson matrix
     "bm25_search_topk",           # new r8: exact-integer Okapi BM25
     "phrase_search_docs",         # new r8: positional phrase search
+    "kappa_langid_agreement",     # new r8: exact-ppm Cohen's kappa eval
 ]
 
 

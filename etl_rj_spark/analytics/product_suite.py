@@ -1348,3 +1348,62 @@ def phrase_search_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return phrase_match_docs(d, ("sort", "merge"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: lang-id classifier vs labeled lang
+# ---------------------------------------------------------------------------
+
+def _kappa_oracle() -> str:
+    from etl_rj_spark.analytics.llm_suite import _sql_stop_count
+
+    pred = f"""CASE
+             WHEN {_sql_stop_count('en')} > 0
+                  AND {_sql_stop_count('en')} >= {_sql_stop_count('es')}
+                  AND {_sql_stop_count('en')} >= {_sql_stop_count('fr')} THEN 'en'
+             WHEN {_sql_stop_count('es')} > 0
+                  AND {_sql_stop_count('es')} >= {_sql_stop_count('fr')} THEN 'es'
+             WHEN {_sql_stop_count('fr')} > 0 THEN 'fr'
+             ELSE 'unknown'
+           END"""
+    return f"""
+    WITH both_ AS (SELECT lang AS a, {pred} AS b FROM documents),
+    tot AS (
+      SELECT COUNT(*)::HUGEINT AS n,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::HUGEINT AS agree
+      FROM both_
+    ),
+    r AS (SELECT a AS k, COUNT(*)::HUGEINT AS r FROM both_ GROUP BY 1),
+    c AS (SELECT b AS k, COUNT(*)::HUGEINT AS c FROM both_ GROUP BY 1),
+    s AS (SELECT COALESCE(SUM(r.r * c.c), 0)::HUGEINT AS s
+          FROM r JOIN c USING (k))
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+           CASE WHEN n * n - s <= 0 THEN NULL
+                WHEN n * agree - s >= 0 THEN
+                  CAST(((n * agree - s) * 1000000) // (n * n - s) AS BIGINT)
+                ELSE
+                  -CAST(((s - n * agree) * 1000000) // (n * n - s) AS BIGINT)
+           END AS kappa_ppm
+    FROM tot CROSS JOIN s
+    """
+
+
+@_q(
+    "kappa_langid_agreement",
+    _kappa_oracle(),
+    tags=("eval", "cohens-kappa", "inter-rater"),
+)
+def kappa_langid_agreement(spark, sf_dir):
+    """Cohen's kappa of the n-gram lang-id heuristic against the
+    labeled ``lang`` column — chance-corrected classifier agreement
+    via ``stats.cohens_kappa``'s exact rational identity
+    ``κ = (n·agree − Σr·c)/(n² − Σr·c)`` in signed integer ppm (no
+    float, no negative integer division). The eval-harness statistic
+    accuracy alone overstates on skewed label sets."""
+    from etl_rj_spark.operators.stats import cohens_kappa
+    from etl_rj_spark.operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", lang_id("text").alias("lang_pred")
+    )
+    return cohens_kappa(d, "lang", "lang_pred")

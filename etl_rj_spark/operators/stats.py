@@ -930,3 +930,55 @@ def correlation_matrix(
     return m.select(F.expr(f"explode(array({structs}))").alias("__p")).select(
         "__p.m1", "__p.m2", "__p.n", "__p.r_9dp"
     )
+
+
+def cohens_kappa(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters in EXACT integer
+    ppm: with n rows, ``agree`` exact matches, and
+    ``S = Σ_k rowtotal_k · coltotal_k`` (over categories both raters
+    use), ``κ = (n·agree − S) / (n² − S)`` — the rational identity
+    clears both the observed and expected agreement of their
+    divisions, so no float appears; the signed ppm division keeps
+    integer-div on nonnegative operands only (engines disagree on
+    negative integer division). Output: one row
+    (n, n_agree, kappa_ppm). Marginals are vocabulary-grain; the
+    corpus pays two map-side-combinable aggregates.
+    """
+    base = df.select(
+        F.col(label_col).alias("__a"), F.col(pred_col).alias("__b")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0)).alias("__agree"),
+    )
+    r = base.groupBy(F.col("__a").alias("__k")).agg(F.count(F.lit(1)).alias("__r"))
+    c = base.groupBy(F.col("__b").alias("__k")).agg(F.count(F.lit(1)).alias("__c"))
+    s = (
+        r.join(c, "__k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__r").cast("decimal(38,0)") * F.col("__c")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__s")
+        )
+    )
+    return (
+        tot.join(F.broadcast(s))
+        .select(
+            F.col("__n").alias("n"),
+            F.col("__agree").cast("bigint").alias("n_agree"),
+            F.expr(
+                "case"
+                " when cast(__n as decimal(38,0)) * __n - __s <= 0 then null"
+                " when cast(__n as decimal(38,0)) * __agree - __s >= 0 then"
+                "   cast(((cast(__n as decimal(38,0)) * __agree - __s) * 1000000)"
+                "        div (cast(__n as decimal(38,0)) * __n - __s) as bigint)"
+                " else"
+                "   -cast(((__s - cast(__n as decimal(38,0)) * __agree) * 1000000)"
+                "         div (cast(__n as decimal(38,0)) * __n - __s) as bigint)"
+                " end"
+            ).alias("kappa_ppm"),
+        )
+    )

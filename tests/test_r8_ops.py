@@ -414,3 +414,27 @@ def test_correlation_matrix_known_values(spark):
     rows2 = {(r.m1, r.m2): (r.n, r.r_9dp) for r in
              correlation_matrix(df2, ["x", "y", "z", "w"]).collect()}
     assert rows2[("x", "z")] == (4, -1.0)
+
+
+def test_cohens_kappa_known_values(spark):
+    from etl_rj_spark.operators.stats import cohens_kappa
+
+    # perfect agreement -> 1e6
+    perf = spark.createDataFrame([("a", "a"), ("b", "b")], "l string, p string")
+    assert cohens_kappa(perf, "l", "p").collect()[0].kappa_ppm == 1_000_000
+    # worse than chance -> negative (2x2 fully crossed disagreement)
+    anti = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "a")], "l string, p string"
+    )
+    assert cohens_kappa(anti, "l", "p").collect()[0].kappa_ppm == -1_000_000
+    # pe = 1 degenerate (both raters constant): NULL
+    const = spark.createDataFrame([("a", "a"), ("a", "a")], "l string, p string")
+    assert cohens_kappa(const, "l", "p").collect()[0].kappa_ppm is None
+    # textbook asymmetric: n=100, agree=70, S=(50*60+50*40)=5000
+    # kappa = (7000-5000)/(10000-5000) = 0.4
+    rows = (
+        [("y", "y")] * 40 + [("y", "n")] * 10
+        + [("n", "y")] * 20 + [("n", "n")] * 30
+    )
+    df = spark.createDataFrame(rows, "l string, p string")
+    assert cohens_kappa(df, "l", "p").collect()[0].kappa_ppm == 400_000
