@@ -145,6 +145,7 @@ _PRIORITY = [
     "bm25_search_topk",           # new r8: exact-integer Okapi BM25
     "phrase_search_docs",         # new r8: positional phrase search
     "kappa_langid_agreement",     # new r8: exact-ppm Cohen's kappa eval
+    "js_divergence_source_halves",  # new r8: JS corpus-drift metric
 ]
 
 

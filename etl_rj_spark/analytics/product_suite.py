@@ -1407,3 +1407,72 @@ def kappa_langid_agreement(spark, sf_dir):
         "lang", lang_id("text").alias("lang_pred")
     )
     return cohens_kappa(d, "lang", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon corpus drift
+# ---------------------------------------------------------------------------
+
+@_q(
+    "js_divergence_source_halves",
+    f"""
+    WITH toks AS (
+      SELECT source, t.term FROM
+        (SELECT source, {_SQL_TOKS} AS tt FROM documents),
+        UNNEST(tt) AS t(term)
+    ),
+    l AS (SELECT term, COUNT(*)::BIGINT AS a FROM toks
+          WHERE CAST(substr(source, 4) AS INT) < 10 GROUP BY 1),
+    r AS (SELECT term, COUNT(*)::BIGINT AS b FROM toks
+          WHERE CAST(substr(source, 4) AS INT) >= 10 GROUP BY 1),
+    m AS (
+      SELECT COALESCE(l.term, r.term) AS term,
+             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+      FROM l FULL OUTER JOIN r USING (term)
+    ),
+    tot AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb FROM m),
+    term_ AS (
+      SELECT CAST(ROUND((
+               CASE WHEN a > 0 THEN (a / CAST(ta AS DOUBLE))
+                 * (1 + log2(a / CAST(ta AS DOUBLE))
+                      - log2(a / CAST(ta AS DOUBLE) + b / CAST(tb AS DOUBLE)))
+               ELSE 0 END
+             + CASE WHEN b > 0 THEN (b / CAST(tb AS DOUBLE))
+                 * (1 + log2(b / CAST(tb AS DOUBLE))
+                      - log2(a / CAST(ta AS DOUBLE) + b / CAST(tb AS DOUBLE)))
+               ELSE 0 END) * 500000) AS BIGINT) AS j,
+             ta, tb
+      FROM m CROSS JOIN tot
+    )
+    SELECT COUNT(*)::BIGINT AS n_terms, CAST(MAX(ta) AS BIGINT) AS n_left,
+           CAST(MAX(tb) AS BIGINT) AS n_right,
+           CAST(SUM(j) AS BIGINT) AS js_ppm
+    FROM term_
+    """,
+    tags=("drift", "js-divergence", "curation"),
+)
+def js_divergence_source_halves(spark, sf_dir):
+    """Jensen–Shannon divergence (bits, ppm) between the token
+    distributions of the two source halves (src0–9 vs src10–19) —
+    the symmetric bounded corpus-drift metric a curation pipeline
+    tracks between snapshots or between a new source and the corpus.
+    Side-exclusive vocabulary contributes exactly as JS defines (no
+    smoothing); per-term contributions round to int64 ppm before the
+    exact cross-term sum (``text_analysis.js_divergence``)."""
+    from etl_rj_spark.operators.text_analysis import (
+        js_divergence,
+        normalized_text,
+        whitespace_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.substring("source", 4, 10).cast("int").alias("__s"),
+        F.explode(whitespace_tokens(normalized_text("text"))).alias("term"),
+    )
+    l = d.filter(F.col("__s") < 10).groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = d.filter(F.col("__s") >= 10).groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return js_divergence(l, r)

@@ -259,3 +259,80 @@ def bpe_pair_counts(df, text_col: str, min_word_len: int = 2):
         ).alias("pair")
     )
     return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pair"))
+
+
+def js_divergence(
+    left: DataFrame,
+    right: DataFrame,
+    term_col: str = "term",
+    count_col: str = "n",
+) -> DataFrame:
+    """Jensen–Shannon divergence (bits, ppm) between two term-count
+    distributions — the symmetric, bounded [0,1] corpus-drift metric
+    (new source vs corpus, this week vs last week). Inputs are
+    (term, count) tables; the full-outer term join handles
+    side-exclusive vocabulary natively (the missing side contributes
+    probability 0, exactly as JS defines — no smoothing needed, unlike
+    KL).
+
+    Determinism: each term's contribution
+    ``½·(p·log2(2p/(p+q)) + q·log2(2q/(p+q)))`` is ONE double
+    expression on exact integer counts, rounded to an int64 ppm BEFORE
+    the cross-term sum — the same per-term-rounding trick as
+    ``group_entropy_ppm``, making the reduction exact-integer and
+    aggregation-order-proof. Output: one row
+    (n_terms, n_left, n_right, js_ppm). Vocabulary-grain throughout.
+    """
+    l = left.select(F.col(term_col).alias("__t"), F.col(count_col).alias("__a"))
+    r = right.select(F.col(term_col).alias("__t"), F.col(count_col).alias("__b"))
+    merged = (
+        l.join(r, "__t", "full_outer")
+        .select(
+            "__t",
+            F.coalesce("__a", F.lit(0)).cast("long").alias("__a"),
+            F.coalesce("__b", F.lit(0)).cast("long").alias("__b"),
+        )
+    )
+    tot = merged.agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+    # p = a/ta, q = b/tb; contribution in bits:
+    #   0.5*(p*log2(2p/(p+q)) + q*log2(2q/(p+q)))
+    term = merged.join(F.broadcast(tot)).select(
+        "__t", "__a", "__b", "__ta", "__tb",
+        F.round(
+            (
+                F.when(
+                    F.col("__a") > 0,
+                    (F.col("__a") / F.col("__ta"))
+                    * (
+                        F.lit(1)
+                        + F.log2(F.col("__a") / F.col("__ta"))
+                        - F.log2(
+                            F.col("__a") / F.col("__ta")
+                            + F.col("__b") / F.col("__tb")
+                        )
+                    ),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("__b") > 0,
+                    (F.col("__b") / F.col("__tb"))
+                    * (
+                        F.lit(1)
+                        + F.log2(F.col("__b") / F.col("__tb"))
+                        - F.log2(
+                            F.col("__a") / F.col("__ta")
+                            + F.col("__b") / F.col("__tb")
+                        )
+                    ),
+                ).otherwise(F.lit(0.0))
+            )
+            * 500_000
+        ).cast("long").alias("__j"),
+    )
+    return term.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("__ta").cast("bigint").alias("n_left"),
+        F.max("__tb").cast("bigint").alias("n_right"),
+        F.sum("__j").alias("js_ppm"),
+    )

@@ -438,3 +438,17 @@ def test_cohens_kappa_known_values(spark):
     )
     df = spark.createDataFrame(rows, "l string, p string")
     assert cohens_kappa(df, "l", "p").collect()[0].kappa_ppm == 400_000
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from etl_rj_spark.operators.text_analysis import js_divergence
+
+    a = spark.createDataFrame([("x", 10), ("y", 30)], "term string, n long")
+    same = js_divergence(a, a).collect()[0]
+    assert same.js_ppm == 0                      # identical -> 0 bits
+    b = spark.createDataFrame([("p", 5), ("q", 5)], "term string, n long")
+    disjoint = js_divergence(a, b).collect()[0]
+    assert disjoint.js_ppm == 1_000_000          # disjoint -> exactly 1 bit
+    assert (disjoint.n_terms, disjoint.n_left, disjoint.n_right) == (4, 40, 10)
+    # symmetry
+    assert js_divergence(b, a).collect()[0].js_ppm == disjoint.js_ppm
