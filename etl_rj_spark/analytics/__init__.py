@@ -146,6 +146,7 @@ _PRIORITY = [
     "phrase_search_docs",         # new r8: positional phrase search
     "kappa_langid_agreement",     # new r8: exact-ppm Cohen's kappa eval
     "js_divergence_source_halves",  # new r8: JS corpus-drift metric
+    "gains_table_activity_purchase",  # new r8: decile gains/lift report
 ]
 
 

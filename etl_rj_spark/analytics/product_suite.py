@@ -1476,3 +1476,97 @@ def js_divergence_source_halves(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     return js_divergence(l, r)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table
+# ---------------------------------------------------------------------------
+
+@_q(
+    "gains_table_activity_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*)::BIGINT AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY 1
+    ),
+    v AS (SELECT score, COUNT(*)::BIGINT AS c FROM per_user GROUP BY 1),
+    cum AS (
+      SELECT score,
+             SUM(c) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS above
+      FROM v
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS p FROM per_user),
+    binned AS (
+      SELECT u.user_id, u.pos,
+             CAST((cum.above * 10) // n.n AS INT) AS decile
+      FROM per_user u JOIN cum USING (score) CROSS JOIN n
+    ),
+    bins AS (
+      SELECT decile, COUNT(*)::BIGINT AS n_users, SUM(pos)::BIGINT AS n_pos
+      FROM binned GROUP BY 1
+    ),
+    cb AS (
+      SELECT decile, n_users, n_pos,
+             SUM(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      FROM bins
+    )
+    SELECT cb.decile, cb.n_users, cb.n_pos,
+           CAST((cb.cum_pos * 1000000) // n.p AS BIGINT) AS capture_ppm,
+           CAST((cb.n_pos * n.n * 1000000) // (cb.n_users * n.p) AS BIGINT)
+             AS lift_ppm
+    FROM cb CROSS JOIN n
+    """,
+    tags=("eval", "gains-lift", "value-grain"),
+)
+def gains_table_activity_purchase(spark, sf_dir):
+    """Cumulative-gains / lift table: users ranked into activity
+    DECILES (decile 0 = most active, equi-depth on the score
+    VOCABULARY — ``(users_above·10) div n``, ties share a decile, no
+    global row sort), per decile the purchase count, cumulative
+    capture of all purchasers in ppm, and the lift over the base rate
+    ``(pos_d·n·10⁶) div (n_d·pos)`` — the targeting-model report
+    ("the top decile captures X% of buyers at Y× lift"). All exact
+    integer; the cumulative runs over ten rows."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos"),
+    )
+    v = per_user.groupBy("score").agg(F.count(F.lit(1)).alias("__c"))
+    wd = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    cum = v.select(
+        "score", (F.sum("__c").over(wd) - F.col("__c")).alias("__above")
+    )
+    n = per_user.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("pos").alias("__p")
+    )
+    binned = (
+        per_user.join(F.broadcast(cum), "score")
+        .join(F.broadcast(n))
+        .select(
+            "pos", F.expr("cast((__above * 10) div __n as int)").alias("decile"),
+            "__n", "__p",
+        )
+    )
+    bins = binned.groupBy("decile", "__n", "__p").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return bins.select(
+        "decile", "n_users", "n_pos",
+        F.sum("n_pos").over(wc).alias("__cum_pos"),
+        "__n", "__p",
+    ).select(
+        "decile", "n_users", "n_pos",
+        F.expr("cast((__cum_pos * 1000000) div __p as bigint)").alias("capture_ppm"),
+        F.expr(
+            "cast((cast(n_pos as decimal(38,0)) * __n * 1000000)"
+            " div (cast(n_users as decimal(38,0)) * __p) as bigint)"
+        ).alias("lift_ppm"),
+    )
