@@ -147,6 +147,8 @@ _PRIORITY = [
     "kappa_langid_agreement",     # new r8: exact-ppm Cohen's kappa eval
     "js_divergence_source_halves",  # new r8: JS corpus-drift metric
     "gains_table_activity_purchase",  # new r8: decile gains/lift report
+    "acf_daily_revenue",          # new r8: lag-1..14 exact-moment ACF
+    "psi_price_drift",            # new r8: PSI feature-drift deciles
 ]
 
 

@@ -1570,3 +1570,184 @@ def gains_table_activity_purchase(spark, sf_dir):
             " div (cast(n_users as decimal(38,0)) * __p) as bigint)"
         ).alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue
+# ---------------------------------------------------------------------------
+
+@_q(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 15)) AS INT) AS lag),
+    pairs AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.d = a.d + l.lag
+    ),
+    m AS (
+      SELECT lag, COUNT(*)::HUGEINT AS n,
+             SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+             SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+             SUM(x::HUGEINT * y) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                   / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)), 9)
+           END AS r_9dp
+    FROM m
+    """,
+    tags=("timeseries", "acf", "exact-moments"),
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of daily revenue at lags 1–14: per
+    lag, the exact-moment Pearson r between the series and its
+    k-day-shifted self (one 9-dp IEEE division on decimal sums — the
+    same determinism contract as ``correlation_matrix``). Weekly
+    cycles surface as the lag-7/14 peaks. The lag fan-out and the
+    self-join run on the DAY grain (bounded period series); pairs use
+    only dates where both ends exist (the unpadded ACF convention)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+    )
+    a = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"),
+        F.col("d"), F.col("c").alias("x"),
+    )
+    b = daily.select(F.col("d").alias("__d2"), F.col("c").alias("y"))
+    pairs = a.join(
+        b, F.col("__d2") == F.expr("date_add(d, lag)")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("__sx"), F.sum(dec("y")).alias("__sy"),
+        F.sum(dec("x") * F.col("x")).alias("__sxx"),
+        F.sum(dec("y") * F.col("y")).alias("__syy"),
+        F.sum(dec("x") * F.col("y")).alias("__sxy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "case when (n*__sxx - __sx*__sx) > 0 and (n*__syy - __sy*__sy) > 0 then"
+            " round(cast(n*__sxy - __sx*__sy as double)"
+            " / sqrt(cast(n*__sxx - __sx*__sx as double)"
+            "        * cast(n*__syy - __sy*__sy as double)), 9) end"
+        ).alias("r_9dp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI) feature drift
+# ---------------------------------------------------------------------------
+
+@_q(
+    "psi_price_drift",
+    """
+    WITH tagged AS (
+      SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+               AS half
+      FROM orders
+    ),
+    ref AS (SELECT v FROM tagged WHERE half = 0),
+    rv AS (SELECT v, COUNT(*)::BIGINT AS c FROM ref GROUP BY 1),
+    rcum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS before
+      FROM rv
+    ),
+    rn AS (SELECT COUNT(*)::BIGINT AS n FROM ref),
+    binmap AS (
+      SELECT rcum.v, CAST((rcum.before * 10) // rn.n AS INT) AS bin
+      FROM rcum CROSS JOIN rn
+    ),
+    edges AS (SELECT bin, MIN(v) AS lo FROM binmap GROUP BY 1),
+    assigned AS (
+      SELECT t.half,
+             (SELECT MAX(e.bin) FROM edges e WHERE e.lo <= t.v) AS bin
+      FROM tagged t
+    ),
+    counts AS (
+      SELECT COALESCE(bin, 0) AS bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS p_n,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS q_n
+      FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(p_n)::BIGINT AS tp, SUM(q_n)::BIGINT AS tq FROM counts)
+    SELECT c.bin, c.p_n, c.q_n,
+           CAST(ROUND((GREATEST(c.q_n, 1) / CAST(t.tq AS DOUBLE)
+                       - GREATEST(c.p_n, 1) / CAST(t.tp AS DOUBLE))
+                      * (ln(GREATEST(c.q_n, 1) / CAST(t.tq AS DOUBLE))
+                         - ln(GREATEST(c.p_n, 1) / CAST(t.tp AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS psi_term_ppm
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("drift", "psi", "value-grain"),
+)
+def psi_price_drift(spark, sf_dir):
+    """Population Stability Index of order value, pre-1998 (reference)
+    vs 1998+ (current): reference DECILE edges from the value
+    vocabulary (equi-depth, no global row sort), both populations
+    binned by the same edges, per-bin PSI term
+    ``(q−p)·ln(q/p)`` with the industry floor-at-one-count convention
+    for empty bins, rounded to int64 ppm per bin (sum the column for
+    the headline PSI; >0.2 conventionally = major shift). The binning
+    is a broadcast range lookup; everything else is a 10-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1).alias("half"),
+    )
+    ref = tagged.filter(F.col("half") == 0)
+    rv = ref.groupBy("v").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rcum = rv.select("v", (F.sum("__c").over(wv) - F.col("__c")).alias("__before"))
+    rn = ref.agg(F.count(F.lit(1)).alias("__n"))
+    binmap = rcum.join(F.broadcast(rn)).select(
+        "v", F.expr("cast((__before * 10) div __n as int)").alias("bin")
+    )
+    edges = binmap.groupBy("bin").agg(F.min("v").alias("__lo"))
+    # per-DISTINCT-value bin via range lookup against the 10 edges
+    # (highest edge at-or-below v; below the lowest edge → bin 0), then
+    # one broadcast of the value→bin map back onto the rows — current
+    # values the reference never saw still bin correctly
+    val_bins = (
+        tagged.select("v").distinct()
+        .join(F.broadcast(edges), F.col("__lo") <= F.col("v"), "left")
+        .groupBy("v")
+        .agg(F.coalesce(F.max("bin"), F.lit(0)).alias("bin"))
+    )
+    binned = tagged.join(F.broadcast(val_bins), "v")
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("p_n"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("q_n"),
+    )
+    tot = cnt.agg(
+        F.sum("p_n").alias("__tp"), F.sum("q_n").alias("__tq")
+    )
+    return cnt.join(F.broadcast(tot)).select(
+        "bin", "p_n", "q_n",
+        F.round(
+            (
+                F.greatest(F.col("q_n"), F.lit(1)) / F.col("__tq")
+                - F.greatest(F.col("p_n"), F.lit(1)) / F.col("__tp")
+            )
+            * (
+                F.log(F.greatest(F.col("q_n"), F.lit(1)) / F.col("__tq"))
+                - F.log(F.greatest(F.col("p_n"), F.lit(1)) / F.col("__tp"))
+            )
+            * 1e6
+        ).cast("long").alias("psi_term_ppm"),
+    )
