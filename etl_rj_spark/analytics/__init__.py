@@ -149,6 +149,9 @@ _PRIORITY = [
     "gains_table_activity_purchase",  # new r8: decile gains/lift report
     "acf_daily_revenue",          # new r8: lag-1..14 exact-moment ACF
     "psi_price_drift",            # new r8: PSI feature-drift deciles
+    "log2_histogram_order_values",  # new r8: exact log2-bucket histogram
+    "zipf_slope_tokens",          # new r8: Zipf OLS corpus diagnostic
+    "fano_factor_users",          # new r8: burstiness (var/mean) screen
 ]
 
 

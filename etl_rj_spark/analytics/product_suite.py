@@ -1751,3 +1751,148 @@ def psi_price_drift(spark, sf_dir):
             * 1e6
         ).cast("long").alias("psi_term_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2 value histogram, Zipf slope, Fano burstiness
+# ---------------------------------------------------------------------------
+
+@_q(
+    "log2_histogram_order_values",
+    """
+    WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders
+               WHERE o_totalprice > 0)
+    SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+           COUNT(*)::BIGINT AS n,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM v GROUP BY 1
+    """,
+    tags=("histogram", "log2-buckets", "ops-report"),
+)
+def log2_histogram_order_values(spark, sf_dir):
+    """HDR-style log₂ value histogram of order cents: bucket k holds
+    2^k ≤ v < 2^(k+1), computed EXACTLY as ``length(bin(v)) − 1`` —
+    the binary-digit-count trick that sidesteps floor(log2(v))'s
+    float boundary flips at exact powers of two (both engines print
+    identical binary strings). The latency/value-histogram shape every
+    ops dashboard wants: one scan-stage expression into a ≤63-bucket
+    aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(c.alias("c"))
+        .groupBy((F.length(F.bin("c")) - 1).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+
+
+@_q(
+    "zipf_slope_tokens",
+    f"""
+    WITH toks AS (
+      SELECT t.term FROM (SELECT {_SQL_TOKS} AS tt FROM documents),
+      UNNEST(tt) AS t(term)
+    ),
+    freq AS (SELECT term, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r FROM freq
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(r) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(n) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT COUNT(*)::HUGEINT AS nn, SUM(x::HUGEINT) AS sx,
+             SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT*y) AS sxy,
+             SUM(x::HUGEINT*x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(nn AS BIGINT) AS n_points,
+           CAST(ROUND(CAST(nn*sxy - sx*sy AS DOUBLE)
+                      / CAST(nn*sxx - sx*sx AS DOUBLE) * 1000000) AS BIGINT)
+             AS slope_ppm,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - CAST(nn*sxy - sx*sy AS DOUBLE)
+                         / CAST(nn*sxx - sx*sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / CAST(nn AS DOUBLE) * 1000000)
+                AS BIGINT) AS intercept_ppm
+    FROM m WHERE nn*sxx - sx*sx <> 0
+    """,
+    tags=("zipf", "corpus-diagnostic", "ols"),
+)
+def zipf_slope_tokens(spark, sf_dir):
+    """Zipf fit of the token frequency distribution: OLS slope of
+    log-frequency on log-rank (a healthy natural-language corpus
+    slopes ≈ −1; word-salad or deduplication damage shows as a flat
+    or broken slope). Each (ln rank, ln freq) point rounds to int64
+    micro-units BEFORE the moment sums, so the regression is
+    exact-integer and aggregation-order-proof (`ols_slope_by_group`
+    machinery on one constant group). Rank is a vocabulary-grain
+    window."""
+    from etl_rj_spark.operators.stats import ols_slope_by_group
+    from etl_rj_spark.operators.text_analysis import (
+        normalized_text,
+        whitespace_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(whitespace_tokens(normalized_text("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    pts = freq.select(
+        F.lit(1).alias("__g"),
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    return ols_slope_by_group(pts, "__g", "x", "y").select(
+        "n_points", "slope_ppm", "intercept_ppm"
+    )
+
+
+@_q(
+    "fano_factor_users",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_days,
+           CAST(SUM(x) AS BIGINT) AS n_events,
+           CAST((COUNT(*)::HUGEINT * SUM(x::HUGEINT * x)
+                 - SUM(x::HUGEINT) * SUM(x)) * 1000000
+                // (COUNT(*)::HUGEINT * SUM(x)) AS BIGINT) AS fano_ppm
+    FROM daily GROUP BY 1
+    """,
+    tags=("burstiness", "fano", "bot-screen"),
+)
+def fano_factor_users(spark, sf_dir):
+    """Fano factor (variance-to-mean, ppm) of each user's active-day
+    event counts — the burstiness screen: Poisson-like humans sit
+    near 10⁶, schedulers near 0, bursty bots far above. Exact
+    rational: ``(n·Σx² − (Σx)²)·10⁶ div (n·Σx)`` — no float at all
+    (population variance over mean clears its divisions). Day-grain
+    after one aggregate; single-active-day users report 0."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    return daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.expr(
+            "cast((count(1) * sum(cast(x as decimal(38,0)) * x)"
+            " - sum(cast(x as decimal(38,0))) * sum(x)) * 1000000"
+            " div (count(1) * sum(cast(x as decimal(38,0)))) as bigint)"
+        ).alias("fano_ppm"),
+    )
