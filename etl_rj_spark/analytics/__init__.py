@@ -152,6 +152,8 @@ _PRIORITY = [
     "log2_histogram_order_values",  # new r8: exact log2-bucket histogram
     "zipf_slope_tokens",          # new r8: Zipf OLS corpus diagnostic
     "fano_factor_users",          # new r8: burstiness (var/mean) screen
+    "path_regex_sessions",        # new r8: MATCH_RECOGNIZE-shape path regex
+    "quality_classifier_inference",  # new r8: batch linear-model scoring
 ]
 
 

@@ -1896,3 +1896,129 @@ def fano_factor_users(spark, sf_dir):
             " div (count(1) * sum(cast(x as decimal(38,0)))) as bigint)"
         ).alias("fano_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over session paths
+# ---------------------------------------------------------------------------
+
+@_q(
+    "path_regex_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ), p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT COUNT(*)::BIGINT AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'view(>click)*>purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST((SUM(CASE WHEN regexp_matches(path, 'view(>click)*>purchase')
+                     THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+             AS match_ppm
+    FROM p
+    """,
+    tags=("sequence-pattern", "path-analysis", "match-recognize"),
+)
+def path_regex_sessions(spark, sf_dir):
+    """Sequence-pattern query (the MATCH_RECOGNIZE shape): sessions
+    whose event path matches ``view(>click)*>purchase`` — a view
+    leading to a purchase through clicks only. Sessions reduce to
+    their ordered path STRING once (deterministic sorted-struct
+    build), then the pattern is one scan-stage regex over session
+    grain — arbitrarily complex step patterns without a new join per
+    step (compare the funnel's min-ts cascade). The regex subset used
+    is identical in Java and RE2."""
+    from etl_rj_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id")
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    hit = F.when(F.col("path").rlike("view(>click)*>purchase"), 1).otherwise(0)
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(hit).cast("bigint").alias("n_matched"),
+        F.expr(
+            "cast((sum(case when path rlike 'view(>click)*>purchase' then 1"
+            " else 0 end) * 1000000) div count(1) as bigint)"
+        ).alias("match_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch model inference: linear quality classifier over embeddings
+# ---------------------------------------------------------------------------
+
+#: Deterministic demo coefficients for the 64-dim embedding space —
+#: the engine-side literal IS the deployed model artifact (a real
+#: pipeline broadcasts its trained weights the same way).
+_QC_W = [((i * 37) % 21 - 10) / 100.0 for i in range(64)]
+_QC_BIAS = -0.05
+
+
+@_q(
+    "quality_classifier_inference",
+    f"""
+    WITH w AS (SELECT [{", ".join(str(x) for x in _QC_W)}]::DOUBLE[] AS wv),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE * w.wv[i]))
+               + ({_QC_BIAS}) ))), 9) AS score_9dp
+      FROM embeddings e CROSS JOIN w
+    )
+    SELECT vec_id, score_9dp,
+           CAST(CASE WHEN score_9dp >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+    tags=("inference", "batch-scoring", "quality-model"),
+)
+def quality_classifier_inference(spark, sf_dir):
+    """Batch model inference as a relational scan: a linear quality
+    classifier (literal 64-dim weights + bias — the broadcast model
+    artifact) scored over every embedding with
+    ``sigmoid(w·x + b)`` rounded to 9 dp, plus the keep decision at
+    0.5 — the quality-filter inference step every curation pipeline
+    runs before sampling. The dot product is a zip_with/aggregate
+    fold inside whole-stage codegen (left-to-right, same order as the
+    oracle's list_sum) — no UDF, no Python, 100 TB is just a longer
+    scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    wlit = F.array(*[F.lit(x) for x in _QC_W])
+    z = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                wlit,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(_QC_BIAS)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return e.select(
+        "vec_id",
+        score.alias("score_9dp"),
+        F.when(score >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
+    )
