@@ -154,6 +154,8 @@ _PRIORITY = [
     "fano_factor_users",          # new r8: burstiness (var/mean) screen
     "path_regex_sessions",        # new r8: MATCH_RECOGNIZE-shape path regex
     "quality_classifier_inference",  # new r8: batch linear-model scoring
+    "holt_trend_daily_revenue",   # new r8: dyadic Holt level+trend fold
+    "k_anonymity_audit",          # new r8: quasi-identifier privacy gate
 ]
 
 

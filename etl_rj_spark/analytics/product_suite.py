@@ -2022,3 +2022,100 @@ def quality_classifier_inference(spark, sf_dir):
         score.alias("score_9dp"),
         F.when(score >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt level+trend smoothing of daily revenue
+# ---------------------------------------------------------------------------
+
+@_q(
+    "holt_trend_daily_revenue",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    ord AS (SELECT *, row_number() OVER (ORDER BY d) AS i FROM daily),
+    holt AS (
+      SELECT i, d, c, c AS l, CAST(0 AS BIGINT) AS b FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.i, o.d, o.c,
+             (o.c + h.l + h.b) >> 1,
+             (h.b + ((o.c + h.l + h.b) >> 1) - h.l) >> 1
+      FROM ord o JOIN holt h ON o.i = h.i + 1
+    )
+    SELECT d, c AS cents, CAST(l AS BIGINT) AS level,
+           CAST(b AS BIGINT) AS trend, CAST(l + b AS BIGINT) AS forecast_next
+    FROM holt
+    """,
+    tags=("timeseries", "holt", "forecast", "exact-recurrence"),
+)
+def holt_trend_daily_revenue(spark, sf_dir):
+    """Holt level+trend smoothing of daily revenue (α = β = ½ dyadic)
+    via ``stats.holt_linear_smooth`` — the exact-integer recurrence
+    folded over the sorted day vocabulary (arithmetic shift = floor
+    halving, identical on negatives in both engines), which the
+    oracle replays with a recursive CTE. Pairs with
+    ``forecast_eval_naive7``: this is the forecast METHOD, that is
+    the scorecard."""
+    from etl_rj_spark.operators.stats import holt_linear_smooth
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    return holt_linear_smooth(daily, "d", "cents")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit
+# ---------------------------------------------------------------------------
+
+@_q(
+    "k_anonymity_audit",
+    """
+    WITH combos AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS grp_size
+      FROM customer GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM customer)
+    SELECT CAST(5 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_combos,
+           CAST(SUM(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_combos,
+           CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END) AS BIGINT)
+             AS n_risk_rows,
+           CAST((SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END) * 1000000)
+                // MAX(n.n) AS BIGINT) AS risk_ppm,
+           CAST(MIN(grp_size) AS BIGINT) AS k_actual
+    FROM combos CROSS JOIN n
+    """,
+    tags=("privacy", "k-anonymity", "audit"),
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit of the (nation, market-segment)
+    quasi-identifier: how many identifier combinations have fewer
+    than k=5 members, how many ROWS sit in those re-identifiable
+    groups (ppm of the table), and the actual k the table achieves
+    (its smallest group) — the release-gate check before sharing a
+    'de-identified' extract. One vocabulary-grain aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    combos = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_size")
+    )
+    n = c.agg(F.count(F.lit(1)).alias("__n"))
+    return combos.join(F.broadcast(n)).agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_combos"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0))
+        .cast("bigint").alias("n_small_combos"),
+        F.sum(F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0))
+        .cast("bigint").alias("n_risk_rows"),
+        F.expr(
+            "cast((sum(case when grp_size < 5 then grp_size else 0 end)"
+            " * 1000000) div max(__n) as bigint)"
+        ).alias("risk_ppm"),
+        F.min("grp_size").cast("bigint").alias("k_actual"),
+    )

@@ -982,3 +982,72 @@ def cohens_kappa(
             ).alias("kappa_ppm"),
         )
     )
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) with dyadic
+    α = β = ½ as EXACT INTEGER recurrences:
+
+        l_t = (x_t + l_prev + b_prev) div 2
+        b_t = (b_prev + (l_t − l_prev)) div 2      (floor toward −∞)
+
+    initialized l₁ = x₁, b₁ = 0, folded over the SORTED period
+    vocabulary in one bounded-grain ``aggregate`` (the Kaplan–Meier
+    fold shape) — a float Holt recursion neither parallelizes nor
+    reproduces across engines; this one an oracle replays with a
+    recursive CTE. Emits the one-step-ahead forecast ``l + b`` per
+    period — subtract from the next actual for residual monitoring.
+    ``df`` must be period grain; values integer (cents). Output:
+    (time_col, value_col, level, trend, forecast_next).
+
+    Negative trend handling: the halvings use ARITHMETIC SHIFT RIGHT
+    (``x >> 1``) — exact floor division by 2 for negatives in both
+    Spark and DuckDB, where ``div`` truncates toward zero and the two
+    engines would disagree the first time the trend goes negative.
+    """
+    packed = df.select(
+        F.col(time_col).alias("__t"), F.col(value_col).cast("long").alias("__x")
+    ).agg(F.sort_array(F.collect_list(F.struct("__t", "__x"))).alias("__a"))
+    # one fold step appends (l_t, b_t); l_t repeats inside b_t because
+    # SQL lambdas have no `let` — shiftright keeps it readable
+    folded = packed.select(
+        F.expr(
+            """
+            aggregate(
+              __a,
+              struct(
+                cast(null as bigint) as l, cast(null as bigint) as b,
+                cast(array() as array<struct<t:date,x:bigint,l:bigint,b:bigint>>) as out
+              ),
+              (acc, e) -> struct(
+                cast(if(acc.l is null, e.__x,
+                        shiftright(e.__x + acc.l + acc.b, 1)) as bigint) as l,
+                cast(if(acc.l is null, 0L,
+                        shiftright(acc.b
+                                   + shiftright(e.__x + acc.l + acc.b, 1)
+                                   - acc.l, 1)) as bigint) as b,
+                concat(acc.out, array(struct(
+                  e.__t as t, e.__x as x,
+                  cast(if(acc.l is null, e.__x,
+                          shiftright(e.__x + acc.l + acc.b, 1)) as bigint) as l,
+                  cast(if(acc.l is null, 0L,
+                          shiftright(acc.b
+                                     + shiftright(e.__x + acc.l + acc.b, 1)
+                                     - acc.l, 1)) as bigint) as b))) as out
+              ),
+              acc -> acc.out
+            )
+            """
+        ).alias("__steps")
+    )
+    return folded.select(F.explode("__steps").alias("__s")).select(
+        F.col("__s.t").alias(time_col),
+        F.col("__s.x").alias(value_col),
+        F.col("__s.l").alias("level"),
+        F.col("__s.b").alias("trend"),
+        (F.col("__s.l") + F.col("__s.b")).alias("forecast_next"),
+    )

@@ -452,3 +452,23 @@ def test_js_divergence_identical_and_disjoint(spark):
     assert (disjoint.n_terms, disjoint.n_left, disjoint.n_right) == (4, 40, 10)
     # symmetry
     assert js_divergence(b, a).collect()[0].js_ppm == disjoint.js_ppm
+
+
+def test_holt_linear_smooth_recurrence(spark):
+    import datetime
+
+    from etl_rj_spark.operators.stats import holt_linear_smooth
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [(d(2024, 1, 1), 100), (d(2024, 1, 2), 120), (d(2024, 1, 3), 80)],
+        "d date, x long",
+    )
+    rows = {r.d: (r.level, r.trend, r.forecast_next)
+            for r in holt_linear_smooth(df, "d", "x").collect()}
+    # t1: l=100, b=0
+    assert rows[d(2024, 1, 1)] == (100, 0, 100)
+    # t2: l=(120+100+0)>>1=110, b=(0+110-100)>>1=5
+    assert rows[d(2024, 1, 2)] == (110, 5, 115)
+    # t3: l=(80+110+5)>>1=97, b=(5+97-110)>>1=floor(-8/2)=-4
+    assert rows[d(2024, 1, 3)] == (97, -4, 93)
