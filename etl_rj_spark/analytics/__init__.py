@@ -156,6 +156,8 @@ _PRIORITY = [
     "quality_classifier_inference",  # new r8: batch linear-model scoring
     "holt_trend_daily_revenue",   # new r8: dyadic Holt level+trend fold
     "k_anonymity_audit",          # new r8: quasi-identifier privacy gate
+    "abc_classification_parts",   # new r8: A/B/C cum-share labeling, two-phase rank
+    "bayes_avg_part_quantity",    # new r8: shrinkage (Bayesian average) ranking
 ]
 
 

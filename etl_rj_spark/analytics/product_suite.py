@@ -2119,3 +2119,113 @@ def k_anonymity_audit(spark, sf_dir):
         ).alias("risk_ppm"),
         F.min("grp_size").cast("bigint").alias("k_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC classification + Bayesian-average shrinkage
+# ---------------------------------------------------------------------------
+
+@_q(
+    "abc_classification_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents::HUGEINT) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    tot AS (SELECT SUM(cents::HUGEINT) AS t FROM rev),
+    labeled AS (
+      SELECT l_partkey, cents,
+             CASE WHEN ((cum - cents) * 1000000) // t < 800000 THEN 'A'
+                  WHEN ((cum - cents) * 1000000) // t < 950000 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM labeled GROUP BY abc
+    """,
+    tags=("abc-classification", "concentration", "two-phase-rank"),
+)
+def abc_classification_parts(spark, sf_dir):
+    """ABC inventory classification of parts by revenue: every part
+    labeled A/B/C by whether the cumulative revenue share BEFORE it
+    crosses 80% / 95% (the class of the part that crosses a line
+    includes it — same convention as the Pareto report), rolled up to
+    class totals. The running sum comes from ``global_rank_cumsum``
+    (range-bucketed two phase) — at 100 TB the part table is ~10⁸
+    rows and a single-window cumsum is the scale-killer; the
+    class-label comparison is exact integer ppm."""
+    from etl_rj_spark.operators.windows import global_rank_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("__t"))
+    ranked = global_rank_cumsum(
+        rev, "cents", ["l_partkey"], rank_col="__rnk", cum_col="__cum"
+    )
+    labeled = ranked.join(F.broadcast(tot)).select(
+        "cents",
+        F.expr(
+            "case when ((__cum - cents) * 1000000) div __t < 800000 then 'A'"
+            " when ((__cum - cents) * 1000000) div __t < 950000 then 'B'"
+            " else 'C' end"
+        ).alias("abc"),
+    )
+    return labeled.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@_q(
+    "bayes_avg_part_quantity",
+    """
+    WITH per_part AS (
+      SELECT l_partkey, COUNT(*)::BIGINT AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT SUM(s)::HUGEINT AS gs, SUM(n)::HUGEINT AS gn FROM per_part),
+    prior AS (SELECT CAST((gs * 1000000) // gn AS BIGINT) AS m_ppm FROM g)
+    SELECT p.l_partkey, p.n, p.s,
+           CAST((20 * pr.m_ppm + p.s * 1000000) // (20 + p.n) AS BIGINT)
+             AS bayes_avg_ppm
+    FROM per_part p CROSS JOIN prior pr
+    """,
+    tags=("bayes-average", "shrinkage", "ranking"),
+)
+def bayes_avg_part_quantity(spark, sf_dir):
+    """Bayesian-average (shrinkage) score per part: the per-part mean
+    quantity pulled toward the global mean with prior strength C=20
+    — ``(C·m + Σx)·10⁶ div (C + n)`` in exact integer ppm — the
+    cold-start fix that stops a part with 2 observations outranking
+    one with 2,000 (the IMDb-style weighted rating). One part-grain
+    aggregate + a 1-row broadcast prior."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("s"),
+    )
+    prior = per_part.agg(
+        F.expr(
+            "cast((sum(cast(s as decimal(38,0))) * 1000000)"
+            " div sum(cast(n as decimal(38,0))) as bigint)"
+        ).alias("__m_ppm")
+    )
+    return per_part.join(F.broadcast(prior)).select(
+        "l_partkey", "n", "s",
+        F.expr(
+            "cast((20 * cast(__m_ppm as decimal(38,0)) + cast(s as decimal(38,0))"
+            " * 1000000) div (20 + n) as bigint)"
+        ).alias("bayes_avg_ppm"),
+    )
