@@ -158,6 +158,8 @@ _PRIORITY = [
     "k_anonymity_audit",          # new r8: quasi-identifier privacy gate
     "abc_classification_parts",   # new r8: A/B/C cum-share labeling, two-phase rank
     "bayes_avg_part_quantity",    # new r8: shrinkage (Bayesian average) ranking
+    "date_spine_fill_gaps",       # new r8: dense-calendar zero fill
+    "bootstrap_median_revenue",   # new r8: value-grain bootstrap median CI
 ]
 
 

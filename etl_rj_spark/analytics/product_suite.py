@@ -2229,3 +2229,143 @@ def bayes_avg_part_quantity(spark, sf_dir):
             " * 1000000) div (20 + n) as bigint)"
         ).alias("bayes_avg_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling
+# ---------------------------------------------------------------------------
+
+@_q(
+    "date_spine_fill_gaps",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    )
+    SELECT s.d, COALESCE(dd.cents, 0) AS cents,
+           CAST(CASE WHEN dd.d IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+    FROM spine s LEFT JOIN daily dd USING (d)
+    """,
+    tags=("timeseries", "date-spine", "gap-fill"),
+)
+def date_spine_fill_gaps(spark, sf_dir):
+    """Date-spine gap filling: the dense calendar from min to max
+    order date (``sequence`` explode — never a driver loop) left-
+    joined onto daily revenue, zero-filled and gap-flagged — the
+    prerequisite for any window/EWMA/ACF computation that assumes a
+    dense series (a LAG over a sparse series silently compares
+    non-adjacent days). Spine size is the date RANGE (period grain);
+    the join broadcasts the daily aggregate side at dim scale or
+    hash-joins at fact scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bounds = daily.agg(F.min("d").alias("__lo"), F.max("d").alias("__hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("d")
+    )
+    return spine.join(daily.withColumn("__hit", F.lit(1)), "d", "left").select(
+        "d",
+        F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"),
+        F.when(F.col("__hit").isNull(), 1).otherwise(0).cast("int").alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap distribution of the median
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bootstrap_median_revenue",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fan AS (
+      SELECT o_orderkey, cents, CAST(unnest(range(0, 8)) AS INT) AS replicate
+      FROM v
+    ),
+    weighted AS (
+      SELECT replicate, cents,
+             CASE
+               WHEN h < 1656781714176974 THEN 0
+               WHEN h < 3313563428353948 THEN 1
+               WHEN h < 4141954285442435 THEN 2
+               WHEN h < 4418084571138597 THEN 3
+               WHEN h < 4487117142562638 THEN 4
+               ELSE 5
+             END AS w
+      FROM (
+        SELECT replicate, cents,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(replicate AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+        FROM fan
+      )
+    ),
+    grain AS (
+      SELECT replicate, cents, SUM(w)::BIGINT AS wsum
+      FROM weighted GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    cum AS (
+      SELECT replicate, cents,
+             SUM(wsum) OVER (PARTITION BY replicate ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             SUM(wsum) OVER (PARTITION BY replicate) AS n
+      FROM grain
+    )
+    SELECT replicate, CAST(MAX(n) AS BIGINT) AS n_eff,
+           CAST(MIN(CASE WHEN hi >= (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM cum GROUP BY replicate
+    """,
+    tags=("bootstrap", "median", "value-grain"),
+)
+def bootstrap_median_revenue(spark, sf_dir):
+    """Bootstrap distribution of the MEDIAN order value: 8 Poisson(1)
+    replicates drawn map-side (the same md5 inverse-CDF weights as
+    ``poisson_bootstrap_revenue``), each replicate's weighted LOWER
+    median computed on the VALUE grain — a per-replicate cumulative
+    over distinct values, never a per-replicate row sort. The spread
+    of the 8 medians is the nonparametric CI the mean-bootstrap
+    cannot give for a skewed measure. One fan-out scan + one
+    (replicate, value) aggregate + a replicate-partitioned vocabulary
+    window."""
+    from etl_rj_spark.operators.stats import poisson_weight_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    fan = o.select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("replicate"),
+    )
+    weighted = fan.withColumn("w", poisson_weight_expr("o_orderkey", "replicate"))
+    grain = (
+        weighted.groupBy("replicate", "cents")
+        .agg(F.sum("w").alias("wsum"))
+        .filter(F.col("wsum") > 0)
+    )
+    wc = (
+        Window.partitionBy("replicate")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grain.select(
+        "replicate", "cents",
+        F.sum("wsum").over(wc).alias("hi"),
+        F.sum("wsum").over(Window.partitionBy("replicate")).alias("n"),
+    )
+    return cum.groupBy("replicate").agg(
+        F.max("n").cast("bigint").alias("n_eff"),
+        F.min(F.when(F.expr("hi >= (n + 1) div 2"), F.col("cents")))
+        .cast("bigint").alias("median_cents"),
+    )
