@@ -160,6 +160,8 @@ _PRIORITY = [
     "bayes_avg_part_quantity",    # new r8: shrinkage (Bayesian average) ranking
     "date_spine_fill_gaps",       # new r8: dense-calendar zero fill
     "bootstrap_median_revenue",   # new r8: value-grain bootstrap median CI
+    "transition_latency_matrix",  # new r8: time twin of the Markov matrix
+    "hierarchy_share_report",     # new r8: two-level ratio-to-parent
 ]
 
 

@@ -2369,3 +2369,108 @@ def bootstrap_median_revenue(spark, sf_dir):
         F.min(F.when(F.expr("hi >= (n + 1) div 2"), F.col("cents")))
         .cast("bigint").alias("median_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition latency matrix + hierarchical share report
+# ---------------------------------------------------------------------------
+
+@_q(
+    "transition_latency_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_state,
+             lag(ts) OVER w AS prev_ts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_state, event_type AS state, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) // COUNT(*) AS BIGINT)
+             AS mean_gap_us,
+           CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS max_gap_us
+    FROM seq WHERE prev_state IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("markov", "latency", "W1-generalized"),
+)
+def transition_latency_matrix(spark, sf_dir):
+    """Transition LATENCY matrix — the time twin of
+    ``markov_event_transitions``: per (prev, cur) event-type pair, the
+    exact integer-microsecond mean and max gap between consecutive
+    events (floor mean — Σgap div n on exact micros; a float mean
+    drifts with partial-agg order). Where the probability matrix says
+    WHAT happens next, this says HOW FAST — the input to timeout and
+    abandonment tuning. Same one-shuffle LAG, vocabulary-grain
+    output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_state"),
+        F.col("event_type").alias("state"),
+        gap.alias("__gap"),
+    ).filter(F.col("prev_state").isNotNull())
+    return seq.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(__gap) div count(1) as bigint)").alias("mean_gap_us"),
+        F.max("__gap").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@_q(
+    "hierarchy_share_report",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, SUM(cents::HUGEINT) AS rc FROM rev GROUP BY 1),
+    tot AS (SELECT SUM(cents::HUGEINT) AS t FROM rev)
+    SELECT rev.region, rev.nation, rev.cents,
+           CAST((rev.cents::HUGEINT * 1000000) // reg.rc AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((reg.rc * 1000000) // tot.t AS BIGINT) AS region_share_ppm
+    FROM rev JOIN reg USING (region) CROSS JOIN tot
+    """,
+    tags=("hierarchy", "ratio-to-parent", "A3-generalized"),
+)
+def hierarchy_share_report(spark, sf_dir):
+    """Two-level ratio-to-parent report: each nation's exact-ppm share
+    of its region's revenue, and each region's share of the total —
+    the drill-down BI shape (% of parent at every level) in one pass:
+    a leaf-grain aggregate, a parent rollup that broadcasts back, and
+    a 1-row total. All integer div on exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    reg = rev.groupBy("region").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("__rc")
+    )
+    tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("__t"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region", "nation", "cents",
+            F.expr(
+                "cast((cast(cents as decimal(38,0)) * 1000000) div __rc as bigint)"
+            ).alias("share_of_region_ppm"),
+            F.expr("cast((__rc * 1000000) div __t as bigint)").alias("region_share_ppm"),
+        )
+    )
