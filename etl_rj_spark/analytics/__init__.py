@@ -162,6 +162,8 @@ _PRIORITY = [
     "bootstrap_median_revenue",   # new r8: value-grain bootstrap median CI
     "transition_latency_matrix",  # new r8: time twin of the Markov matrix
     "hierarchy_share_report",     # new r8: two-level ratio-to-parent
+    "attribution_model_compare",  # new r8: first/last/linear side by side
+    "max_drawdown_daily_revenue", # new r8: running-peak drawdown
 ]
 
 

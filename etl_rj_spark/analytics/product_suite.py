@@ -2474,3 +2474,132 @@ def hierarchy_share_report(spark, sf_dir):
             F.expr("cast((__rc * 1000000) div __t as bigint)").alias("region_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Comparative attribution (first vs last vs linear) + max drawdown
+# ---------------------------------------------------------------------------
+
+@_q(
+    "attribution_model_compare",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts,
+             CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_type AS ttype, ts AS tts, event_id AS tid
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.ttype, t.tts, t.tid
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf,
+             row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM j
+    )
+    SELECT ttype AS touch_type,
+           CAST(SUM(CASE WHEN rf = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS first_touch_cents,
+           CAST(SUM(CASE WHEN rl = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS last_touch_cents,
+           CAST(SUM(cents // n) AS BIGINT) AS linear_cents
+    FROM ranked GROUP BY 1
+    """,
+    tags=("attribution", "first-last-linear", "marketing"),
+)
+def attribution_model_compare(spark, sf_dir):
+    """Comparative attribution: every purchase's value credited under
+    FIRST-touch, LAST-touch, and LINEAR models side by side, per
+    channel (view/click touches in a 7-day window; linear = exact
+    floor split, the ``linear_attribution`` convention) — the report
+    that shows how much a channel's 'performance' is a modeling
+    choice. One user-key range join, two rank directions + the count
+    on ONE per-purchase partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("ttype"),
+        F.col("ts").alias("tts"), F.col("event_id").alias("tid"),
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tts <= p.pts)
+        & (t.tts > p.pts - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "cents", "ttype", "tts", "tid")
+    wp = Window.partitionBy("pid")
+    ranked = j.select(
+        "pid", "cents", "ttype",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rf"),
+        F.row_number().over(wp.orderBy(F.desc("tts"), F.desc("tid"))).alias("rl"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy(F.col("ttype").alias("touch_type")).agg(
+        F.sum(F.when(F.col("rf") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("first_touch_cents"),
+        F.sum(F.when(F.col("rl") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("last_touch_cents"),
+        F.sum(F.expr("cents div n")).cast("bigint").alias("linear_cents"),
+    )
+
+
+@_q(
+    "max_drawdown_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    runpeak AS (
+      SELECT d, c, MAX(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    ),
+    dd AS (SELECT d, c, peak, peak - c AS drawdown FROM runpeak)
+    SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(CASE WHEN drawdown = (SELECT MAX(drawdown) FROM dd)
+                    THEN d END) AS DATE) AS trough_date,
+           CAST(MAX(CASE WHEN drawdown = (SELECT MAX(drawdown) FROM dd)
+                    THEN peak END) AS BIGINT) AS peak_cents
+    FROM dd
+    """,
+    tags=("timeseries", "drawdown", "period-grain"),
+)
+def max_drawdown_daily_revenue(spark, sf_dir):
+    """Maximum drawdown of the daily revenue series: running peak
+    (period-grain cumulative MAX), per-day drawdown = peak − value,
+    and the deepest trough with its date and the peak it fell from —
+    the worst-case-decline metric finance and SLO monitoring share.
+    All exact integer; the ordered window walks the bounded day
+    series (SCALE.md §3)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d", "c", F.max("c").over(w).alias("peak")
+    ).withColumn("drawdown", F.col("peak") - F.col("c"))
+    mx = dd.agg(F.max("drawdown").alias("__mx"))
+    return (
+        dd.join(F.broadcast(mx))
+        .agg(
+            F.max("__mx").cast("bigint").alias("max_drawdown_cents"),
+            F.min(F.when(F.col("drawdown") == F.col("__mx"), F.col("d")))
+            .alias("trough_date"),
+            F.max(F.when(F.col("drawdown") == F.col("__mx"), F.col("peak")))
+            .cast("bigint").alias("peak_cents"),
+        )
+    )
