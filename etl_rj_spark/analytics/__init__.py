@@ -164,6 +164,9 @@ _PRIORITY = [
     "hierarchy_share_report",     # new r8: two-level ratio-to-parent
     "attribution_model_compare",  # new r8: first/last/linear side by side
     "max_drawdown_daily_revenue", # new r8: running-peak drawdown
+    "growth_accounting_weekly",   # new r8: new/retained/resurrected decomposition
+    "order_total_reconciliation", # new r8: header-vs-lines money audit
+    "json_key_census",            # new r8: semi-structured schema monitor
 ]
 
 

@@ -2603,3 +2603,166 @@ def max_drawdown_daily_revenue(spark, sf_dir):
             .cast("bigint").alias("peak_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting, reconciliation audit, JSON key census
+# ---------------------------------------------------------------------------
+
+@_q(
+    "growth_accounting_weekly",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE)
+               - CAST((dayofweek(CAST(ts AS DATE)) + 6) % 7 AS INTEGER) AS week
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(week) AS first_week FROM wk GROUP BY 1),
+    seq AS (
+      SELECT w.user_id, w.week, f.first_week,
+             lag(w.week) OVER (PARTITION BY w.user_id ORDER BY w.week) AS prev_week
+      FROM wk w JOIN firsts f USING (user_id)
+    )
+    SELECT week,
+           CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN week > first_week AND prev_week = week - 7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN week > first_week AND prev_week < week - 7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM seq GROUP BY 1
+    """,
+    tags=("growth-accounting", "retention", "W1-generalized"),
+)
+def growth_accounting_weekly(spark, sf_dir):
+    """Weekly growth accounting: every active (user, week) classified
+    NEW (first week ever), RETAINED (also active the immediately
+    preceding week) or RESURRECTED (returning after a gap) — the
+    growth-loop decomposition behind every DAU chart (churn is last
+    week's actives minus this week's retained, derivable from these
+    columns). One (user, week) dedup + one per-user LAG; Monday-start
+    weeks computed by date arithmetic identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.date_sub(
+            F.col("ts").cast("date"),
+            (F.dayofweek(F.col("ts").cast("date")) + 5) % 7,
+        ).alias("week"),
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = wk.join(firsts, "user_id").select(
+        "week", "first_week", F.lag("week").over(w).alias("prev_week")
+    )
+    return seq.groupBy("week").agg(
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_week") == F.date_sub(F.col("week"), 7)),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_week") < F.date_sub(F.col("week"), 7)),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+
+
+@_q(
+    "order_total_reconciliation",
+    """
+    WITH lines AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS total_cents,
+             COALESCE(l.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CASE WHEN total_cents <> line_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST((SUM(CASE WHEN total_cents <> line_cents THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS mismatch_ppm,
+           CAST(MAX(ABS(total_cents - line_cents)) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j
+    """,
+    tags=("audit", "reconciliation", "value-integrity"),
+)
+def order_total_reconciliation(spark, sf_dir):
+    """Value-level reconciliation audit — the money twin of the FK
+    orphan check: does each order's header total equal the sum of its
+    line extended prices? Reports mismatch count/ppm and the worst
+    absolute break in exact cents. (On this synthetic data the header
+    is priced independently of the lines, so the audit flags ~100% —
+    exactly what it's for: the check reports, it doesn't assume.)
+    One line-grain aggregate + one key join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("line_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    ).join(lines, o.o_orderkey == lines.l_orderkey, "left").select(
+        "total_cents", F.coalesce("line_cents", F.lit(0)).alias("line_cents")
+    )
+    neq = F.when(F.col("total_cents") != F.col("line_cents"), 1).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(neq).cast("bigint").alias("n_mismatched"),
+        F.expr(
+            "cast((sum(case when total_cents <> line_cents then 1 else 0 end)"
+            " * 1000000) div count(1) as bigint)"
+        ).alias("mismatch_ppm"),
+        F.max(F.abs(F.col("total_cents") - F.col("line_cents")))
+        .cast("bigint").alias("max_abs_diff_cents"),
+    )
+
+
+@_q(
+    "json_key_census",
+    """
+    WITH keys_ AS (
+      SELECT unnest(json_keys(props)) AS key_name FROM events
+      WHERE props IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM events WHERE props IS NOT NULL)
+    SELECT key_name, COUNT(*)::BIGINT AS n_rows,
+           CAST((COUNT(*) * 1000000) // MAX(n.n) AS BIGINT) AS presence_ppm
+    FROM keys_ CROSS JOIN n GROUP BY key_name
+    """,
+    tags=("semi-structured", "profiling", "schema-census"),
+)
+def json_key_census(spark, sf_dir):
+    """JSON key census of the semi-structured ``props`` column: every
+    key that appears, in how many rows, and its presence ppm — the
+    schema-drift monitor for event payloads (a new client version
+    shipping a renamed key shows up here before any extract breaks).
+    ``json_object_keys`` explodes in the scan stage into a
+    key-vocabulary aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    n = ev.agg(F.count(F.lit(1)).alias("__n"))
+    keys = ev.select(F.explode(F.json_object_keys("props")).alias("key_name"))
+    return (
+        keys.groupBy("key_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(F.broadcast(n))
+        .select(
+            "key_name", "n_rows",
+            F.expr("cast((n_rows * 1000000) div __n as bigint)").alias("presence_ppm"),
+        )
+    )
