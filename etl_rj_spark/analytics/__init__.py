@@ -167,6 +167,8 @@ _PRIORITY = [
     "growth_accounting_weekly",   # new r8: new/retained/resurrected decomposition
     "order_total_reconciliation", # new r8: header-vs-lines money audit
     "json_key_census",            # new r8: semi-structured schema monitor
+    "stickiness_daily",           # new r8: DAU/WAU engagement ppm
+    "dow_hour_value_p50",         # new r8: 7x24 exact-median heatmap
 ]
 
 

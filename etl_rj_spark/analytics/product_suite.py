@@ -2766,3 +2766,101 @@ def json_key_census(spark, sf_dir):
             F.expr("cast((n_rows * 1000000) div __n as bigint)").alias("presence_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (DAU/WAU) + weekday-hour median heatmap
+# ---------------------------------------------------------------------------
+
+@_q(
+    "stickiness_daily",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, COUNT(*)::BIGINT AS dau FROM du GROUP BY 1),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT du.user_id)::BIGINT AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY 1
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau USING (d)
+    """,
+    tags=("engagement", "stickiness", "rolling-distinct"),
+)
+def stickiness_daily(spark, sf_dir):
+    """Daily stickiness — DAU as a share of trailing-7-day actives in
+    exact ppm (the engagement-frequency KPI: how much of the weekly
+    audience shows up on a given day). Reuses the exact
+    rolling-distinct construction of ``rolling_7day_active_users``:
+    (day, user) dedup first, each day joins its ≤7 trailing slices
+    (rolling DISTINCT has no window partial aggregate; HLL partials
+    are the documented approximate swap at extreme scale)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("d").distinct()
+    slices = du.select(F.col("d").alias("__sd"), "user_id")
+    wau = (
+        days.join(
+            slices,
+            (F.col("__sd") >= F.date_sub(F.col("d"), 6))
+            & (F.col("__sd") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        "d", "dau", "wau",
+        F.expr("cast((dau * 1000000) div wau as bigint)").alias("stickiness_ppm"),
+    )
+
+
+@_q(
+    "dow_hour_value_p50",
+    """
+    WITH v AS (
+      SELECT (dayofweek(CAST(ts AS DATE)) + 6) % 7 + 1 AS dow,
+             CAST(hour(ts) AS INT) AS hr,
+             CAST(ROUND(value*100) AS BIGINT) AS cents, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT dow, hr, cents,
+             row_number() OVER (PARTITION BY dow, hr ORDER BY cents, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY dow, hr) AS n
+      FROM v
+    )
+    SELECT dow, hr, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS p50_cents
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("heatmap", "median-grid", "ops-report"),
+)
+def dow_hour_value_p50(spark, sf_dir):
+    """Weekday × hour median-value heatmap: the exact LOWER median of
+    event value per (ISO weekday, hour) cell — the 7×24 ops grid that
+    shows when traffic is valuable vs noisy. Each cell's rank window
+    is PARTITIONED by the cell key (never global); output is the
+    bounded 168-cell grid."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        (F.weekday(F.col("ts").cast("date")) + 1).alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("dow", "hr").orderBy("cents", "event_id")
+    ranked = v.select(
+        "dow", "hr", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow", "hr")).alias("n"),
+    )
+    return ranked.groupBy("dow", "hr").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("cents")))
+        .cast("bigint").alias("p50_cents"),
+    )
