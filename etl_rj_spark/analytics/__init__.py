@@ -105,8 +105,13 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 9: the 9 remaining never-checked round-7
     # -- names (simple agg/window variants of already-verdicted
-    # -- shapes), then continue the oldest-green re-confirmation
-    # -- backfill (r1-green names from ngram_jaccard_pairs onward in
+    # -- shapes) and then the 48 round-8-new queries below — 57
+    # -- never-checked total, which is why round 8 STOPPED adding at
+    # -- registry 300: rounds 9 (50 slots) + 10 (7 + backfill) clear
+    # -- the debt, and every one of the 57 is already green at
+    # -- sf0.001, sf0.01 AND the ×10 synth sweep in self-run.
+    # -- After them, the oldest-green re-confirmation backfill
+    # -- continues (r1-green names from ngram_jaccard_pairs onward in
     # -- registration order — ordered_registry() appends the rest of
     # -- the registry in registration order automatically).
     "session_path_topk",          # top session paths, sorted-struct agg
