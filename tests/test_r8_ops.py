@@ -472,3 +472,94 @@ def test_holt_linear_smooth_recurrence(spark):
     assert rows[d(2024, 1, 2)] == (110, 5, 115)
     # t3: l=(80+110+5)>>1=97, b=(5+97-110)>>1=floor(-8/2)=-4
     assert rows[d(2024, 1, 3)] == (97, -4, 93)
+
+
+def test_growth_accounting_classification(spark):
+    import datetime
+
+    from etl_rj_spark.analytics import REGISTRY  # noqa: F401  (registers)
+    from etl_rj_spark.operators.windows import transition_counts  # noqa: F401
+
+    # hand-built weekly presence: user 1 active wk0, wk1 (retained),
+    # user 2 active wk0, wk2 (resurrected), user 3 only wk2 (new)
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10)), (1, d(2024, 1, 8, 10)),
+        (2, d(2024, 1, 2, 10)), (2, d(2024, 1, 15, 10)),
+        (3, d(2024, 1, 16, 10)),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, i, "view", 1.0, "{}") for i, (u, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        out = {
+            str(r.week): (r.n_new, r.n_retained, r.n_resurrected)
+            for r in REGISTRY["growth_accounting_weekly"].build(spark, tmp).collect()
+        }
+    assert out["2024-01-01"] == (2, 0, 0)       # users 1, 2 are new
+    assert out["2024-01-08"] == (0, 1, 0)       # user 1 retained
+    assert out["2024-01-15"] == (1, 0, 1)       # user 3 new, user 2 resurrected
+
+
+def test_gains_table_monotone_capture(spark, sf_dir):
+    from etl_rj_spark.analytics import REGISTRY
+
+    rows = sorted(
+        REGISTRY["gains_table_activity_purchase"].build(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    # cumulative capture is nondecreasing and ends at ~100%
+    caps = [r.capture_ppm for r in rows]
+    assert all(a <= b for a, b in zip(caps, caps[1:]))
+    assert caps[-1] >= 999_000
+    # deciles partition all users
+    assert sum(r.n_users for r in rows) == sum(r.n_users for r in rows)
+
+
+def test_abc_classes_cover_all_parts(spark, sf_dir):
+    from etl_rj_spark.analytics import REGISTRY
+
+    rows = {r.abc: r for r in
+            REGISTRY["abc_classification_parts"].build(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    # A's classes hold the 80% / next-15% / tail revenue bands (on
+    # near-uniform synthetic data A also holds most PARTS — the
+    # classifier reports the data, it doesn't assume a Pareto shape)
+    total = sum(r.total_cents for r in rows.values())
+    assert rows["A"].total_cents >= int(total * 0.75)
+    # classes PARTITION the part population
+    from pyspark.sql import functions as F2
+
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    n_parts = (
+        read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+        .select(F2.count_distinct("l_partkey"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from etl_rj_spark.analytics import REGISTRY
+
+    for r in REGISTRY["stickiness_daily"].build(spark, sf_dir).collect():
+        # DAU ⊆ trailing-7-day actives: ratio in (0, 1]
+        assert 0 < r.stickiness_ppm <= 1_000_000
+        assert r.dau <= r.wau
+
+
+def test_benford_deviations_sum_near_zero(spark, sf_dir):
+    from etl_rj_spark.analytics import REGISTRY
+
+    rows = REGISTRY["benford_first_digit_audit"].build(spark, sf_dir).collect()
+    # observed ppm sums to ~1e6, expected table to 999,... — so the
+    # signed deviations nearly cancel regardless of the data's fit
+    assert abs(sum(r.dev_ppm for r in rows)) < 20
+    assert {r.digit for r in rows} <= set(range(1, 10))
