@@ -477,8 +477,7 @@ def test_holt_linear_smooth_recurrence(spark):
 def test_growth_accounting_classification(spark):
     import datetime
 
-    from etl_rj_spark.analytics import REGISTRY  # noqa: F401  (registers)
-    from etl_rj_spark.operators.windows import transition_counts  # noqa: F401
+    from etl_rj_spark.analytics import REGISTRY
 
     # hand-built weekly presence: user 1 active wk0, wk1 (retained),
     # user 2 active wk0, wk2 (resurrected), user 3 only wk2 (new)
@@ -493,8 +492,6 @@ def test_growth_accounting_classification(spark):
         "user_id long, ts timestamp, event_id long, event_type string, value double, props string",
     )
     import tempfile
-
-    from pyspark.sql import functions as F  # noqa: F811
 
     with tempfile.TemporaryDirectory() as tmp:
         df.write.parquet(f"{tmp}/events.parquet")
