@@ -1001,7 +1001,9 @@ def holt_linear_smooth(
     reproduces across engines; this one an oracle replays with a
     recursive CTE. Emits the one-step-ahead forecast ``l + b`` per
     period — subtract from the next actual for residual monitoring.
-    ``df`` must be period grain; values integer (cents). Output:
+    ``df`` must be period grain with a DATE time column (the fold's
+    struct type is date-widthed — cast timestamps down first); values
+    integer (cents). Output:
     (time_col, value_col, level, trend, forecast_next).
 
     Negative trend handling: the halvings use ARITHMETIC SHIFT RIGHT
