@@ -105,11 +105,14 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 9: the 9 remaining never-checked round-7
     # -- names (simple agg/window variants of already-verdicted
-    # -- shapes) and then the 48 round-8-new queries below — 57
-    # -- never-checked total, which is why round 8 STOPPED adding at
-    # -- registry 300: rounds 9 (50 slots) + 10 (7 + backfill) clear
-    # -- the debt, and every one of the 57 is already green at
-    # -- sf0.001, sf0.01 AND the ×10 synth sweep in self-run.
+    # -- shapes) and then the 52 round-8-new queries below — 61
+    # -- never-checked total, which is why round 8 essentially
+    # -- stopped adding at registry 300 (a late batch of 4 distinct
+    # -- shapes — expectation suite, l-diversity, TWAP, the
+    # -- stream-stream join's batch-equivalence contract — closed it
+    # -- at 304): rounds 9 (50 slots) + 10 (11 + backfill) clear the
+    # -- debt, and every one of the 61 is already green at sf0.001,
+    # -- sf0.01 AND the ×10 synth sweep in self-run.
     # -- After them, the oldest-green re-confirmation backfill
     # -- continues (r1-green names from ngram_jaccard_pairs onward in
     # -- registration order — ordered_registry() appends the rest of
@@ -174,6 +177,11 @@ _PRIORITY = [
     "json_key_census",            # new r8: semi-structured schema monitor
     "stickiness_daily",           # new r8: DAU/WAU engagement ppm
     "dow_hour_value_p50",         # new r8: 7x24 exact-median heatmap
+    # -- late round-8 closers (distinct shapes, not count padding) ---
+    "expectation_suite_orders",   # new r8: deequ-style one-pass rule report
+    "l_diversity_audit",          # new r8: homogeneity-attack privacy gate
+    "time_weighted_value_user",   # new r8: exact-integer TWAP / LOCF mean
+    "stream_view_purchase_join",  # new r8: stream-stream join == batch oracle
 ]
 
 

@@ -2864,3 +2864,236 @@ def dow_hour_value_p50(spark, sf_dir):
         F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("cents")))
         .cast("bigint").alias("p50_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late round-8 closers: expectation suite, l-diversity, TWAP, and the
+# stream-stream interval join's batch-equivalence contract
+# ---------------------------------------------------------------------------
+
+@_q(
+    "expectation_suite_orders",
+    """
+    WITH a AS (
+      SELECT
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        SUM(CASE WHEN NOT COALESCE(o_orderdate BETWEEN DATE '1992-01-01'
+              AND DATE '1998-12-31', FALSE) THEN 1 ELSE 0 END) AS v1,
+        SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
+              FALSE) THEN 1 ELSE 0 END) AS v2,
+        SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+              THEN 1 ELSE 0 END) AS v3,
+        SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+              THEN 1 ELSE 0 END) AS v4,
+        COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v5
+      FROM orders
+    ),
+    rep AS (
+      SELECT 'custkey_not_null' AS rule, v0 AS n_violations FROM a
+      UNION ALL SELECT 'orderdate_in_range', v1 FROM a
+      UNION ALL SELECT 'priority_format', v2 FROM a
+      UNION ALL SELECT 'status_in_domain', v3 FROM a
+      UNION ALL SELECT 'totalprice_positive', v4 FROM a
+      UNION ALL SELECT 'unique(o_orderkey)', v5 FROM a
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS passed
+    FROM rep ORDER BY rule
+    """,
+    tags=("data-quality", "expectation-suite", "A2-generalized"),
+)
+def expectation_suite_orders(spark, sf_dir):
+    """Deequ-style verification run over orders: six named expectations
+    (completeness, date range, priority format, status domain, price
+    positivity, PK uniqueness) evaluated in ONE full-table aggregate
+    pass and unpivoted to a (rule, n_violations, passed) report — the
+    release-gate table a warehouse load publishes next to the data.
+    Generalizes the reference's console-count diagnostics
+    (ventas_totales.py:127-128,154-156) into an auditable artifact.
+    One scan, one 1-row shuffle, constant-size stack."""
+    from etl_rj_spark.operators.validate import expectation_suite
+
+    o = _t(spark, sf_dir, "orders")
+    return expectation_suite(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+        },
+        unique_cols=["o_orderkey"],
+    )
+
+
+@_q(
+    "l_diversity_audit",
+    """
+    WITH ext AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_orderpriority) AS div
+      FROM ext GROUP BY 1, 2
+    )
+    SELECT CAST(3 AS INTEGER) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_div_groups,
+           CAST(MIN(div) AS BIGINT) AS l_actual,
+           CAST(SUM(CASE WHEN div < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_risk_rows,
+           CAST(SUM(CASE WHEN div < 3 THEN n_rows ELSE 0 END) * 1000000
+                // SUM(n_rows) AS BIGINT) AS risk_ppm
+    FROM g
+    """,
+    tags=("privacy", "l-diversity", "A3-generalized"),
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the companion gate to ``k_anonymity_audit``:
+    k-anonymity alone fails when a quasi-identifier group is large but
+    every member shares ONE sensitive value (the homogeneity attack).
+    Here the published extract is customers joined to their orders'
+    priority; per (nation, market-segment) QI group we count DISTINCT
+    sensitive values and report the groups below l=3, the rows exposed
+    in them (exact ppm), and the l the extract actually achieves. One
+    key-shuffled join + a vocabulary-grain (≤ |nations|·|segments|)
+    distinct aggregate — scale-safe."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ext = o.join(
+        c.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        o.o_custkey == c.c_custkey,
+    )
+    g = ext.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("div"),
+    )
+    low = F.when(F.col("div") < 3, F.col("n_rows")).otherwise(0)
+    return g.agg(
+        F.lit(3).cast("int").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("div") < 3, 1).otherwise(0)).cast("bigint")
+        .alias("n_low_div_groups"),
+        F.min("div").cast("bigint").alias("l_actual"),
+        F.sum(low).cast("bigint").alias("n_risk_rows"),
+        F.expr(
+            "cast(sum(case when div < 3 then n_rows else 0 end) * 1000000"
+            " div sum(n_rows) as bigint)"
+        ).alias("risk_ppm"),
+    )
+
+
+@_q(
+    "time_weighted_value_user",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS t_next
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, cents, t_next - t AS dur
+      FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+           CAST(SUM(cents::HUGEINT * dur) // SUM(dur) AS BIGINT)
+             AS twap_cents
+    FROM iv GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+    tags=("timeseries", "time-weighted", "W1-generalized"),
+)
+def time_weighted_value_user(spark, sf_dir):
+    """Time-weighted average event value per user (the TSDB
+    ``time_weight``/LOCF-average shape): each event's value holds
+    until the user's next event, so a value that was current for an
+    hour outweighs ten updates in a minute — the correct mean for
+    irregularly-sampled gauges. Exact integers end to end (epoch µs ×
+    integer cents, floor division); the last event per user carries no
+    duration and single-event users drop out. One user-key shuffle
+    (LEAD window + aggregate on the same partitioning)."""
+    from etl_rj_spark.operators.windows import time_weighted_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_mean(
+        ev, "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long"), "event_id",
+    )
+
+
+@_q(
+    "stream_view_purchase_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY 1, 2, 3
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join"),
+)
+def stream_view_purchase_join(spark, sf_dir):
+    """Stream-stream interval join batch equivalence
+    (streaming/events.py:73): the events table replays as 3
+    CONTIGUOUS TIME SLICES through a file stream
+    (maxFilesPerTrigger=1), both sides watermarked 2 h, and every
+    purchase joins the same user's views from the preceding 30 min.
+    The oracle is the plain batch interval join — equality holds
+    because ordered arrival keeps every needed view inside the state
+    store's eviction horizon (view state is dropped only once
+    watermark passes view_ts + gap; with time-ordered slices the
+    watermark trails any future purchase's window by the full 2 h
+    margin). This is the semantics contract the sessionizing funnel
+    pipelines rely on; the outer-join eviction twin is pinned in
+    tests/test_streaming.py."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.sources.parquet import read_parquet_table
+    from etl_rj_spark.streaming.events import view_purchase_stream_join
+
+    root = _scratch("stream_vp_join")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bounds = ev.agg(
+        F.expr("percentile_approx(cast(ts as double), 0.34)").alias("t1"),
+        F.expr("percentile_approx(cast(ts as double), 0.67)").alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds.t1, bounds.t2
+    slices = [
+        ev.filter(F.col("ts").cast("double") <= t1),
+        ev.filter(
+            (F.col("ts").cast("double") > t1)
+            & (F.col("ts").cast("double") <= t2)
+        ),
+        ev.filter(F.col("ts").cast("double") > t2),
+    ]
+    for s in slices:  # sequential appends → file mtimes follow time order
+        s.coalesce(1).write.mode("append").parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    joined = view_purchase_stream_join(stream, max_gap_minutes=30)
+    (
+        joined.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{root}/out")
+        .select("user_id", "view_id", "purchase_id")
+        .orderBy("user_id", "view_id", "purchase_id")
+    )

@@ -110,3 +110,57 @@ def pk_uniqueness_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def expectation_suite(
+    df: DataFrame,
+    rules: dict[str, Column],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deequ-style expectation run: evaluate every row-level rule in
+    ONE aggregate pass over the table and emit a verification report —
+    one row per rule with its violation count and a pass flag. Rules
+    are predicates each row SHOULD satisfy; a NULL predicate result
+    counts as a violation (unknown ≠ valid), matching
+    ``with_validation_reasons``.
+
+    ``unique_cols`` adds a ``unique(col)`` expectation per listed
+    column, measured as ``count(col) − count(distinct col)`` inside the
+    same aggregate (Spark plans the distinct via expand — still a
+    single scan of the input, no per-rule re-filtering).
+
+    The aggregate is a full-table reduction to ONE row (map-side
+    partial aggregation does the heavy lifting; the shuffle moves one
+    row per partition), then a constant-size ``stack`` unpivot to the
+    report grain. Output: (rule, n_violations, passed), sorted by rule
+    — a |rules|-row frame, broadcastable anywhere.
+    """
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        ).cast("bigint").alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules.items())
+    ]
+    names = list(rules)
+    for col in unique_cols or []:
+        aggs.append(
+            (F.count(col) - F.countDistinct(col)).cast("bigint").alias(
+                f"__v{len(aggs)}"
+            )
+        )
+        names.append(f"unique({col})")
+    if any("'" in n for n in names):
+        raise ValueError("rule names must not contain single quotes")
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return (
+        one.selectExpr(
+            f"stack({len(names)}, {stack_args}) as (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
+        )
+        .orderBy("rule")
+    )

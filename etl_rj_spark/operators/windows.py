@@ -243,3 +243,54 @@ def transition_counts(
         "prev_state", "state", "n",
         F.expr("(n * 1000000) div __rt").alias("p_ppm"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cents: Column,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (the TSDB ``time_weight`` shape —
+    e.g. TimescaleDB's locked-in LOCF average): each observation's
+    value holds until the key's NEXT observation, so the mean weights
+    every value by how long it was current, not by how often it was
+    sampled. Exact integers end to end: timestamps become epoch
+    microseconds, values arrive as an integer-cents Column, and the
+    result is ``sum(cents·dur_us) div sum(dur_us)`` (floor division,
+    both engines; inputs are non-negative by contract).
+
+    The last observation per key has no successor and therefore no
+    duration — it is excluded (left-closed interval semantics), and
+    keys with a single observation (total duration 0) drop out rather
+    than divide by zero.
+
+    One shuffle on the key for the LEAD window, then a per-key
+    aggregate on the SAME partitioning (AQE reuses the exchange) —
+    nothing global, scale-safe at any key cardinality. Output:
+    (key, n_intervals, total_dur_us, twap_cents).
+    """
+    seq = df.select(
+        F.col(key_col),
+        value_cents.cast("decimal(38,0)").alias("__cents"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__t", "__tb")
+    iv = (
+        seq.withColumn("__t_next", F.lead("__t").over(w))
+        .filter(F.col("__t_next").isNotNull())
+        .withColumn("__dur", F.col("__t_next") - F.col("__t"))
+    )
+    return (
+        iv.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("__dur").cast("bigint").alias("total_dur_us"),
+            F.expr(
+                "cast(sum(__cents * __dur) div sum(__dur) as bigint)"
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("total_dur_us") > 0)
+    )

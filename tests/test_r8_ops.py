@@ -560,3 +560,88 @@ def test_benford_deviations_sum_near_zero(spark, sf_dir):
     # signed deviations nearly cancel regardless of the data's fit
     assert abs(sum(r.dev_ppm for r in rows)) < 20
     assert {r.digit for r in rows} <= set(range(1, 10))
+
+
+# ---------------------------------------------------------------------------
+# Late round-8 closers: TWAP, expectation suite, l-diversity shape
+# ---------------------------------------------------------------------------
+
+def test_time_weighted_mean_exact_small(spark):
+    from etl_rj_spark.operators.windows import time_weighted_mean
+
+    # user 1: value 100 cents for 10 s, then 300 cents for 30 s
+    #   → twap = (100·10e6 + 300·30e6) // 40e6 = 250
+    # user 2: single event → excluded (no duration)
+    # user 3: two events at the SAME ts → total duration 0 → excluded
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0, 10),
+        (1, "2024-01-01 00:00:10", 3.0, 11),
+        (1, "2024-01-01 00:00:40", 9.9, 12),  # last: no successor
+        (2, "2024-01-01 00:00:00", 5.0, 20),
+        (3, "2024-01-01 00:00:00", 1.0, 30),
+        (3, "2024-01-01 00:00:00", 2.0, 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(4)
+    out = {
+        r.user_id: (r.n_intervals, r.total_dur_us, r.twap_cents)
+        for r in time_weighted_mean(
+            df, "user_id", "ts",
+            F.round(F.col("value") * 100).cast("long"), "event_id",
+        ).collect()
+    }
+    assert out == {1: (2, 40_000_000, 250)}
+
+
+def test_time_weighted_mean_holds_value_not_count(spark):
+    from etl_rj_spark.operators.windows import time_weighted_mean
+
+    # ten rapid updates at 900 cents in 1s each, then one 0-cent value
+    # held for 990 s: arithmetic mean of samples ≈ 818, but TWAP ≈ 9
+    rows = [(1, float(i), 9.0, i) for i in range(10)] + [
+        (1, 10.0, 0.0, 10), (1, 1000.0, 9.0, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec double, value double, event_id long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    (r,) = time_weighted_mean(
+        df, "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long"), "event_id",
+    ).collect()
+    assert r.n_intervals == 11
+    assert r.total_dur_us == 1_000_000_000
+    assert r.twap_cents == (900 * 10_000_000) // 1_000_000_000  # == 9
+
+
+def test_expectation_suite_counts_and_flags(spark):
+    from etl_rj_spark.operators.validate import expectation_suite
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (4, 3.0)],
+        "k long, v double",
+    )
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in expectation_suite(
+            df,
+            {"v_positive": F.col("v") > 0, "k_not_null": F.col("k").isNotNull()},
+            unique_cols=["k"],
+        ).collect()
+    }
+    # NULL v counts as a violation (unknown ≠ valid); k=2 duplicated
+    assert out == {
+        "v_positive": (2, 0),
+        "k_not_null": (0, 1),
+        "unique(k)": (1, 0),
+    }
+
+
+def test_expectation_suite_rejects_quoted_rule_names(spark):
+    import pytest
+
+    from etl_rj_spark.operators.validate import expectation_suite
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        expectation_suite(df, {"bad'name": F.col("k").isNotNull()})
