@@ -375,3 +375,20 @@ def test_gini_windows_are_partitioned(spark, sf_dir):
     assert win_lines, "expected the per-bucket windows"
     for l in win_lines:
         assert "__pid" in l, ("unpartitioned window in gini plan", l)
+
+
+def test_twap_single_exchange_reuse(spark, sf_dir):
+    """time_weighted_value_user: the LEAD window and the per-user
+    aggregate must share ONE hash exchange on user_id (the aggregate
+    reuses the window's partitioning) over a single events scan."""
+    counts = explain_counts(REGISTRY["time_weighted_value_user"].build(spark, sf_dir))
+    assert counts["exchange"] == 1, counts
+    assert counts["parquet_scans"] == 1, counts
+
+
+def test_expectation_suite_single_scan(spark, sf_dir):
+    """expectation_suite_orders: six rules + PK uniqueness in ONE pass —
+    exactly one parquet scan; the only exchanges move 1-row partials."""
+    counts = explain_counts(REGISTRY["expectation_suite_orders"].build(spark, sf_dir))
+    assert counts["parquet_scans"] == 1, counts
+    assert counts["sort_merge_join"] == 0, counts
