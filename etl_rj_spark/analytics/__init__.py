@@ -105,13 +105,14 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 9: the 9 remaining never-checked round-7
     # -- names (simple agg/window variants of already-verdicted
-    # -- shapes) and then the 52 round-8-new queries below — 61
+    # -- shapes) and then the 55 round-8-new queries below — 64
     # -- never-checked total, which is why round 8 essentially
-    # -- stopped adding at registry 300 (a late batch of 4 distinct
+    # -- stopped adding at registry 300 (a late batch of 7 distinct
     # -- shapes — expectation suite, l-diversity, TWAP, the
-    # -- stream-stream join's batch-equivalence contract — closed it
-    # -- at 304): rounds 9 (50 slots) + 10 (11 + backfill) clear the
-    # -- debt, and every one of the 61 is already green at sf0.001,
+    # -- stream-stream join's batch-equivalence contract, exact KS,
+    # -- CUPED planning stats, closed-form 2-feature OLS — closed it
+    # -- at 307): rounds 9 (50 slots) + 10 (14 + backfill) clear the
+    # -- debt, and every one of the 64 is already green at sf0.001,
     # -- sf0.01 AND the ×10 synth sweep in self-run.
     # -- After them, the oldest-green re-confirmation backfill
     # -- continues (r1-green names from ngram_jaccard_pairs onward in
@@ -182,6 +183,9 @@ _PRIORITY = [
     "l_diversity_audit",          # new r8: homogeneity-attack privacy gate
     "time_weighted_value_user",   # new r8: exact-integer TWAP / LOCF mean
     "stream_view_purchase_join",  # new r8: stream-stream join == batch oracle
+    "ks_two_sample_values",       # new r8: exact unbinned KS drift statistic
+    "cuped_theta_events",         # new r8: CUPED theta + variance-reduction ppm
+    "ols_price_qty_discount",     # new r8: closed-form 2-feature OLS, Cramer ppm
 ]
 
 

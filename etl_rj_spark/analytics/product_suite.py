@@ -3097,3 +3097,212 @@ def stream_view_purchase_join(spark, sf_dir):
         .select("user_id", "view_id", "purchase_id")
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+@_q(
+    "ks_two_sample_values",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(value*100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    pv AS (SELECT cents, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM v GROUP BY 1),
+    cum AS (
+      SELECT
+        SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+        SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM pv
+    ),
+    n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2)
+             AS BIGINT) AS d_ppm
+    FROM cum CROSS JOIN n GROUP BY n1, n2
+    """,
+    tags=("stats-ks", "drift", "two-sample"),
+)
+def ks_two_sample_values(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    click and view value distributions: D = sup|F1 − F2|, evaluated
+    on the merged value grain (the CDFs are step functions — the sup
+    is attained at a data value). The UNBINNED drift test beside the
+    binned PSI/JS divergences: sensitive anywhere on the CDF, no bin
+    tuning. Exact integers: D is reported as max|cum1·n2 − cum2·n1|
+    plus its ppm form — no floats anywhere. The cumulative window is
+    unpartitioned but walks the VALUE VOCABULARY (bounded cents
+    grain, SCALE.md §3 rule — same class as equi_depth_bins), never
+    the row grain."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    pv = v.groupBy("cents").agg(
+        F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    n = pv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.join(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+            .alias("__d")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("__d").cast("bigint").alias("d_scaled"),
+            F.expr("cast((__d * 1000000) div (n1 * n2) as bigint)").alias("d_ppm"),
+        )
+    )
+
+
+@_q(
+    "cuped_theta_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS x,
+             SUM(CASE WHEN day(ts) > 15
+                 THEN CAST(ROUND(COALESCE(value,0)*100) AS BIGINT)
+                 ELSE 0 END)::HUGEINT AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM u
+    ),
+    d AS (
+      SELECT n, n*sxy - sx*sy AS t, n*sxx - sx*sx AS dd, n*syy - sy*sy AS vy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN t >= 0 THEN (t * 1000000) // dd
+                     ELSE -((-t * 1000000) // dd) END AS BIGINT) AS theta_ppm,
+           CAST((t * t * 1000000) // (dd * vy) AS BIGINT)
+             AS var_reduction_ppm
+    FROM d
+    """,
+    tags=("experimentation", "cuped", "variance-reduction"),
+)
+def cuped_theta_events(spark, sf_dir):
+    """CUPED pre-analysis statistics: θ = cov(X,Y)/var(X) and the
+    expected variance reduction ρ² for the covariate-adjusted metric
+    Y − θ(X − X̄), where X is each user's PRE-period activity (event
+    count, days 1–15) and Y the POST-period value (cents, days 16+).
+    The experimentation-platform planning number: ρ²·10⁶ ppm of the
+    metric's variance disappears under CUPED adjustment. Exact
+    integer moments end to end (decimal(38,0) ↔ HUGEINT); θ reported
+    in sign-split truncating ppm so both engines agree on negatives.
+    One user-key aggregate then a 1-row moment reduction."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("x"),
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") > 15,
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"),
+            ).otherwise(0)
+        ).cast("decimal(38,0)").alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = m.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("t"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dd"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vy"),
+    )
+    return d.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr(
+            "cast(case when t >= 0 then (t * 1000000) div dd"
+            " else -((-t * 1000000) div dd) end as bigint)"
+        ).alias("theta_ppm"),
+        F.expr(
+            "cast((t * t * 1000000) div (dd * vy) as bigint)"
+        ).alias("var_reduction_ppm"),
+    )
+
+
+@_q(
+    "ols_price_qty_discount",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*)::HUGEINT AS n,
+             SUM(x1::HUGEINT) AS sx1, SUM(x2::HUGEINT) AS sx2,
+             SUM(y::HUGEINT) AS sy,
+             SUM(x1::HUGEINT * x1) AS s11, SUM(x1::HUGEINT * x2) AS s12,
+             SUM(x2::HUGEINT * x2) AS s22,
+             SUM(x1::HUGEINT * y) AS s1y, SUM(x2::HUGEINT * y) AS s2y
+      FROM b
+    ),
+    d AS (
+      SELECT n,
+        n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+          + sx2*(sx1*s12 - s11*sx2) AS det,
+        sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+          + sx2*(s1y*s12 - s11*s2y) AS det0,
+        n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+          + sx2*(sx1*s2y - s1y*sx2) AS det1,
+        n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+          + sy*(sx1*s12 - s11*sx2) AS det2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      CAST(CASE WHEN (det0 >= 0) = (det >= 0)
+           THEN (ABS(det0) * 1000000) // ABS(det)
+           ELSE -((ABS(det0) * 1000000) // ABS(det)) END AS BIGINT)
+        AS beta0_ppm,
+      CAST(CASE WHEN (det1 >= 0) = (det >= 0)
+           THEN (ABS(det1) * 1000000) // ABS(det)
+           ELSE -((ABS(det1) * 1000000) // ABS(det)) END AS BIGINT)
+        AS beta1_ppm,
+      CAST(CASE WHEN (det2 >= 0) = (det >= 0)
+           THEN (ABS(det2) * 1000000) // ABS(det)
+           ELSE -((ABS(det2) * 1000000) // ABS(det)) END AS BIGINT)
+        AS beta2_ppm
+    FROM d
+    """,
+    tags=("stats-ols", "regression", "closed-form"),
+)
+def ols_price_qty_discount(spark, sf_dir):
+    """Two-feature OLS with intercept fit over lineitem in ONE
+    aggregate pass: extendedprice (cents) on quantity and discount
+    (integer percent), solved by Cramer's rule on the integer
+    normal-equation moments (``ols2_normal_equations``) — the
+    multi-feature sibling of ``value_trend_slope``'s closed form.
+    No iterations, no driver math, no floats: β in sign-split
+    truncating ppm, bit-identical across engines. At 100 TB this is
+    still one map-side-combining reduction to a single row."""
+    from etl_rj_spark.operators.stats import ols2_normal_equations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols2_normal_equations(
+        li,
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+    )

@@ -1053,3 +1053,73 @@ def holt_linear_smooth(
         F.col("__s.b").alias("trend"),
         (F.col("__s.l") + F.col("__s.b")).alias("forecast_next"),
     )
+
+
+def ols2_normal_equations(
+    df: DataFrame,
+    y: Column,
+    x1: Column,
+    x2: Column,
+) -> DataFrame:
+    """Two-feature OLS with intercept, solved in CLOSED FORM: one
+    aggregate pass collects the integer moment sums (n, Σx₁, Σx₂, Σy,
+    Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y), then Cramer's rule on the 3×3
+    normal-equation matrix yields the coefficients as exact integer
+    determinant ratios — β reported in truncating sign-split ppm so an
+    independent engine replays it bit-for-bit. The multi-feature
+    sibling of ``ols_slope_per_key``'s single-feature closed form; the
+    shape generalizes to k features while the moment vector stays
+    O(k²) — a fit over 10⁹ rows is still ONE map-side-combining
+    aggregate to a single row, no gradient iterations, no driver math.
+
+    Inputs must be integer-valued Columns (cast upstream: cents,
+    counts, integer percent) small enough that third-degree moment
+    products stay under 10³⁸ (decimal(38,0) ↔ HUGEINT).
+    """
+    m = df.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x1.cast("decimal(38,0)")).alias("sx1"),
+        F.sum(x2.cast("decimal(38,0)")).alias("sx2"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum((x1 * x1).cast("decimal(38,0)")).alias("s11"),
+        F.sum((x1 * x2).cast("decimal(38,0)")).alias("s12"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).alias("s22"),
+        F.sum((x1 * y).cast("decimal(38,0)")).alias("s1y"),
+        F.sum((x2 * y).cast("decimal(38,0)")).alias("s2y"),
+    )
+    dets = m.select(
+        "n",
+        F.expr(
+            "n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)"
+            " + sx2 * (sx1 * s12 - s11 * sx2)"
+        ).alias("det"),
+        F.expr(
+            "sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)"
+            " + sx2 * (s1y * s12 - s11 * s2y)"
+        ).alias("det0"),
+        F.expr(
+            "n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)"
+            " + sx2 * (sx1 * s2y - s1y * sx2)"
+        ).alias("det1"),
+        F.expr(
+            "n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)"
+            " + sy * (sx1 * s12 - s11 * sx2)"
+        ).alias("det2"),
+    )
+
+    def _ppm(num: str) -> Column:
+        # truncating signed ratio: both engines floor on the
+        # non-negative magnitude, then re-apply the sign (compared via
+        # predicates, never num*det — that product overflows 10^38)
+        return F.expr(
+            f"cast(case when (({num}) >= 0) = (det >= 0)"
+            f" then (abs({num}) * 1000000) div abs(det)"
+            f" else -((abs({num}) * 1000000) div abs(det)) end as bigint)"
+        )
+
+    return dets.select(
+        F.col("n").cast("bigint").alias("n"),
+        _ppm("det0").alias("beta0_ppm"),
+        _ppm("det1").alias("beta1_ppm"),
+        _ppm("det2").alias("beta2_ppm"),
+    )

@@ -645,3 +645,101 @@ def test_expectation_suite_rejects_quoted_rule_names(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         expectation_suite(df, {"bad'name": F.col("k").isNotNull()})
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from etl_rj_spark.operators.stats import ols2_normal_equations
+
+    rows = [
+        (i, (i * 7) % 23, (i * 13) % 5,
+         1000 + 37 * ((i * 7) % 23) - 210 * ((i * 13) % 5) + (i % 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, x1 long, x2 long, y long")
+    (r,) = ols2_normal_equations(
+        df, F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()
+    a = np.array([[1.0, x1, x2] for _, x1, x2, _ in rows])
+    b = np.array([float(y) for *_, y in rows])
+    want = np.linalg.lstsq(a, b, rcond=None)[0]
+    got = np.array([r.beta0_ppm, r.beta1_ppm, r.beta2_ppm]) / 1e6
+    assert r.n == 200
+    assert np.allclose(got, want, atol=2e-6), (got, want)
+
+
+def test_ols2_sign_split_negative_coefficient(spark):
+    from etl_rj_spark.operators.stats import ols2_normal_equations
+
+    # y = 10 - 2*x1 exactly, x2 constant-ish noise-free
+    rows = [(i, i % 7, (i * 3) % 4, 10 - 2 * (i % 7)) for i in range(56)]
+    df = spark.createDataFrame(rows, "i long, x1 long, x2 long, y long")
+    (r,) = ols2_normal_equations(
+        df, F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()
+    assert r.beta1_ppm == -2_000_000
+    assert r.beta2_ppm == 0
+    assert r.beta0_ppm == 10_000_000
+
+
+def test_ks_identical_and_disjoint(spark, sf_dir):
+    # identical samples → D = 0; disjoint supports → D = 1
+    from etl_rj_spark.analytics import REGISTRY
+
+    # registry query smoke is covered by oracle parity; here pin the
+    # metric's boundary behavior on constructed frames via the same ops
+    def ks(df):
+        pv = df.groupBy("cents").agg(
+            F.sum("g1").alias("c1"), F.sum(F.lit(1) - F.col("g1")).alias("c2")
+        )
+        w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+        cum = pv.select(
+            F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+        )
+        n = pv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+        (r,) = (
+            cum.join(F.broadcast(n)).groupBy("n1", "n2")
+            .agg(F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias("d"))
+            .selectExpr("cast((d * 1000000) div (n1 * n2) as bigint) as d_ppm")
+            .collect()
+        )
+        return r.d_ppm
+
+    same = spark.createDataFrame(
+        [(v, g) for v in (1, 2, 3, 4) for g in (0, 1)], "cents long, g1 int"
+    )
+    assert ks(same) == 0
+    disjoint = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 0), (11, 0)], "cents long, g1 int"
+    )
+    assert ks(disjoint) == 1_000_000
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    from etl_rj_spark.analytics import REGISTRY  # noqa: F401  (shape parity)
+
+    # replicate the query's moment math on constructed (x, y = 3x):
+    # corr² = 1 → var_reduction_ppm = 1_000_000, theta_ppm = 3e6
+    u = spark.createDataFrame(
+        [(i, i % 11, 3 * (i % 11)) for i in range(50)],
+        "user_id long, x long, y long",
+    ).select(
+        "user_id",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    (r,) = m.selectExpr(
+        "cast(((n*sxy - sx*sy) * 1000000) div (n*sxx - sx*sx) as bigint) as theta_ppm",
+        "cast(((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000)"
+        " div ((n*sxx - sx*sx) * (n*syy - sy*sy)) as bigint) as vr_ppm",
+    ).collect()
+    assert r.theta_ppm == 3_000_000
+    assert r.vr_ppm == 1_000_000
