@@ -3306,3 +3306,52 @@ def ols_price_qty_discount(spark, sf_dir):
         F.col("l_quantity").cast("long"),
         F.round(F.col("l_discount") * 100).cast("long"),
     )
+
+
+@_q(
+    "ivm_join_maintenance",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+           CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY 1
+    """,
+    tags=("streaming", "ivm", "incremental", "J1-generalized"),
+)
+def ivm_join_maintenance(spark, sf_dir):
+    """Incremental view maintenance of a two-sided equi-join
+    (streaming/ivm.py): orders AND customers both arrive as 3
+    insert-only delta batches; each fold applies the bilinear product
+    rule ΔV = ΔA ⋈ B_new ∪ A_old ⋈ ΔB and appends to a ledgered
+    batch-partitioned view log. The oracle is the from-scratch batch
+    join — equality pins the delta algebra's exactly-once pairing (a
+    pair arriving in batches (i, j) materializes in fold max(i, j)
+    and nowhere else, so the union needs no dedup). A committed fold
+    is redelivered in-query and must no-op (K1 posture). Per-fold
+    cost is O(|ΔA|+|ΔB|+|ΔV|) appends — nothing rewrites."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.streaming.ivm import fold_join_delta, serve_join_view
+
+    root = _scratch("ivm_join")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for i in range(3):
+        fold_join_delta(
+            o.filter(F.col("o_orderkey") % 3 == i),
+            c.filter(F.col("c_custkey") % 3 == i),
+            i, root, "o_custkey", "c_custkey",
+        )
+    fold_join_delta(  # redelivery of a committed fold: must no-op
+        o.filter(F.col("o_orderkey") % 3 == 1),
+        c.filter(F.col("c_custkey") % 3 == 1),
+        1, root, "o_custkey", "c_custkey",
+    )
+    schema = "o_orderkey long, o_custkey long, cents long, c_custkey long, c_nationkey long"
+    return (
+        serve_join_view(spark, root, schema)
+        .select("o_orderkey", "o_custkey", "c_nationkey", "cents")
+        .orderBy("o_orderkey")
+    )

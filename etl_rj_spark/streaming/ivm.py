@@ -1,0 +1,123 @@
+"""Incremental view maintenance (IVM) of a two-sided equi-join.
+
+Every other maintainer in the taxonomy holds ADDITIVE state (sketches,
+pair counts, moments) — fold in a batch, merge by algebra. A JOIN view
+is different: it is BILINEAR in its inputs, so the delta of the view
+under insert-only deltas ΔA, ΔB is the classic DBSP / differential-
+dataflow product rule:
+
+    ΔV  =  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+        (= ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB — the three-term form)
+
+Each matched pair is produced EXACTLY once across all folds: a pair
+(a, b) with a arriving in batch i and b in batch j materializes in
+fold max(i, j) and no other — the disjointness that makes the
+maintained view equal the from-scratch join without deduplication.
+
+State layout — a SIXTH point in the maintenance taxonomy, the
+append-only ledgered log: unlike the snapshot-versioned Markov state
+(`transitions.py`, whole-state rewrite per fold), a join view only
+GROWS under insert-only deltas, so each fold appends three
+batch-partitioned directories (``a/batch=<id>``, ``b/batch=<id>``,
+``view/batch=<id>``) and publishes them with a per-batch commit
+marker written LAST. Serving unions only committed batch dirs; a
+crash mid-fold leaves uncommitted partials that the deterministic
+retry overwrites in place; redelivery of a committed id is a no-op
+(K1 posture, same as `sources/manifest.py`). Nothing is ever
+rewritten — per-fold write cost is O(|ΔA| + |ΔB| + |ΔV|), not
+O(|state|).
+
+100 TB posture: the accumulated logs are the big side and the deltas
+are small — each fold's two joins are delta-vs-log, so the delta side
+broadcasts (or, with logs written bucketed by the join key, the fold
+is a bucket-local probe with no log-side shuffle). The view log is
+append-only parquet partitioned by batch — compaction is the same
+snapshot-retention pass the IVF index and moments ledger document.
+Deletes/updates need weighted (z-set) deltas — out of scope for the
+insert-only contract here; `operators/scd.py:cdc_apply_log` covers
+keyed upsert semantics.
+
+Single writer per state root (foreachBatch's sequential guarantee).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[int]:
+    """Sorted batch ids whose commit marker exists (metadata-only)."""
+    fs, jvm = _fs(spark)
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/ledger")
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                out.append(int(name[6:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_log(
+    spark: SparkSession, root: str, side: str, ids: list[int], schema
+) -> DataFrame:
+    if not ids:
+        return spark.createDataFrame([], schema)
+    paths = [f"{root}/{side}/batch={i}" for i in ids]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def fold_join_delta(
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    batch_id: int,
+    root: str,
+    key_a: str,
+    key_b: str,
+) -> None:
+    """Fold one pair of insert-only deltas into the maintained join
+    view. ΔV = ΔA ⋈ B_new ∪ A_old ⋈ ΔB; appends ΔA, ΔB and ΔV under
+    ``batch=<id>`` and commits the id LAST. Redelivering a committed
+    id is a no-op; a retried half-written fold overwrites its own
+    deterministic output. Column names must be disjoint across the
+    two sides (standard star-schema hygiene)."""
+    spark = delta_a.sparkSession
+    done = committed_batches(spark, root)
+    if int(batch_id) in done:
+        return  # redelivery of a committed fold
+    a_old = _read_log(spark, root, "a", done, delta_a.schema)
+    b_old = _read_log(spark, root, "b", done, delta_b.schema)
+
+    da = delta_a.localCheckpoint()
+    db = delta_b.localCheckpoint()
+    b_new = b_old.unionByName(db)
+    dv = da.join(b_new, F.col(key_a) == F.col(key_b)).unionByName(
+        a_old.join(db, F.col(key_a) == F.col(key_b))
+    )
+
+    vdir = f"batch={int(batch_id)}"
+    da.write.mode("overwrite").parquet(f"{root}/a/{vdir}")
+    db.write.mode("overwrite").parquet(f"{root}/b/{vdir}")
+    dv.write.mode("overwrite").parquet(f"{root}/view/{vdir}")
+    # commit marker LAST: the batch exists only once all three logs
+    # are fully written
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/ledger/{vdir}")
+
+
+def serve_join_view(spark: SparkSession, root: str, schema) -> DataFrame:
+    """Serving read of the maintained view: union of committed view
+    batch dirs (uncommitted partials invisible by construction)."""
+    return _read_log(spark, root, "view", committed_batches(spark, root), schema)

@@ -1149,3 +1149,93 @@ def test_stream_transition_runner_end_to_end(spark, tmp_path):
         for r in transition_counts(df, "user_id", "ts", "event_type", "event_id").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# IVM join maintainer (streaming/ivm.py)
+# ---------------------------------------------------------------------------
+
+def _ivm_serve_set(spark, root):
+    from etl_rj_spark.streaming.ivm import serve_join_view
+
+    schema = "ak long, av string, bk long, bv string"
+    return {
+        (r.ak, r.av, r.bk, r.bv)
+        for r in serve_join_view(spark, root, schema).collect()
+    }
+
+
+def test_ivm_join_equals_batch_join_across_folds(spark, tmp_path):
+    from etl_rj_spark.streaming.ivm import fold_join_delta
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2b"), (3, "a3")], "ak long, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (3, "b3"), (3, "b3b")], "bk long, bv string"
+    )
+    root = str(tmp_path / "ivm")
+    # a arrives keys {1,2} then {2',3}; b arrives {3,3b} then {1,2}:
+    # every (i, j) batch combination exercises the product rule
+    fold_join_delta(
+        a.filter("av in ('a1','a2')"), b.filter("bk = 3"), 0, root, "ak", "bk"
+    )
+    fold_join_delta(
+        a.filter("av in ('a2b','a3')"), b.filter("bk < 3"), 1, root, "ak", "bk"
+    )
+    want = {
+        (r.ak, r.av, r.bk, r.bv)
+        for r in a.join(b, F.col("ak") == F.col("bk")).collect()
+    }
+    assert _ivm_serve_set(spark, root) == want
+
+
+def test_ivm_redelivery_and_stale_fold_noop(spark, tmp_path):
+    from etl_rj_spark.streaming.ivm import fold_join_delta
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "ak long, av string")
+    b = spark.createDataFrame([(1, "b1"), (2, "b2")], "bk long, bv string")
+    root = str(tmp_path / "ivm")
+    fold_join_delta(a.filter("ak = 1"), b, 0, root, "ak", "bk")
+    fold_join_delta(a.filter("ak = 2"), b.limit(0), 1, root, "ak", "bk")
+    before = _ivm_serve_set(spark, root)
+    # redeliver both committed ids (any order): byte-identical state
+    fold_join_delta(a.filter("ak = 2"), b.limit(0), 1, root, "ak", "bk")
+    fold_join_delta(a.filter("ak = 1"), b, 0, root, "ak", "bk")
+    assert _ivm_serve_set(spark, root) == before
+    assert before == {(1, "a1", 1, "b1"), (2, "a2", 2, "b2")}
+
+
+def test_ivm_crash_retry_overwrites_uncommitted_partials(spark, tmp_path):
+    import shutil
+
+    from etl_rj_spark.streaming.ivm import committed_batches, fold_join_delta
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "ak long, av string")
+    b = spark.createDataFrame([(1, "b1"), (2, "b2")], "bk long, bv string")
+    root = str(tmp_path / "ivm")
+    fold_join_delta(a.filter("ak = 1"), b.filter("bk = 1"), 0, root, "ak", "bk")
+    fold_join_delta(a.filter("ak = 2"), b.filter("bk = 2"), 1, root, "ak", "bk")
+    # simulate a crash AFTER batch-1 data writes but BEFORE its commit:
+    # remove the marker — the partials under batch=1 become invisible
+    shutil.rmtree(f"{root}/ledger/batch=1")
+    assert committed_batches(spark, root) == [0]
+    assert _ivm_serve_set(spark, root) == {(1, "a1", 1, "b1")}
+    # the retry overwrites the orphaned partials and commits
+    fold_join_delta(a.filter("ak = 2"), b.filter("bk = 2"), 1, root, "ak", "bk")
+    assert committed_batches(spark, root) == [0, 1]
+    assert _ivm_serve_set(spark, root) == {
+        (1, "a1", 1, "b1"), (2, "a2", 2, "b2")
+    }
+
+
+def test_ivm_empty_delta_sides(spark, tmp_path):
+    from etl_rj_spark.streaming.ivm import fold_join_delta
+
+    a = spark.createDataFrame([(1, "a1")], "ak long, av string")
+    b = spark.createDataFrame([(1, "b1")], "bk long, bv string")
+    root = str(tmp_path / "ivm")
+    fold_join_delta(a, b.limit(0), 0, root, "ak", "bk")   # nothing to pair yet
+    assert _ivm_serve_set(spark, root) == set()
+    fold_join_delta(a.limit(0), b, 1, root, "ak", "bk")   # pair completes
+    assert _ivm_serve_set(spark, root) == {(1, "a1", 1, "b1")}
