@@ -266,3 +266,60 @@ def test_exact_dedup_mapping_invariants(spark, texts):
     want = {i: min(g) for g in groups.values() for i in g}
     assert got == want
     assert all(got[c] == c for c in set(got.values()))  # canonicals are fixed points
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.integers(min_value=0, max_value=10_000),   # seconds offset
+            st.integers(min_value=0, max_value=100_000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_mean_bounds_and_python_mirror(spark, obs):
+    """TWAP invariants: the result per key lies within [min, max] of
+    the cents that carry positive duration, and equals a direct Python
+    computation of sum(cents·dur) // sum(dur) over the (ts, event_id)
+    order."""
+    from etl_rj_spark.operators.windows import time_weighted_mean
+
+    rows = [
+        (u, float(sec), c, i) for i, (u, sec, c) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec double, cents long, event_id long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    got = {
+        r.user_id: (r.n_intervals, r.total_dur_us, r.twap_cents)
+        for r in time_weighted_mean(
+            df, "user_id", "ts", F.col("cents"), "event_id"
+        ).collect()
+    }
+
+    per_user = {}
+    for u, sec, c, i in rows:
+        per_user.setdefault(u, []).append((sec, i, c))
+    want = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        pairs = [
+            (seq[k][2], int((seq[k + 1][0] - seq[k][0]) * 1_000_000))
+            for k in range(len(seq) - 1)
+        ]
+        total = sum(d for _, d in pairs)
+        if total > 0:
+            want[u] = (
+                len(pairs), total, sum(c * d for c, d in pairs) // total
+            )
+    assert got == want
+    for u, (_, _, twap) in got.items():
+        carrying = [c for c, d in [
+            (seq_c, int((per_user[u][k + 1][0] - per_user[u][k][0]) * 1e6))
+            for k, (_, _, seq_c) in enumerate(sorted(per_user[u])[:-1])
+        ] if d > 0]
+        if carrying:
+            assert min(carrying) <= twap <= max(carrying)
