@@ -3355,3 +3355,82 @@ def ivm_join_maintenance(spark, sf_dir):
         .select("o_orderkey", "o_custkey", "c_nationkey", "cents")
         .orderBy("o_orderkey")
     )
+
+
+@_q(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           CAST(ROUND(COALESCE(value, 0)*100) AS BIGINT) AS cents
+    FROM events ORDER BY event_id
+    """,
+    tags=("streaming", "dedup", "watermark", "exactly-once"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Native streaming deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): events replay as
+    3 time-ordered micro-batches, and the tail HOUR of each batch is
+    re-sent verbatim at the head of the next one — the at-least-once
+    delivery pattern every log-based source produces. With a 2 h
+    watermark the duplicate arrives well inside the original's state
+    lifetime, so the operator must drop every re-send while evicting
+    state older than the watermark (bounded memory — unlike a plain
+    ``dropDuplicates`` whose streaming state grows forever). The
+    oracle is simply the original events table: the streamed output
+    must be EXACTLY the duplicate-free relation. Re-sent rows are
+    byte-identical, so which copy survives is immaterial."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.sources.parquet import read_parquet_table
+
+    root = _scratch("stream_dedup_wm")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr("percentile_approx(cast(ts as double), 0.34)").alias("t1"),
+        F.expr("percentile_approx(cast(ts as double), 0.67)").alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds.t1, bounds.t2
+    sec = F.col("ts").cast("double")
+    s0, s1, s2 = (
+        ev.filter(sec <= t1),
+        ev.filter((sec > t1) & (sec <= t2)),
+        ev.filter(sec > t2),
+    )
+    # at-least-once re-sends: the last hour of each slice rides again
+    # in the NEXT file (arrival within the 2 h watermark delay, so
+    # dedup is guaranteed by the operator's contract)
+    files = [
+        s0,
+        s1.unionByName(s0.filter(sec > t1 - 3600)),
+        s2.unionByName(s1.filter(sec > t2 - 3600)),
+    ]
+    for f in files:  # sequential appends → mtime follows event time
+        f.coalesce(1).write.mode("append").parquet(f"{root}/in")
+    schema = spark.read.parquet(f"{root}/in").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{root}/in")
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{root}/out")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id", "event_type", "cents",
+        )
+        .orderBy("event_id")
+    )
