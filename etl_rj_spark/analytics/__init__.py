@@ -105,16 +105,17 @@ _PRIORITY = [
     # ---- 50-query driver prefix ends here ----
     # -- staged for round 9: the 9 remaining never-checked round-7
     # -- names (simple agg/window variants of already-verdicted
-    # -- shapes) and then the 57 round-8-new queries below — 66
+    # -- shapes) and then the 58 round-8-new queries below — 67
     # -- never-checked total, which is why round 8 essentially
-    # -- stopped adding at registry 300 (a late batch of 9 distinct
+    # -- stopped adding at registry 300 (a late batch of 10 distinct
     # -- shapes — expectation suite, l-diversity, TWAP, the
     # -- stream-stream join's batch-equivalence contract, exact KS,
     # -- CUPED planning stats, closed-form 2-feature OLS, the IVM
-    # -- join maintainer, watermark-bounded streaming dedup — closed
-    # -- it at 309): rounds 9 (50 slots) + 10 (16 + backfill) clear
-    # -- the debt, and every one of the 66 is already green at
-    # -- sf0.001, sf0.01 AND the ×10 synth sweep in self-run.
+    # -- join maintainer + its z-set retraction aggregate twin,
+    # -- watermark-bounded streaming dedup — closed it at 310):
+    # -- rounds 9 (50 slots) + 10 (17 + backfill) clear the debt,
+    # -- and every one of the 67 is already green at sf0.001,
+    # -- sf0.01 AND the ×10 synth sweep in self-run.
     # -- After them, the oldest-green re-confirmation backfill
     # -- continues (r1-green names from ngram_jaccard_pairs onward in
     # -- registration order — ordered_registry() appends the rest of
@@ -189,6 +190,7 @@ _PRIORITY = [
     "ols_price_qty_discount",     # new r8: closed-form 2-feature OLS, Cramer ppm
     "ivm_join_maintenance",       # new r8: bilinear-delta join view, ledgered appends
     "stream_dedup_within_watermark",  # new r8: bounded-state at-least-once dedup
+    "ivm_agg_with_retractions",   # new r8: z-set weighted aggregate, deletes ride algebra
 ]
 
 

@@ -3434,3 +3434,52 @@ def stream_dedup_within_watermark(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@_q(
+    "ivm_agg_with_retractions",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("streaming", "ivm", "z-set", "retraction", "A3-generalized"),
+)
+def ivm_agg_with_retractions(spark, sf_dir):
+    """Weighted (z-set) incremental aggregate maintenance
+    (streaming/ivm.py:fold_agg_delta): orders arrive as 3 insert
+    batches, then a RETRACTION batch deletes every order whose key is
+    divisible by 21 — weight −1 rows, no tombstones — and a committed
+    fold is redelivered (no-op). The served per-priority (count, total
+    cents) must equal the from-scratch aggregate over the surviving
+    orders: the oracle never saw a delta, the maintainer never saw the
+    final relation. Per-fold cost is one O(|Δ|-keys) partial append;
+    deletes ride the SAME additive algebra as inserts."""
+    from etl_rj_spark.analytics.coverage_suite import _scratch
+    from etl_rj_spark.streaming.ivm import fold_agg_delta, serve_agg_view
+
+    root = _scratch("ivm_agg")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for i in range(3):
+        fold_agg_delta(
+            o.filter(F.col("o_orderkey") % 3 == i).withColumn("w", F.lit(1)),
+            i, root, ["o_orderpriority"], "w", "cents",
+        )
+    retract = (
+        o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 == 0))
+        .withColumn("w", F.lit(-1))
+    )
+    fold_agg_delta(retract, 3, root, ["o_orderpriority"], "w", "cents")
+    fold_agg_delta(retract, 3, root, ["o_orderpriority"], "w", "cents")  # no-op
+    schema = "o_orderpriority string, __w long, __s decimal(38,0)"
+    return (
+        serve_agg_view(spark, root, ["o_orderpriority"], schema)
+        .orderBy("o_orderpriority")
+    )

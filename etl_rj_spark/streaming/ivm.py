@@ -33,9 +33,12 @@ broadcasts (or, with logs written bucketed by the join key, the fold
 is a bucket-local probe with no log-side shuffle). The view log is
 append-only parquet partitioned by batch — compaction is the same
 snapshot-retention pass the IVF index and moments ledger document.
-Deletes/updates need weighted (z-set) deltas — out of scope for the
-insert-only contract here; `operators/scd.py:cdc_apply_log` covers
-keyed upsert semantics.
+
+The JOIN maintainer's contract is insert-only; deletes/updates take
+weighted (z-set) deltas, which `fold_agg_delta`/`serve_agg_view`
+below implement for the GROUP BY side of the algebra (weight −1
+retracts; a fully retracted group disappears at serve time).
+`operators/scd.py:cdc_apply_log` covers keyed upsert semantics.
 
 Single writer per state root (foreachBatch's sequential guarantee).
 """
@@ -52,10 +55,9 @@ def _fs(spark: SparkSession):
     return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
 
 
-def committed_batches(spark: SparkSession, root: str) -> list[int]:
-    """Sorted batch ids whose commit marker exists (metadata-only)."""
+def _committed(spark: SparkSession, root: str, ledger: str) -> list[int]:
     fs, jvm = _fs(spark)
-    path = jvm.org.apache.hadoop.fs.Path(f"{root}/ledger")
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{ledger}")
     if not fs.exists(path):
         return []
     out = []
@@ -67,6 +69,11 @@ def committed_batches(spark: SparkSession, root: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def committed_batches(spark: SparkSession, root: str) -> list[int]:
+    """Sorted batch ids whose commit marker exists (metadata-only)."""
+    return _committed(spark, root, "ledger")
 
 
 def _read_log(
@@ -121,3 +128,62 @@ def serve_join_view(spark: SparkSession, root: str, schema) -> DataFrame:
     """Serving read of the maintained view: union of committed view
     batch dirs (uncommitted partials invisible by construction)."""
     return _read_log(spark, root, "view", committed_batches(spark, root), schema)
+
+
+def fold_agg_delta(
+    delta: DataFrame,
+    batch_id: int,
+    root: str,
+    key_cols: list[str],
+    weight_col: str,
+    value_col: str,
+) -> None:
+    """Fold one WEIGHTED (z-set) delta batch into a maintained
+    GROUP BY aggregate — the retraction-capable complement to the
+    insert-only join maintainer above: each delta row carries an
+    integer weight (+1 insert, −1 retract), and the maintained state
+    per key is the pair (Σw, Σw·value), which is ADDITIVE in deltas —
+    deletes are just negative weight, no tombstone bookkeeping.
+
+    Same append-only ledgered log as the join view: each fold writes
+    ONLY its per-key partial aggregate of the delta (O(|Δ| distinct
+    keys), nothing rewrites) under ``agg/batch=<id>`` and commits the
+    id LAST into the shared ledger-dir namespace (``aggledger``).
+    Serving merges committed partials and drops keys whose net weight
+    reached zero — a fully retracted group DISAPPEARS, exactly as the
+    from-scratch aggregate would have it. Periodic compaction of old
+    partials into one is the same snapshot-retention pass documented
+    for the moments ledger."""
+    spark = delta.sparkSession
+    done = _committed(spark, root, "aggledger")
+    if int(batch_id) in done:
+        return
+    part = delta.groupBy(*key_cols).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("__w"),
+        F.sum(F.col(weight_col) * F.col(value_col))
+        .cast("decimal(38,0)").alias("__s"),
+    )
+    vdir = f"batch={int(batch_id)}"
+    part.write.mode("overwrite").parquet(f"{root}/agg/{vdir}")
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/aggledger/{vdir}")
+
+
+def serve_agg_view(
+    spark: SparkSession, root: str, key_cols: list[str], schema
+) -> DataFrame:
+    """Merge committed per-batch partials into the current aggregate:
+    (keys, n = Σw, total = Σw·value), keys with net weight 0 dropped."""
+    ids = _committed(spark, root, "aggledger")
+    log = _read_log(spark, root, "agg", ids, schema)
+    return (
+        log.groupBy(*key_cols)
+        .agg(
+            F.sum("__w").cast("bigint").alias("n"),
+            F.sum("__s").cast("decimal(38,0)").alias("__t"),
+        )
+        .filter(F.col("n") != 0)
+        .withColumn("total", F.col("__t").cast("bigint"))
+        .drop("__t")
+    )

@@ -1239,3 +1239,36 @@ def test_ivm_empty_delta_sides(spark, tmp_path):
     assert _ivm_serve_set(spark, root) == set()
     fold_join_delta(a.limit(0), b, 1, root, "ak", "bk")   # pair completes
     assert _ivm_serve_set(spark, root) == {(1, "a1", 1, "b1")}
+
+
+def test_ivm_agg_retraction_and_group_vanish(spark, tmp_path):
+    from etl_rj_spark.streaming.ivm import fold_agg_delta, serve_agg_view
+
+    root = str(tmp_path / "ivm_agg")
+    schema = "k string, __w long, __s decimal(38,0)"
+    ins = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("b", 1, 5)], "k string, w int, v long"
+    )
+    fold_agg_delta(ins, 0, root, ["k"], "w", "v")
+    got = {
+        (r.k, r.n, r.total)
+        for r in serve_agg_view(spark, root, ["k"], schema).collect()
+    }
+    assert got == {("a", 2, 30), ("b", 1, 5)}
+    # retract one 'a' row and ALL of 'b': group b must disappear
+    rets = spark.createDataFrame(
+        [("a", -1, 20), ("b", -1, 5)], "k string, w int, v long"
+    )
+    fold_agg_delta(rets, 1, root, ["k"], "w", "v")
+    got = {
+        (r.k, r.n, r.total)
+        for r in serve_agg_view(spark, root, ["k"], schema).collect()
+    }
+    assert got == {("a", 1, 10)}
+    # redelivery of the committed retraction batch: no-op
+    fold_agg_delta(rets, 1, root, ["k"], "w", "v")
+    got2 = {
+        (r.k, r.n, r.total)
+        for r in serve_agg_view(spark, root, ["k"], schema).collect()
+    }
+    assert got2 == got
