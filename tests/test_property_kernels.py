@@ -323,3 +323,51 @@ def test_time_weighted_mean_bounds_and_python_mirror(spark, obs):
         ] if d > 0]
         if carrying:
             assert min(carrying) <= twap <= max(carrying)
+
+
+@given(
+    ops=st.lists(  # batches of (key, value, insert?) ops
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=1000),
+                st.booleans(),
+            ),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ivm_agg_random_fold_sequences_match_net_aggregate(spark, tmp_path_factory, ops):
+    """Z-set IVM property: for ANY sequence of weighted delta batches
+    (retractions included, even retracting rows never inserted — the
+    algebra is closed under negative weights), the served aggregate
+    equals the one-shot groupBy over the concatenated weighted rows,
+    with zero-net-weight keys absent."""
+    from etl_rj_spark.streaming.ivm import fold_agg_delta, serve_agg_view
+
+    root = str(tmp_path_factory.mktemp("ivm_prop"))
+    net_w, net_s = {}, {}
+    fold_id = 0
+    for batch in ops:
+        rows = [(k, 1 if ins else -1, v) for k, v, ins in batch]
+        for k, w, v in rows:
+            net_w[k] = net_w.get(k, 0) + w
+            net_s[k] = net_s.get(k, 0) + w * v
+        if rows:
+            df = spark.createDataFrame(rows, "k string, w int, v long")
+        else:
+            df = spark.createDataFrame([], "k string, w int, v long")
+        fold_agg_delta(df, fold_id, root, ["k"], "w", "v")
+        fold_id += 1
+    want = {
+        (k, net_w[k], net_s[k]) for k in net_w if net_w[k] != 0
+    }
+    schema = "k string, __w long, __s decimal(38,0)"
+    got = {
+        (r.k, r.n, r.total)
+        for r in serve_agg_view(spark, root, ["k"], schema).collect()
+    }
+    assert got == want
