@@ -32,165 +32,107 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: register deterministic DuckDB oracles for their contract-flag
 #: output (see llm_suite) so a future check can go full-green.
 #:
-#: ROUND-8 ROTATION (executed per VERDICT r7 directive #2): 59
-#: registered queries had never had a driver verdict at the end of
-#: round 7 (the whole round-7-new tier — CORRECTNESS_r07 rotated
-#: through earlier names).  59 > 50, so this prefix is the 50
-#: highest-value of them, leading with the index / streaming / search
-#: contracts whose redelivery + idempotence claims were only ever
-#: self-run, and including `prorate_order_totals` (its DuckDB oracle
-#: carried a case-colliding `w`/`W` alias — fixed this round, engine
-#: op unchanged; see quality_suite.py) plus the three de-single-
-#: partitioned ranked reports (`keyword_search_topk`,
-#: `hybrid_search_rrf`, `pareto_revenue_report` — rewritten this round
-#: to distributed top-k / bucket-then-rank with identical oracle
-#: hashes).  The 9 lowest-stakes names (simple agg / window variants
-#: of already-verdicted shapes) are staged first for round 9.
+#: ROUND-8 ROTATION (per VERDICT r7 directive #2) went 50/50
+#: first-time green (CORRECTNESS_r08) — the entire round-7-new
+#: index/streaming/search + dedup/curation + stats/CDC tier now
+#: carries full driver verdicts.
+#:
+#: ROUND-9 ROTATION (executed per VERDICT r8 directive #1): at the
+#: end of round 8, 67 registered queries had never had a driver
+#: verdict — 9 round-7 spillover names + all 58 round-8 additions,
+#: staged at registry positions 50-116 exactly so this rotation
+#: could promote them.  67 > 50, so this prefix is the 50
+#: highest-value, leading with the IVM / streaming contracts whose
+#: redelivery + batch-equivalence claims were only ever self-run.
+#: Four promoted names carry round-9 code fixes deliberately put
+#: under the driver: `zipf_slope_tokens` (vocabulary rank moved
+#: onto two-phase `global_rank_cumsum`, no unpartitioned window —
+#: VERDICT r8 #2), `chi_square_priority_status` (empty-cell
+#: expected mass added in BOTH engine and oracle — ADVICE r8),
+#: `ols_price_qty_discount` (det==0 NULL guard — ADVICE r8),
+#: `km_view_to_purchase_survival` (int-cast duration contract —
+#: ADVICE r8).
+#:
+#: ROUND-10 ROTATION (planned now, per VERDICT r8 directive #4):
+#: the 17 remaining never-checked names sit IMMEDIATELY AFTER the
+#: 50-name prefix in their round-10 order; at the start of round
+#: 10, delete the r9 block above them and they become the prefix
+#: head, followed by the oldest-green re-confirmation backfill
+#: (r1-green names from `ngram_jaccard_pairs` onward) which
+#: ``ordered_registry()`` appends in registration order.  Every
+#: staged name is green at sf0.001, sf0.01 AND the x10 synth sweep
+#: in self-run (SCALE.md §11; COVERAGE.md 310/310 HEAD sweep).
 _PRIORITY = [
-    # -- index / streaming / search contracts first (self-run only) ---
-    "ann_ivf_index_probe",        # persisted cell-partitioned ANN index + DPP probe
-    "ann_ivf_index_append_probe", # no-refit append + redelivery no-op, K1 posture
-    "stream_ivf_maintenance",     # foreachBatch IVF maintainer, anti-join idempotence
-    "stream_cms_maintenance",     # ledgered CMS fold, 2x-doubling contract
-    "stream_moments_maintenance", # ledgered exact-moments fold
-    "manifest_incremental_ingest",  # file-ledger only-new-files ingest
-    "keyword_search_topk",        # exact-integer TF-IDF lexical search (r8: distributed top-k)
-    "hybrid_search_rrf",          # lexical + semantic RRF fusion (r8: distributed top-k)
-    "cms_user_event_counts",      # count-min sketch as relational state
-    # -- dedup / retrieval / curation tier ----------------------------
-    "decontaminate_docs_bloom",   # blocked-bloom probe, exact-verified
-    "set_similarity_prefix_pairs",  # PPJoin prefix filter, exact-Jaccard scale path
-    "split_leakage_audit",        # cross-split near-dup contamination check
-    "golden_record_docs",         # per-field survivorship merge
-    "neardup_eval_simhash",       # dedup precision/recall harness
-    "ann_eval_recall_mrr",        # recall@10/MRR eval harness in ppm
-    "hard_negative_mining",       # cell-confined contrastive negatives
-    "knn_label_vote",             # cell-confined kNN majority vote
-    "margin_bitext_pairs",        # margin-scored bitext mining
-    "preference_pairs_mined",     # margin-gated DPO pair mining
-    "doc_topic_cells",            # feature-hash topic cells
-    "temperature_mix_docs",       # temperature-scaled source mixing
-    "weighted_sample_sources",    # A-ES weighted per-group sample
-    "negative_sample_parts",      # integer-CDF popularity-weighted negative sampling
-    "distribution_match_resample",  # thin corpus to a reference bin profile
-    "bigram_fluency_score",       # transition-level LM screen
-    "bpe_pair_merge_candidates",  # tokenizer-trainer inner statistic
-    # -- embeddings ---------------------------------------------------
-    "embedding_standardize",      # per-dim z-score, exact-integer cleared form
-    "embedding_mean_pool",        # integer-exact group profile vectors (r8: null-element fix)
-    # -- stats / eval / attribution tier ------------------------------
-    "equi_depth_price_bins",      # quantile binning without a global row sort
-    "mad_outlier_events",         # robust lower-median/MAD screen
-    "pareto_revenue_report",      # 80/20 concentration (r8: bucket-then-rank)
-    "trimmed_mean_price_brand",   # robust location, exact-integer cut
-    "poisson_bootstrap_revenue",  # 32-replicate distributed bootstrap
-    "purchase_attribution_linear",  # multi-touch credit split
-    "cusum_changepoint_revenue",  # n-scaled integer CUSUM screen
-    "weighted_percentiles_price",  # exact weighted P50/90/99, value-grain
-    "value_trend_slope",          # per-key OLS slope, closed form
-    "exact_auc_purchase_value",   # exact AUC via rank-sum, value-grain
-    "retention_labels_events",    # horizon-labeled retention cohorts
-    "calibration_bins_events",    # score-bin calibration table
-    "user_feature_snapshot",      # point-in-time feature assembly
-    "event_cooccurrence_lift",    # pairwise lift, explode-join-free
-    "prorate_order_totals",       # largest-remainder proration (r8: oracle alias fix)
-    # -- CDC / as-of / audits -----------------------------------------
-    "cdc_apply_orders",           # CDC apply with deletes, version wins
-    "nearest_view_to_purchase",   # bidirectional as-of, nearest either way
-    "referential_integrity_audit",  # FK orphan/null/distinct report
-    "pk_uniqueness_audit",        # PK half of constraint checking
-    "join_key_skew_audit",        # hot-key histogram + skew ratio
-    "zorder_layout_buckets",      # Morton keys + pruning-range audit
-    "shard_source_diversity",     # Gini-Simpson ppm per hash shard
-    # ---- 50-query driver prefix ends here ----
-    # -- staged for round 9: the 9 remaining never-checked round-7
-    # -- names (simple agg/window variants of already-verdicted
-    # -- shapes) and then the 58 round-8-new queries below — 67
-    # -- never-checked total, which is why round 8 essentially
-    # -- stopped adding at registry 300 (a late batch of 10 distinct
-    # -- shapes — expectation suite, l-diversity, TWAP, the
-    # -- stream-stream join's batch-equivalence contract, exact KS,
-    # -- CUPED planning stats, closed-form 2-feature OLS, the IVM
-    # -- join maintainer + its z-set retraction aggregate twin,
-    # -- watermark-bounded streaming dedup — closed it at 310):
-    # -- rounds 9 (50 slots) + 10 (17 + backfill) clear the debt,
-    # -- and every one of the 67 is already green at sf0.001,
-    # -- sf0.01 AND the ×10 synth sweep in self-run.
-    # -- After them, the oldest-green re-confirmation backfill
-    # -- continues (r1-green names from ngram_jaccard_pairs onward in
-    # -- registration order — ordered_registry() appends the rest of
-    # -- the registry in registration order automatically).
-    "session_path_topk",          # top session paths, sorted-struct agg
-    "embedding_centroid_drift",   # L1 centroid drift per label
-    "rfm_segmentation",           # equi-depth RFM quartile codes
-    "weekday_seasonality_revenue",  # integer-ppm seasonal index
-    "ohlc_daily_value",           # M4/OHLC downsampling bars
-    "rolling_7day_active_users",  # exact rolling-distinct WAU
-    "trending_event_types",       # rolling top-k leaderboard
-    "event_debounce_weekly",      # LAG-gap temporal dedup
-    "bpe_second_merge_candidates",  # trainer iteration 2 via broadcast merge
-    # -- round-8-new product/experimentation tier (oracle-green in
-    # -- self-run at sf0.001 + sf0.01 and in the ×10 sweep; first
-    # -- driver verdicts due round 9 after the 9 names above) --------
-    "markov_event_transitions",   # new r8: first-order transition matrix, ppm
-    "gini_revenue_customers",     # new r8: exact Gini via two-phase global rank
-    "chi_square_priority_status", # new r8: exact-integer chi-square screen
-    "ab_test_purchase_conversion",  # new r8: deterministic-arm two-proportion z
-    "stratified_split_sources",   # new r8: Hamilton-exact train/val/test split
-    "skyline_parts",              # new r8: value-grain staircase Pareto front
-    "ewma_daily_revenue",         # new r8: dyadic integer EWMA
-    "entropy_event_type_users",   # new r8: behavioral entropy ppm
-    "vocab_oov_rate",             # new r8: top-k vocab coverage audit
-    "dup_cluster_size_histogram", # new r8: dedup health report
-    "interpurchase_gap_stats",    # new r8: value-grain gap median/p90
-    "seasonal_adjusted_outlier_days",  # new r8: deseasonalized MAD screen
-    "percentile_rank_chars",      # new r8: CDF percentile-rank normalize
-    "stream_transition_maintenance",  # new r8: snapshot-versioned Markov maintainer
-    "forecast_eval_naive7",       # new r8: MAE/MAPE/MASE forecast scorecard
-    "benford_first_digit_audit",  # new r8: first-digit ppm audit
-    "triangle_count_copurchase",  # new r8: degree-oriented triangle census
-    "session_error_overlap",      # new r8: interval-overlap temporal join
-    "xls_datasource_roundtrip",   # new r8: PySpark-4 Python DataSource surface
-    "km_view_to_purchase_survival",  # new r8: exact integer-ppm Kaplan-Meier
-    "correlation_matrix_lineitem",  # new r8: one-aggregate pairwise Pearson matrix
-    "bm25_search_topk",           # new r8: exact-integer Okapi BM25
-    "phrase_search_docs",         # new r8: positional phrase search
-    "kappa_langid_agreement",     # new r8: exact-ppm Cohen's kappa eval
-    "js_divergence_source_halves",  # new r8: JS corpus-drift metric
-    "gains_table_activity_purchase",  # new r8: decile gains/lift report
-    "acf_daily_revenue",          # new r8: lag-1..14 exact-moment ACF
-    "psi_price_drift",            # new r8: PSI feature-drift deciles
-    "log2_histogram_order_values",  # new r8: exact log2-bucket histogram
-    "zipf_slope_tokens",          # new r8: Zipf OLS corpus diagnostic
-    "fano_factor_users",          # new r8: burstiness (var/mean) screen
-    "path_regex_sessions",        # new r8: MATCH_RECOGNIZE-shape path regex
-    "quality_classifier_inference",  # new r8: batch linear-model scoring
-    "holt_trend_daily_revenue",   # new r8: dyadic Holt level+trend fold
-    "k_anonymity_audit",          # new r8: quasi-identifier privacy gate
-    "abc_classification_parts",   # new r8: A/B/C cum-share labeling, two-phase rank
-    "bayes_avg_part_quantity",    # new r8: shrinkage (Bayesian average) ranking
-    "date_spine_fill_gaps",       # new r8: dense-calendar zero fill
-    "bootstrap_median_revenue",   # new r8: value-grain bootstrap median CI
-    "transition_latency_matrix",  # new r8: time twin of the Markov matrix
-    "hierarchy_share_report",     # new r8: two-level ratio-to-parent
-    "attribution_model_compare",  # new r8: first/last/linear side by side
-    "max_drawdown_daily_revenue", # new r8: running-peak drawdown
-    "growth_accounting_weekly",   # new r8: new/retained/resurrected decomposition
-    "order_total_reconciliation", # new r8: header-vs-lines money audit
-    "json_key_census",            # new r8: semi-structured schema monitor
-    "stickiness_daily",           # new r8: DAU/WAU engagement ppm
-    "dow_hour_value_p50",         # new r8: 7x24 exact-median heatmap
-    # -- late round-8 closers (distinct shapes, not count padding) ---
-    "expectation_suite_orders",   # new r8: deequ-style one-pass rule report
-    "l_diversity_audit",          # new r8: homogeneity-attack privacy gate
-    "time_weighted_value_user",   # new r8: exact-integer TWAP / LOCF mean
-    "stream_view_purchase_join",  # new r8: stream-stream join == batch oracle
-    "ks_two_sample_values",       # new r8: exact unbinned KS drift statistic
-    "cuped_theta_events",         # new r8: CUPED theta + variance-reduction ppm
-    "ols_price_qty_discount",     # new r8: closed-form 2-feature OLS, Cramer ppm
-    "ivm_join_maintenance",       # new r8: bilinear-delta join view, ledgered appends
-    "stream_dedup_within_watermark",  # new r8: bounded-state at-least-once dedup
-    "ivm_agg_with_retractions",   # new r8: z-set weighted aggregate, deletes ride algebra
+    # ---- ROUND-9 DRIVER PREFIX (50 names) ----------------------
+    "ivm_join_maintenance",    # bilinear-delta join view, ledgered appends
+    "ivm_agg_with_retractions", # z-set weighted aggregate, deletes ride algebra
+    "stream_dedup_within_watermark", # bounded-state at-least-once dedup
+    "stream_view_purchase_join", # stream-stream join == batch oracle
+    "stream_transition_maintenance", # snapshot-versioned Markov maintainer
+    "expectation_suite_orders", # deequ-style one-pass rule report
+    "xls_datasource_roundtrip", # PySpark-4 Python DataSource surface
+    "bm25_search_topk",        # exact-integer Okapi BM25, distributed top-k
+    "phrase_search_docs",      # positional phrase search
+    "quality_classifier_inference", # batch linear-model scoring, pure codegen
+    "ks_two_sample_values",    # exact unbinned KS drift statistic
+    "cuped_theta_events",      # CUPED theta + variance-reduction ppm
+    "ols_price_qty_discount",  # closed-form 2-feature OLS (r9: det==0 guard)
+    "ab_test_purchase_conversion", # deterministic-arm two-proportion z
+    "chi_square_priority_status", # exact-integer chi-square (r9: empty-cell mass)
+    "kappa_langid_agreement",  # exact-ppm Cohen's kappa eval
+    "correlation_matrix_lineitem", # one-aggregate pairwise Pearson matrix
+    "time_weighted_value_user", # exact-integer TWAP / LOCF mean
+    "markov_event_transitions", # first-order transition matrix, ppm
+    "transition_latency_matrix", # time twin of the Markov matrix
+    "gini_revenue_customers",  # exact Gini via two-phase global rank
+    "zipf_slope_tokens",       # Zipf OLS diagnostic (r9: two-phase vocab rank)
+    "abc_classification_parts", # A/B/C cum-share labeling, two-phase rank
+    "km_view_to_purchase_survival", # exact integer-ppm Kaplan-Meier (r9: int-cast contract)
+    "holt_trend_daily_revenue", # dyadic Holt level+trend fold
+    "acf_daily_revenue",       # lag-1..14 exact-moment ACF
+    "forecast_eval_naive7",    # MAE/MAPE/MASE forecast scorecard
+    "seasonal_adjusted_outlier_days", # deseasonalized MAD screen
+    "psi_price_drift",         # PSI feature-drift deciles
+    "js_divergence_source_halves", # JS corpus-drift metric
+    "gains_table_activity_purchase", # decile gains/lift report
+    "stratified_split_sources", # Hamilton-exact train/val/test split
+    "skyline_parts",           # value-grain staircase Pareto front
+    "triangle_count_copurchase", # degree-oriented triangle census
+    "session_error_overlap",   # interval-overlap temporal join
+    "bootstrap_median_revenue", # value-grain bootstrap median CI
+    "attribution_model_compare", # first/last/linear side by side
+    "growth_accounting_weekly", # new/retained/resurrected decomposition
+    "order_total_reconciliation", # header-vs-lines money audit
+    "json_key_census",         # semi-structured schema monitor
+    "k_anonymity_audit",       # quasi-identifier privacy gate
+    "l_diversity_audit",       # homogeneity-attack privacy gate
+    "path_regex_sessions",     # MATCH_RECOGNIZE-shape path regex
+    "session_path_topk",       # top session paths, sorted-struct agg
+    "embedding_centroid_drift", # L1 centroid drift per label
+    "rfm_segmentation",        # equi-depth RFM quartile codes
+    "rolling_7day_active_users", # exact rolling-distinct WAU
+    "trending_event_types",    # rolling top-k leaderboard
+    "event_debounce_weekly",   # LAG-gap temporal dedup
+    "bpe_second_merge_candidates", # trainer iteration 2 via broadcast merge
+    # ---- 50-query driver prefix ends here ----------------------
+    # ---- ROUND-10 STAGED (17 never-checked, lowest-stakes) -----
+    "percentile_rank_chars",   # CDF percentile-rank normalize
+    "log2_histogram_order_values", # exact log2-bucket histogram
+    "dow_hour_value_p50",      # 7x24 exact-median heatmap
+    "stickiness_daily",        # DAU/WAU engagement ppm
+    "ewma_daily_revenue",      # dyadic integer EWMA
+    "fano_factor_users",       # burstiness (var/mean) screen
+    "benford_first_digit_audit", # first-digit ppm audit
+    "date_spine_fill_gaps",    # dense-calendar zero fill
+    "max_drawdown_daily_revenue", # running-peak drawdown
+    "hierarchy_share_report",  # two-level ratio-to-parent
+    "bayes_avg_part_quantity", # shrinkage (Bayesian average) ranking
+    "entropy_event_type_users", # behavioral entropy ppm
+    "interpurchase_gap_stats", # value-grain gap median/p90
+    "vocab_oov_rate",          # top-k vocab coverage audit
+    "dup_cluster_size_histogram", # dedup health report
+    "weekday_seasonality_revenue", # integer-ppm seasonal index
+    "ohlc_daily_value",        # M4/OHLC downsampling bars
 ]
 
 

@@ -124,7 +124,11 @@ def gini_revenue_customers(spark, sf_dir):
     )
     SELECT CAST(MAX(t) AS BIGINT) AS n,
            CAST((MAX(ka)-1) * (MAX(kb)-1) AS BIGINT) AS dof,
-           CAST(SUM((o*t - r*c) * (o*t - r*c) * 1000000 // (t*r*c)) AS BIGINT)
+           -- observed-cell contributions + the expected mass of cells
+           -- ABSENT from the data: Σ_all r·c = N², so the o=0 cells
+           -- contribute ((N² − Σ_observed r·c)·10⁶) // N in ppm
+           CAST(SUM((o*t - r*c) * (o*t - r*c) * 1000000 // (t*r*c))
+                + (MAX(t)*MAX(t) - SUM(r*c)) * 1000000 // MAX(t) AS BIGINT)
              AS chi2_ppm
     FROM cells JOIN rows_ USING (a) JOIN cols_ USING (b) CROSS JOIN tot
     """,
@@ -133,9 +137,11 @@ def gini_revenue_customers(spark, sf_dir):
 def chi_square_priority_status(spark, sf_dir):
     """Pearson chi-square independence screen between order priority
     and order status, fully exact-integer: per-cell contribution
-    ``((o·N − r·c)²·10⁶) div (N·r·c)`` summed exactly — the
-    drift-monitor statistic (are two categoricals still independent?)
-    with no float anywhere. Contingency cells are vocabulary-grain."""
+    ``((o·N − r·c)²·10⁶) div (N·r·c)`` summed exactly, plus the
+    expected mass of empty cells (``((N²−S)·10⁶) div N`` with S the
+    r·c sum over observed cells) — the drift-monitor statistic (are
+    two categoricals still independent?) with no float anywhere.
+    Contingency cells are vocabulary-grain."""
     from etl_rj_spark.operators.stats import chi_square_independence
 
     o = _t(spark, sf_dir, "orders")
@@ -1833,13 +1839,18 @@ def zipf_slope_tokens(spark, sf_dir):
     or broken slope). Each (ln rank, ln freq) point rounds to int64
     micro-units BEFORE the moment sums, so the regression is
     exact-integer and aggregation-order-proof (`ols_slope_by_group`
-    machinery on one constant group). Rank is a vocabulary-grain
-    window."""
+    machinery on one constant group). The rank comes from the
+    two-phase range-bucketed ``global_rank_cumsum`` (VERDICT r8 #2):
+    a 100 TB web corpus has 10⁸–10⁹ distinct whitespace tokens, the
+    one "vocabulary" grain NOT bounded enough for an unpartitioned
+    ``row_number`` window — no WindowExec without a partition key
+    touches this plan (pinned in tests/test_plans.py)."""
     from etl_rj_spark.operators.stats import ols_slope_by_group
     from etl_rj_spark.operators.text_analysis import (
         normalized_text,
         whitespace_tokens,
     )
+    from etl_rj_spark.operators.windows import global_rank_cumsum
 
     d = _t(spark, sf_dir, "documents")
     freq = (
@@ -1847,10 +1858,10 @@ def zipf_slope_tokens(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), "term")
-    pts = freq.select(
+    ranked = global_rank_cumsum(freq, "n", ["term"], rank_col="__r", cum_col="__cum")
+    pts = ranked.select(
         F.lit(1).alias("__g"),
-        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        F.round(F.log(F.col("__r").cast("double")) * 1e6)
         .cast("long").alias("x"),
         F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long").alias("y"),
     )

@@ -608,8 +608,11 @@ def chi_square_independence(
     columns, fully exact-integer: per cell,
     ``contrib_ppm = ((o·N − r·c)² · 10⁶) div (N·r·c)`` (the identity
     ``(o−e)²/e = (o·N−r·c)²/(N·r·c)`` with e = r·c/N cleared of the
-    division), summed exactly — no float ever appears, so the
-    statistic is bit-identical across engines and partitionings.
+    division), summed exactly, PLUS the expected mass of the cells
+    absent from the data (o = 0 contributes e = r·c/N each; in
+    aggregate ``((N² − Σ_observed r·c)·10⁶) div N``) — no float ever
+    appears, so the statistic is bit-identical across engines and
+    partitionings.
     Output: one row (n, dof, chi2_ppm). The contingency table is
     |A|·|B| cells — a value-vocabulary grain, KB-sized after one
     map-side-combinable aggregate over the corpus.
@@ -633,14 +636,28 @@ def chi_square_independence(
             " * (cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
             " * 1000000 div (cast(__t as decimal(38,0)) * __r * __c) as decimal(38,0))"
         ).alias("__chi"),
+        F.expr(
+            "cast(cast(__r as decimal(38,0)) * __c as decimal(38,0))"
+        ).alias("__rc"),
         F.col("__t"), F.col("__ka"), F.col("__kb"),
     )
+    # Cells ABSENT from the data (o = 0) still carry expected mass
+    # (o−e)²/e = e = r·c/N each. groupBy only sees observed cells, so
+    # add the missing mass in one closed-form term: Σ_all r·c = N², so
+    # Σ_empty e = (N² − Σ_observed r·c)/N → ((N²−S)·10⁶) div N in ppm.
+    # An absent combination is precisely the dependence signal this
+    # screen exists to catch — without this term the statistic is
+    # understated whenever a cell is empty.
     return contrib.groupBy("__t", "__ka", "__kb").agg(
-        F.sum("__chi").alias("__sum")
+        F.sum("__chi").alias("__sum"),
+        F.sum("__rc").alias("__src"),
     ).select(
         F.col("__t").alias("n"),
         ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("bigint").alias("dof"),
-        F.col("__sum").cast("bigint").alias("chi2_ppm"),
+        F.expr(
+            "cast(__sum + (cast(__t as decimal(38,0)) * __t - __src)"
+            " * 1000000 div __t as bigint)"
+        ).alias("chi2_ppm"),
     )
 
 
@@ -836,12 +853,17 @@ def kaplan_meier(
     1-row ``aggregate`` — a bounded-grain step (distinct durations ≤
     the observation window in days), never a corpus-sized sort.
     Output: (t, n_at_risk, d_events, n_censored, survival_ppm),
-    ``event_col`` must be 0/1.
+    ``event_col`` must be 0/1. ``duration_col`` is an INT-valued
+    duration (days); it is cast to int here so a bigint- or
+    date-diff-typed input can't break the fold's declared
+    ``struct<t:int,...>`` accumulator element type with an
+    AnalysisException — durations beyond ±2³¹ days are out of
+    contract.
     """
     # materialize the vocabulary-grain table once: the total, the
     # at-risk window and the fold all reuse it — lazily each would
     # re-run the corpus aggregate
-    tab = df.groupBy(F.col(duration_col).alias("t")).agg(
+    tab = df.groupBy(F.col(duration_col).cast("int").alias("t")).agg(
         F.sum(F.col(event_col)).cast("long").alias("d"),
         F.sum(F.lit(1) - F.col(event_col)).cast("long").alias("c"),
     ).localCheckpoint()
@@ -1110,9 +1132,13 @@ def ols2_normal_equations(
     def _ppm(num: str) -> Column:
         # truncating signed ratio: both engines floor on the
         # non-negative magnitude, then re-apply the sign (compared via
-        # predicates, never num*det — that product overflows 10^38)
+        # predicates, never num*det — that product overflows 10^38).
+        # det == 0 (collinear or constant features) → NULL betas on
+        # every engine, never a divide-by-zero (ANSI mode/DuckDB error
+        # where non-ANSI Spark silently NULLs).
         return F.expr(
-            f"cast(case when (({num}) >= 0) = (det >= 0)"
+            f"cast(case when det = 0 then null"
+            f" when (({num}) >= 0) = (det >= 0)"
             f" then (abs({num}) * 1000000) div abs(det)"
             f" else -((abs({num}) * 1000000) div abs(det)) end as bigint)"
         )

@@ -377,6 +377,19 @@ def test_gini_windows_are_partitioned(spark, sf_dir):
         assert "__pid" in l, ("unpartitioned window in gini plan", l)
 
 
+def test_zipf_windows_are_partitioned(spark, sf_dir):
+    """VERDICT r8 #2: the token-vocabulary rank (10⁸–10⁹ distinct
+    tokens at 100 TB) must ride the two-phase range-bucket
+    `global_rank_cumsum` — every window in the zipf plan partitioned
+    by __pid, never one global `row_number` sort."""
+    df = REGISTRY["zipf_slope_tokens"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the per-bucket windows"
+    for l in win_lines:
+        assert "__pid" in l, ("unpartitioned window in zipf plan", l)
+
+
 def test_twap_single_exchange_reuse(spark, sf_dir):
     """time_weighted_value_user: the LEAD window and the per-user
     aggregate must share ONE hash exchange on user_id (the aggregate

@@ -184,6 +184,49 @@ def test_chi_square_perfect_independence_is_zero(spark):
     assert (r.n, r.dof, r.chi2_ppm) == (16, 1, 0)
 
 
+def test_chi_square_empty_cell_carries_expected_mass(spark):
+    """ADVICE r8: a category combination ABSENT from the data still
+    contributes (o−e)²/e = e; without it the statistic understates
+    exactly the dependence signal the screen exists to catch."""
+    from etl_rj_spark.operators.stats import chi_square_independence
+
+    # 2x2 with cell (b, y) empty: N=8, r_a=r_b=4, c_x=6, c_y=2
+    # chi2 = 1/3 + 1 + 1/3 + 1 = 8/3; per-cell ppm truncation:
+    # 333333 + 1000000 + 333333 (observed) + 1000000 (empty) = 2666666
+    rows = [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] * 4
+    df = spark.createDataFrame(rows, "p string, q string")
+    r = chi_square_independence(df, "p", "q").collect()[0]
+    assert (r.n, r.dof, r.chi2_ppm) == (8, 1, 2666666)
+
+
+def test_ols2_collinear_features_yield_null(spark):
+    """ADVICE r8: det == 0 (collinear/constant features) must produce
+    NULL betas on every engine, never a divide-by-zero."""
+    from etl_rj_spark.operators.stats import ols2_normal_equations
+
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3) for i in range(1, 6)], "y long, x1 long, x2 long"
+    )
+    r = ols2_normal_equations(
+        df, F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()[0]
+    assert r.n == 5
+    assert r.beta0_ppm is None and r.beta1_ppm is None and r.beta2_ppm is None
+
+
+def test_kaplan_meier_bigint_and_date_diff_durations(spark):
+    """ADVICE r8: a bigint-typed duration must not break the fold's
+    declared struct<t:int,...> accumulator element type — the operator
+    casts to int itself (documented contract: durations fit ±2³¹)."""
+    from etl_rj_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)], "t bigint, ev int"
+    )
+    rows = {r.t: r.survival_ppm for r in kaplan_meier(df, "t", "ev").collect()}
+    assert rows == {1: 800000, 2: 800000, 3: 533333, 4: 533333, 5: 533333}
+
+
 def test_stratified_split_exact_sizes_and_determinism(spark):
     from etl_rj_spark.operators.curation import stratified_split_exact
 
