@@ -934,6 +934,7 @@ def benford_first_digit_audit(spark, sf_dir):
            END AS global_cc_ppm
     FROM agg CROSS JOIN ne CROSS JOIN tri
     """,
+    bench=True,  # NEW bench row r9 (add, never replace): heaviest graph query
     tags=("graph", "triangles", "clustering-coefficient"),
 )
 def triangle_count_copurchase(spark, sf_dir):
@@ -1157,6 +1158,7 @@ def xls_datasource_roundtrip(spark, sf_dir):
            s AS survival_ppm
     FROM km
     """,
+    bench=True,  # NEW bench row r9 (add, never replace): events-wide window + fold
     tags=("survival", "kaplan-meier", "stats-exact"),
 )
 def km_view_to_purchase_survival(spark, sf_dir):
@@ -1310,6 +1312,7 @@ def correlation_matrix_lineitem(spark, sf_dir):
       FROM scored
     ) WHERE rank <= 15
     """,
+    bench=True,  # NEW bench row r9 (add, never replace): corpus-wide lexical scoring
     tags=("search", "bm25", "lexical"),
 )
 def bm25_search_topk(spark, sf_dir):
@@ -2338,6 +2341,7 @@ def date_spine_fill_gaps(spark, sf_dir):
              AS median_cents
     FROM cum GROUP BY replicate
     """,
+    bench=True,  # NEW bench row r9 (add, never replace): 12M-row map-side fan-out
     tags=("bootstrap", "median", "value-grain"),
 )
 def bootstrap_median_revenue(spark, sf_dir):

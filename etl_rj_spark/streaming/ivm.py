@@ -85,6 +85,29 @@ def _read_log(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def join_delta_view(
+    da: DataFrame,
+    db: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    key_a: str,
+    key_b: str,
+) -> DataFrame:
+    """The product-rule delta ΔV = ΔA ⋈ B_new ∪ A_old ⋈ ΔB as a lazy
+    plan — factored out of :func:`fold_join_delta` so its physical
+    shape is pinnable (tests/test_plans.py): both joins are
+    delta-vs-log, and because the deltas are micro-batch-sized (and
+    localCheckpointed, so their size statistics are exact) Spark
+    broadcasts the delta side against the accumulated log — no
+    log-side shuffle at any state size. A backfill-sized delta falls
+    back to a shuffle join by the same statistics, which is the right
+    call there too."""
+    b_new = b_old.unionByName(db)
+    return da.join(b_new, F.col(key_a) == F.col(key_b)).unionByName(
+        a_old.join(db, F.col(key_a) == F.col(key_b))
+    )
+
+
 def fold_join_delta(
     delta_a: DataFrame,
     delta_b: DataFrame,
@@ -108,10 +131,7 @@ def fold_join_delta(
 
     da = delta_a.localCheckpoint()
     db = delta_b.localCheckpoint()
-    b_new = b_old.unionByName(db)
-    dv = da.join(b_new, F.col(key_a) == F.col(key_b)).unionByName(
-        a_old.join(db, F.col(key_a) == F.col(key_b))
-    )
+    dv = join_delta_view(da, db, a_old, b_old, key_a, key_b)
 
     vdir = f"batch={int(batch_id)}"
     da.write.mode("overwrite").parquet(f"{root}/a/{vdir}")
