@@ -57,8 +57,11 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: the 17 remaining never-checked names sit IMMEDIATELY AFTER the
 #: 50-name prefix in their round-10 order; at the start of round
 #: 10, delete the r9 block above them and they become the prefix
-#: head, followed by the oldest-green re-confirmation backfill
-#: (r1-green names from `ngram_jaccard_pairs` onward) which
+#: head, followed by `poisson_bootstrap_revenue_xxh` (the single
+#: r9 registry addition — VERDICT r8 #7's production-fast-path
+#: contract flag, staged 18th below so it gets an r10 verdict)
+#: and then the oldest-green re-confirmation backfill (r1-green
+#: names from `ngram_jaccard_pairs` onward) which
 #: ``ordered_registry()`` appends in registration order.  Every
 #: staged name is green at sf0.001, sf0.01 AND the x10 synth sweep
 #: in self-run (SCALE.md §11; COVERAGE.md 310/310 HEAD sweep).
@@ -133,6 +136,7 @@ _PRIORITY = [
     "dup_cluster_size_histogram", # dedup health report
     "weekday_seasonality_revenue", # integer-ppm seasonal index
     "ohlc_daily_value",        # M4/OHLC downsampling bars
+    "poisson_bootstrap_revenue_xxh", # r9 addition: xxhash64 fast-path contract flag
 ]
 
 
