@@ -59,6 +59,8 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("driver-sweep")
+        # the scaled LSH queries OOM a default-1g driver in a full sweep
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     con = duck_connection(sf_dir)
