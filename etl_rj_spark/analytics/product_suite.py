@@ -857,11 +857,15 @@ _BENFORD_PPM = {
     exp_ AS (SELECT * FROM (VALUES
       {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())})
       AS t(digit, expected_ppm))
-    SELECT o.digit, o.n_d,
-           CAST((o.n_d * 1000000) // n.n AS BIGINT) AS observed_ppm,
+    -- LEFT join from the 9-row expected table: a digit that NEVER
+    -- occurs must still report (n_d 0, dev −expected) — dropping it
+    -- would hide exactly the anomaly this audit screens for
+    SELECT e.digit, COALESCE(o.n_d, 0) AS n_d,
+           CAST((COALESCE(o.n_d, 0) * 1000000) // n.n AS BIGINT) AS observed_ppm,
            CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-           CAST((o.n_d * 1000000) // n.n - e.expected_ppm AS BIGINT) AS dev_ppm
-    FROM obs o JOIN exp_ e USING (digit) CROSS JOIN n
+           CAST((COALESCE(o.n_d, 0) * 1000000) // n.n - e.expected_ppm AS BIGINT)
+             AS dev_ppm
+    FROM exp_ e LEFT JOIN obs o USING (digit) CROSS JOIN n
     """,
     tags=("audit", "benford", "data-quality"),
 )
@@ -871,7 +875,11 @@ def benford_first_digit_audit(spark, sf_dir):
     (the expected table is a 9-row literal, identical in engine and
     oracle) — the classic fabricated-data / broken-ETL screen. One
     scan-stage digit extraction into a 9-cell aggregate; the signed
-    deviation is a subtraction, never a division of a negative."""
+    deviation is a subtraction, never a division of a negative. The
+    report is LEFT-joined from the expected table so a digit that
+    never occurs still reports (n_d 0, dev −expected) — same empty-
+    cell principle as ``chi_square_independence``: the absent digit
+    IS the screen's signal (r9 fix, both engine and oracle)."""
     o = _t(spark, sf_dir, "orders")
     v = o.select(
         F.substring(
@@ -884,7 +892,8 @@ def benford_first_digit_audit(spark, sf_dir):
         list(_BENFORD_PPM.items()), "digit int, expected_ppm int"
     )
     return (
-        obs.join(F.broadcast(exp_), "digit")
+        exp_.join(obs, "digit", "left")
+        .withColumn("n_d", F.coalesce(F.col("n_d"), F.lit(0)))
         .join(F.broadcast(n))
         .select(
             "digit", "n_d",

@@ -199,6 +199,28 @@ def test_chi_square_empty_cell_carries_expected_mass(spark):
     assert (r.n, r.dof, r.chi2_ppm) == (8, 1, 2666666)
 
 
+def test_benford_reports_missing_digits(spark, tmp_path):
+    """r9 fix (same empty-cell class as chi-square): a first digit
+    that never occurs must still report (n_d 0, dev −expected) — the
+    inner join silently dropped exactly the anomaly rows."""
+    from etl_rj_spark.analytics import REGISTRY
+
+    df = spark.createDataFrame(
+        [(i, 100.00 + i) for i in range(20)],
+        "o_orderkey long, o_totalprice double",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.digit: (r.n_d, r.dev_ppm)
+        for r in REGISTRY["benford_first_digit_audit"]
+        .build(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 9
+    assert out[1][0] == 20            # every total starts with 1
+    for d in range(2, 10):
+        assert out[d][0] == 0 and out[d][1] < 0
+
+
 def test_ols2_collinear_features_yield_null(spark):
     """ADVICE r8: det == 0 (collinear/constant features) must produce
     NULL betas on every engine, never a divide-by-zero."""
