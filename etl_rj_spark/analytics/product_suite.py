@@ -81,7 +81,9 @@ def markov_event_transitions(spark, sf_dir):
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
-           CAST(((n+1)*s - 2*rs) * 1000000 // (n*s) AS BIGINT) AS gini_ppm
+           CAST(CASE WHEN n*s = 0 THEN NULL
+                ELSE ((n+1)*s - 2*rs) * 1000000 // (n*s) END AS BIGINT)
+             AS gini_ppm
     FROM agg
     """,
     bench=True,  # NEW bench row r8 (add, never replace): two-phase global rank
@@ -3142,8 +3144,9 @@ def stream_view_purchase_join(spark, sf_dir):
     n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
-           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2)
-             AS BIGINT) AS d_ppm
+           CAST(CASE WHEN n1 * n2 = 0 THEN NULL
+                     ELSE MAX(ABS(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2)
+                END AS BIGINT) AS d_ppm
     FROM cum CROSS JOIN n GROUP BY n1, n2
     """,
     tags=("stats-ks", "drift", "two-sample"),
@@ -3185,7 +3188,12 @@ def ks_two_sample_values(spark, sf_dir):
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
             F.col("__d").cast("bigint").alias("d_scaled"),
-            F.expr("cast((__d * 1000000) div (n1 * n2) as bigint)").alias("d_ppm"),
+            # an empty sample (n1 or n2 = 0) has no defined D:
+            # NULL, never an ANSI divide-by-zero
+            F.expr(
+                "cast(case when n1 * n2 = 0 then null else"
+                " (__d * 1000000) div (n1 * n2) end as bigint)"
+            ).alias("d_ppm"),
         )
     )
 
@@ -3211,9 +3219,11 @@ def ks_two_sample_values(spark, sf_dir):
       FROM m
     )
     SELECT CAST(n AS BIGINT) AS n_users,
-           CAST(CASE WHEN t >= 0 THEN (t * 1000000) // dd
+           CAST(CASE WHEN dd = 0 THEN NULL
+                     WHEN t >= 0 THEN (t * 1000000) // dd
                      ELSE -((-t * 1000000) // dd) END AS BIGINT) AS theta_ppm,
-           CAST((t * t * 1000000) // (dd * vy) AS BIGINT)
+           CAST(CASE WHEN dd * vy = 0 THEN NULL
+                     ELSE (t * t * 1000000) // (dd * vy) END AS BIGINT)
              AS var_reduction_ppm
     FROM d
     """,
@@ -3255,12 +3265,17 @@ def cuped_theta_events(spark, sf_dir):
     )
     return d.select(
         F.col("n").cast("bigint").alias("n_users"),
+        # a constant pre-period covariate (dd = 0) or constant post
+        # metric (vy = 0) leaves θ / ρ² undefined: NULL, never an
+        # ANSI divide-by-zero (same guard family as ols2's det)
         F.expr(
-            "cast(case when t >= 0 then (t * 1000000) div dd"
+            "cast(case when dd = 0 then null"
+            " when t >= 0 then (t * 1000000) div dd"
             " else -((-t * 1000000) div dd) end as bigint)"
         ).alias("theta_ppm"),
         F.expr(
-            "cast((t * t * 1000000) div (dd * vy) as bigint)"
+            "cast(case when dd * vy = 0 then null else"
+            " (t * t * 1000000) div (dd * vy) end as bigint)"
         ).alias("var_reduction_ppm"),
     )
 

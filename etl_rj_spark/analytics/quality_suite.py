@@ -675,9 +675,11 @@ def value_trend_slope(spark, sf_dir):
                           AND CURRENT ROW) - c AS before
       FROM per
     )
-    SELECT CAST(((SUM(p::HUGEINT * (2 * before + c + 1))
-                  - SUM(p::HUGEINT) * (SUM(p::HUGEINT) + 1)) * 1000000)
-                // (2 * SUM(p::HUGEINT) * SUM((c - p)::HUGEINT)) AS BIGINT)
+    SELECT CAST(CASE WHEN SUM(p::HUGEINT) * SUM((c - p)::HUGEINT) = 0 THEN NULL
+                ELSE ((SUM(p::HUGEINT * (2 * before + c + 1))
+                       - SUM(p::HUGEINT) * (SUM(p::HUGEINT) + 1)) * 1000000)
+                     // (2 * SUM(p::HUGEINT) * SUM((c - p)::HUGEINT))
+                END AS BIGINT)
              AS auc_ppm,
            CAST(SUM(p) AS BIGINT) AS n_pos,
            CAST(SUM(c - p) AS BIGINT) AS n_neg

@@ -256,9 +256,12 @@ def exact_auc(
             F.expr("cast(sum(__c - __p) as decimal(38,0))").alias("__nn"),
         )
         .select(
+            # single-class input (no positives or no negatives) has no
+            # defined AUC: NULL, never an ANSI divide-by-zero
             F.expr(
-                "cast(((__s2 - __np * (__np + 1)) * 1000000)"
-                " div (2 * __np * __nn) as bigint)"
+                "cast(case when __np * __nn = 0 then null else"
+                " ((__s2 - __np * (__np + 1)) * 1000000)"
+                " div (2 * __np * __nn) end as bigint)"
             ).alias("auc_ppm"),
             F.col("__np").cast("bigint").alias("n_pos"),
             F.col("__nn").cast("bigint").alias("n_neg"),
@@ -594,9 +597,12 @@ def gini_concentration(
     return agg.select(
         F.col("__n").alias("n"),
         F.col("__s").cast("bigint").alias("total"),
+        # an all-zero (or empty) value column has no defined
+        # concentration: NULL, never an ANSI divide-by-zero
         F.expr(
-            "cast((2 * ((__n + 1) * __s - __rs) - (__n + 1) * __s) * 1000000"
-            " div (__n * __s) as bigint)"
+            "cast(case when __n * __s = 0 then null else"
+            " (2 * ((__n + 1) * __s - __rs) - (__n + 1) * __s) * 1000000"
+            " div (__n * __s) end as bigint)"
         ).alias("gini_ppm"),
     )
 

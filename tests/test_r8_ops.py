@@ -249,6 +249,30 @@ def test_kaplan_meier_bigint_and_date_diff_durations(spark):
     assert rows == {1: 800000, 2: 800000, 3: 533333, 4: 533333, 5: 533333}
 
 
+def test_exact_auc_single_class_is_null(spark):
+    """r9 guard family: a single-class input (no positives or no
+    negatives) has no defined AUC — NULL, never an ANSI
+    divide-by-zero."""
+    from etl_rj_spark.operators.stats import exact_auc
+
+    allpos = spark.createDataFrame([(i, 1) for i in range(5)], "s long, y int")
+    r = exact_auc(allpos, "s", "y").collect()[0]
+    assert r.auc_ppm is None and (r.n_pos, r.n_neg) == (5, 0)
+    allneg = spark.createDataFrame([(i, 0) for i in range(5)], "s long, y int")
+    r = exact_auc(allneg, "s", "y").collect()[0]
+    assert r.auc_ppm is None and (r.n_pos, r.n_neg) == (0, 5)
+
+
+def test_gini_all_zero_values_is_null(spark):
+    """r9 guard family: an all-zero value column has no defined
+    concentration — NULL gini, never an ANSI divide-by-zero."""
+    from etl_rj_spark.operators.stats import gini_concentration
+
+    df = spark.createDataFrame([(i, 0) for i in range(7)], "k long, v long")
+    r = gini_concentration(df, "v", ["k"]).collect()[0]
+    assert r.gini_ppm is None and (r.n, r.total) == (7, 0)
+
+
 def test_stratified_split_exact_sizes_and_determinism(spark):
     from etl_rj_spark.operators.curation import stratified_split_exact
 
