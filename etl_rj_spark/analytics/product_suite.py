@@ -782,15 +782,24 @@ def stream_transition_maintenance(spark, sf_dir):
       SELECT ABS(a.c - b.c) AS e FROM daily a JOIN daily b ON b.d = a.d - 1
     ),
     agg7 AS (
+      -- zero-actual days contribute NULL (excluded from the MAPE sum,
+      -- still counted in n7) — MAPE's textbook failure mode guarded
       SELECT COUNT(*)::BIGINT AS n7, SUM(e::HUGEINT) AS se7,
-             SUM((e::HUGEINT * 1000000) // actual) AS mape_terms
+             SUM(CASE WHEN actual = 0 THEN NULL
+                 ELSE (e::HUGEINT * 1000000) // actual END) AS mape_terms
       FROM e7
     ),
     agg1 AS (SELECT COUNT(*)::BIGINT AS n1, SUM(e::HUGEINT) AS se1 FROM e1)
     SELECT n7,
-           CAST(se7 // n7 AS BIGINT) AS mae_cents,
-           CAST(mape_terms // n7 AS BIGINT) AS mape_ppm,
-           CAST((se7 * n1 * 1000000) // (se1 * n7) AS BIGINT) AS mase_ppm
+           CAST(CASE WHEN n7 = 0 THEN NULL ELSE se7 // n7 END AS BIGINT)
+             AS mae_cents,
+           CAST(CASE WHEN n7 = 0 THEN NULL ELSE mape_terms // n7 END AS BIGINT)
+             AS mape_ppm,
+           -- a CONSTANT daily series zeroes the naive-1 denominator:
+           -- MASE undefined, NULL on both engines
+           CAST(CASE WHEN se1 * n7 = 0 THEN NULL
+                ELSE (se7 * n1 * 1000000) // (se1 * n7) END AS BIGINT)
+             AS mase_ppm
     FROM agg7 CROSS JOIN agg1
     """,
     tags=("forecast-eval", "timeseries", "A3-generalized"),
@@ -818,8 +827,13 @@ def forecast_eval_naive7(spark, sf_dir):
     agg7 = e7.agg(
         F.count(F.lit(1)).alias("n7"),
         F.sum(F.col("e").cast("decimal(38,0)")).alias("__se7"),
+        # zero-actual days contribute NULL (excluded from the sum,
+        # still counted in n7) — MAPE's textbook failure mode guarded
         F.sum(
-            F.expr("(cast(e as decimal(38,0)) * 1000000) div actual")
+            F.expr(
+                "case when actual = 0 then null else"
+                " (cast(e as decimal(38,0)) * 1000000) div actual end"
+            )
         ).alias("__mt"),
     )
     agg1 = e1.agg(
@@ -828,10 +842,17 @@ def forecast_eval_naive7(spark, sf_dir):
     )
     return agg7.join(F.broadcast(agg1)).select(
         "n7",
-        F.expr("cast(__se7 div n7 as bigint)").alias("mae_cents"),
-        F.expr("cast(__mt div n7 as bigint)").alias("mape_ppm"),
         F.expr(
-            "cast((__se7 * n1 * 1000000) div (__se1 * n7) as bigint)"
+            "cast(case when n7 = 0 then null else __se7 div n7 end as bigint)"
+        ).alias("mae_cents"),
+        F.expr(
+            "cast(case when n7 = 0 then null else __mt div n7 end as bigint)"
+        ).alias("mape_ppm"),
+        # a CONSTANT daily series zeroes the naive-1 denominator:
+        # MASE undefined, NULL on both engines
+        F.expr(
+            "cast(case when __se1 * n7 = 0 then null else"
+            " (__se7 * n1 * 1000000) div (__se1 * n7) end as bigint)"
         ).alias("mase_ppm"),
     )
 
@@ -1533,9 +1554,15 @@ def js_divergence_source_halves(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
       FROM bins
     )
+    -- zero purchasers overall leaves capture/lift undefined:
+    -- NULL, never a divide-by-zero
     SELECT cb.decile, cb.n_users, cb.n_pos,
-           CAST((cb.cum_pos * 1000000) // n.p AS BIGINT) AS capture_ppm,
-           CAST((cb.n_pos * n.n * 1000000) // (cb.n_users * n.p) AS BIGINT)
+           CAST(CASE WHEN n.p = 0 THEN NULL
+                ELSE (cb.cum_pos * 1000000) // n.p END AS BIGINT)
+             AS capture_ppm,
+           CAST(CASE WHEN n.p = 0 THEN NULL
+                ELSE (cb.n_pos * n.n * 1000000) // (cb.n_users * n.p)
+                END AS BIGINT)
              AS lift_ppm
     FROM cb CROSS JOIN n
     """,
@@ -1584,10 +1611,16 @@ def gains_table_activity_purchase(spark, sf_dir):
         "__n", "__p",
     ).select(
         "decile", "n_users", "n_pos",
-        F.expr("cast((__cum_pos * 1000000) div __p as bigint)").alias("capture_ppm"),
+        # zero purchasers overall leaves capture/lift undefined:
+        # NULL, never an ANSI divide-by-zero
         F.expr(
-            "cast((cast(n_pos as decimal(38,0)) * __n * 1000000)"
-            " div (cast(n_users as decimal(38,0)) * __p) as bigint)"
+            "cast(case when __p = 0 then null else"
+            " (__cum_pos * 1000000) div __p end as bigint)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "cast(case when __p = 0 then null else"
+            " (cast(n_pos as decimal(38,0)) * __n * 1000000)"
+            " div (cast(n_users as decimal(38,0)) * __p) end as bigint)"
         ).alias("lift_ppm"),
     )
 
@@ -3310,16 +3343,21 @@ def cuped_theta_events(spark, sf_dir):
           + sy*(sx1*s12 - s11*sx2) AS det2
       FROM m
     )
+    -- det = 0 (collinear/constant features) -> NULL betas, mirroring
+    -- the engine's guard (ADVICE r8)
     SELECT CAST(n AS BIGINT) AS n,
-      CAST(CASE WHEN (det0 >= 0) = (det >= 0)
+      CAST(CASE WHEN det = 0 THEN NULL
+           WHEN (det0 >= 0) = (det >= 0)
            THEN (ABS(det0) * 1000000) // ABS(det)
            ELSE -((ABS(det0) * 1000000) // ABS(det)) END AS BIGINT)
         AS beta0_ppm,
-      CAST(CASE WHEN (det1 >= 0) = (det >= 0)
+      CAST(CASE WHEN det = 0 THEN NULL
+           WHEN (det1 >= 0) = (det >= 0)
            THEN (ABS(det1) * 1000000) // ABS(det)
            ELSE -((ABS(det1) * 1000000) // ABS(det)) END AS BIGINT)
         AS beta1_ppm,
-      CAST(CASE WHEN (det2 >= 0) = (det >= 0)
+      CAST(CASE WHEN det = 0 THEN NULL
+           WHEN (det2 >= 0) = (det >= 0)
            THEN (ABS(det2) * 1000000) // ABS(det)
            ELSE -((ABS(det2) * 1000000) // ABS(det)) END AS BIGINT)
         AS beta2_ppm
