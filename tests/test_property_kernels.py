@@ -371,3 +371,77 @@ def test_ivm_agg_random_fold_sequences_match_net_aggregate(spark, tmp_path_facto
         for r in serve_agg_view(spark, root, ["k"], schema).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_chi_square_matches_float_reference(spark, pairs):
+    """r9 property: the exact-integer chi-square (observed-cell terms
+    PLUS the empty-cell expected mass) tracks the float textbook
+    statistic within per-term ppm truncation error — one truncating
+    div per observed cell plus one for the aggregate missing-cell
+    term, so |chi2_ppm − float·10⁶| ≤ (#observed cells + 1)."""
+    from etl_rj_spark.operators.stats import chi_square_independence
+
+    df = spark.createDataFrame(pairs, "p string, q string")
+    r = chi_square_independence(df, "p", "q").collect()[0]
+
+    n = len(pairs)
+    from collections import Counter
+    cells = Counter(pairs)
+    rows = Counter(p for p, _ in pairs)
+    cols = Counter(q for _, q in pairs)
+    want = sum(
+        (o - rows[a] * cols[b] / n) ** 2 / (rows[a] * cols[b] / n)
+        for (a, b), o in cells.items()
+    ) + sum(
+        rows[a] * cols[b] / n
+        for a in rows for b in cols if (a, b) not in cells
+    )
+    ka, kb = len(rows), len(cols)
+    assert r.n == n and r.dof == (ka - 1) * (kb - 1)
+    assert abs(r.chi2_ppm - want * 1e6) <= len(cells) + 1 + 1e-6 * want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.booleans()),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_kaplan_meier_tracks_float_product(spark, subjects):
+    """r9 property: the integer-ppm KM recurrence tracks the float
+    product estimator stepwise — each step truncates at most 1 ppm
+    and later factors only shrink earlier error, so after k steps
+    |s_ppm − 10⁶·Π| ≤ k. Also re-exercises the int-cast duration
+    contract with bigint input."""
+    from etl_rj_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t, 1 if ev else 0) for t, ev in subjects], "t bigint, ev int"
+    )
+    got = {
+        r.t: (r.n_at_risk, r.d_events, r.survival_ppm)
+        for r in kaplan_meier(df, "t", "ev").collect()
+    }
+
+    from collections import Counter
+    d = Counter(t for t, ev in subjects if ev)
+    c = Counter(t for t, ev in subjects if not ev)
+    ts = sorted(set(d) | set(c))
+    at_risk = len(subjects)
+    prod = 1.0
+    for i, t in enumerate(ts):
+        prod *= (at_risk - d[t]) / at_risk
+        n, dd, s = got[t]
+        assert (n, dd) == (at_risk, d[t])
+        assert abs(s - 1e6 * prod) <= i + 1
+        at_risk -= d[t] + c[t]
