@@ -436,6 +436,39 @@ def test_zipf_windows_are_partitioned(spark, sf_dir):
         assert "__pid" in l, ("unpartitioned window in zipf plan", l)
 
 
+def test_interval_overlap_equi_join_not_nested_loop(spark, sf_dir):
+    """r9 bench/prefix family: the session × error-burst overlap join
+    must meet candidates on the bucket EQUI-join with the exact
+    overlap predicate as a residual — never a
+    BroadcastNestedLoopJoin/CartesianProduct theta join."""
+    df = REGISTRY["session_error_overlap"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian_and_wedge_joins(spark, sf_dir):
+    """New bench row r9: degree-oriented triangle counting is two
+    equi-joins over the oriented edge list (wedge enumeration +
+    closing-edge probe) — big-big SMJ/SHJ is the INTENDED strategy.
+    The ONLY nested-loop joins allowed are the two condition-less
+    1-row scalar combines at the end (n_edges/tri broadcast onto
+    wedge_total); no CartesianProduct, and the edge-sized joins are
+    equi."""
+    df = REGISTRY["triangle_count_copurchase"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    counts = explain_counts(df)
+    joins = (
+        counts["sort_merge_join"]
+        + counts["shuffled_hash_join"]
+        + counts["broadcast_hash_join"]
+    )
+    assert joins >= 2, counts
+
+
 def test_twap_single_exchange_reuse(spark, sf_dir):
     """time_weighted_value_user: the LEAD window and the per-user
     aggregate must share ONE hash exchange on user_id (the aggregate
