@@ -112,24 +112,34 @@ def gini_revenue_customers(spark, sf_dir):
 @_q(
     "chi_square_priority_status",
     """
-    WITH cells AS (
-      SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*)::HUGEINT AS o
-      FROM orders GROUP BY 1, 2
+    -- complete-case (NULL in either column drops the row from ALL
+    -- counts) and the split division identity
+    -- (A²·10⁶)//B = (A²//B)·10⁶ + ((A² % B)·10⁶)//B, both mirroring
+    -- the engine (r9 review fix: NULL keys / HUGEINT overflow)
+    WITH base AS (
+      SELECT o_orderpriority AS pa, o_orderstatus AS pb FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
     ),
-    rows_ AS (SELECT o_orderpriority AS a, COUNT(*)::HUGEINT AS r FROM orders GROUP BY 1),
-    cols_ AS (SELECT o_orderstatus AS b, COUNT(*)::HUGEINT AS c FROM orders GROUP BY 1),
+    cells AS (
+      SELECT pa AS a, pb AS b, COUNT(*)::HUGEINT AS o
+      FROM base GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT pa AS a, COUNT(*)::HUGEINT AS r FROM base GROUP BY 1),
+    cols_ AS (SELECT pb AS b, COUNT(*)::HUGEINT AS c FROM base GROUP BY 1),
     tot AS (
       SELECT COUNT(*)::HUGEINT AS t,
-             COUNT(DISTINCT o_orderpriority)::BIGINT AS ka,
-             COUNT(DISTINCT o_orderstatus)::BIGINT AS kb
-      FROM orders
+             COUNT(DISTINCT pa)::BIGINT AS ka,
+             COUNT(DISTINCT pb)::BIGINT AS kb
+      FROM base
     )
     SELECT CAST(MAX(t) AS BIGINT) AS n,
            CAST((MAX(ka)-1) * (MAX(kb)-1) AS BIGINT) AS dof,
            -- observed-cell contributions + the expected mass of cells
            -- ABSENT from the data: Σ_all r·c = N², so the o=0 cells
            -- contribute ((N² − Σ_observed r·c)·10⁶) // N in ppm
-           CAST(SUM((o*t - r*c) * (o*t - r*c) * 1000000 // (t*r*c))
+           CAST(SUM(((o*t - r*c) * (o*t - r*c) // (t*r*c)) * 1000000
+                    + (((o*t - r*c) * (o*t - r*c)) % (t*r*c)) * 1000000
+                      // (t*r*c))
                 + (MAX(t)*MAX(t) - SUM(r*c)) * 1000000 // MAX(t) AS BIGINT)
              AS chi2_ppm
     FROM cells JOIN rows_ USING (a) JOIN cols_ USING (b) CROSS JOIN tot
@@ -883,10 +893,16 @@ _BENFORD_PPM = {
     -- LEFT join from the 9-row expected table: a digit that NEVER
     -- occurs must still report (n_d 0, dev −expected) — dropping it
     -- would hide exactly the anomaly this audit screens for
+    -- an EMPTY input keeps the 9-row report with NULL ppm columns
+    -- (the LEFT-join rows now exist, so n = 0 must not divide)
     SELECT e.digit, COALESCE(o.n_d, 0) AS n_d,
-           CAST((COALESCE(o.n_d, 0) * 1000000) // n.n AS BIGINT) AS observed_ppm,
+           CAST(CASE WHEN n.n = 0 THEN NULL
+                ELSE (COALESCE(o.n_d, 0) * 1000000) // n.n END AS BIGINT)
+             AS observed_ppm,
            CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-           CAST((COALESCE(o.n_d, 0) * 1000000) // n.n - e.expected_ppm AS BIGINT)
+           CAST(CASE WHEN n.n = 0 THEN NULL
+                ELSE (COALESCE(o.n_d, 0) * 1000000) // n.n - e.expected_ppm
+                END AS BIGINT)
              AS dev_ppm
     FROM exp_ e LEFT JOIN obs o USING (digit) CROSS JOIN n
     """,
@@ -920,10 +936,17 @@ def benford_first_digit_audit(spark, sf_dir):
         .join(F.broadcast(n))
         .select(
             "digit", "n_d",
-            F.expr("(n_d * 1000000) div __n").alias("observed_ppm"),
+            # an EMPTY input keeps the 9-row report with NULL ppm
+            # columns (the LEFT-join rows exist, so __n = 0 must not
+            # divide under ANSI)
+            F.expr(
+                "case when __n = 0 then null else"
+                " (n_d * 1000000) div __n end"
+            ).alias("observed_ppm"),
             F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
             F.expr(
-                "(n_d * 1000000) div __n - expected_ppm"
+                "case when __n = 0 then null else"
+                " (n_d * 1000000) div __n - expected_ppm end"
             ).cast("bigint").alias("dev_ppm"),
         )
     )

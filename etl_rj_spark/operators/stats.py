@@ -622,7 +622,18 @@ def chi_square_independence(
     Output: one row (n, dof, chi2_ppm). The contingency table is
     |A|·|B| cells — a value-vocabulary grain, KB-sized after one
     map-side-combinable aggregate over the corpus.
+
+    COMPLETE-CASE: rows with a NULL in either column are dropped
+    before ALL counts (r9 review fix — NULL keys never match the
+    marginal equi-joins, so keeping them in N while losing their
+    cells would inject phantom empty-cell mass into the statistic).
+    The per-cell division uses the split identity
+    ``(A²·10⁶) div B = (A² div B)·10⁶ + ((A² mod B)·10⁶) div B`` so
+    the largest intermediate is A² ≤ N⁴ ≈ 5·10³⁶ at N = 1.5·10⁹ —
+    inside decimal(38,0)/HUGEINT, where the naive A²·10⁶ overflows
+    both engines at that scale.
     """
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     rows = df.groupBy(col_a).agg(F.count(F.lit(1)).alias("__r"))
     cols = df.groupBy(col_b).agg(F.count(F.lit(1)).alias("__c"))
@@ -636,11 +647,15 @@ def chi_square_independence(
         .join(F.broadcast(cols), col_b)
         .join(F.broadcast(tot))
     )
+    a2 = (
+        "(cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
+        " * (cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
+    )
+    b = "(cast(__t as decimal(38,0)) * __r * __c)"
     contrib = joined.select(
         F.expr(
-            "cast((cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
-            " * (cast(__o as decimal(38,0)) * __t - cast(__r as decimal(38,0)) * __c)"
-            " * 1000000 div (cast(__t as decimal(38,0)) * __r * __c) as decimal(38,0))"
+            f"cast(({a2} div {b}) * 1000000"
+            f" + (({a2} % {b}) * 1000000) div {b} as decimal(38,0))"
         ).alias("__chi"),
         F.expr(
             "cast(cast(__r as decimal(38,0)) * __c as decimal(38,0))"

@@ -40,6 +40,10 @@ def main() -> int:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: driver_sweep.py [sf_dir] [--out FILE] [name ...]",
+                  file=sys.stderr)
+            return 2
         out_path = args[i + 1]
         del args[i:i + 2]
     sf_dir = "/root/testdata/sf0.01"

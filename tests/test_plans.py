@@ -434,6 +434,12 @@ def test_zipf_windows_are_partitioned(spark, sf_dir):
     assert win_lines, "expected the per-bucket windows"
     for l in win_lines:
         assert "__pid" in l, ("unpartitioned window in zipf plan", l)
+    # zipf consumes only the rank: Catalyst must prune the unused
+    # running-sum machinery (cum window + offset sums) entirely
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__lcum" not in opt and "__off_s" not in opt, (
+        "unused cumsum not pruned from zipf plan"
+    )
 
 
 def test_interval_overlap_equi_join_not_nested_loop(spark, sf_dir):

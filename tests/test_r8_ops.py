@@ -249,6 +249,43 @@ def test_kaplan_meier_bigint_and_date_diff_durations(spark):
     assert rows == {1: 800000, 2: 800000, 3: 533333, 4: 533333, 5: 533333}
 
 
+def test_chi_square_null_categories_are_complete_case(spark):
+    """r9 review fix: NULL keys never match the marginal equi-joins,
+    so keeping them in N while losing their cells injected phantom
+    empty-cell mass — rows with a NULL in either column must drop
+    from ALL counts (complete-case), making the NULL-bearing input
+    equal the NULL-free one."""
+    from etl_rj_spark.operators.stats import chi_square_independence
+
+    clean = [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] * 4
+    noisy = clean + [(None, "x")] * 5 + [("a", None)] * 3 + [(None, None)]
+    r_clean = chi_square_independence(
+        spark.createDataFrame(clean, "p string, q string"), "p", "q"
+    ).collect()[0]
+    r_noisy = chi_square_independence(
+        spark.createDataFrame(noisy, "p string, q string"), "p", "q"
+    ).collect()[0]
+    assert tuple(r_clean) == tuple(r_noisy)
+    assert (r_clean.n, r_clean.dof, r_clean.chi2_ppm) == (8, 1, 2666666)
+
+
+def test_benford_empty_input_keeps_nine_null_rows(spark, tmp_path):
+    """r9 review fix: with the LEFT join the 9 expected rows exist
+    even for an empty input, so the total must not divide — NULL ppm
+    columns, never an ANSI divide-by-zero."""
+    from etl_rj_spark.analytics import REGISTRY
+
+    spark.createDataFrame(
+        [], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = REGISTRY["benford_first_digit_audit"].build(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert r.n_d == 0 and r.observed_ppm is None and r.dev_ppm is None
+
+
 def test_exact_auc_single_class_is_null(spark):
     """r9 guard family: a single-class input (no positives or no
     negatives) has no defined AUC — NULL, never an ANSI
