@@ -152,13 +152,17 @@ def stream_enrich_with_dim(
     posture a long-running stream needs. (A static DataFrame captured
     at stream definition would pin the dim's file listing instead;
     the explicit per-batch read makes the refresh contract visible
-    and testable.)"""
+    and testable.) Each batch writes its own ``batch=<id>`` directory
+    with overwrite, so a batch redelivered after a crash between the
+    write and the checkpoint commit REWRITES its deterministic output
+    instead of appending duplicates (K1 posture, same as the ledgered
+    sinks); readers scan ``out_path`` as one partitioned table."""
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         dim = batch_df.sparkSession.read.parquet(dim_path)
-        batch_df.join(F.broadcast(dim), key, "left").write.mode("append").parquet(
-            out_path
-        )
+        batch_df.join(F.broadcast(dim), key, "left").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={int(batch_id)}")
 
     return (
         stream.writeStream.foreachBatch(enrich)

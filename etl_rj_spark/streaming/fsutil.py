@@ -1,0 +1,50 @@
+"""Path-scheme-aware Hadoop-FS helpers shared by the streaming state
+maintainers.
+
+``FileSystem.get(conf)`` resolves the DEFAULT filesystem, which throws
+``IllegalArgumentException: Wrong FS`` the moment a state root lives on
+a different scheme (an ``s3a://`` ledger under an ``hdfs://`` default,
+or ``file://`` locally) — fatal to the 100 TB object-store posture the
+ledgered sinks document. Every probe here resolves the filesystem FROM
+the path instead (the house pattern: ``sketches._table_exists``,
+``operators/scd.py``, ``sources/manifest.py``, the parquet sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_path_fs(spark: SparkSession, path_str: str):
+    """Return ``(fs, path)`` for ``path_str`` with the filesystem
+    resolved from the path's own scheme (never the default FS)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(conf), path
+
+
+def path_exists(spark: SparkSession, path_str: str) -> bool:
+    """Explicit existence probe — the alternative, a broad
+    ``except AnalysisException`` around a read, also swallows REAL
+    analysis errors (schema drift, a renamed key column) and silently
+    converts them into 'table does not exist yet'."""
+    fs, path = hadoop_path_fs(spark, path_str)
+    return fs.exists(path)
+
+
+def committed_batch_ids(spark: SparkSession, ledger_dir: str) -> list[int]:
+    """Sorted ``batch=<id>`` ids present under a ledger directory
+    (metadata-only listing; missing dir → empty)."""
+    fs, path = hadoop_path_fs(spark, ledger_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                out.append(int(name[6:]))
+            except ValueError:
+                continue
+    return sorted(out)

@@ -23,7 +23,6 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
 from etl_rj_spark.operators.dedup import anti_join_new_rows
 
@@ -42,10 +41,17 @@ def stream_incremental_append(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates(keys)
-        try:
-            existing = spark.read.parquet(target_path).select(*keys)
-        except AnalysisException:
-            existing = None  # first batch: target doesn't exist yet
+        # explicit existence probe, NOT `except AnalysisException`: a
+        # broad catch would also swallow real analysis errors (schema
+        # drift, a renamed key column) and silently disable the
+        # anti-join dedup this sink's idempotence depends on
+        from etl_rj_spark.streaming.fsutil import path_exists
+
+        existing = (
+            spark.read.parquet(target_path).select(*keys)
+            if path_exists(spark, target_path)
+            else None  # first batch: target doesn't exist yet
+        )
         if existing is not None:
             if prune_existing is not None:
                 existing = prune_existing(existing)

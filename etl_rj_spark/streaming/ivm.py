@@ -49,26 +49,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _fs(spark: SparkSession):
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
-
-
 def _committed(spark: SparkSession, root: str, ledger: str) -> list[int]:
-    fs, jvm = _fs(spark)
-    path = jvm.org.apache.hadoop.fs.Path(f"{root}/{ledger}")
-    if not fs.exists(path):
-        return []
-    out = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if name.startswith("batch="):
-            try:
-                out.append(int(name[6:]))
-            except ValueError:
-                continue
-    return sorted(out)
+    # scheme-aware: FileSystem.get(conf) would resolve the DEFAULT
+    # filesystem and throw 'Wrong FS' on an s3a:// state root
+    from etl_rj_spark.streaming.fsutil import committed_batch_ids
+
+    return committed_batch_ids(spark, f"{root}/{ledger}")
 
 
 def committed_batches(spark: SparkSession, root: str) -> list[int]:
@@ -178,9 +164,12 @@ def fold_agg_delta(
     done = _committed(spark, root, "aggledger")
     if int(batch_id) in done:
         return
+    # cast BEFORE the product/sum: w·value in native int64 silently
+    # wraps on overflow (non-ANSI) — the exact z-set claim needs the
+    # whole accumulation in decimal(38,0) (same rule as moments.py)
     part = delta.groupBy(*key_cols).agg(
         F.sum(F.col(weight_col)).cast("bigint").alias("__w"),
-        F.sum(F.col(weight_col) * F.col(value_col))
+        F.sum(F.col(weight_col).cast("decimal(38,0)") * F.col(value_col))
         .cast("decimal(38,0)").alias("__s"),
     )
     vdir = f"batch={int(batch_id)}"
@@ -194,7 +183,12 @@ def serve_agg_view(
     spark: SparkSession, root: str, key_cols: list[str], schema
 ) -> DataFrame:
     """Merge committed per-batch partials into the current aggregate:
-    (keys, n = Σw, total = Σw·value), keys with net weight 0 dropped."""
+    (keys, n = Σw, total = Σw·value), keys with net weight 0 dropped.
+    The served ``total`` is int64 by CONTRACT (values are cents-scale;
+    a per-key net total near 9.2·10¹⁸ is out of contract) — the
+    accumulation itself is decimal(38,0), so the ledger never wraps
+    even when intermediate partials are huge; under ANSI mode an
+    out-of-contract serve fails loudly at this cast."""
     ids = _committed(spark, root, "aggledger")
     log = _read_log(spark, root, "agg", ids, schema)
     return (

@@ -21,7 +21,7 @@ re-scanning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -457,7 +457,12 @@ def cms_estimate(
     """Point-query the sketch for each probe key: the estimate is the
     MIN counter over the key's ``depth`` cells (missing cells → 0).
     Returns the probe frame plus ``est_n``. The sketch side is KB-sized
-    — broadcast — so probing any number of keys is map-side."""
+    — broadcast — so probing any number of keys is map-side.
+
+    Probe contract: ``probes`` rows must be DISTINCT tuples (the
+    output groups by all probe columns, so duplicate probe rows
+    collapse to one row) and must not already contain columns named
+    ``row``/``col``/``counter``/``__c``/``est_n`` (sketch internals)."""
     fan = probes.withColumn(
         "row", F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
     ).withColumn("col", _cms_col(F.col(key_col), F.col("row"), width))

@@ -40,20 +40,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 _PAIRS_SCHEMA = "prev_state string, state string, n bigint"
-_LAST_SCHEMA = "entity long, last_ts timestamp, last_tb long, last_state string"
-
-
-def _fs(spark: SparkSession):
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
-
-
 def latest_version(spark: SparkSession, root: str) -> int | None:
     """Largest committed snapshot version under ``root`` (those whose
-    ``commit`` marker exists), or None. Metadata-only listing."""
-    fs, jvm = _fs(spark)
-    path = jvm.org.apache.hadoop.fs.Path(root)
+    ``commit`` marker exists), or None. Metadata-only listing,
+    scheme-aware (``FileSystem.get`` would 'Wrong FS' on an s3a://
+    root under a different default filesystem)."""
+    from etl_rj_spark.streaming.fsutil import hadoop_path_fs, path_exists
+
+    fs, path = hadoop_path_fs(spark, root)
     if not fs.exists(path):
         return None
     best = None
@@ -65,7 +59,7 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
             v = int(name[2:])
         except ValueError:
             continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/commit")):
+        if path_exists(spark, f"{root}/{name}/commit"):
             best = v if best is None or v > best else best
     return best
 
