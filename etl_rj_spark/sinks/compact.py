@@ -37,5 +37,13 @@ def compact_partition(
         fs.delete(tmp, True)
         raise RuntimeError(f"compaction row-count mismatch: {rewritten} != {n}")
     fs.delete(src, True)
-    fs.rename(tmp, src)
+    # Hadoop FileSystem.rename reports most failures by returning
+    # false, not raising — an unchecked false here would silently lose
+    # the partition (src deleted, rewrite stranded in the dot-dir that
+    # every scan ignores)
+    if not fs.rename(tmp, src):
+        raise RuntimeError(
+            f"compaction swap failed: rename({tmp}, {src}) returned false — "
+            f"rewritten data stranded in {tmp}, live partition deleted"
+        )
     return n

@@ -26,11 +26,11 @@ from etl_rj_spark.operators.dedup import anti_join_new_rows
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence check via the Hadoop FS API (works
-    for local, HDFS, s3a — wherever the sink lives)."""
-    sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    for local, HDFS, s3a — wherever the sink lives). Thin alias over
+    the shared scheme-aware helper."""
+    from etl_rj_spark.streaming.fsutil import path_exists
+
+    return path_exists(spark, path)
 
 
 def append_incremental(
@@ -48,13 +48,16 @@ def append_incremental(
         new = anti_join_new_rows(df, existing, keys, on_null_key=on_null_key)
     else:
         new = df
-    new = new.cache()
-    try:
-        inserted = new.count()
-        if inserted:
-            new.write.mode("append").parquet(path)
-    finally:
-        new.unpersist()
+    # localCheckpoint, not cache(): `new`'s lineage READS the same path
+    # this function appends to. Cached blocks are not durable — a lost
+    # executor would recompute from lineage mid-write, re-scanning a
+    # path that now contains partially-appended files, so the anti-join
+    # would re-evaluate against a moving target and silently drop rows.
+    # The checkpoint truly severs the lineage before the write starts.
+    new = new.localCheckpoint()
+    inserted = new.count()
+    if inserted:
+        new.write.mode("append").parquet(path)
     return inserted
 
 

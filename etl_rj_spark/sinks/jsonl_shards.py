@@ -39,10 +39,43 @@ def write_jsonl_shards(
         if not num_shards:
             raise ValueError("shard_by requires num_shards")
         shard = F.pmod(F.xxhash64(F.col(shard_by)), F.lit(num_shards))
+        # Route each xxhash bucket to ITS OWN output partition. A bare
+        # repartition(n, "__shard") applies the hash-partitioner's
+        # murmur3 to the bucket id, which is NOT a bijection on
+        # {0..n-1}: two buckets routinely share one part file while
+        # others come out empty, breaking the one-bucket-per-shard-file
+        # contract. The partitioner's exact function is
+        # pmod(murmur3_hash(cols), n) (= F.hash), so find for every
+        # bucket b a representative long v_b with pmod(hash(v_b), n)
+        # == b and repartition on v_b — the partition index then
+        # EQUALS the xxhash bucket.
+        spark = df.sparkSession
+        reps: dict[int, int] = {}
+        lo = 0
+        while len(reps) < num_shards:
+            for r in (
+                spark.range(lo, lo + 64 * num_shards)
+                .select("id", F.pmod(F.hash("id"), F.lit(num_shards)).alias("b"))
+                .collect()
+            ):
+                reps.setdefault(r.b, r.id)
+            lo += 64 * num_shards
+            if lo > 1_000_000 * num_shards:  # pragma: no cover - guard
+                raise RuntimeError("could not find shard representatives")
+        from itertools import chain
+
+        mapping = F.create_map(
+            *[F.lit(x) for x in chain.from_iterable(reps.items())]
+        )
         out = (
             out.withColumn("__shard", shard)
-            .repartition(num_shards, "__shard")
-            .drop("__shard")
+            # cast matters: the representatives were probed as LONGs
+            # (spark.range) and murmur3 differs by physical width — an
+            # int-typed route would hash differently and re-break the
+            # bijection
+            .withColumn("__route", mapping[F.col("__shard")].cast("long"))
+            .repartition(num_shards, "__route")
+            .drop("__shard", "__route")
         )
     elif num_shards:
         out = out.repartition(num_shards)

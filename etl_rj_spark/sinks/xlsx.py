@@ -69,7 +69,18 @@ def _cell_xml(ref: str, v) -> str:
         return ""
     if isinstance(v, str):
         return f'<c r="{ref}" t="inlineStr"><is><t>{escape(_xml_clean(v))}</t></is></c>'
-    return f'<c r="{ref}"><v>{v}</v></c>'
+    # bool is an int subclass — test it FIRST; a numeric <v>True</v>
+    # cell is invalid OPC content (Excel repairs the workbook)
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # NaN/±inf have no xlsx numeric representation: inline string
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+    if isinstance(v, (int, float)):
+        return f'<c r="{ref}"><v>{v}</v></c>'
+    # datetimes / Decimals / anything else: write the string form —
+    # a repr inside a numeric <v> cell would corrupt the workbook
+    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(_xml_clean(str(v)))}</t></is></c>'
 
 
 def write_xlsx(path: str, tables: list[tuple[str, list[list]]]) -> str:

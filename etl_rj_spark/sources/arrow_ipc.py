@@ -94,6 +94,14 @@ def write_arrow_files(
     the manifest (file, n_rows), already materialized. Partition count
     = file count: ``repartition`` first to choose the shard layout.
 
+    SHARED-FILESYSTEM CONTRACT: the shards are written with
+    executor-local ``os`` file APIs inside mapInPandas (Arrow IPC has
+    no Hadoop-FS writer), so ``path`` must be a mount every executor
+    AND the driver see (local mode, NFS, a fuse-mounted object store).
+    On a non-shared-disk cluster the files would land on executor-local
+    disks and vanish at container teardown — use the parquet/ORC sinks
+    there instead.
+
     Commit protocol (the side effect must happen exactly once, however
     the caller or the scheduler behaves):
 

@@ -58,7 +58,22 @@ def read_key_projection(
     where = f" WHERE {predicate}" if predicate else ""
     projection = f"SELECT {', '.join(keys)} FROM {table}{where}"
     reader = spark.read.format("jdbc").option("url", url).options(**(properties or {}))
-    if num_partitions and partition_column is not None:
+    wants_fanout = bool(num_partitions) or partition_column is not None
+    if wants_fanout:
+        # fail loudly on a half-specified fan-out: a None bound would
+        # reach the JVM as an opaque NPE, and a partition_column with
+        # no num_partitions would silently fall back to ONE cursor —
+        # the caller asked for a parallel read and must get one
+        if not (num_partitions and partition_column is not None):
+            raise ValueError(
+                "partitioned JDBC read needs BOTH num_partitions and "
+                "partition_column"
+            )
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound and upper_bound "
+                f"(got {lower_bound!r}, {upper_bound!r})"
+            )
         # Spark rejects query+partitionColumn together — the fanned-out
         # read must ship the projection as a dbtable subquery alias
         # (each of the numPartitions cursors appends its own bound

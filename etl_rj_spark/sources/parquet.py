@@ -15,6 +15,13 @@ engine does the same at the source boundary):
   as long nanos; convert by integer ``div 1000`` (truncation), matching
   what DuckDB does when it narrows ns → µs — the two engines then agree
   bit-for-bit on every timestamp.
+
+``nanosAsLong`` is deliberately set SESSION-WIDE (not set-and-restore):
+the returned DataFrame is lazy, so the flag must still hold whenever a
+downstream action finally executes the scan — a restore on return
+would make later evaluations fail with PARQUET_TYPE_ILLEGAL. This is
+the documented mechanism that lets the driver's VANILLA session read
+the nanos-encoded events table (see .claude/skills/verify).
 """
 
 from __future__ import annotations
@@ -43,12 +50,58 @@ def normalize_timestamps(
     return df
 
 
+def _footer_declares_nanos(path: str, col: str) -> bool | None:
+    """Probe one local parquet footer: True/False if ``col``'s logical
+    type is/isn't TIMESTAMP(NANOS); None when no local footer can be
+    read (object-store path, empty dir) — caller falls back to the
+    documented name-based default. The footer is the ONLY place the
+    nanos encoding is still visible once ``nanosAsLong`` has already
+    turned the Spark-side type into a plain long."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(path):
+        candidates = [path]
+    elif os.path.isdir(path):
+        candidates = sorted(_glob.glob(os.path.join(path, "*.parquet")))[:1]
+    else:
+        return None
+    if not candidates:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(candidates[0]).field(col).type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:  # missing col, unreadable footer → can't say
+        return None
+
+
 def read_parquet_table(
     spark: SparkSession,
     path: str,
     ns_timestamp_cols: Sequence[str] = ("ts",),
 ) -> DataFrame:
     """Read a parquet table with all timestamp encodings normalized to
-    TimestampType (see module docstring)."""
+    TimestampType (see module docstring).
+
+    A named ns column that comes back LongType is AMBIGUOUS — genuine
+    longs (epoch-millis, counters) are schema-identical to
+    nanos-as-long. Where a local footer is readable the logical type
+    disambiguates (a genuine long column named ``ts`` passes through
+    untouched instead of being silently mangled into ~1970
+    timestamps); where it isn't (object store), the name-based default
+    stands as the documented contract — pass ``()`` for generic
+    tables."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_timestamps(spark.read.parquet(path), ns_timestamp_cols)
+    df = spark.read.parquet(path)
+    cols = []
+    for c in ns_timestamp_cols:
+        field = next((f for f in df.schema.fields if f.name == c), None)
+        if field is None or not isinstance(field.dataType, T.LongType):
+            continue
+        if _footer_declares_nanos(path, c) is False:
+            continue  # genuine long column: leave it alone
+        cols.append(c)
+    return normalize_timestamps(df, cols)

@@ -55,11 +55,20 @@ def read_csv_trimmed(
         F.count("*").over(Window.partitionBy("_file")).alias("_n"),
     )
 
-    # header discovery: one line per file, driver-side (metadata, not data)
-    hdr_line = lines.filter(F.col("_idx") == skiprows).select("value").first()
-    if hdr_line is None:
+    # header discovery: one line per FILE, driver-side (metadata, not
+    # data). Fail loudly on per-file header drift — parsing a drifted
+    # file against an arbitrary sibling's header would silently
+    # misalign its columns (the xls_datasource applies the same rule)
+    hdr_rows = lines.filter(F.col("_idx") == skiprows).select("value", "_file").collect()
+    if not hdr_rows:
         raise ValueError(f"{path}: no header line at index {skiprows}")
-    header = next(_csv.reader(io.StringIO(hdr_line[0]), delimiter=sep))
+    if len({r.value for r in hdr_rows}) > 1:
+        drifted = sorted({r._file for r in hdr_rows})
+        raise ValueError(
+            f"{path}: header drift across {len(drifted)} files at line "
+            f"{skiprows} — every file must share one header"
+        )
+    header = next(_csv.reader(io.StringIO(hdr_rows[0].value), delimiter=sep))
     # DDL string (from_csv takes no StructType); backticks preserve the
     # trailing spaces the reference's rename maps key on
     schema = ", ".join(f"`{c.replace('`', '``')}` STRING" for c in header)

@@ -56,6 +56,10 @@ def stream_incremental_append(
             if prune_existing is not None:
                 existing = prune_existing(existing)
             fresh = anti_join_new_rows(fresh, existing, keys, on_null_key="drop")
+            # sever the lineage before appending to the path it reads:
+            # a task retry mid-write would otherwise re-run the
+            # anti-join against a partially-appended target
+            fresh = fresh.localCheckpoint()
         fresh.write.mode("append").parquet(target_path)
 
     return (

@@ -104,3 +104,18 @@ def test_jsonl_shard_export_roundtrip(spark, sf_dir, tmp_path):
         return out
 
     assert membership(d2) == membership(d3)
+
+    # bijective routing (r9): exactly num_shards part files, each
+    # holding exactly ONE xxhash bucket — the hash-partitioner's
+    # murmur3-of-bucket-id is not a bijection, so the sink routes via
+    # per-bucket representatives
+    got = (
+        read_jsonl(spark, d2, DOCUMENTS_SCHEMA)
+        .withColumn("f", F.input_file_name())
+        .withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(3)))
+    )
+    per_file = got.groupBy("f").agg(
+        F.count_distinct("b").alias("nb")
+    ).collect()
+    assert len(per_file) == 3, [r.f for r in per_file]
+    assert all(r.nb == 1 for r in per_file), per_file

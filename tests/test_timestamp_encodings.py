@@ -105,3 +105,21 @@ def test_sessionize_runs_on_every_encoding(spark, encoded_dirs):
         assert sessions[(1, 1)] == 1 and sessions[(1, 2)] == 1, name
         assert sessions[(1, 3)] == 2, name
         assert sessions[(2, 4)] == 1, name
+
+
+def test_genuine_long_ts_column_passes_through(spark, tmp_path):
+    """r9 review fix: a column NAMED ts whose parquet logical type is a
+    plain int64 (epoch-millis, a counter) must NOT be mangled by the
+    nanos-as-long truncation — the footer disambiguates what the
+    Spark-side schema cannot."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "longs.parquet")
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000), (2, 7)], "id long, ts long"
+    ).write.parquet(p)
+    got = read_parquet_table(spark, p)
+    assert isinstance(got.schema["ts"].dataType, T.LongType)
+    assert {(r.id, r.ts) for r in got.collect()} == {
+        (1, 1_700_000_000_000), (2, 7)
+    }
