@@ -2433,13 +2433,22 @@ _SQL_TOKS = rf"string_split({_NT}, ' ')"
       SELECT doc_id, pos, span,
              row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
       FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN span END,
+                                 ' ' ORDER BY pos), '') AS cleaned_text
+      FROM ranked GROUP BY doc_id
     )
-    SELECT doc_id,
-           COUNT(*) AS n_spans,
-           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
-           COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
-                    '') AS cleaned_text
-    FROM ranked GROUP BY doc_id
+    -- one row per INPUT document: an empty/zero-token text reports
+    -- (0, 0, '') instead of vanishing (mirrors the engine, r9)
+    SELECT d.doc_id,
+           COALESCE(g.n_spans, 0) AS n_spans,
+           COALESCE(g.n_kept, 0) AS n_kept,
+           COALESCE(g.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN grouped g USING (doc_id)
     """,
     tags=("dedup-span",),
 )

@@ -99,7 +99,15 @@ def hash_ranked_resample(
     the same hash (threshold = approx cap/count percentile) — same
     contract, no single-partition rank.
     """
-    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(key_col).cast("string")))
+    # content-hash tiebreak (r9 review fix): duplicate key values share
+    # one md5, and an untied row_number would pick the survivor at the
+    # cap boundary by partition arrival order — breaking the module's
+    # identical-across-runs contract. The struct hash is deterministic
+    # row content, so selection never depends on scheduling.
+    tiebreak = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), tiebreak
+    )
     cap = F.lit(None).cast("int")
     for g, c in caps.items():
         cap = F.when(F.col(group_col) == g, F.lit(c)).otherwise(cap)
@@ -166,8 +174,21 @@ def hash_threshold_resample(
     # capless groups are kept whole and never enter the window — only
     # the capped slivers pay for a (tiny) per-group sort
     capless = joined.filter(F.col("__cap").isNull()).select(*df.columns)
-    sliver = joined.filter(F.col("__cap").isNotNull() & (hash_frac < F.col("__frac")))
-    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(key_col).cast("string")))
+    # NULL key_col → NULL md5 → NULL hash_frac: coalesce to -1 so the
+    # row always enters the sliver, where the NULLS-FIRST trim ranks
+    # it exactly as hash_ranked_resample's window does — without this
+    # a NULL-key row in a capped group silently VANISHED from the
+    # threshold path while the exact operator kept it (r9 review fix)
+    sliver = joined.filter(
+        F.col("__cap").isNotNull()
+        & (F.coalesce(hash_frac, F.lit(-1.0)) < F.col("__frac"))
+    )
+    # same md5 + content-hash order as hash_ranked_resample (the two
+    # operators must stay row-identical, ties included)
+    tiebreak = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), tiebreak
+    )
     trimmed = (
         sliver.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("__cap"))
@@ -332,9 +353,14 @@ def match_distribution_resample(
     Scale: two map-side-combinable count aggregates (bins ≪ rows)
     broadcast back as a KB map; the corpus-sized side is filtered in
     the scan stage and never shuffles. Bins present in ``df`` but
-    absent from the reference keep nothing (ratio 0); bins absent
-    from ``df`` cannot be conjured — this matches shapes by thinning
-    only.
+    absent from the reference keep nothing (ratio 0); a NULL bin
+    likewise matches no reference bin and keeps nothing (unlike
+    ``temperature_mix_resample``'s null-group passthrough, a row
+    whose bin is unknown has no place in a target distribution —
+    deliberate, and mirrored by the oracle); bins absent from ``df``
+    cannot be conjured — this matches shapes by thinning only. Zero
+    bin overlap (max ratio 0) keeps nothing rather than dividing by
+    zero (try_divide).
     """
     cur = df.groupBy(F.col(bin_col).alias("__b")).agg(F.count(F.lit(1)).alias("__cn"))
     ref = reference.groupBy(F.col(bin_col).alias("__b")).agg(
@@ -353,7 +379,8 @@ def match_distribution_resample(
     mx = joined.agg(F.max("__ratio").alias("__mx"))
     probs = F.broadcast(
         joined.crossJoin(F.broadcast(mx)).select(
-            "__b", F.round(F.col("__ratio") / F.col("__mx"), 9).alias("__p")
+            "__b",
+            F.round(F.try_divide(F.col("__ratio"), F.col("__mx")), 9).alias("__p"),
         )
     )
     hash_frac = (

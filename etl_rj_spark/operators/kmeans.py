@@ -252,6 +252,21 @@ def persist_ivf_index(
     return f"{table_prefix}_cells", f"{table_prefix}_centroids"
 
 
+def _check_index_dim(df: DataFrame, vec_col: str, meta_dim: int, table_prefix: str) -> None:
+    """Refuse a dim mismatch (r9 review fix — the _meta guard wrote
+    ``dim`` but nothing read it): a probe/append batch with the wrong
+    vector width would NULL-pad the zip_with distances and silently
+    assign arbitrary cells — recall collapses with zero error, the
+    exact hazard class IVF_FAMILY exists to prevent."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row.d != meta_dim:
+        raise ValueError(
+            f"{table_prefix}: batch vector dim {row.d} != index dim "
+            f"{meta_dim} — rebuild or re-encode; probing across dims "
+            "silently collapses recall"
+        )
+
+
 def append_ivf_index(
     new_vectors: DataFrame,
     table_prefix: str,
@@ -276,6 +291,7 @@ def append_ivf_index(
         raise ValueError(
             f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r}"
         )
+    _check_index_dim(new_vectors, vec_col, meta.dim, table_prefix)
     centroids = spark.table(f"{table_prefix}_centroids")
     cells = kmeans_assign(new_vectors, centroids, vec_col, id_col)
     batch = new_vectors.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
@@ -317,6 +333,7 @@ def probe_ivf_index(
             f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r} — "
             "rebuild the index; probing across families silently collapses recall"
         )
+    _check_index_dim(queries, vec_col, meta.dim, table_prefix)
     centroids = spark.table(f"{table_prefix}_centroids")
     # cell assignment INLINE over the packed-centroid broadcast (the
     # zero-shuffle argmin of kmeans._assign) so the probe side carries

@@ -40,14 +40,20 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (a
+    failed-encoder all-zero row must not DIVIDE_BY_ZERO-abort the
+    whole job under Spark 4's ANSI default — NULL similarity ranks
+    last / drops from thresholds, which is the right semantics for a
+    vector with no direction)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_normalize(a: Column, round_digits: int | None = None) -> Column:
     """Unit-normalize a double vector (optionally rounding elements for
-    cross-engine comparison)."""
+    cross-engine comparison). A zero-norm vector yields NULL elements
+    (try_divide) instead of an ANSI divide-by-zero abort."""
     n = l2_norm(a)
-    out = F.transform(a, lambda x: x / n)
+    out = F.transform(a, lambda x: F.try_divide(x, n))
     if round_digits is not None:
         out = F.transform(out, lambda x: F.round(x, round_digits))
     return out

@@ -169,6 +169,41 @@ def lsh_band_buckets(sig_col: Column | str, bands: int, rows_per_band: int) -> C
     return F.array(*entries)
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """bands must divide num_hashes (r9 review fix): bands > num_hashes
+    makes every band slice EMPTY (rows_per_band = 0), so every document
+    shares every bucket — a full quadratic cross-product; a
+    non-divisible split silently discards the trailing signature
+    coordinates, leaving recall quietly below the configured design."""
+    if not (0 < bands <= num_hashes and num_hashes % bands == 0):
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}"
+        )
+
+
+def _jaccard_select(withsets: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard) from a frame carrying ``__set_a``/
+    ``__set_b`` — the ONE exact-verify expression every near-dup path
+    shares (one place to fix, five consumers). A zero-union pair (both
+    documents too short to shingle) has no defined Jaccard → NULL via
+    try_divide, which any ``>= τ`` filter drops — never an ANSI
+    divide-by-zero."""
+    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
+    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
+    return withsets.select(
+        "id_a", "id_b", F.try_divide(inter, union).alias("jaccard")
+    )
+
+
+def _jaccard_on_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Join (id_a, id_b) pairs to an (id, __set) table on both sides
+    and emit the exact Jaccard (see :func:`_jaccard_select`)."""
+    sa = sets.toDF("id_a", "__set_a")
+    sb = sets.toDF("id_b", "__set_b")
+    return _jaccard_select(pairs.join(sa, "id_a").join(sb, "id_b"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,11 +215,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
     band bucket. The band table is persisted — it feeds both sides of
-    the self-join, and signatures are the expensive part."""
+    the self-join, and signatures are the expensive part. Documents
+    with EMPTY shingle sets (shorter than the shingle window) are
+    excluded: they have no similarity signal, and their all-NULL
+    signatures would otherwise collide in every band and cross-product
+    quadratically (r9 review fix)."""
+    _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col), shingle_hashes(text_col, shingle_k, token_ngrams_n).alias("__h")
-    ).select(
+    ).filter(F.size("__h") > 0).select(
         F.col(id_col),
         minhash_signature_from_hashes("__h", num_hashes).alias("__sig"),
     )
@@ -223,15 +263,7 @@ def jaccard_on_pairs(
         else F.array_distinct(_shingles(text_col, shingle_k, token_ngrams_n))
     )
     sets = df.select(F.col(id_col), shingle_col.alias("__set"))
-    a = sets.toDF("id_a", "__set_a")
-    b = sets.toDF("id_b", "__set_b")
-    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
-    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-    )
+    return _jaccard_on_sets(pairs, sets)
 
 
 def minhash_lsh_dedup_pairs(
@@ -278,6 +310,12 @@ def minhash_lsh_dedup_pairs(
                 "at-scale path — silently ignoring the quadratic-blow-up "
                 "guard would defeat its purpose"
             )
+        if fast_hash:
+            raise ValueError(
+                "fast_hash is only consumed on the hashed_sets=True path — "
+                "the md5-string path would silently pay full md5 cost while "
+                "the caller believes they bought the xxhash64 fast path"
+            )
         if shingle_hashes_df is not None:
             raise ValueError(
                 "shingle_hashes_df is only consumed on the hashed_sets=True "
@@ -290,6 +328,7 @@ def minhash_lsh_dedup_pairs(
             pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
         ).filter(F.col("jaccard") >= threshold)
 
+    _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
     if shingle_hashes_df is not None:
         base = shingle_hashes_df.select(F.col(id_col), F.col("__h"))
@@ -300,7 +339,9 @@ def minhash_lsh_dedup_pairs(
         ).persist()
         base.count()  # materialization barrier: hash the corpus exactly once
 
-    sig = base.select(
+    # empty shingle sets (docs shorter than the window) carry no
+    # similarity signal and would band-collide everywhere — exclude
+    sig = base.filter(F.size("__h") > 0).select(
         F.col(id_col), minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
     )
     exploded = sig.select(
@@ -326,16 +367,7 @@ def minhash_lsh_dedup_pairs(
     )
 
     sets = base.select(F.col(id_col), F.array_distinct("__h").alias("__set"))
-    sa = sets.toDF("id_a", "__set_a")
-    sb = sets.toDF("id_b", "__set_b")
-    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
-    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -380,16 +412,7 @@ def ngram_jaccard_pairs(
     pairs = (
         a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
-    sa = sets.toDF("id_a", "__set_a")
-    sb = sets.toDF("id_b", "__set_b")
-    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
-    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -521,16 +544,7 @@ def set_similarity_pairs_prefix(
         .filter(F.size("__set") > 0)
     )
     pairs = _prefix_candidates(sets, id_col, threshold)
-    sa = sets.toDF("id_a", "__set_a")
-    sb = sets.toDF("id_b", "__set_b")
-    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
-    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -632,7 +646,11 @@ def span_dedup(
     rank occurrences, one groupBy(id) to reassemble. Span strings are
     short (a few tokens), so the shuffle key stays small; no
     collect-to-driver anywhere. Returns (id, n_spans, n_kept,
-    cleaned_text).
+    cleaned_text) — ONE ROW PER INPUT DOCUMENT: an empty/NULL text
+    yields (0, 0, '') instead of silently vanishing from the output
+    (posexplode emits nothing for it, so it must be joined back — r9
+    review fix; a pipeline re-joining cleaned_text by id must not lose
+    rows).
     """
     from pyspark.sql import Window
 
@@ -651,13 +669,23 @@ def span_dedup(
     w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("pos"))
     ranked = exploded.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(F.col("__rn") == 1, F.struct("pos", "span"))
-    return ranked.groupBy(id_col).agg(
+    agg = ranked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.count(kept_struct).alias("n_kept"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]),
             " ",
         ).alias("cleaned_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )
 
 
@@ -827,12 +855,15 @@ def minhash_index(
     without ever re-shingling the existing corpus: the LLM-layer form
     of K1's key-projection-of-the-existing-table posture
     (sinks/incremental.py, ventas_totales.py:223-262)."""
+    _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
+    # exclude empty shingle sets: no similarity signal, and all-NULL
+    # signatures would band-collide with every other short doc
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature_from_hashes(
-            shingle_hashes(text_col, shingle_k, token_ngrams_n), num_hashes
-        ).alias("__sig"),
+        shingle_hashes(text_col, shingle_k, token_ngrams_n).alias("__h"),
+    ).filter(F.size("__h") > 0).select(
+        "id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
     )
     buckets = sig.select(
         "id", F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
@@ -919,12 +950,7 @@ def incremental_near_dup_pairs(
             F.coalesce("__ib", "__nb").alias("__set_b"),
         )
     )
-    inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
-    union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
-    return (
-        verified.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_select(verified).filter(F.col("jaccard") >= threshold)
 
 
 #: Version tag of minhash_signature_from_hashes' hash family. BUMP THIS
