@@ -431,7 +431,10 @@ def unigram_rarity_score(spark, sf_dir):
     "bigram_fluency_score",
     """
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      -- \s+ split mirrors the engine (r9): newline/tab-separated words
+      -- must not fuse into phantom rare bigrams
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       FROM documents
     ),
     bg AS (

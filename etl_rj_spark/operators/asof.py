@@ -60,7 +60,10 @@ def asof_join(
     on = list(on)
     rv = list(right_values)
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    r_proj = right.select(
+    # a right row with NULL ts has no position on the timeline: drop it
+    # (NULL sorts FIRST ascending, so it would phantom-match every left
+    # row earlier than all real right rows — r9 review fix)
+    r_proj = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"__r_{c}") for c in rv],
@@ -224,7 +227,13 @@ def linear_attribution(
     n_w = Window.partitionBy("__pid")
     credited = joined.select(
         "__pid",
-        F.coalesce(F.col("__ttype"), F.lit("(none)")).alias("touch_type"),
+        # '(none)' is RESERVED for no-in-window-touch conversions (full
+        # value); a matched touch whose type is NULL (unmapped channel)
+        # reports '(unknown)' with its fractional credit — conflating
+        # the two made the (none) row unreadable (r9 review fix)
+        F.when(F.col("__tts").isNull(), F.lit("(none)"))
+        .otherwise(F.coalesce(F.col("__ttype"), F.lit("(unknown)")))
+        .alias("touch_type"),
         F.count("__tts").over(n_w).alias("__n"),
         F.col("__cents"),
     ).withColumn(

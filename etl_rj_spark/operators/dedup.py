@@ -63,8 +63,12 @@ def anti_join_new_rows(
             F.when(F.col(k).isNull(), F.raise_error(F.lit(f"anti_join_new_rows: null dedup key '{k}' — normalize keys first (SURVEY §4)"))).otherwise(F.col(k)).alias(k)
             for k in keys
         ]
-        others = [c for c in new.columns if c not in keys]
-        new = new.select(*checks, *others)
+        # preserve the INPUT column order (r9 review fix): keys-first
+        # reordering silently swapped columns under positional
+        # consumers (union/insertInto) — and differed from the other
+        # on_null_key modes
+        by_name = {k: chk for k, chk in zip(keys, checks)}
+        new = new.select(*[by_name.get(c, F.col(c)) for c in new.columns])
     else:
         raise ValueError(f"on_null_key must be error|drop|match, got {on_null_key!r}")
 

@@ -128,17 +128,23 @@ def scd2_apply(
     real_change = has_change & differs & ~stale
     # open rows kept as-is: no change arrived, a no-op, or a stale one
     kept_open = j.filter(had_open & ~real_change).select(dim.columns)
-    # open rows closed by a real (forward-in-time) change
+    # open rows closed by a real (forward-in-time) change. __eff casts
+    # to the dim's own valid_to/valid_from types (r9 review fix, the
+    # scd2_apply_multi rule): a TIMESTAMP effective_date against a
+    # DATE-typed history would otherwise silently widen the union's
+    # schema and break the write-back
+    vt_type = dim.schema[valid_to].dataType
+    vf_type = dim.schema[valid_from].dataType
     closed_now = j.filter(had_open & real_change).select(
         *key_list, *compare_cols, valid_from,
-        F.col("__eff").alias(valid_to),
+        F.col("__eff").cast(vt_type).alias(valid_to),
     ).select(dim.columns)
     # fresh open rows: changed keys + brand-new keys
     new_open = j.filter(has_change & (~had_open | real_change)).select(
         *key_list,
         *[F.col(f"__c_{c}").alias(c) for c in compare_cols],
-        F.col("__eff").alias(valid_from),
-        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.col("__eff").cast(vf_type).alias(valid_from),
+        F.lit(None).cast(vt_type).alias(valid_to),
     ).select(dim.columns)
     return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(new_open)
 

@@ -442,8 +442,12 @@ def poisson_bootstrap_means(
     The replicate fan-out is a map-side ``explode(sequence(0, B-1))``
     — B× rows into ONE partial-aggregating shuffle of B output groups,
     never B passes over the data and never a resampled copy on disk.
+    NULL-valued rows are dropped first (r9 review fix: their drawn
+    weights would inflate n_eff and the mean's divisor while
+    contributing nothing to the numerator — the bootstrap resamples
+    OBSERVED values only).
     """
-    fan = df.select(
+    fan = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col), F.col(value_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("replicate"),
     )
@@ -523,7 +527,12 @@ def weighted_percentiles(
     (``100·cum ≥ p·W``), so no division or float appears anywhere.
 
     Returns one row per requested percentile: (pct, value, total_weight).
+    NULL values/weights are dropped first (r9 review fix: a NULL value
+    group sorts FIRST in the ascending cumulative, so its weight would
+    inflate every percentile's threshold — the module's complete-case
+    convention).
     """
+    df = df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
     vals = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(F.col(weight_col).cast("long")).alias("__w")
     )
@@ -881,6 +890,10 @@ def kaplan_meier(
     AnalysisException — durations beyond ±2³¹ days are out of
     contract.
     """
+    # NULL durations (unknown follow-up) carry no time information:
+    # dropped, not sorted-first into a bogus before-time-0 fold step
+    # that would deflate survival at every real t (r9 review fix)
+    df = df.filter(F.col(duration_col).isNotNull() & F.col(event_col).isNotNull())
     # materialize the vocabulary-grain table once: the total, the
     # at-risk window and the fold all reuse it — lazily each would
     # re-run the corpus aggregate
@@ -1119,16 +1132,20 @@ def ols2_normal_equations(
     counts, integer percent) small enough that third-degree moment
     products stay under 10³⁸ (decimal(38,0) ↔ HUGEINT).
     """
+    # cast BEFORE the product (r9 review fix): x*x in the native int
+    # type silently wraps past 2³¹/2⁶³ under non-ANSI — the per-row
+    # multiply itself must be decimal (ols_slope_by_group's rule)
+    x1d, x2d, yd = (c.cast("decimal(38,0)") for c in (x1, x2, y))
     m = df.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(x1.cast("decimal(38,0)")).alias("sx1"),
-        F.sum(x2.cast("decimal(38,0)")).alias("sx2"),
-        F.sum(y.cast("decimal(38,0)")).alias("sy"),
-        F.sum((x1 * x1).cast("decimal(38,0)")).alias("s11"),
-        F.sum((x1 * x2).cast("decimal(38,0)")).alias("s12"),
-        F.sum((x2 * x2).cast("decimal(38,0)")).alias("s22"),
-        F.sum((x1 * y).cast("decimal(38,0)")).alias("s1y"),
-        F.sum((x2 * y).cast("decimal(38,0)")).alias("s2y"),
+        F.sum(x1d).alias("sx1"),
+        F.sum(x2d).alias("sx2"),
+        F.sum(yd).alias("sy"),
+        F.sum(x1d * x1).alias("s11"),
+        F.sum(x1d * x2).alias("s12"),
+        F.sum(x2d * x2).alias("s22"),
+        F.sum(x1d * y).alias("s1y"),
+        F.sum(x2d * y).alias("s2y"),
     )
     dets = m.select(
         "n",

@@ -168,7 +168,11 @@ def bigram_fluency_score(df, id_col: str, text_col: str):
 
     Returns (id, n_bigrams, mean_cond_ppm, min_cond_ppm).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # \s+ split (r9 review fix): a literal single-space split fused
+    # tab/newline-separated words into one token, producing phantom
+    # rare transitions that tanked min_cond_ppm for perfectly fluent
+    # docs — the exact misclassification this filter exists to avoid
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(

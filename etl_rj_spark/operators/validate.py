@@ -58,6 +58,8 @@ def referential_orphan_audit(
     under AQE's size threshold. The per-relation outputs are 1-row
     frames unioned into the report.
     """
+    if not relations:
+        raise ValueError("referential_orphan_audit: empty relations list")
     reports = []
     for label, child, ck, pk, parent, _ in relations:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
@@ -93,6 +95,8 @@ def pk_uniqueness_audit(
     reduce map-side), then a tiny second aggregate over the key-count
     table; the 1-row results union into the report.
     """
+    if not tables:
+        raise ValueError("pk_uniqueness_audit: empty tables list")
     reports = []
     for label, df, key_cols in tables:
         per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))

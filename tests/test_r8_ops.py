@@ -869,3 +869,35 @@ def test_cuped_perfect_covariate_removes_all_variance(spark):
     ).collect()
     assert r.theta_ppm == 3_000_000
     assert r.vr_ppm == 1_000_000
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """r9 review fix: a right row with NULL ts has no timeline
+    position — it must not phantom-match left rows that precede every
+    real right row."""
+    from etl_rj_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k int, lts string"
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (1, "2024-01-01 12:00:00", "real")],
+        "k int, rts string, v string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    r = asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()[0]
+    assert r.asof_v is None and r.asof_ts is None
+
+
+def test_bigram_fluency_splits_on_any_whitespace(spark):
+    """r9 review fix: newline/tab-separated words must tokenize apart —
+    a doc whose words repeat across lines has NO rare transitions."""
+    from etl_rj_spark.operators.text_analysis import bigram_fluency_score
+
+    df = spark.createDataFrame(
+        [(1, "good day\ngood day\tgood day"), (2, "good day good day good day")],
+        "id long, text string",
+    )
+    rows = {r.id: (r.n_bigrams, r.min_cond_ppm)
+            for r in bigram_fluency_score(df, "id", "text").collect()}
+    # identical token streams -> identical fluency, no phantom tokens
+    assert rows[1] == rows[2]
