@@ -428,14 +428,18 @@ def money_parse_kernel(spark, sf_dir):
       FROM (SELECT DISTINCT l_orderkey FROM lineitem)
     )
     SELECT l_orderkey, raw,
-           TRY_CAST(regexp_replace(raw, ',', '', 'g') AS INTEGER) AS parsed
+           -- numeric-parse then TRUNCATE to int, mirroring the
+           -- reference's pd.to_numeric -> astype(int) (r9: a direct
+           -- int cast nulled decimal-formatted quantities)
+           TRY_CAST(trunc(TRY_CAST(regexp_replace(raw, ',', '', 'g') AS DOUBLE))
+                    AS INTEGER) AS parsed
     FROM src
     """,
     tags=("N4",),
 )
 def thousands_int_kernel(spark, sf_dir):
-    """N4 — thousands-separator strip before int cast
-    (pending_orders.py:142-143)."""
+    """N4 — thousands-separator strip, numeric parse, int truncation
+    (pending_orders.py:142-143: pd.to_numeric then astype(int))."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
     s = F.col("l_orderkey").cast("string")
     sl = F.length(s)

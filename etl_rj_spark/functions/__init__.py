@@ -26,6 +26,8 @@ from etl_rj_spark.functions.strings import (  # noqa: F401
     norm_upper,
     parse_money,
     parse_money_default,
+    parse_plain_money,
+    parse_plain_money_default,
     recode_values,
     truncate,
 )

@@ -34,8 +34,15 @@ def parse_date(c: Column | str, fmt: str = "M/d/yyyy") -> Column:
 
 def parse_date_lenient(c: Column | str) -> Column:
     """D2 — lenient parse, invalid → null (errors='coerce',
-    cartera.py:170-172, pending_orders.py:85)."""
-    return F.try_to_date(_c(c))
+    cartera.py:170-172, pending_orders.py:85). pandas' no-format
+    ``to_datetime`` INFERS the export family's month-first layout
+    (ventas_totales.py:133 documents %m/%d/%Y for the same system),
+    so the lenient path tries ISO first, then M/d/yyyy — a bare
+    ``try_to_date`` only parsed ISO and silently nulled every
+    US-format date, defaulting all of them to 1900-01-01 downstream
+    (r9 review fix)."""
+    col = _c(c)
+    return F.coalesce(F.try_to_date(col), F.try_to_date(col, "M/d/yyyy"))
 
 
 def date_default(c: Column | str, default: str = "1900-01-01") -> Column:

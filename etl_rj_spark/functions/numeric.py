@@ -27,6 +27,14 @@ def to_number_default(c: Column | str, default: float = 0.0, dtype: str = "doubl
 
 
 def parse_int_thousands(c: Column | str) -> Column:
-    """N4 — strip thousands separators then int cast
-    (pending_orders.py:142-143): '1,234' → 1234; junk → null."""
-    return F.regexp_replace(_c(c).cast("string"), ",", "").try_cast("int")
+    """N4 — strip thousands separators, numeric-parse, truncate to int
+    (pending_orders.py:142-143 — ``pd.to_numeric`` then
+    ``astype(int)``): '1,234' → 1234, '1,234.00' → 1234, '1234.9' →
+    1234 (truncation toward zero, the astype(int) rule); junk → null.
+    A direct int try_cast nulled every decimal-formatted quantity —
+    which the pipeline default then turned into 0 (r9 review fix)."""
+    return (
+        F.regexp_replace(_c(c).cast("string"), ",", "")
+        .try_cast("double")
+        .try_cast("int")
+    )

@@ -54,6 +54,23 @@ def parse_money_default(c: Column | str, default: float = 0.0) -> Column:
     return F.coalesce(parse_money(c), F.lit(default))
 
 
+def parse_plain_money(c: Column | str) -> Column:
+    """X4-variant (pending_orders.py:140-141): strip ``$`` ``,`` and
+    whitespace then lenient numeric cast — NO accounting-parens
+    handling. The pending reference coerces '(1,500.00)' to NaN (→ 0.0
+    after the pipeline default); only cartera's open_balance maps
+    parens to negatives (:func:`parse_money`). Using the cartera
+    kernel in the pending pipeline flipped every parenthesized amount
+    to a negative the reference stores as 0 (r9 review fix)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(col.cast("string"), r"[$,\s]", "").try_cast("double")
+
+
+def parse_plain_money_default(c: Column | str, default: float = 0.0) -> Column:
+    """Pending's money parse with null → default (pending_orders.py:141)."""
+    return F.coalesce(parse_plain_money(c), F.lit(default))
+
+
 def recode_values(c: Column | str, mapping: Mapping[str, str], default: Column | None = None) -> Column:
     """X5/J3 — static value recode (e.g. '- no customer/project -' →
     'Sin Nombre', cartera.py:110; zone/product maps wor2.py:36-62).

@@ -20,8 +20,13 @@ def rows_where_no_column_contains(
     df: DataFrame, needle: str, cols: Sequence[str] | None = None
 ) -> DataFrame:
     """F3 — drop rows where ANY column's string form contains ``needle``
-    (subtotal-row scrub, wor2.py:269)."""
+    (subtotal-row scrub, wor2.py:269). An empty ``cols`` list scans
+    nothing and keeps every row (r9 review fix: ``reduce`` over an
+    empty iterable raised an opaque TypeError when a caller's column
+    filter matched nothing)."""
     cols = list(cols) if cols is not None else df.columns
+    if not cols:
+        return df
     hit = reduce(or_, [F.col(c).cast("string").contains(needle) for c in cols])
     # null.contains -> null; treat null as "no hit" like pandas str.contains(na=False)
     return df.filter(~F.coalesce(hit, F.lit(False)))

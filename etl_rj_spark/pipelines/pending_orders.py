@@ -14,7 +14,7 @@ from etl_rj_spark.functions import (
     date_default,
     parse_date_lenient,
     parse_int_thousands,
-    parse_money_default,
+    parse_plain_money_default,
     temporal_dims,
     truncate,
 )
@@ -42,9 +42,18 @@ FINAL_COLUMNS = [
 
 
 def _enrich(df: DataFrame, clientes: DataFrame) -> DataFrame:
-    """Shared front half: rename → defaults/temporal dims → dim join."""
-    estado_src = first_present_column(df, ESTADO_CANDIDATES)
-    df = rename_map(df, {**PENDING_RENAME, estado_src: "estado_raw"})
+    """Shared front half: rename → defaults/temporal dims → dim join.
+    A status-less export loads with NULL estado — the reference only
+    renames/keeps the column when present (pending_orders.py:74-77,
+    158) and inserts fine without it, so erroring here diverged (r9
+    review fix)."""
+    try:
+        estado_src = first_present_column(df, ESTADO_CANDIDATES)
+        df = rename_map(df, {**PENDING_RENAME, estado_src: "estado_raw"})
+    except ValueError:
+        df = rename_map(df, PENDING_RENAME).withColumn(
+            "estado_raw", F.lit(None).cast("string")
+        )
 
     fecha = date_default(parse_date_lenient("fecha_raw"))      # D2+D4
     dims = temporal_dims(fecha)                                # D6
@@ -74,9 +83,14 @@ def _finish(enriched: DataFrame) -> DataFrame:
                 "id_cliente": F.col("id_cliente").cast("int"),
                 "id_zone": F.coalesce(F.col("id_zone"), F.lit(1)).cast("int"),  # N6 default zone
                 "cantidad": F.coalesce(parse_int_thousands("cantidad_raw"), F.lit(0)),  # N4+N2
-                "amount_net": parse_money_default("amount_net_raw"),                     # X4+N2
-                "document_number": truncate(F.col("document_number").cast("string"), 20),  # X7
-                "estado": truncate(F.col("estado_raw").cast("string"), 50),                # X7
+                # plain $/, strip — pending has NO accounting parens
+                # (that's cartera's open_balance; r9 review fix)
+                "amount_net": parse_plain_money_default("amount_net_raw"),
+                # strip FIRST, then truncate (pending_orders.py:146,149
+                # does .str.strip().str[:20] — a padded value truncates
+                # to a different string otherwise; r9 review fix)
+                "document_number": truncate(F.trim(F.col("document_number").cast("string")), 20),  # X7
+                "estado": truncate(F.trim(F.col("estado_raw").cast("string")), 50),                # X7
             }
         )
         .select(*FINAL_COLUMNS)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_rj_spark.functions import norm_lower, parse_date, to_number
+from etl_rj_spark.functions import norm_lower, parse_date, parse_plain_money
 from etl_rj_spark.operators import dim_lookup, rename_map
 from etl_rj_spark.operators.filters import drop_null_rows
 from etl_rj_spark.operators.joins import unmapped_rows
@@ -46,8 +46,13 @@ def clean_ventas(df: DataFrame, clientes: DataFrame) -> tuple[DataFrame, DataFra
     df = rename_map(df, VENTAS_RENAME)                 # P2
     df = df.withColumns(
         {
-            "amount": to_number("amount"),             # N1
-            "cantidad_producto": to_number("cantidad_producto"),
+            # comma/$-tolerant lenient parse (r9 review fix): the same
+            # export family uses thousands separators (pending's
+            # Quantity does), and a bare double cast silently NULLed
+            # '1,234.56' — the reference passes the raw value to the DB
+            # where a bad value at least errors loudly
+            "amount": parse_plain_money("amount"),     # N1
+            "cantidad_producto": parse_plain_money("cantidad_producto"),
             "fecha": parse_date("fecha_raw", "M/d/yyyy"),  # D1/D3
         }
     ).drop("fecha_raw")
@@ -79,7 +84,14 @@ def load_ventas(
     """Full incremental load: returns (rows_inserted, unmapped_names).
     Re-running the same file inserts 0 (Ventas PDF §9)."""
     facts, unmapped = clean_ventas(df, clientes)
-    inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
+    # null-safe key matching (r9 review fix): the reference dedups on
+    # astype(str) fingerprints, so a NULL document_number/item row
+    # loads and dedups like any other — the default on_null_key='error'
+    # aborted the whole re-run load the first time a dirty export
+    # carried an empty key cell
+    inserted = append_incremental(
+        spark, facts, warehouse_path, VENTAS_DEDUP_KEYS, on_null_key="match"
+    )
     return inserted, unmapped
 
 
@@ -115,7 +127,14 @@ def load_ventas_observed(
             "amount_total"
         ),
     )
-    inserted = append_incremental(spark, facts, warehouse_path, VENTAS_DEDUP_KEYS)
+    # null-safe key matching (r9 review fix): the reference dedups on
+    # astype(str) fingerprints, so a NULL document_number/item row
+    # loads and dedups like any other — the default on_null_key='error'
+    # aborted the whole re-run load the first time a dirty export
+    # carried an empty key cell
+    inserted = append_incremental(
+        spark, facts, warehouse_path, VENTAS_DEDUP_KEYS, on_null_key="match"
+    )
     metrics = {**obs_in.get, **obs_valid.get}
     return inserted, unmapped, metrics
 
@@ -169,5 +188,6 @@ def load_ventas_jdbc(df: DataFrame, clientes: DataFrame, config) -> DataFrame:
         config.ventas_table,
         VENTAS_DEDUP_KEYS,
         properties=config.jdbc_properties(),
+        on_null_key="match",  # reference dedups astype(str) fingerprints
     )
     return unmapped

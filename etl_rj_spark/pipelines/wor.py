@@ -96,9 +96,15 @@ def clean_forecast_tables(
         df = df.drop("Py %")                                      # P1
         df = drop_leading_rows(df, "_row_idx", 1)                 # F5 (repeated header row)
         value_cols = [c for c in df.columns if c.startswith("WEEK") or c == "TOTAL"]
-        df = rows_where_no_column_contains(                        # F3 ('Total' subtotal rows)
-            df, "Total", [c for c in df.columns if c == "ZONA/CLIENTE"]
-        )
+        # F3 — the reference scans EVERY source column for 'Total'
+        # (wor2.py:269 row.astype(str).str.contains('Total').any()),
+        # not just ZONA/CLIENTE (r9 review fix); the engine-added
+        # lift metadata stays out of the scan
+        src_cols = [
+            c for c in df.columns
+            if c not in ("zone", "nombre_mes", "mes", "anio", "_row_idx")
+        ]
+        df = rows_where_no_column_contains(df, "Total", src_cols)
         # F2 (wor2.py:270-271): drop rows whose first column is 0 — a
         # string compare like pandas' mixed-dtype !=0 (names pass, the
         # literal 0 / fillna(0) rows drop)
@@ -109,6 +115,13 @@ def clean_forecast_tables(
         cleaned.append(df)
     unioned = union_all_by_name(cleaned)                          # U1
     unioned = rename_map(unioned, {**WEEK_RENAME, "ZONA/CLIENTE": "nombre_cliente"})  # P2
+    # WEEK-column schema drift across tables: union null-pads the
+    # missing weeks; the reference fills them to 0.0 AFTER concat
+    # (wor2.py:338-339 pd.to_numeric().fillna(0)) — a per-table-only
+    # default left them NULL (r9 review fix)
+    unioned = unioned.na.fill(
+        0.0, subset=[c for c in WEEK_RENAME.values() if c in unioned.columns]
+    )
     unioned = _with_zone_id(unioned)
 
     dim = clientes_map.select(
@@ -169,8 +182,12 @@ def clean_category_tables(
     for df in tables:
         df = rename_positional(df, {3: "cuota_dinero", 4: "cuota_volumen"})  # P3
         df = rename_map(df, {"Negocio.": "nombre_producto"})
-        df = drop_leading_rows(df, "_row_idx", 1)                 # F5
-        df = rows_where_no_column_contains(df, "Total", ["nombre_producto"])  # F3
+        # NO first-row drop and NO 'Total' scrub here (r9 review fix):
+        # the reference's limpiar_dataframe(df, 'category') is
+        # fillna(0) ONLY (wor2.py:264-271 — the drops are the
+        # 'forecast' branch); header/Total rows fall out as unmapped
+        # products at the map step, exactly as wor2.py:377-379 drops
+        # them — but a REAL product in the first data row must load
         df = df.withColumns(
             {
                 "cuota_dinero": to_number_default("cuota_dinero"),

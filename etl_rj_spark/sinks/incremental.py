@@ -69,6 +69,7 @@ def append_incremental_jdbc_atomic(
     batchsize: int = 1000,
     properties: dict | None = None,
     staging_table: str | None = None,
+    on_null_key: str = "error",
 ) -> int:
     """K1 with TRUE single-transaction publish semantics — the SURVEY
     §4 staging-table commit protocol, matching the reference's
@@ -109,7 +110,7 @@ def append_incremental_jdbc_atomic(
         .options(**props)
         .load()
     )
-    new = anti_join_new_rows(df, existing, keys)
+    new = anti_join_new_rows(df, existing, keys, on_null_key=on_null_key)
     # Unique default staging name: concurrent appends must not
     # overwrite each other's STAGED rows mid-flight. Two caveats the
     # salt does NOT fix: (a) a crash between staging write and the
@@ -227,6 +228,7 @@ def append_incremental_jdbc(
     row_idx_col: str | None = None,
     source_line_offset: int = 0,
     atomic_threshold_rows: int = 100_000,
+    on_null_key: str = "error",
 ) -> None:
     """JDBC variant of K1: key projection pushed into the source query
     (column pruning at the database), 1,000-row JDBC batches like the
@@ -265,7 +267,7 @@ def append_incremental_jdbc(
         .options(**(properties or {}))
         .load()
     )
-    new = anti_join_new_rows(df, existing, keys)
+    new = anti_join_new_rows(df, existing, keys, on_null_key=on_null_key)
 
     def write(batch: DataFrame) -> None:
         (

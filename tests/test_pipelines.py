@@ -255,7 +255,13 @@ def test_wor_classification_and_pipelines(spark):
     assert len(crows) == 1
     assert crows[0].id_producto == 11 and crows[0].cuota_dinero == 111.5
     assert crows[0].cuota_volumen == 40 and crows[0].id_zone == 2
-    assert [r.nombre_producto for r in cat_unmapped.collect()] == ["Producto Desconocido"]
+    # r9 parity fix: category tables get NO first-row drop / Total
+    # scrub (reference limpiar_dataframe only drops for forecast), so
+    # header/Total rows surface in the unmapped report instead of
+    # silently vanishing — and a real product in row 0 would load
+    assert {r.nombre_producto for r in cat_unmapped.collect()} == {
+        "header", "Total", "Producto Desconocido"
+    }
 
 
 def test_category_default_product_map(spark):
@@ -283,7 +289,9 @@ def test_category_default_product_map(spark):
     got = {r.id_producto: r for r in facts.collect()}
     assert set(got) == {5, 11}          # Jelly Fruits → 5, Cotton Candy → 11
     assert all(r.id_zone == 3 for r in got.values())
-    assert [r.nombre_producto for r in unmapped.collect()] == ["Mystery"]
+    assert {r.nombre_producto for r in unmapped.collect()} == {
+        "hdr", "Total", "Mystery"
+    }
 
 
 def test_pending_orders_quarantine_channel(spark, clientes, tmp_path):

@@ -119,9 +119,15 @@ def test_parse_money_matches_reference(spark, cells):
     st.sampled_from(["", "x", "1.5", "12,34a"]),
 ), min_size=1, max_size=40))
 def test_parse_int_thousands_matches_reference(spark, cells):
+    # reference semantics (pending_orders.py:142-143): strip commas,
+    # pd.to_numeric coerce, astype(int) truncation — '1,234.00' → 1234,
+    # '1.5' → 1 (r9 parity fix; the old int-only cast nulled decimals)
     def py(s):
         s2 = str(s).replace(",", "")
-        return int(s2) if re.fullmatch(r"-?\d+", s2) else None
+        try:
+            return int(float(s2))
+        except ValueError:
+            return None
 
     got = _spark_map(spark, parse_int_thousands, cells)
     assert got == [py(c) for c in cells]
