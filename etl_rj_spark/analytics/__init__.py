@@ -53,72 +53,27 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: `km_view_to_purchase_survival` (int-cast duration contract —
 #: ADVICE r8).
 #:
-#: ROUND-10 ROTATION (planned now, per VERDICT r8 directive #4):
-#: the 17 remaining never-checked names sit IMMEDIATELY AFTER the
-#: 50-name prefix in their round-10 order; at the start of round
-#: 10, delete the r9 block above them and they become the prefix
-#: head, followed by `poisson_bootstrap_revenue_xxh` (the single
-#: r9 registry addition — VERDICT r8 #7's production-fast-path
-#: contract flag, staged 18th below so it gets an r10 verdict)
-#: and then the oldest-green re-confirmation backfill (r1-green
-#: names from `ngram_jaccard_pairs` onward) which
-#: ``ordered_registry()`` appends in registration order.  Every
-#: staged name is green at sf0.001, sf0.01 AND the x10 synth sweep
-#: in self-run (SCALE.md §11; COVERAGE.md 310/310 HEAD sweep).
+#: ROUND-10 ROTATION (executed per VERDICT r9 directives #1/#2):
+#: the 18 names that had NEVER had a driver verdict (union r1–r9 =
+#: 293/311 ever-checked) lead the prefix — this is the round the
+#: registry reaches 311/311 ever-driver-checked.  The remaining 32
+#: slots go FIRST to the eight `7cda17f` parity-fixed kernels whose
+#: r7 driver verdicts predate their current semantics (D2 lenient
+#: date, N4 truncate-through-double, X4 parens-split money — which
+#: ALSO changed r10: end-only whitespace strip per ADVICE r9 —
+#: X7 strip-before-truncate, F3/F5 forecast-only scope, J4
+#: null-safe anti-join keys, U1 post-union fill), so the driver
+#: confirms the NEW behavior; then to the oldest-green
+#: re-confirmation backfill (the 15 r1-green names, the 5 r3-green,
+#: and 3 r4-green — `k1_incremental_append_roundtrip` promoted over
+#: strict registration order because its sink path shares the
+#: null-safe J4 dedup fingerprints).  The single r10 registry
+#: addition (`k1_jdbc_upsert_roundtrip`, the MERGE upsert VERDICT r9
+#: #4 named as the one capability gap) rides in block A so the
+#: never-driver-checked count stays ZERO through this round.
 _PRIORITY = [
-    # ---- ROUND-9 DRIVER PREFIX (50 names) ----------------------
-    "ivm_join_maintenance",    # bilinear-delta join view, ledgered appends
-    "ivm_agg_with_retractions", # z-set weighted aggregate, deletes ride algebra
-    "stream_dedup_within_watermark", # bounded-state at-least-once dedup
-    "stream_view_purchase_join", # stream-stream join == batch oracle
-    "stream_transition_maintenance", # snapshot-versioned Markov maintainer
-    "expectation_suite_orders", # deequ-style one-pass rule report
-    "xls_datasource_roundtrip", # PySpark-4 Python DataSource surface
-    "bm25_search_topk",        # exact-integer Okapi BM25, distributed top-k
-    "phrase_search_docs",      # positional phrase search
-    "quality_classifier_inference", # batch linear-model scoring, pure codegen
-    "ks_two_sample_values",    # exact unbinned KS drift statistic
-    "cuped_theta_events",      # CUPED theta + variance-reduction ppm
-    "ols_price_qty_discount",  # closed-form 2-feature OLS (r9: det==0 guard)
-    "ab_test_purchase_conversion", # deterministic-arm two-proportion z
-    "chi_square_priority_status", # exact-integer chi-square (r9: empty-cell mass)
-    "kappa_langid_agreement",  # exact-ppm Cohen's kappa eval
-    "correlation_matrix_lineitem", # one-aggregate pairwise Pearson matrix
-    "time_weighted_value_user", # exact-integer TWAP / LOCF mean
-    "markov_event_transitions", # first-order transition matrix, ppm
-    "transition_latency_matrix", # time twin of the Markov matrix
-    "gini_revenue_customers",  # exact Gini via two-phase global rank
-    "zipf_slope_tokens",       # Zipf OLS diagnostic (r9: two-phase vocab rank)
-    "abc_classification_parts", # A/B/C cum-share labeling, two-phase rank
-    "km_view_to_purchase_survival", # exact integer-ppm Kaplan-Meier (r9: int-cast contract)
-    "holt_trend_daily_revenue", # dyadic Holt level+trend fold
-    "acf_daily_revenue",       # lag-1..14 exact-moment ACF
-    "forecast_eval_naive7",    # MAE/MAPE/MASE forecast scorecard
-    "seasonal_adjusted_outlier_days", # deseasonalized MAD screen
-    "psi_price_drift",         # PSI feature-drift deciles
-    "js_divergence_source_halves", # JS corpus-drift metric
-    "gains_table_activity_purchase", # decile gains/lift report
-    "stratified_split_sources", # Hamilton-exact train/val/test split
-    "skyline_parts",           # value-grain staircase Pareto front
-    "triangle_count_copurchase", # degree-oriented triangle census
-    "session_error_overlap",   # interval-overlap temporal join
-    "bootstrap_median_revenue", # value-grain bootstrap median CI
-    "attribution_model_compare", # first/last/linear side by side
-    "growth_accounting_weekly", # new/retained/resurrected decomposition
-    "order_total_reconciliation", # header-vs-lines money audit
-    "json_key_census",         # semi-structured schema monitor
-    "k_anonymity_audit",       # quasi-identifier privacy gate
-    "l_diversity_audit",       # homogeneity-attack privacy gate
-    "path_regex_sessions",     # MATCH_RECOGNIZE-shape path regex
-    "session_path_topk",       # top session paths, sorted-struct agg
-    "embedding_centroid_drift", # L1 centroid drift per label
-    "rfm_segmentation",        # equi-depth RFM quartile codes
-    "rolling_7day_active_users", # exact rolling-distinct WAU
-    "trending_event_types",    # rolling top-k leaderboard
-    "event_debounce_weekly",   # LAG-gap temporal dedup
-    "bpe_second_merge_candidates", # trainer iteration 2 via broadcast merge
-    # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-10 STAGED (17 never-checked, lowest-stakes) -----
+    # ---- ROUND-10 DRIVER PREFIX (50 names) ---------------------
+    # -- block A: the 18 never-driver-checked (clears debt to 311/311)
     "percentile_rank_chars",   # CDF percentile-rank normalize
     "log2_histogram_order_values", # exact log2-bucket histogram
     "dow_hour_value_p50",      # 7x24 exact-median heatmap
@@ -136,7 +91,55 @@ _PRIORITY = [
     "dup_cluster_size_histogram", # dedup health report
     "weekday_seasonality_revenue", # integer-ppm seasonal index
     "ohlc_daily_value",        # M4/OHLC downsampling bars
-    "poisson_bootstrap_revenue_xxh", # r9 addition: xxhash64 fast-path contract flag
+    "poisson_bootstrap_revenue_xxh", # xxhash64 fast-path contract flag
+    "k1_jdbc_upsert_roundtrip", # NEW r10: MERGE upsert vs live Derby (VERDICT r9 #4)
+    # -- block B: kernels whose semantics changed AFTER their last
+    #    (r7) driver verdict — 7cda17f parity fixes + r10 money fix
+    "money_parse_kernel",      # X4: parens-split + r10 end-only whitespace strip
+    "thousands_int_kernel",    # N4: truncate-through-double
+    "date_parse_kernel",       # D2: ISO-then-M/d/yyyy pandas inference
+    "truncate_fields",         # X7: strip-before-truncate
+    "contains_scrub_filter",   # F3: empty-col tolerance, forecast-only scope
+    "s2_trimmed_csv_roundtrip", # F5: first-row drop is forecast-only
+    "incremental_anti_join",   # J4/J5: null-safe key fingerprints
+    "union_schema_drift",      # U1: post-union 0.0 fill
+    # -- block C: oldest-green re-confirmation backfill (r1 → r4)
+    "ngram_jaccard_pairs",     # r1: n-gram Jaccard near-dup pairs
+    "simhash_fingerprints",    # r1: 64-bit SimHash fingerprints
+    "simhash_near_pairs",      # r1: Hamming-banded near-dup pairs
+    "lang_id_docs",            # r1: n-gram language-ID heuristic
+    "quality_score_docs",      # r1: length/punct/stopword quality score
+    "token_stats_docs",        # r1: whitespace+BPE-ish token counts
+    "doc_fingerprints",        # r1: rolling-hash document fingerprints
+    "cosine_topk_bruteforce",  # r1: exact cosine top-k baseline
+    "ann_ivf_topk",            # r1: IVF-bucketed ANN variant
+    "embedding_norm_stats",    # r1: embedding norm distribution
+    "dup_clusters",            # r1: exact-hash dedup clusters
+    "udtf_token_ngrams",       # r1: lateral-join UDTF n-grams
+    "dedup_corpus_survivors",  # r1: dedup survivor selection
+    "hash_split_docs",         # r1: hash-stable corpus split
+    "keep_latest_events",      # r1: last-writer-wins latest snapshot
+    "count_rows",              # r3: A2 count + observe counters
+    "upper_trim_recode_kernel", # r3: X2/X5 upper+trim recode
+    "tfidf_top_terms",         # r3: TF-IDF top terms per doc
+    "repetition_filter_docs",  # r3: repeated-line/ngram quality filter
+    "pii_scrub_docs",          # r3: PII pattern scrub
+    "s1_csv_scan_roundtrip",   # r4: CSV scan + legacy dispatch
+    "s3_xls_biff_roundtrip",   # r4: BIFF .xls sheet scan
+    "k1_incremental_append_roundtrip", # r4: K1 sink (shares J4 null-safe dedup)
+    # ---- 50-query driver prefix ends here ----------------------
+    # ---- ROUND-11 STAGED BACKFILL (written at end of r10): -----
+    # continue the oldest-green re-confirmation in last-verdict order —
+    # the remaining r4-green names first (jsonl_corrupt_quarantine,
+    # s4_excel_named_tables_roundtrip, s5_jdbc_dim_roundtrip,
+    # k2_snapshot_roundtrip, projection_ops_kernel,
+    # flexible_status_kernel, dict_map_lookup_kernel,
+    # regex_extract_kernel, hard_casts_kernel, fillna_zero_kernel,
+    # load_stamp_kernel, incremental_near_dup, kmeans_cells,
+    # ann_kmeans_ivf_topk, ann_lsh_topk, dup_clusters_star, ...),
+    # then r5/r6-green in registration order, which
+    # ``ordered_registry()`` already appends — at the r11 rotation,
+    # delete blocks A–C above and promote the next 50 stalest.
 ]
 
 

@@ -143,6 +143,10 @@ def gini_revenue_customers(spark, sf_dir):
                 + (MAX(t)*MAX(t) - SUM(r*c)) * 1000000 // MAX(t) AS BIGINT)
              AS chi2_ppm
     FROM cells JOIN rows_ USING (a) JOIN cols_ USING (b) CROSS JOIN tot
+    -- degenerate-input parity (ADVICE r9): on an empty/all-NULL-key
+    -- base the engine's groupBy emits 0 rows; without this HAVING the
+    -- global aggregate here would emit 1 all-NULL row instead
+    HAVING COUNT(*) > 0
     """,
     tags=("stats-chi2", "independence"),
 )

@@ -383,11 +383,15 @@ _MONEY_CENTS = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber, raw,
-           TRY_CAST(regexp_replace(regexp_replace(regexp_replace(
-             raw, '[$,\\s]', '', 'g'), '\\(', '-', 'g'), '\\)', '', 'g') AS DOUBLE) AS amount,
-           COALESCE(TRY_CAST(regexp_replace(regexp_replace(regexp_replace(
-             raw, '[$,\\s]', '', 'g'), '\\(', '-', 'g'), '\\)', '', 'g') AS DOUBLE), 0.0)
-             AS amount_defaulted
+           -- $ and , stripped everywhere, whitespace at the ENDS only
+           -- (the reference's .strip() — r10 ADVICE fix, mirrors
+           -- parse_money): interior whitespace coerces to null
+           TRY_CAST(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             raw, '[$,]', '', 'g'), '\\(', '-', 'g'), '\\)', '', 'g'),
+             '^\\s+|\\s+$', '', 'g') AS DOUBLE) AS amount,
+           COALESCE(TRY_CAST(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             raw, '[$,]', '', 'g'), '\\(', '-', 'g'), '\\)', '', 'g'),
+             '^\\s+|\\s+$', '', 'g') AS DOUBLE), 0.0) AS amount_defaulted
     FROM src
     """,
     tags=("X4", "N1", "N2"),

@@ -39,13 +39,17 @@ def clean_customer_name(c: Column | str) -> Column:
 
 
 def parse_money(c: Column | str) -> Column:
-    """X4+N1 — accounting-format money parse (cartera.py:143-147):
-    strip ``$`` ``,`` and spaces, ``(`` → ``-``, ``)`` → removed, then
-    lenient numeric cast (junk → null)."""
+    """X4+N1 — accounting-format money parse (cartera.py:143-148):
+    ``(`` → ``-``, ``)`` → removed, strip ``$`` ``,``, whitespace at
+    the ENDS only (the reference's ``.strip()`` — interior whitespace
+    survives and coerces the value to null, e.g. ``'1 234.56'``; an
+    all-whitespace strip would wrongly accept it — ADVICE r9, same fix
+    as :func:`parse_plain_money`), then lenient numeric cast."""
     col = F.col(c) if isinstance(c, str) else c
-    s = F.regexp_replace(col.cast("string"), r"[$,\s]", "")
+    s = F.regexp_replace(col.cast("string"), r"[$,]", "")
     s = F.regexp_replace(s, r"\(", "-")
     s = F.regexp_replace(s, r"\)", "")
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
     return s.try_cast("double")
 
 
@@ -61,9 +65,17 @@ def parse_plain_money(c: Column | str) -> Column:
     after the pipeline default); only cartera's open_balance maps
     parens to negatives (:func:`parse_money`). Using the cartera
     kernel in the pending pipeline flipped every parenthesized amount
-    to a negative the reference stores as 0 (r9 review fix)."""
+    to a negative the reference stores as 0 (r9 review fix).
+
+    Whitespace is stripped at the ENDS only (the reference's
+    ``.strip()``), never interior: ``'1 234.56'`` must coerce to null
+    (→ 0.0 with the pipeline default), exactly as ``pd.to_numeric``
+    rejects it — an all-whitespace ``[$,\\s]`` strip would silently
+    accept it as 1234.56 (ADVICE r9 fix)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(col.cast("string"), r"[$,\s]", "").try_cast("double")
+    s = F.regexp_replace(col.cast("string"), r"[$,]", "")
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    return s.try_cast("double")
 
 
 def parse_plain_money_default(c: Column | str, default: float = 0.0) -> Column:

@@ -98,6 +98,16 @@ def hash_ranked_resample(
     rows per group, swap row_number for the two-pass quantile cut on
     the same hash (threshold = approx cap/count percentile) — same
     contract, no single-partition rank.
+
+    ORACLE CONTRACT (ADVICE r9): exact-row comparison against a SQL
+    oracle assumes ``key_col`` values are UNIQUE within each group.
+    The duplicate-key tiebreak below is ``xxhash64(struct(*))`` —
+    deterministic and stable across runs/partitionings, but Spark's
+    xxhash64 is not replayable in DuckDB, so when duplicate keys
+    straddle a cap boundary the engine's (deterministic) survivor set
+    can differ from any oracle's pick. The registered resample
+    queries key on unique ids (``doc_id``), which the oracles'
+    row_number over ``md5(key)`` then reproduces exactly.
     """
     # content-hash tiebreak (r9 review fix): duplicate key values share
     # one md5, and an untied row_number would pick the survivor at the

@@ -252,19 +252,35 @@ def persist_ivf_index(
     return f"{table_prefix}_cells", f"{table_prefix}_centroids"
 
 
-def _check_index_dim(df: DataFrame, vec_col: str, meta_dim: int, table_prefix: str) -> None:
+def _with_index_dim_guard(
+    df: DataFrame, vec_col: str, meta_dim: int, table_prefix: str
+) -> DataFrame:
     """Refuse a dim mismatch (r9 review fix — the _meta guard wrote
     ``dim`` but nothing read it): a probe/append batch with the wrong
     vector width would NULL-pad the zip_with distances and silently
     assign arbitrary cells — recall collapses with zero error, the
-    exact hazard class IVF_FAMILY exists to prevent."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is not None and row.d != meta_dim:
-        raise ValueError(
-            f"{table_prefix}: batch vector dim {row.d} != index dim "
-            f"{meta_dim} — rebuild or re-encode; probing across dims "
-            "silently collapses recall"
+    exact hazard class IVF_FAMILY exists to prevent.
+
+    The guard is folded INTO the batch's own assignment job as a
+    per-row ``raise_error`` branch on ``size(vec)`` (r10 ADVICE fix:
+    the previous ``first()`` check validated only row 1 — a mixed-dim
+    batch slipped through — and cost an extra Spark job per
+    probe/append). EVERY row is checked, including NULL vectors (a
+    NULL vector cannot be assigned to a cell), at zero extra jobs."""
+    d = F.size(F.col(vec_col))
+    err = F.raise_error(
+        F.concat(
+            F.lit(f"{table_prefix}: batch vector dim "),
+            F.coalesce(d.cast("string"), F.lit("NULL")),
+            F.lit(
+                f" != index dim {meta_dim} — rebuild or re-encode; "
+                "probing across dims silently collapses recall"
+            ),
         )
+    )
+    return df.withColumn(
+        vec_col, F.when(d == F.lit(meta_dim), F.col(vec_col)).otherwise(err)
+    )
 
 
 def append_ivf_index(
@@ -291,7 +307,7 @@ def append_ivf_index(
         raise ValueError(
             f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r}"
         )
-    _check_index_dim(new_vectors, vec_col, meta.dim, table_prefix)
+    new_vectors = _with_index_dim_guard(new_vectors, vec_col, meta.dim, table_prefix)
     centroids = spark.table(f"{table_prefix}_centroids")
     cells = kmeans_assign(new_vectors, centroids, vec_col, id_col)
     batch = new_vectors.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
@@ -333,7 +349,7 @@ def probe_ivf_index(
             f"{table_prefix}: index family {meta.family!r} != engine {IVF_FAMILY!r} — "
             "rebuild the index; probing across families silently collapses recall"
         )
-    _check_index_dim(queries, vec_col, meta.dim, table_prefix)
+    queries = _with_index_dim_guard(queries, vec_col, meta.dim, table_prefix)
     centroids = spark.table(f"{table_prefix}_centroids")
     # cell assignment INLINE over the packed-centroid broadcast (the
     # zero-shuffle argmin of kmeans._assign) so the probe side carries

@@ -127,6 +127,74 @@ def append_incremental_jdbc_atomic(
     )
 
 
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    batchsize: int = 1000,
+    properties: dict | None = None,
+    staging_table: str | None = None,
+    staging_column_types: str | None = None,
+) -> int:
+    """K1-upsert — the MERGE path the insert-only loaders don't cover:
+    stage the batch in parallel (same two-phase shape as
+    :func:`append_incremental_jdbc_atomic`), then publish with ONE
+    server-side SQL:2003 ``MERGE INTO target USING staging ON keys``
+    — matched rows UPDATE their non-key columns, unmatched rows
+    INSERT — in a single transaction (mid-merge failure rolls back to
+    a byte-identical target). Re-delivering the same batch is
+    idempotent BY VALUE: matched rows update to the values they
+    already hold, nothing inserts twice.
+
+    The reference's loaders are insert-only (anti-join append,
+    ventas_totales.py:205-209); a corrected-record reload there means
+    delete-then-reload. MERGE is the operation that makes a corrected
+    batch a one-step reload, so it rides the same staging protocol.
+
+    Contract: the batch must be key-UNIQUE (SQL MERGE raises a
+    cardinality violation when one target row matches twice — dedup
+    with ``keep_latest`` first); NULL keys never match (SQL equality)
+    and would insert on every redelivery, so they are refused here,
+    like ``on_null_key='error'`` on the append paths. Returns the
+    server-reported affected-row count. Scale: data movement is the
+    parallel staged write; the MERGE is server-local.
+
+    ``staging_column_types`` (Spark's ``createTableColumnTypes``
+    string, e.g. ``"NAME VARCHAR(64)"``) pins staging DDL types for
+    columns where Spark's JDBC default is MERGE-hostile: Spark maps
+    StringType to CLOB on Derby, and Derby's MERGE fails restoring
+    CLOB source values (UTFDataFormatException) — pass VARCHAR widths
+    for every string column the MERGE touches."""
+    null_key = " OR ".join(f"{k} IS NULL" for k in keys)
+    if df.filter(null_key).limit(1).count() > 0:
+        raise ValueError(
+            f"upsert_jdbc into {table}: NULL in key column(s) {list(keys)} — "
+            "a NULL key never MERGE-matches and would re-insert on every "
+            "redelivery; fill or drop those rows first"
+        )
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+
+    def merge_sql(stg: str) -> str:
+        on = " AND ".join(f"t.{_qid(k)} = s.{_qid(k)}" for k in keys)
+        ins_cols = ", ".join(_qid(c) for c in cols)
+        ins_vals = ", ".join(f"s.{_qid(c)}" for c in cols)
+        stmt = f"MERGE INTO {table} t USING {stg} s ON ({on})"
+        if non_keys:
+            sets = ", ".join(f"{_qid(c)} = s.{_qid(c)}" for c in non_keys)
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        return stmt + (
+            f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+
+    return _publish_staged(
+        df, url, table, batchsize=batchsize, properties=properties,
+        staging_table=staging_table, publish_sql=merge_sql,
+        staging_column_types=staging_column_types,
+    )
+
+
 def _publish_staged(
     new: DataFrame,
     url: str,
@@ -135,26 +203,33 @@ def _publish_staged(
     batchsize: int = 1000,
     properties: dict | None = None,
     staging_table: str | None = None,
+    publish_sql=None,
+    staging_column_types: str | None = None,
 ) -> int:
     """Stage ``new`` (already deduped) in parallel, publish with one
     server-side transaction, drop staging. The staged write keeps the
     frame's OWN partitioning — never coalesced — so the data movement
     scales with the cluster; only the table-to-table publish statement
-    is serial, and it moves no rows through the driver."""
+    is serial, and it moves no rows through the driver. ``publish_sql``
+    (staging-table name → SQL) overrides the default
+    ``INSERT INTO target SELECT * FROM staging`` — the MERGE upsert
+    rides this hook."""
     import uuid
 
     spark = new.sparkSession
     props = dict(properties or {})
     stg = staging_table or f"{table}_STG_{uuid.uuid4().hex[:8].upper()}"
-    (
+    writer = (
         new.write.format("jdbc")
         .option("url", url)
         .option("dbtable", stg)
         .option("batchsize", batchsize)
         .options(**props)
         .mode("overwrite")
-        .save()
     )
+    if staging_column_types:
+        writer = writer.option("createTableColumnTypes", staging_column_types)
+    writer.save()
 
     jvm = spark.sparkContext._jvm
     if "driver" in props:  # register the driver with DriverManager
@@ -169,7 +244,8 @@ def _publish_staged(
         st = conn.createStatement()
         try:
             n = st.executeUpdate(
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stg}"
+                publish_sql(stg) if publish_sql is not None
+                else f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stg}"
             )
             conn.commit()
         except Exception:

@@ -20,8 +20,9 @@ engine does the same at the source boundary):
 the returned DataFrame is lazy, so the flag must still hold whenever a
 downstream action finally executes the scan — a restore on return
 would make later evaluations fail with PARQUET_TYPE_ILLEGAL. This is
-the documented mechanism that lets the driver's VANILLA session read
-the nanos-encoded events table (see .claude/skills/verify).
+the documented mechanism that lets a vanilla SparkSession (no custom
+builder config) read the nanos-encoded events table; the session-flag
+contract is written up in SCALE.md §5b.
 """
 
 from __future__ import annotations

@@ -156,7 +156,33 @@ def stream_enrich_with_dim(
     with overwrite, so a batch redelivered after a crash between the
     write and the checkpoint commit REWRITES its deterministic output
     instead of appending duplicates (K1 posture, same as the ledgered
-    sinks); readers scan ``out_path`` as one partitioned table."""
+    sinks); readers scan ``out_path`` as one partitioned table.
+
+    .. note:: BREAKING layout change (r9): output moved from a flat
+       append directory to ``batch=<id>`` subdirectories, so readers
+       see a new ``batch`` partition column. A checkpointed stream
+       resumed over a PRE-change flat output directory would mix
+       layouts and break partition discovery — the start-time guard
+       below refuses ``out_path`` directories containing legacy
+       non-partitioned files (ADVICE r9). Migrate by moving legacy
+       files under a ``batch=-1`` subdirectory (or re-running the
+       stream into a fresh path)."""
+    spark = stream.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")) or (
+                st.isDirectory() and name.startswith("batch=")
+            ):
+                continue
+            raise ValueError(
+                f"stream_enrich_with_dim: {out_path} contains legacy "
+                f"non-partitioned output ({name!r}); the sink writes "
+                "batch=<id> partitions since r9 — move legacy files "
+                "under batch=-1/ or use a fresh out_path"
+            )
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         dim = batch_df.sparkSession.read.parquet(dim_path)

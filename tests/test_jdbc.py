@@ -107,6 +107,47 @@ def test_jdbc_incremental_append_idempotent(spark, sf_dir, derby_url):
     assert n2 == 150  # idempotent: nothing new inserted
 
 
+def test_jdbc_merge_upsert_updates_and_inserts(spark, sf_dir, derby_url):
+    """K1-upsert (MERGE): matched keys UPDATE their non-key columns,
+    unmatched keys INSERT, one server-side transaction; re-delivering
+    the same batch is a value-level no-op; NULL keys are refused."""
+    from etl_rj_spark.sinks.incremental import upsert_jdbc
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("K"),
+        (F.round(F.col("o_totalprice") * 100)).cast("long").alias("CENTS"),
+    )
+    _seed(spark, derby_url, "VENTAS_U", orders.filter(F.col("K") < 100))
+
+    # corrected batch: existing keys re-priced (x2), 50 new keys
+    batch = orders.filter(F.col("K") < 150).withColumn(
+        "CENTS", F.col("CENTS") * 2
+    )
+    upsert_jdbc(batch, derby_url, "VENTAS_U", ["K"], properties=PROPS)
+
+    def readback():
+        return {
+            (r.K, r.CENTS)
+            for r in spark.read.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", "VENTAS_U")
+            .options(**PROPS)
+            .load()
+            .collect()
+        }
+
+    want = {(r.K, 2 * r.CENTS) for r in orders.filter(F.col("K") < 150).collect()}
+    got = readback()
+    assert got == want  # updates applied AND inserts landed
+
+    upsert_jdbc(batch, derby_url, "VENTAS_U", ["K"], properties=PROPS)
+    assert readback() == want  # redelivery is a value-level no-op
+
+    bad = batch.withColumn("K", F.when(F.col("K") == 5, None).otherwise(F.col("K")))
+    with pytest.raises(ValueError, match="NULL in key"):
+        upsert_jdbc(bad, derby_url, "VENTAS_U", ["K"], properties=PROPS)
+
+
 def test_jdbc_batch_error_localizes_source_rows(spark, derby_url):
     """A poisoned batch (VARCHAR overflow) raises JdbcBatchInsertError
     naming the batch's _row_idx range and the mapped source file lines

@@ -23,6 +23,7 @@ from etl_rj_spark.functions import (
     parse_date,
     parse_int_thousands,
     parse_money,
+    parse_plain_money,
 )
 
 SETTINGS = dict(max_examples=12, deadline=None)
@@ -79,9 +80,19 @@ _MONEY_CELLS = st.one_of(
 
 
 def _py_parse_money(s):
+    # exact reference chain (cartera.py:143-148): ( → -, ) → '',
+    # $ → '', , → '', .strip() — whitespace survives INTERIOR, so
+    # '( $1.50)' parses to null, not -1.50 (r10 ADVICE fix)
     if s is None:
         return None
-    s = re.sub(r"[$,\s]", "", str(s)).replace("(", "-").replace(")", "")
+    s = (
+        str(s)
+        .replace("(", "-")
+        .replace(")", "")
+        .replace("$", "")
+        .replace(",", "")
+        .strip()
+    )
     try:
         v = float(s)
     except ValueError:
@@ -105,6 +116,42 @@ def test_parse_money_matches_reference(spark, cells):
             # Spark may parse a superset (e.g. '1e3'); only assert
             # agreement for in-domain cells, null for definite junk
             if not re.search(r"[0-9]", c):
+                assert g is None, (c, g)
+        else:
+            assert g == pytest.approx(e), (c, g, e)
+
+
+def _py_parse_plain_money(s):
+    # exact reference chain (pending_orders.py:139-140): $ → '',
+    # , → '', .strip(), pd.to_numeric coerce — NO parens negation,
+    # interior whitespace survives and coerces to null
+    if s is None:
+        return None
+    s = str(s).replace("$", "").replace(",", "").strip()
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    if not re.fullmatch(r"-?\d+(\.\d+)?|-?\.\d+|-?\d+\.", s):
+        return None
+    return v
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(
+    _MONEY_CELLS,
+    # interior/edge whitespace forms the ADVICE-r9 fix targets
+    st.sampled_from(["1 234.56", " 1234.56 ", "$ 1,500.00", "(1,500.00)", "\t42.00\n"]),
+), min_size=1, max_size=40))
+def test_parse_plain_money_matches_reference(spark, cells):
+    got = _spark_map(spark, parse_plain_money, cells)
+    expected = [_py_parse_plain_money(c) for c in cells]
+    for c, g, e in zip(cells, got, expected):
+        if e is None:
+            # strict on the fix targets: interior whitespace and
+            # parens must coerce to null (no all-whitespace strip,
+            # no accounting negation in the pending kernel)
+            if not re.search(r"[0-9]", c) or re.search(r"\d\s+\d|[()]", c):
                 assert g is None, (c, g)
         else:
             assert g == pytest.approx(e), (c, g, e)

@@ -672,6 +672,19 @@ def test_ivf_index_partitioned_probe_dpp_and_family_guard(spark, sf_dir):
         # centroid packing agg — the corpus index contributes none
         assert shuffles <= 2, final[:2000]
 
+        # dim guard is folded into the assignment job and checks EVERY
+        # row (r10 ADVICE fix — the old first()-only check let a
+        # mixed-dim batch whose FIRST row had the right width slip
+        # through to NULL-padded distances)
+        bad = queries.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 0, F.col("embedding")).otherwise(
+                F.expr("slice(embedding, 1, size(embedding) - 1)")
+            ),
+        )
+        with pytest.raises(Exception, match="!= index dim"):
+            probe_ivf_index(spark, bad, prefix, k=5).collect()
+
         # family guard: a mismatched index refuses to probe
         spark.sql(
             f"INSERT OVERWRITE TABLE {prefix}_meta VALUES ('other-family-v0', 64)"

@@ -546,6 +546,20 @@ def test_stream_enrich_refreshes_dim_between_drains(spark, tmp_path):
     got = {(r.event_id, r.zone) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "old"), (2, "new")}
 
+    # layout guard (ADVICE r9): a checkpointed stream resumed over a
+    # PRE-r9 flat (non-partitioned) output directory must refuse to
+    # start instead of mixing layouts under readers
+    import pytest
+
+    legacy = tmp_path / "out" / "part-00000-legacy.parquet"
+    legacy.write_bytes(b"")
+    try:
+        stream = spark.readStream.schema(schema).parquet(ink)
+        with pytest.raises(ValueError, match="legacy"):
+            stream_enrich_with_dim(stream, dimp, out, ck)
+    finally:
+        legacy.unlink()
+
 
 def test_stream_scd2_history_folds_and_redelivery_is_noop(spark, tmp_path):
     """Streaming SCD2: two change drains build the interval history the
