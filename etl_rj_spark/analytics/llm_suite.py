@@ -1711,9 +1711,14 @@ def _recall_contract(pairs, expected, min_frac, name):
         F.count("*").alias("n_pairs"),
         F.sum((_base("id_a") == _base("id_b")).cast("long")).alias("n_within_base"),
     )
-    n, exp = F.col("n_within_base"), F.col("n_within_base_expected")
+    # COALESCE(...,0): on an EMPTY corpus both sides' sums are NULL and
+    # an un-coalesced assert_true(NULL) would hard-error a vacuously
+    # healthy contract — 0 expected, 0 found is a PASS (r10
+    # degenerate-input sweep fix)
+    n = F.coalesce(F.col("n_within_base"), F.lit(0))
+    exp = F.coalesce(F.col("n_within_base_expected"), F.lit(0))
     return got.crossJoin(expected).select(
-        "n_corpus_rows",
+        F.coalesce(F.col("n_corpus_rows"), F.lit(0)).alias("n_corpus_rows"),
         (n <= exp).alias("precision_ok"),
         (n >= F.ceil(exp * min_frac)).alias("recall_ok"),
         F.assert_true(

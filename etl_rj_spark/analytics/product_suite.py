@@ -2961,16 +2961,18 @@ def dow_hour_value_p50(spark, sf_dir):
     "expectation_suite_orders",
     """
     WITH a AS (
+      -- COALESCE(...,0): an EMPTY load trivially passes every rule
+      -- (mirrors the engine's empty-input contract, r10 sweep fix)
       SELECT
-        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
-        SUM(CASE WHEN NOT COALESCE(o_orderdate BETWEEN DATE '1992-01-01'
-              AND DATE '1998-12-31', FALSE) THEN 1 ELSE 0 END) AS v1,
-        SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
-              FALSE) THEN 1 ELSE 0 END) AS v2,
-        SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
-              THEN 1 ELSE 0 END) AS v3,
-        SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
-              THEN 1 ELSE 0 END) AS v4,
+        COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS v0,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(o_orderdate BETWEEN DATE '1992-01-01'
+              AND DATE '1998-12-31', FALSE) THEN 1 ELSE 0 END), 0) AS v1,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
+              FALSE) THEN 1 ELSE 0 END), 0) AS v2,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+              THEN 1 ELSE 0 END), 0) AS v3,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+              THEN 1 ELSE 0 END), 0) AS v4,
         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v5
       FROM orders
     ),
@@ -3496,7 +3498,11 @@ def stream_dedup_within_watermark(spark, sf_dir):
         F.expr("percentile_approx(cast(ts as double), 0.34)").alias("t1"),
         F.expr("percentile_approx(cast(ts as double), 0.67)").alias("t2"),
     ).collect()[0]
-    t1, t2 = bounds.t1, bounds.t2
+    # EMPTY events: percentiles are NULL — slice at epoch 0 so all
+    # three replay files are schema'd empty frames and the stream
+    # drains cleanly (r10 degenerate-input sweep fix)
+    t1 = bounds.t1 if bounds.t1 is not None else 0.0
+    t2 = bounds.t2 if bounds.t2 is not None else 0.0
     sec = F.col("ts").cast("double")
     s0, s1, s2 = (
         ev.filter(sec <= t1),

@@ -1344,6 +1344,10 @@ def _poisson_xxh_orders(spark, sf_dir):
     SELECT CAST(32 AS INTEGER) AS n_replicates,
            CAST(32 AS INTEGER) AS n_eff_within,
            CAST(32 AS INTEGER) AS mean_within
+    -- existence guard: on an EMPTY orders table there are no
+    -- replicates and no contract to check — 0 rows both engines
+    -- (r10 degenerate-input sweep fix)
+    WHERE EXISTS (SELECT 1 FROM orders)
     """,
     bench=True,  # NEW bench row r9 (VERDICT r8 #7): production fast path tracked
     tags=("stats-bootstrap", "production-fast-path", "contract-flag"),
@@ -1377,7 +1381,10 @@ def poisson_bootstrap_revenue_xxh(spark, sf_dir):
     )
     j = reps.join(F.broadcast(base))
     mu = (F.col("__t").cast("decimal(38,0)") / F.col("__n")).cast("long")
-    return j.agg(
+    # literal-grouped so an EMPTY orders table yields an EMPTY flag
+    # report instead of one (NULL, NULL, 0) row (r10 sweep fix,
+    # mirrored by the oracle's existence guard)
+    return j.groupBy(F.lit(1).alias("__g")).agg(
         F.count(F.lit(1)).cast("int").alias("n_replicates"),
         F.sum(
             F.when(
@@ -1396,7 +1403,7 @@ def poisson_bootstrap_revenue_xxh(spark, sf_dir):
                 1,
             ).otherwise(0)
         ).cast("int").alias("mean_within"),
-    )
+    ).drop("__g")
 
 
 def _poisson_xxh_bench(spark, sf_dir):

@@ -524,6 +524,9 @@ def dormant_customers_q22(spark, sf_dir):
            COUNT(*) AS n, {_msum('l_extendedprice', 'total_price')}
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- empty-input parity: Spark's groupingSets emits 0 rows, ANSI
+    -- emits the () grand total; only that row can have n = 0 (r10)
+    HAVING COUNT(*) > 0
     ORDER BY gid, l_returnflag, l_linestatus
     """,
     tags=("A3", "grouping-sets"),

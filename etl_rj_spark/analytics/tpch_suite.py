@@ -150,6 +150,10 @@ def supplier_part_distincts(spark, sf_dir):
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_msum('l_quantity', 'sum_qty')}
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark's rollup over an EMPTY relation emits 0 rows, while ANSI
+    -- GROUP BY () emits the grand-total row; every real rollup row
+    -- has n > 0, so this HAVING only bites on empty input (r10 sweep)
+    HAVING COUNT(*) > 0
     """,
     tags=("A3", "rollup"),
 )
@@ -383,6 +387,9 @@ def upper_trim_recode_kernel(spark, sf_dir):
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_msum('l_quantity', 'sum_qty')}
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- empty-input parity: Spark's cube emits 0 rows, ANSI emits the
+    -- grand total; only the empty-input row has n = 0 (r10 sweep)
+    HAVING COUNT(*) > 0
     """,
     tags=("A3", "cube"),
 )
@@ -572,6 +579,11 @@ def topk_sketch_rollup(spark, sf_dir):
               SELECT o_custkey FROM u WHERE o_orderpriority = '5-LOW'))
            AS BIGINT) AS custs_urgent_only,
       CAST((SELECT COUNT(DISTINCT o_custkey) FROM u) AS BIGINT) AS custs_any
+    -- existence guard: an empty segment universe yields 0 rows, like
+    -- the engine's literal-grouped aggregate (r10 sweep fix; WHERE
+    -- EXISTS, not a LIMIT-1 derived table — DuckDB's optimizer
+    -- unreliably pruned that form to 0 rows even on data)
+    WHERE EXISTS (SELECT 1 FROM u)
     """,
     bench=True,  # NEW bench row from r6 (VERDICT r5 #7: add, never replace)
     tags=("approx-sketch", "set-algebra", "mergeable"),
@@ -599,7 +611,11 @@ def theta_segment_algebra(spark, sf_dir):
     merged = monthly.groupBy("o_orderpriority").agg(
         F.expr("theta_union_agg(__msk, 18)").alias("__sk")
     )
-    sk = merged.agg(
+    # grouped on a literal so an EMPTY segment universe yields an
+    # EMPTY report (a global agg would emit one all-NULL row — the
+    # sketch of no data is no report, not "unknown"; r10 sweep fix,
+    # mirrored by the oracle's 1-row existence guard)
+    sk = merged.groupBy(F.lit(1).alias("__g")).agg(
         F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("__sk"))).alias("u"),
         F.max(F.when(F.col("o_orderpriority") == "5-LOW", F.col("__sk"))).alias("l"),
     )

@@ -233,7 +233,16 @@ def persist_ivf_index(
     spark = corpus.sparkSession
     cells = kmeans_assign(corpus, centroids, vec_col, id_col)
     idx = corpus.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
-    dim = len(centroids.select("cv").first()[0])
+    first_cv = centroids.select("cv").first()
+    if first_cv is None:
+        # an empty centroid set (k-means fit on an empty corpus) can
+        # never serve a probe — refuse with a diagnosis instead of a
+        # NoneType crash (r10 degenerate-input sweep fix)
+        raise ValueError(
+            f"{table_prefix}: cannot persist an IVF index with ZERO "
+            "centroids — the corpus the k-means was fit on is empty"
+        )
+    dim = len(first_cv[0])
 
     def _write(df, name, partition_by=None):
         w = df.write.mode("overwrite").format("parquet")

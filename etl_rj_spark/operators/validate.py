@@ -138,10 +138,17 @@ def expectation_suite(
     row per partition), then a constant-size ``stack`` unpivot to the
     report grain. Output: (rule, n_violations, passed), sorted by rule
     — a |rules|-row frame, broadcastable anywhere.
+
+    EMPTY input yields 0 violations / passed=1 for every rule (SUM
+    over zero rows is NULL in ANSI SQL — coalesced to 0 here, because
+    an empty load trivially satisfies every row-level expectation; a
+    NULL report row would read as "unknown" and block a release gate
+    that should open — r10 degenerate-input sweep fix).
     """
     aggs = [
-        F.sum(
-            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)),
+            F.lit(0),
         ).cast("bigint").alias(f"__v{i}")
         for i, (_, pred) in enumerate(rules.items())
     ]

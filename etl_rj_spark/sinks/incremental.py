@@ -56,7 +56,12 @@ def append_incremental(
     # The checkpoint truly severs the lineage before the write starts.
     new = new.localCheckpoint()
     inserted = new.count()
-    if inserted:
+    # first-ever load of an EMPTY batch still materializes the sink
+    # (a plain parquet write of a 0-row frame keeps the schema), so a
+    # later read/append sees a valid empty table instead of
+    # PATH_NOT_FOUND — a source whose filter matched nothing is a
+    # normal day, not a broken sink (r10 degenerate-input sweep fix)
+    if inserted or not _path_exists(spark, path):
         new.write.mode("append").parquet(path)
     return inserted
 

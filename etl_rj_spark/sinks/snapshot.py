@@ -27,6 +27,13 @@ def append_snapshot(
     stamp = F.lit(snapshot_date) if snapshot_date is not None else F.current_date()
     stamped = df.withColumn(snapshot_col, stamp.cast("date"))
     stamped.write.mode("append").partitionBy(snapshot_col).parquet(path)
+    # schema sidecar: a PARTITIONED write of a 0-row batch lands zero
+    # files, so a table whose every snapshot was empty would be
+    # unreadable (UNABLE_TO_INFER_SCHEMA). `_schema` is
+    # underscore-prefixed — invisible to partition discovery — and a
+    # plain 0-row parquet write there preserves the full schema for
+    # ``read_latest_snapshot``'s fallback (r10 degenerate-input fix).
+    stamped.limit(0).write.mode("overwrite").parquet(f"{path}/_schema")
     return stamped
 
 
@@ -38,9 +45,20 @@ def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fe
     one partition (PartitionFilters in the plan).
 
     For non-partitioned inputs use ``operators.aggregates.latest_snapshot``
-    (the collect-free broadcast-max join)."""
-    df = spark.read.parquet(path)
+    (the collect-free broadcast-max join).
+
+    A table whose snapshots were all EMPTY (zero partition
+    directories) reads back as a 0-row frame with the schema preserved
+    by ``append_snapshot``'s ``_schema`` sidecar — not an inference
+    error (r10 degenerate-input fix)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # zero partitions materialized — fall back to the sidecar
+        return spark.read.parquet(f"{path}/_schema")
     latest = df.select(F.max(snapshot_col).alias("m")).first()[0]
+    if latest is None:
+        return df.limit(0)
     return df.filter(F.col(snapshot_col) == F.lit(latest))
 
 

@@ -49,6 +49,12 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+    if partition_by:
+        # a PARTITIONED write of a 0-row frame lands zero files, which
+        # makes the table unreadable (UNABLE_TO_INFER_SCHEMA) — keep
+        # the schema in an underscore-hidden sidecar, exactly like the
+        # parquet snapshot sink (r10 degenerate-input sweep fix)
+        df.limit(0).write.mode("overwrite").orc(f"{path}/_schema")
 
 
 def read_orc(
@@ -66,8 +72,18 @@ def read_orc(
     column named ``ts`` in an ORC table is ordinary data; mangling it
     by default (``div 1000`` + timestamp_micros) would silently corrupt
     e.g. an epoch-milliseconds column. Pass names explicitly only for
-    tables KNOWN to store raw nanosecond longs."""
-    return normalize_timestamps(spark.read.orc(path), ns_timestamp_cols)
+    tables KNOWN to store raw nanosecond longs.
+
+    A partitioned table whose every write was EMPTY reads back as a
+    0-row frame via the ``_schema`` sidecar ``write_orc`` leaves — not
+    an inference error (r10 degenerate-input fix)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.orc(path)
+    except AnalysisException:
+        df = spark.read.orc(f"{path}/_schema")
+    return normalize_timestamps(df, ns_timestamp_cols)
 
 
 def avro_available(spark: SparkSession) -> bool:

@@ -87,7 +87,7 @@ def tables_to_spark(
         pdf = t.data.reset_index(drop=True)
         pdf["_row_idx"] = pdf.index  # source-row order for F5/order-dependent ops
         df = (
-            spark.createDataFrame(pdf)
+            _pdf_to_spark(spark, pdf)
             .withColumn("zone", F.lit(t.zone))
             .withColumn("nombre_mes", F.lit(t.month_name_en))
             .withColumn("mes", F.lit(t.mes))
@@ -95,6 +95,35 @@ def tables_to_spark(
         )
         out.append((t, df))
     return out
+
+
+#: pandas dtype → Spark type for the empty-frame lift below. Object
+#: (string) is the fallback — an empty sheet carries no type evidence,
+#: the same contract CSV inference has on an empty file.
+_PD_TO_SPARK = {
+    "int64": "bigint",
+    "int32": "int",
+    "float64": "double",
+    "float32": "float",
+    "bool": "boolean",
+    "datetime64[ns]": "timestamp",
+}
+
+
+def _pdf_to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """``spark.createDataFrame`` with a defined EMPTY-frame contract:
+    a 0-row pandas frame raises CANNOT_INFER_EMPTY_SCHEMA under plain
+    inference, but an empty sheet/table is a legitimate source state —
+    lift it with types taken from the pandas dtypes (object → string),
+    so downstream casts behave exactly as on the CSV path (r10
+    degenerate-input sweep fix)."""
+    if len(pdf) > 0:
+        return spark.createDataFrame(pdf)
+    ddl = ", ".join(
+        f"`{c}` {_PD_TO_SPARK.get(str(dt), 'string')}"
+        for c, dt in zip(pdf.columns, pdf.dtypes)
+    )
+    return spark.createDataFrame([], ddl)
 
 
 #: OLE2 compound-file magic — the container of legacy BIFF .xls files.
@@ -129,7 +158,7 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> Da
                 f"{path}: unreadable legacy BIFF .xls ({ex}) — "
                 "re-export as .xlsx (or .csv) and retry"
             ) from ex
-        return spark.createDataFrame(pdf)
+        return _pdf_to_spark(spark, pdf)
     try:
         pdf = pd.read_excel(path, sheet_name=sheet)
     except ImportError:
@@ -138,7 +167,7 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: int | str = 0) -> Da
         from etl_rj_spark.sources.xlsx_native import read_xlsx_sheet
 
         pdf = read_xlsx_sheet(path, sheet)
-    return spark.createDataFrame(pdf)
+    return _pdf_to_spark(spark, pdf)
 
 
 def read_workbook_tables(path: str) -> dict[str, pd.DataFrame]:

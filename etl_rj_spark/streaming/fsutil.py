@@ -33,6 +33,33 @@ def path_exists(spark: SparkSession, path_str: str) -> bool:
     return fs.exists(path)
 
 
+def ensure_state_schema(df, path_str: str) -> None:
+    """Materialize a partitioned state table's SCHEMA even when no
+    fold has landed rows yet: write ``df.limit(0)`` as a plain (non-
+    partitioned) parquet under ``{path}/_schema``. Underscore-prefixed
+    paths are invisible to Spark's partition discovery, so the sidecar
+    never pollutes real reads; a 0-row PLAIN write keeps the schema
+    where a 0-row PARTITIONED write lands nothing at all. Maintainers
+    call this when an empty drain would otherwise leave NO table — a
+    day with zero events is a normal day, and a serving read over it
+    must see an empty state table, not PATH_NOT_FOUND (r10
+    degenerate-input sweep fix)."""
+    df.limit(0).write.mode("overwrite").parquet(f"{path_str}/_schema")
+
+
+def read_state_or_schema(spark: SparkSession, path_str: str):
+    """Read a partitioned state table, falling back to its
+    ``_schema`` sidecar (0 rows, full schema) when no data partition
+    was ever materialized. The twin of :func:`ensure_state_schema`."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path_str)
+    except AnalysisException:
+        # zero real files (hidden _schema only) — serve the empty state
+        return spark.read.parquet(f"{path_str}/_schema")
+
+
 def committed_batch_ids(spark: SparkSession, ledger_dir: str) -> list[int]:
     """Sorted ``batch=<id>`` ids present under a ledger directory
     (metadata-only listing; missing dir → empty)."""

@@ -68,6 +68,18 @@ def fold_moments_batch(
     fresh = moment_batch(batch_df, group_col, ts_col, value_col).localCheckpoint()
     cond = _touched_days_cond(fresh)
     if cond is None:
+        # empty drain: materialize the ledgered table's schema so a
+        # serving read sees an empty state table (r10 sweep fix)
+        if not _table_exists(spark, target_path):
+            from etl_rj_spark.streaming.fsutil import ensure_state_schema
+
+            ensure_state_schema(
+                fresh.select(
+                    "grp", "day", "n", "s", "ss",
+                    F.array().cast("array<long>").alias("batch_ids"),
+                ),
+                target_path,
+            )
         return
     if _table_exists(spark, target_path):
         existing = spark.read.parquet(target_path).where(cond)
@@ -149,7 +161,9 @@ def serve_moment_stats(spark: SparkSession, path: str) -> DataFrame:
     single correctly-rounded double ops over exact decimal sums, and
     both are invariant under exact doubling of the sums (see module
     docstring)."""
-    g = spark.read.parquet(path).groupBy("grp").agg(
+    from etl_rj_spark.streaming.fsutil import read_state_or_schema
+
+    g = read_state_or_schema(spark, path).groupBy("grp").agg(
         F.sum("n").alias("n"),
         F.sum("s").cast("decimal(38,0)").alias("s"),
         F.sum("ss").cast("decimal(38,0)").alias("ss"),

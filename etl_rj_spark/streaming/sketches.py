@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from etl_rj_spark.streaming.fsutil import ensure_state_schema, read_state_or_schema
+
 #: Shared relative-error bound for the lgK=12 HLL contract checks:
 #: rsd(lgK=12) = 1.04/sqrt(2^12) ~= 1.6 %, and the contracts pin the
 #: estimate within 3 x rsd ~= 4.9 % (rounded up to 5 %). ONE constant
@@ -121,6 +123,11 @@ def stream_hll_partials(
         ).localCheckpoint()
         cond = _touched_days_cond(fresh)
         if cond is None:
+            # empty drain: still materialize the table's SCHEMA so a
+            # serving read sees an empty state table, not
+            # PATH_NOT_FOUND (r10 degenerate-input sweep fix)
+            if not _table_exists(spark, target_path):
+                ensure_state_schema(fresh, target_path)
             return
         if _table_exists(spark, target_path):
             existing = spark.read.parquet(target_path).where(cond)
@@ -154,7 +161,7 @@ def estimate_partials(
     estimate per group (identical to a single-pass sketch over all
     events ever folded in — mergeability, pinned in tests)."""
     return (
-        spark.read.parquet(target_path)
+        read_state_or_schema(spark, target_path)
         .groupBy(group_col)
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct"))
     )
@@ -205,6 +212,14 @@ def fold_topk_batch(
     fresh = topk_sketch_batch(batch_df, item_col, ts_col, max_items).localCheckpoint()
     cond = _touched_days_cond(fresh)
     if cond is None:
+        # empty drain: materialize the ledgered table's schema (r10)
+        if not _table_exists(spark, target_path):
+            ensure_state_schema(
+                fresh.select(
+                    "day", "st", F.array().cast("array<long>").alias("batch_ids")
+                ),
+                target_path,
+            )
         return
     if _table_exists(spark, target_path):
         existing = spark.read.parquet(target_path).where(cond)
@@ -282,7 +297,7 @@ def estimate_topk_partials(
 ) -> DataFrame:
     """Serving read: combine every day partial and estimate the top-k
     as (item, n) rows."""
-    combined = spark.read.parquet(path).agg(
+    combined = read_state_or_schema(spark, path).agg(
         F.expr(f"approx_top_k_estimate(approx_top_k_combine(st, {int(max_items)}), {int(k)})")
         .alias("__e")
     )
@@ -338,6 +353,9 @@ def stream_theta_partials(
         ).localCheckpoint()
         cond = _touched_days_cond(fresh)
         if cond is None:
+            # empty drain: materialize the table's schema (r10)
+            if not _table_exists(spark, target_path):
+                ensure_state_schema(fresh, target_path)
             return
         if _table_exists(spark, target_path):
             existing = spark.read.parquet(target_path).where(cond)
@@ -372,7 +390,7 @@ def theta_overlap(
     """Serve-time set algebra over the maintained partials: distinct
     keys in both / only-a / either of two groups — one row
     (n_both, n_only_a, n_any), no event rescan."""
-    parts = spark.read.parquet(target_path).filter(
+    parts = read_state_or_schema(spark, target_path).filter(
         F.col(group_col).isin(group_a, group_b)
     )
     merged = parts.groupBy(group_col).agg(
@@ -515,6 +533,15 @@ def fold_cms_batch(
     fresh = cms_batch(batch_df, key_col, ts_col, depth, width).localCheckpoint()
     cond = _touched_days_cond(fresh)
     if cond is None:
+        # empty drain: materialize the ledgered table's schema (r10)
+        if not _table_exists(spark, target_path):
+            ensure_state_schema(
+                fresh.select(
+                    "day", "row", "col", "counter",
+                    F.array().cast("array<long>").alias("batch_ids"),
+                ),
+                target_path,
+            )
         return
     if _table_exists(spark, target_path):
         existing = spark.read.parquet(target_path).where(cond)
@@ -584,7 +611,7 @@ def serve_cms_sketch(spark: SparkSession, path: str) -> DataFrame:
     state (row, col, counter) — counters sum across days (the merge IS
     addition), ready for ``cms_estimate``."""
     return (
-        spark.read.parquet(path)
+        read_state_or_schema(spark, path)
         .groupBy("row", "col")
         .agg(F.sum("counter").alias("counter"))
     )

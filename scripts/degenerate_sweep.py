@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Degenerate-input parity sweep: run every registered query against an
+ALL-EMPTY dataset (each of the ten tables with its real schema and zero
+rows) and compare the engine against its DuckDB oracle.
+
+Why this exists: empty/degenerate input is the one regime the per-round
+correctness gate never samples, and it is where the engine and an
+ANSI-SQL oracle structurally disagree — a Spark ``groupBy`` over an
+empty frame emits ZERO rows while a SQL global aggregate emits ONE
+all-NULL row (the ADVICE-r9 chi-square finding, generalized), windows
+over nothing differ from folds over nothing, and ``first()``-style
+seeds return None. At 100 TB "empty" happens constantly in practice: a
+partition with no late events, a day with no orders, a source whose
+filter matched nothing — so a divergence here is a real production bug,
+not a test curiosity.
+
+For each query: build on the empty dir, collect, run the oracle on
+empty views, and compare with the SAME canonicalization the driver
+uses (tests/oracle_utils.py). Statuses:
+  ok          — full match (usually 0 == 0 rows, or matching 1-row reports)
+  rows_only   — no oracle registered; engine ran without error
+  refused_by_design — raised the documented refusal (EXPECTED_REFUSAL:
+                the IVF index builders, which need a non-empty
+                training corpus exactly like FAISS train-before-add)
+  DIVERGES    — both engines ran; row count / schema / values differ
+  ENGINE_ERR  — the Spark build raised on empty input
+  ORACLE_ERR  — the DuckDB oracle raised on empty input
+
+Usage:
+  python scripts/degenerate_sweep.py [--out out.json] [name ...]
+
+The empty dataset is synthesized under /tmp/sf_empty from the sf0.001
+schemas (limit 0) and reused across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from oracle_utils import TABLES, compare_spark_duck, duck_connection  # noqa: E402
+
+BASE = "/root/testdata/sf0.001"
+EMPTY = "/tmp/sf_empty"
+
+#: Queries whose correct behavior on an EMPTY dataset is a LOUD
+#: REFUSAL, not a 0-row result: building an IVF index requires a
+#: trained cell layout, and k-means on zero points has nothing to
+#: train on (the same contract FAISS has — train() before add()).
+#: Each entry maps query name → required substring of the refusal
+#: message; a matching raise records as ``refused_by_design`` (green),
+#: anything else stays ENGINE_ERR (red).
+EXPECTED_REFUSAL = {
+    "ann_ivf_index_probe": "ZERO centroids",
+    "ann_ivf_index_append_probe": "ZERO centroids",
+    "stream_ivf_maintenance": "ZERO centroids",
+}
+
+
+def ensure_empty_dataset(spark: SparkSession) -> str:
+    marker = os.path.join(EMPTY, "_built")
+    if os.path.exists(marker):
+        return EMPTY
+    os.makedirs(EMPTY, exist_ok=True)
+    # single-FILE parquet per table (pyarrow), zero rows, exact base
+    # schema — both duck_connection and the engine's readers expect the
+    # testdata layout (one file, not a Spark part-file directory), and
+    # the pyarrow rewrite preserves even the events table's
+    # TIMESTAMP(NANOS) physical type so the empty twin exercises the
+    # same nanosAsLong scan path as the real data
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        schema = pq.read_schema(f"{BASE}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{EMPTY}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return EMPTY
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    only = set(args)
+
+    from etl_rj_spark.analytics import ordered_registry  # noqa: E402
+
+    reg = ordered_registry()
+    names = [n for n in reg if not only or n in only]
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .appName("degenerate-sweep")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    sf_dir = ensure_empty_dataset(spark)
+    con = duck_connection(sf_dir)
+    t0 = time.time()
+    detail: dict[str, dict] = {}
+    counts = {"ok": 0, "rows_only": 0, "refused_by_design": 0,
+              "DIVERGES": 0, "ENGINE_ERR": 0, "ORACLE_ERR": 0}
+    for n in names:
+        q = reg[n]
+        t1 = time.time()
+        try:
+            df = q.build(spark, sf_dir)
+            if q.oracle is None:
+                cnt = df.count()
+                counts["rows_only"] += 1
+                detail[n] = {"status": "rows_only", "rows": cnt}
+            else:
+                try:
+                    rel = con.sql(q.oracle)
+                    rel.fetchall()
+                except Exception as oe:  # noqa: BLE001
+                    counts["ORACLE_ERR"] += 1
+                    detail[n] = {"status": "ORACLE_ERR", "err": str(oe)[:800]}
+                else:
+                    try:
+                        compare_spark_duck(df, con, q.oracle)
+                        counts["ok"] += 1
+                        detail[n] = {"status": "ok"}
+                    except AssertionError as ae:
+                        counts["DIVERGES"] += 1
+                        detail[n] = {"status": "DIVERGES", "err": str(ae)[:800]}
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            if n in EXPECTED_REFUSAL and EXPECTED_REFUSAL[n] in str(e):
+                counts["refused_by_design"] += 1
+                detail[n] = {"status": "refused_by_design", "err": str(e)[:200]}
+            else:
+                counts["ENGINE_ERR"] += 1
+                detail[n] = {"status": "ENGINE_ERR", "err": str(e)[:800]}
+        detail[n]["sec"] = round(time.time() - t1, 2)
+    summary = dict(counts)
+    summary.update({"checked": len(names), "wall_sec": round(time.time() - t0, 1)})
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    for n, d in detail.items():
+        if d["status"] not in ("ok", "rows_only", "refused_by_design"):
+            print(f"{d['status']:<10} {n}: {d.get('err', '')[:200]}")
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
