@@ -1817,18 +1817,16 @@ def psi_price_drift(spark, sf_dir):
     tot = cnt.agg(
         F.sum("p_n").alias("__tp"), F.sum("q_n").alias("__tq")
     )
+    # try_divide: an EMPTY population half (its total 0) has no
+    # distribution to compare — every PSI term goes NULL, exactly as
+    # the oracle's x/0 → NULL propagates (r10 degenerate-input sweep
+    # fix; a bare `/` hard-errors under ANSI)
+    qr = F.try_divide(F.greatest(F.col("q_n"), F.lit(1)), F.col("__tq"))
+    pr = F.try_divide(F.greatest(F.col("p_n"), F.lit(1)), F.col("__tp"))
     return cnt.join(F.broadcast(tot)).select(
         "bin", "p_n", "q_n",
         F.round(
-            (
-                F.greatest(F.col("q_n"), F.lit(1)) / F.col("__tq")
-                - F.greatest(F.col("p_n"), F.lit(1)) / F.col("__tp")
-            )
-            * (
-                F.log(F.greatest(F.col("q_n"), F.lit(1)) / F.col("__tq"))
-                - F.log(F.greatest(F.col("p_n"), F.lit(1)) / F.col("__tp"))
-            )
-            * 1e6
+            (qr - pr) * (F.log(qr) - F.log(pr)) * 1e6
         ).cast("long").alias("psi_term_ppm"),
     )
 

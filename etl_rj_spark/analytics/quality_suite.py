@@ -1398,8 +1398,14 @@ def poisson_bootstrap_revenue_xxh(spark, sf_dir):
         ).cast("int").alias("n_eff_within"),
         F.sum(
             F.when(
-                F.abs(F.col("mean_value") - mu).cast("double")
-                <= 8.0 * F.sqrt(F.col("__ss").cast("double")) / F.col("__n") + 2.0,
+                # a zero-weight replicate (empty resample, P = e^(-n),
+                # so tiny-n only) has no mean — the mean contract is
+                # VACUOUS for it, not violated (r10 sweep fix)
+                F.col("mean_value").isNull()
+                | (
+                    F.abs(F.col("mean_value") - mu).cast("double")
+                    <= 8.0 * F.sqrt(F.col("__ss").cast("double")) / F.col("__n") + 2.0
+                ),
                 1,
             ).otherwise(0)
         ).cast("int").alias("mean_within"),

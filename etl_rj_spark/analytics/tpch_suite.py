@@ -731,8 +731,13 @@ def kll_quantile_rollup(spark, sf_dir):
     sketch n == COUNT(*); the merged median estimate's true rank —
     recomputed against the raw data in the same query — must sit
     within 0.5 ± 0.04 (k=200 ⇒ normalized rank error ≈1.65 % at 99 %
-    confidence; 0.04 ≈ 2.4×). The oracle pins both flags to literal 1
-    beside the exact group counts."""
+    confidence; 0.04 ≈ 2.4×). A value's rank in a MULTISET is the
+    interval [count(<v), count(≤v)]/n, so the check is that this
+    interval intersects the band — the point form |count(≤v)/n − 0.5|
+    broke on any group where rank granularity exceeds the band (n=1:
+    the only rank is 1.0) and on heavy ties (r10 degenerate-input
+    sweep fix). The oracle pins both flags to literal 1 beside the
+    exact group counts."""
     ord_ = _t(spark, sf_dir, "orders")
     val = F.col("o_totalprice").cast("double")
     daily = ord_.groupBy("o_orderpriority", "o_orderdate").agg(
@@ -760,14 +765,17 @@ def kll_quantile_rollup(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.first("sketch_n").alias("sketch_n"),
+        F.sum((val < F.col("__med_est")).cast("long")).alias("__lt_est"),
         F.sum((val <= F.col("__med_est")).cast("long")).alias("__le_est"),
     )
     return (
         exact.select(
             "o_orderpriority", "n_orders", "sketch_n",
             (F.col("sketch_n") == F.col("n_orders")).cast("int").alias("n_lossless"),
+            # rank interval [lt, le]/n intersects 0.5 ± 0.04
             (
-                F.abs(F.col("__le_est") / F.col("n_orders") - 0.5) <= 0.04
+                (F.col("__lt_est") / F.col("n_orders") <= 0.54)
+                & (F.col("__le_est") / F.col("n_orders") >= 0.46)
             ).cast("int").alias("median_rank_ok"),
         )
         .orderBy("o_orderpriority")
@@ -896,10 +904,16 @@ def price_qty_correlation(spark, sf_dir):
         F.sum(x * y).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    corr = (
-        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-        / F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        / F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    # try_divide: a zero-variance side (n=1, or a constant column)
+    # has no defined correlation — NULL, exactly as the oracle's
+    # 0/0 emits in SQL (r10 degenerate-input sweep fix; a bare `/`
+    # hard-errors under ANSI)
+    corr = F.try_divide(
+        F.try_divide(
+            nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"),
+            F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")),
+        ),
+        F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")),
     )
     return s.select(
         "l_returnflag", "n",

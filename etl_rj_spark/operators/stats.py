@@ -446,6 +446,13 @@ def poisson_bootstrap_means(
     weights would inflate n_eff and the mean's divisor while
     contributing nothing to the numerator — the bootstrap resamples
     OBSERVED values only).
+
+    A replicate whose every draw is 0 (an EMPTY resample — probability
+    e^(-n), so observable only at tiny n) has NO mean: ``mean_value``
+    is NULL for it via the ``nullif`` divisor, exactly as SQL's
+    ``x // 0 → NULL`` emits in the cross-engine oracle (r10
+    degenerate-input sweep fix — a bare ``div`` hard-errors under
+    ANSI).
     """
     fan = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col), F.col(value_col).alias("__v"),
@@ -457,7 +464,8 @@ def poisson_bootstrap_means(
         .agg(
             F.sum("__w").alias("n_eff"),
             F.expr(
-                "cast(sum(cast(__w as decimal(38,0)) * __v) div sum(__w) as bigint)"
+                "cast(sum(cast(__w as decimal(38,0)) * __v)"
+                " div nullif(sum(__w), 0) as bigint)"
             ).alias("mean_value"),
         )
     )

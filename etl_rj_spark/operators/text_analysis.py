@@ -302,33 +302,24 @@ def js_divergence(
     )
     # p = a/ta, q = b/tb; contribution in bits:
     #   0.5*(p*log2(2p/(p+q)) + q*log2(2q/(p+q)))
+    # try_divide: one side EMPTY (its total 0) means that side is not
+    # a distribution and JS is undefined — every term (and so js_ppm)
+    # goes NULL, exactly as the SQL oracle's x/0 → NULL propagates
+    # (r10 degenerate-input sweep fix; a bare `/` hard-errors under
+    # ANSI)
+    p = F.try_divide(F.col("__a"), F.col("__ta"))
+    q = F.try_divide(F.col("__b"), F.col("__tb"))
     term = merged.join(F.broadcast(tot)).select(
         "__t", "__a", "__b", "__ta", "__tb",
         F.round(
             (
                 F.when(
                     F.col("__a") > 0,
-                    (F.col("__a") / F.col("__ta"))
-                    * (
-                        F.lit(1)
-                        + F.log2(F.col("__a") / F.col("__ta"))
-                        - F.log2(
-                            F.col("__a") / F.col("__ta")
-                            + F.col("__b") / F.col("__tb")
-                        )
-                    ),
+                    p * (F.lit(1) + F.log2(p) - F.log2(p + q)),
                 ).otherwise(F.lit(0.0))
                 + F.when(
                     F.col("__b") > 0,
-                    (F.col("__b") / F.col("__tb"))
-                    * (
-                        F.lit(1)
-                        + F.log2(F.col("__b") / F.col("__tb"))
-                        - F.log2(
-                            F.col("__a") / F.col("__ta")
-                            + F.col("__b") / F.col("__tb")
-                        )
-                    ),
+                    q * (F.lit(1) + F.log2(q) - F.log2(p + q)),
                 ).otherwise(F.lit(0.0))
             )
             * 500_000

@@ -27,7 +27,14 @@ uses (tests/oracle_utils.py). Statuses:
   ORACLE_ERR  — the DuckDB oracle raised on empty input
 
 Usage:
-  python scripts/degenerate_sweep.py [--out out.json] [name ...]
+  python scripts/degenerate_sweep.py [--regime empty|single]
+                                     [--out out.json] [name ...]
+
+Regimes: ``empty`` (default) — every table with its real schema and
+ZERO rows; ``single`` — every table exactly ONE row (first row of
+sf0.001, FK integrity deliberately not preserved), which probes the
+n=1 classes empty input can't reach: zero variance, one-class
+categoricals, one-element windows/folds, partnerless joins.
 
 The empty dataset is synthesized under /tmp/sf_empty from the sf0.001
 schemas (limit 0) and reused across runs.
@@ -86,12 +93,46 @@ def ensure_empty_dataset(spark: SparkSession) -> str:
     return EMPTY
 
 
+SINGLE = "/tmp/sf_single"
+
+
+def ensure_single_row_dataset(spark: SparkSession) -> str:
+    """The second degenerate regime: every table exactly ONE row (the
+    first row of the sf0.001 table). Probes the failure classes empty
+    input can't reach — zero variance/denominator with n=1, one-class
+    categoricals, one-element windows/folds, self-joins that find no
+    partner — while both engines still see IDENTICAL data, so any
+    divergence is structural, not data luck. FK integrity across
+    tables is deliberately NOT preserved (a lineitem row whose order
+    is missing is itself a real degenerate state: joins must emit
+    empty, not error)."""
+    marker = os.path.join(SINGLE, "_built")
+    if os.path.exists(marker):
+        return SINGLE
+    os.makedirs(SINGLE, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{BASE}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), f"{SINGLE}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return SINGLE
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     out_path = None
     if "--out" in args:
         i = args.index("--out")
         out_path = args[i + 1]
+        del args[i:i + 2]
+    regime = "empty"
+    if "--regime" in args:
+        i = args.index("--regime")
+        regime = args[i + 1]
+        if regime not in ("empty", "single"):
+            raise SystemExit(f"unknown --regime {regime!r} (empty|single)")
         del args[i:i + 2]
     only = set(args)
 
@@ -106,7 +147,8 @@ def main() -> int:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
-    sf_dir = ensure_empty_dataset(spark)
+    build = ensure_empty_dataset if regime == "empty" else ensure_single_row_dataset
+    sf_dir = build(spark)
     con = duck_connection(sf_dir)
     t0 = time.time()
     detail: dict[str, dict] = {}
@@ -145,7 +187,8 @@ def main() -> int:
                 detail[n] = {"status": "ENGINE_ERR", "err": str(e)[:800]}
         detail[n]["sec"] = round(time.time() - t1, 2)
     summary = dict(counts)
-    summary.update({"checked": len(names), "wall_sec": round(time.time() - t0, 1)})
+    summary.update({"regime": regime, "checked": len(names),
+                    "wall_sec": round(time.time() - t0, 1)})
     if out_path:
         with open(out_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

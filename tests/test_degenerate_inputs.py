@@ -62,6 +62,45 @@ def test_query_oracle_parity_on_empty_dataset(spark, empty_dir, empty_con, name)
     compare_spark_duck(q.build(spark, empty_dir), empty_con, q.oracle)
 
 
+@pytest.fixture(scope="module")
+def single_dir(spark):
+    from degenerate_sweep import ensure_single_row_dataset
+
+    return ensure_single_row_dataset(spark)
+
+
+@pytest.fixture(scope="module")
+def single_con(single_dir):
+    return duck_connection(single_dir)
+
+
+#: one representative per n=1 mechanism (second r10 sweep regime):
+#: zero-weight bootstrap replicate (nullif divisor → NULL mean, and
+#: the xxh flag's vacuous-NULL contract), zero-variance correlation
+#: (try_divide → NULL, DuckDB 0/0 parity), one-sided distribution
+#: divergence (JS), empty population half (PSI), and the multiset
+#: rank-interval form of the KLL median contract (n=1's only rank
+#: is 1.0; the point form |rank − 0.5| can never pass).
+_SINGLE_PINS = [
+    "poisson_bootstrap_revenue",
+    "poisson_bootstrap_revenue_xxh",
+    "price_qty_correlation",
+    "js_divergence_source_halves",
+    "psi_price_drift",
+    "kll_quantile_rollup",
+]
+
+
+@pytest.mark.parametrize("name", _SINGLE_PINS)
+def test_query_oracle_parity_on_single_row_dataset(
+    spark, single_dir, single_con, name
+):
+    from etl_rj_spark.analytics import REGISTRY
+
+    q = REGISTRY[name]
+    compare_spark_duck(q.build(spark, single_dir), single_con, q.oracle)
+
+
 def test_expectation_suite_empty_input_passes_every_rule(spark):
     """An empty load trivially satisfies every row-level expectation:
     0 violations, passed=1 — never NULL (a NULL report row reads as
