@@ -86,8 +86,16 @@ def s2_trimmed_csv_roundtrip(spark, sf_dir):
 
     d = _scratch("s2")
     os.makedirs(d)
+    # KEYED rows only: a report line with no key is junk the
+    # reference's trim step discards, and the oracle's `>= 1` already
+    # excludes NULL keys (NULL >= 1 is not true) — r10 nullmix fix
+    # (bare sort crashed on NULL keys); a NULL name writes as an
+    # empty cell (reads back NULL)
     rows = sorted(
-        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .where(F.col("n_nationkey").isNotNull())
+        .collect()
     )  # 25-row dimension: fixture construction, not a data path
     path = os.path.join(d, "export.csv")
     with open(path, "w") as f:
@@ -95,7 +103,7 @@ def s2_trimmed_csv_roundtrip(spark, sf_dir):
             f.write(f"Report junk line {i}\n")
         f.write("n_nationkey,n_name\n")
         for k, name in rows:
-            f.write(f"{k},{name}\n")
+            f.write(f"{k},{'' if name is None else name}\n")
         f.write("Total,25\n")
     df = read_csv_trimmed(spark, path, skiprows=6, skipfooter=1)
     df = drop_leading_rows(df, "_row_idx", 1)
@@ -104,7 +112,9 @@ def s2_trimmed_csv_roundtrip(spark, sf_dir):
 
 @_q(
     "s3_xls_biff_roundtrip",
-    "SELECT r_regionkey, r_name FROM region",
+    # keyed rows only: a spreadsheet line with no key is junk the
+    # reference's loaders trim; mirrors the engine fixture (r10)
+    "SELECT r_regionkey, r_name FROM region WHERE r_regionkey IS NOT NULL",
     tags=("S3",),
 )
 def s3_xls_biff_roundtrip(spark, sf_dir):
@@ -118,7 +128,10 @@ def s3_xls_biff_roundtrip(spark, sf_dir):
 
     d = _scratch("s3xls")
     os.makedirs(d)
-    rows = sorted(_t(spark, sf_dir, "region").collect())
+    # keyed rows only (see oracle) — r10 nullmix fix: int(None) crashed
+    rows = sorted(
+        _t(spark, sf_dir, "region").where(F.col("r_regionkey").isNotNull()).collect()
+    )
     grid = [["r_regionkey", "r_name"]] + [[int(k), n] for k, n in rows]
     path = os.path.join(d, "export.xls")
     write_xls(path, {"Ventas": grid})
@@ -183,15 +196,22 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
     from etl_rj_spark.sources.jsonl import quarantine_corrupt, read_jsonl
     from pyspark.sql import types as T
 
+    import json as _json
+
     d = _scratch("jsonl_bad")
     os.makedirs(d)
+    # json.dumps: JSONL represents null natively, so rows with NULL
+    # fields (keys included) roundtrip losslessly as good rows and the
+    # oracle stays the bare table; None sorts first (r10 nullmix fix —
+    # the old '%d' format and bare sort crashed on NULL keys)
     rows = sorted(
-        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0),
     )  # 25-row dimension: fixture construction, not a data path
     corrupt = ['{"n_nationkey": 99, "n_name": "tru', "not json at all", '{"n_nationkey": "NaN-key"}']
     with open(os.path.join(d, "shard-0.jsonl"), "w") as f:
         for i, (k, name) in enumerate(rows):
-            f.write('{"n_nationkey": %d, "n_name": "%s"}\n' % (k, name))
+            f.write(_json.dumps({"n_nationkey": k, "n_name": name}) + "\n")
             if i < len(corrupt):
                 f.write(corrupt[i] + "\n")
         # corrupt lines not interleaved above (fewer valid rows than
@@ -309,14 +329,19 @@ def csv_corrupt_quarantine(spark, sf_dir):
 
     d = _scratch("csv_bad")
     os.makedirs(d)
+    # CSV represents null as an empty cell, so rows with NULL fields
+    # (keys included) roundtrip losslessly as good rows and the oracle
+    # stays the bare table; None sorts first (r10 nullmix fix — the
+    # old f-string wrote the literal 'None' and bare sort crashed)
     rows = sorted(
-        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0),
     )  # 25-row dimension: fixture construction, not a data path
     corrupt = ["NaN-key,BROKEN", "9,TOOWIDE,extra,columns", "bareword"]
     with open(os.path.join(d, "shard-0.csv"), "w") as f:
         f.write("n_nationkey,n_name\n")
         for i, (k, name) in enumerate(rows):
-            f.write(f"{k},{name}\n")
+            f.write(f"{'' if k is None else k},{'' if name is None else name}\n")
             if i < len(corrupt):
                 f.write(corrupt[i] + "\n")
         # data-independent corruption fixtures (see jsonl twin, r10)
@@ -485,6 +510,8 @@ def xml_column_extract(spark, sf_dir):
     SELECT r_regionkey, r_name, 'Zone1' AS zone, 'January' AS nombre_mes,
            1 AS mes, 2024 AS anio
     FROM region
+    -- keyed rows only: mirrors the engine fixture (r10 nullmix fix)
+    WHERE r_regionkey IS NOT NULL
     """,
     tags=("S3", "S4"),
 )
@@ -502,7 +529,10 @@ def s4_excel_named_tables_roundtrip(spark, sf_dir):
 
     d = _scratch("s4")
     os.makedirs(d)
-    rows = sorted(_t(spark, sf_dir, "region").collect())
+    # keyed rows only (see oracle) — r10 nullmix fix: int(None) crashed
+    rows = sorted(
+        _t(spark, sf_dir, "region").where(F.col("r_regionkey").isNotNull()).collect()
+    )
     grid = [["r_regionkey", "r_name"]] + [[int(k), n] for k, n in rows]
     path = os.path.join(d, "wor.xlsx")
     write_xlsx(
@@ -603,7 +633,10 @@ def k1_incremental_append_roundtrip(spark, sf_dir):
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            1 AS stream_consistent, 1 AS estimate_ok
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events
+    -- complete-case: NULL event_type is not a category (r10 parity)
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
     """,
     tags=("streaming", "approx-sketch", "incremental"),
 )
@@ -624,7 +657,10 @@ def stream_hll_maintenance(spark, sf_dir):
     from etl_rj_spark.streaming.sketches import estimate_partials, stream_hll_partials
 
     root = _scratch("stream_hll")
-    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    # complete-case: NULL event_type is not a category (see oracle, r10)
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull()
+    )
     ev.repartition(3).write.parquet(f"{root}/in")
     schema = spark.read.parquet(f"{root}/in").schema
     stream = spark.readStream.schema(schema).option(
@@ -659,7 +695,10 @@ def stream_hll_maintenance(spark, sf_dir):
     "stream_topk_maintenance",
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, 1 AS stream_is_exact
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events
+    -- complete-case: NULL event_type is not a category (r10 parity)
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
     """,
     tags=("streaming", "approx-sketch", "heavy-hitters", "incremental"),
 )
@@ -687,7 +726,10 @@ def stream_topk_maintenance(spark, sf_dir):
     )
 
     root = _scratch("stream_topk")
-    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    # complete-case: NULL event_type is not a category (see oracle, r10)
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull()
+    )
     ev.repartition(3).write.parquet(f"{root}/in")
     schema = spark.read.parquet(f"{root}/in").schema
     stream = spark.readStream.schema(schema).option(
@@ -1130,7 +1172,10 @@ def hard_casts_kernel(spark, sf_dir):
 @_q(
     "fillna_zero_kernel",
     """
-    SELECT l_orderkey, l_linenumber,
+    -- whole-frame fillna: na.fill(-1.0) fills EVERY numeric column,
+    -- keys included (r10 nullmix parity)
+    SELECT COALESCE(l_orderkey, -1) AS l_orderkey,
+           COALESCE(l_linenumber, -1) AS l_linenumber,
            COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc
     FROM lineitem
     """,

@@ -78,8 +78,13 @@ def fuzzy_name_best_match(spark, sf_dir):
              0 AS dist, 'exact' AS tier
       FROM f JOIN base b ON f.fn = b.cn
     ),
+    -- guard the NOT IN: one NULL in the subquery list makes NOT IN
+    -- three-valued-NULL for EVERY row (the whole fuzzy tier silently
+    -- vanished on a corpus with one NULL name); NULL fnames carry no
+    -- name to match, like the engine (r10 nullmix parity)
     um AS (SELECT c_custkey, fn FROM f
-           WHERE fn NOT IN (SELECT cn FROM base)),
+           WHERE fn IS NOT NULL
+             AND fn NOT IN (SELECT cn FROM base WHERE cn IS NOT NULL)),
     fz AS (
       SELECT c_custkey, matched_c_custkey, dist, 'fuzzy' AS tier
       FROM (
@@ -92,7 +97,12 @@ def fuzzy_name_best_match(spark, sf_dir):
         WHERE levenshtein(um.fn, b.cn) <= 2
       ) WHERE rn = 1
     )
-    SELECT * FROM exact UNION ALL SELECT * FROM fz
+    -- LEFT JOIN back onto the fact feed: the lookup drops NO rows —
+    -- a fact with no name (or no match) survives with NULL match
+    -- columns, exactly like the engine (r10 nullmix parity)
+    SELECT f.c_custkey, m.matched_c_custkey, m.dist, m.tier
+    FROM f LEFT JOIN (SELECT * FROM exact UNION ALL SELECT * FROM fz) m
+      ON f.c_custkey = m.c_custkey
     """,
     tags=("fuzzy-match", "J1-generalized"),
 )

@@ -74,7 +74,12 @@ _DUP_CORPUS = (
     "exact_dedup_docs",
     f"""
     WITH corpus AS ({_DUP_CORPUS}),
-    keyed AS (SELECT doc_id, md5({_NT}) AS key FROM corpus)
+    -- complete-case: a NULL-text document has no content to
+    -- fingerprint and is excluded from the mapping (md5(NULL) keys
+    -- silently vanish at the SQL equi-join anyway — r10 nullmix
+    -- parity; mirrors the engine filter)
+    keyed AS (SELECT doc_id, md5({_NT}) AS key FROM corpus
+              WHERE text IS NOT NULL)
     SELECT k.doc_id, c.canonical_id
     FROM keyed k JOIN (SELECT key, MIN(doc_id) AS canonical_id FROM keyed GROUP BY key) c
       USING (key)
@@ -85,8 +90,13 @@ _DUP_CORPUS = (
 def exact_dedup_docs(spark, sf_dir):
     """Exact dedup: canonical-id mapping over a corpus of documents ∪
     case/whitespace-perturbed copies — every copy maps to its original
-    (hash-groupBy on md5 of normalized text)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    (hash-groupBy on md5 of normalized text). NULL-text docs carry no
+    content and are excluded (complete-case, r10)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
     dup = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit("  ")).alias("text"),
@@ -638,10 +648,15 @@ def _kmeans_oracle_ctes(
         else f"list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {q}) AS BIGINT))"
     )
     dv_sql = "CAST(NULL AS DOUBLE[])" if iv_expr is not None else "embedding::DOUBLE[]"
+    # only the raw-embeddings source carries a NULLable vector column;
+    # custom sources (doc features) filter upstream
+    null_guard = "" if iv_expr is not None else " WHERE embedding IS NOT NULL"
     return f"""
     {p}base AS (
+      -- NULL vectors are not clusterable points (r10 parity;
+      -- mirrors kmeans_fit/kmeans_assign's isNotNull drop)
       SELECT vec_id, {iv_sql} AS iv, {dv_sql} AS dv
-      FROM {source}
+      FROM {source}{null_guard}
     ),
     {p}fitpts AS (SELECT * FROM {p}base WHERE {fit_filter}),
     {p}c0 AS (
@@ -1350,7 +1365,10 @@ def knn_label_vote_q(spark, sf_dir):
       SELECT label,
              unnest([i for i in range(1, 65)]) AS dim,
              unnest([CAST(ROUND(cv[i] * 1000000) AS BIGINT) for i in range(1, 65)]) AS xi
-      FROM (SELECT label, embedding::DOUBLE[] AS cv FROM embeddings)
+      -- NULL embeddings carry no coordinates to pool (r10 parity;
+      -- mirrors mean_pool_embeddings' isNotNull drop)
+      FROM (SELECT label, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE embedding IS NOT NULL)
     ),
     agg AS (
       SELECT label, dim, CAST(SUM(xi) AS BIGINT) AS s, COUNT(*) AS c
@@ -1734,7 +1752,9 @@ def _recall_contract(pairs, expected, min_frac, name):
     SELECT CAST(25 * COUNT(*) AS BIGINT) AS n_corpus_rows,
            TRUE AS precision_ok, TRUE AS recall_ok,
            CAST(NULL AS VARCHAR) AS recall_check
-    FROM documents
+    -- corpus rows = documents WITH content: a NULL text shingles to
+    -- nothing and never enters the replicated corpus (r10 parity)
+    FROM documents WHERE text IS NOT NULL
     """,
     bench=True,
     tags=("dedup-minhash-lsh", "bench-scale"),
@@ -1958,13 +1978,20 @@ def curation_pipeline_e2e(spark, sf_dir):
     "semdedup_prune",
     f"""
     WITH corpus AS (
+      -- both arms filter NULLs: list_transform over a NULL embedding
+      -- builds a NON-NULL list of 64 NULL elements, which would slip
+      -- past base's IS NOT NULL guard and poison the k-means replay
+      -- (r10 nullmix parity; the engine's F.transform(NULL) stays
+      -- NULL and is dropped by kmeans_fit/assign)
       SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(range(1, 65),
                             i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.05
                                  ELSE (embedding::DOUBLE[])[i] END)
       FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     {_kmeans_oracle_ctes(source="corpus")},
     cells AS (
@@ -2020,13 +2047,20 @@ def semdedup_prune(spark, sf_dir):
     "semdedup_incremental",
     f"""
     WITH corpus AS (
+      -- both arms filter NULLs: list_transform over a NULL embedding
+      -- builds a NON-NULL list of 64 NULL elements, which would slip
+      -- past base's IS NOT NULL guard and poison the k-means replay
+      -- (r10 nullmix parity; the engine's F.transform(NULL) stays
+      -- NULL and is dropped by kmeans_fit/assign)
       SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(range(1, 65),
                             i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.05
                                  ELSE (embedding::DOUBLE[])[i] END)
       FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     {_kmeans_oracle_ctes(source="corpus", fit_filter="vec_id < 100000")},
     cells AS (
@@ -2106,7 +2140,9 @@ def semdedup_incremental(spark, sf_dir):
     SELECT CAST(20 * COUNT(*) AS BIGINT) AS n_corpus_rows,
            TRUE AS precision_ok, TRUE AS recall_ok,
            CAST(NULL AS VARCHAR) AS recall_check
-    FROM embeddings
+    -- corpus rows = vectors: a NULL embedding never enters the
+    -- replicated corpus (r10 parity)
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
     tags=("dedup-embedding", "similarity-lsh", "bench-scale"),
 )
@@ -2547,7 +2583,11 @@ def decontaminate_docs_hashed(spark, sf_dir):
                                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
       FROM documents
     )
-    WHERE rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
+    -- a group WITHOUT a cap passes through whole (the engine's
+    -- coalesce-to-uncapped contract) — including the NULL source
+    -- (r10 nullmix parity)
+    WHERE source IS NULL
+       OR rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
     """,
     tags=("curation-mix",),
 )
@@ -2573,7 +2613,10 @@ def resample_source_mix(spark, sf_dir):
                                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
       FROM documents
     )
-    WHERE rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
+    -- uncapped groups (incl. NULL source) pass through whole —
+    -- the engine's coalesce-to-uncapped contract (r10 nullmix parity)
+    WHERE source IS NULL
+       OR rk <= 5 + 5 * (CAST(substr(source, 4) AS INT) % 3)
     """,
     tags=("curation-mix", "scale-path"),
 )
@@ -3295,8 +3338,11 @@ def hybrid_search_rrf(spark, sf_dir):
 
 _NEGSAMPLE_SQL = """
     WITH pop AS (
+      -- the sampling catalog is parts WITH keys: a NULL item cannot
+      -- be drawn, and (Spark NULLS FIRST vs SQL NULLS LAST) a NULL
+      -- CDF interval shifts every other draw (r10 nullmix parity)
       SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem GROUP BY 1
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
     ),
     cdf AS (
       SELECT partkey,
@@ -3340,8 +3386,11 @@ def negative_sample_parts(spark, sf_dir):
     from etl_rj_spark.operators.curation import weighted_draws
 
     li = _t(spark, sf_dir, "lineitem")
-    pop = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.count(F.lit(1)).alias("w")
+    # catalog = parts WITH keys (see oracle, r10 nullmix parity)
+    pop = (
+        li.where(F.col("l_partkey").isNotNull())
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
     users = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 20)
     draws = weighted_draws(pop, users, "partkey", "w", "c_custkey", k=5)

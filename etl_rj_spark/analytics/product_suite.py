@@ -174,7 +174,12 @@ def chi_square_priority_status(spark, sf_dir):
     WITH per_user AS (
       SELECT user_id,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
-      FROM events GROUP BY 1
+      FROM events
+      -- a NULL user is not an experiment subject: it cannot be arm-
+      -- assigned (hash of NULL) and GROUP BY would conflate every
+      -- NULL row into one phantom subject (r10 nullmix parity)
+      WHERE user_id IS NOT NULL
+      GROUP BY 1
     ),
     armed AS (
       SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 13))::BIGINT)
@@ -213,7 +218,10 @@ def ab_test_purchase_conversion(spark, sf_dir):
     per-user aggregate + one 2-group aggregate."""
     from etl_rj_spark.operators.stats import two_proportion_ztest
 
-    ev = _t(spark, sf_dir, "events").select(
+    # complete-case (see oracle): concat_ws SKIPS a NULL user_id, so
+    # every NULL row would hash to md5("ab")'s arm — a phantom
+    # subject, not a population (r10 nullmix parity)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select(
         "user_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
     )
@@ -236,7 +244,11 @@ def ab_test_purchase_conversion(spark, sf_dir):
 @_q(
     "stratified_split_sources",
     """
-    WITH counts AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY 1),
+    -- complete-case: a document with no source cannot be stratified
+    -- BY source (r10 nullmix parity; mirrors the engine filter)
+    WITH docs AS (SELECT doc_id, source FROM documents
+                  WHERE source IS NOT NULL),
+    counts AS (SELECT source, COUNT(*)::BIGINT AS n FROM docs GROUP BY 1),
     parts AS (SELECT * FROM (VALUES (0,'train',8),(1,'val',1),(2,'test',1))
               AS t(ord, part, w)),
     sized0 AS (
@@ -267,7 +279,7 @@ def ab_test_purchase_conversion(spark, sf_dir):
              row_number() OVER (PARTITION BY source
                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':split'), doc_id)
                AS split_rank
-      FROM documents
+      FROM docs
     )
     SELECT r.doc_id, r.source, CAST(r.split_rank AS INT) AS split_rank,
            b.part AS split
@@ -288,7 +300,12 @@ def stratified_split_sources(spark, sf_dir):
     partitioned rank window."""
     from etl_rj_spark.operators.curation import stratified_split_exact
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # complete-case: no source, no stratum (see oracle, r10)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .where(F.col("source").isNotNull())
+    )
     return stratified_split_exact(
         d, "source", "doc_id", [("train", 8), ("val", 1), ("test", 1)]
     ).select("doc_id", "source", "split_rank", "split")
@@ -304,6 +321,10 @@ def stratified_split_sources(spark, sf_dir):
     WITH p AS (
       SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS cents, p_size
       FROM part
+      -- a part with NULL price/size cannot be dominance-compared; the
+      -- NOT-EXISTS form would otherwise admit it as a vacuous
+      -- "skyline point" (every comparison NULL — r10 nullmix parity)
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     )
     SELECT p_partkey, cents, p_size FROM p a
     WHERE NOT EXISTS (
@@ -669,17 +690,23 @@ def seasonal_adjusted_outlier_days(spark, sf_dir):
 @_q(
     "percentile_rank_chars",
     """
-    WITH v AS (SELECT n_chars, COUNT(*)::BIGINT AS c FROM documents GROUP BY 1),
+    -- complete-case: the CDF population is documents WITH a length —
+    -- NULL rows otherwise skew the denominator and (under Spark's
+    -- NULLS FIRST vs SQL's NULLS LAST) the cumulative itself (r10
+    -- nullmix parity; mirrors the engine filter)
+    WITH docs AS (SELECT doc_id, n_chars FROM documents
+                  WHERE n_chars IS NOT NULL),
+    v AS (SELECT n_chars, COUNT(*)::BIGINT AS c FROM docs GROUP BY 1),
     cum AS (
       SELECT n_chars,
              SUM(c) OVER (ORDER BY n_chars
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS lt
       FROM v
     ),
-    n AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM docs)
     SELECT d.doc_id, d.n_chars,
            CAST((cum.lt * 1000000) // n.n AS BIGINT) AS pct_ppm
-    FROM documents d JOIN cum USING (n_chars) CROSS JOIN n
+    FROM docs d JOIN cum USING (n_chars) CROSS JOIN n
     """,
     tags=("stats-cdf", "normalize", "value-grain"),
 )
@@ -690,7 +717,8 @@ def percentile_rank_chars(spark, sf_dir):
     scores comparable across sources. NO global row rank: per-value
     counts, one cumulative window over the value VOCABULARY, broadcast
     map joined back — the same posture as ``equi_depth_bins``."""
-    d = _t(spark, sf_dir, "documents")
+    # complete-case: CDF over documents WITH a length (see oracle, r10)
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
     v = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("__c"))
     wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     cum = v.select(
@@ -1125,6 +1153,8 @@ def session_error_overlap(spark, sf_dir):
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
            CAST(n_regionkey AS BIGINT) AS n_regionkey
     FROM nation
+    -- keyed rows only: mirrors the engine fixture (r10 nullmix fix)
+    WHERE n_nationkey IS NOT NULL
     """,
     tags=("S3", "datasource-api", "python-datasource"),
 )
@@ -1145,9 +1175,11 @@ def xls_datasource_roundtrip(spark, sf_dir):
 
     d = _scratch("xlsds")
     os.makedirs(d)
+    # keyed rows only (see oracle) — r10 nullmix fix: int(None) crashed
     rows = sorted(
         (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
         for r in _t(spark, sf_dir, "nation").collect()
+        if r.n_nationkey is not None
     )
     header = ["n_nationkey", "n_name", "n_regionkey"]
     half = len(rows) // 2
@@ -1739,6 +1771,9 @@ def acf_daily_revenue(spark, sf_dir):
              CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
                AS half
       FROM orders
+      -- a NULL value is in NEITHER population: it cannot bin (r10
+      -- nullmix parity; mirrors the engine filter)
+      WHERE o_totalprice IS NOT NULL
     ),
     ref AS (SELECT v FROM tagged WHERE half = 0),
     rv AS (SELECT v, COUNT(*)::BIGINT AS c FROM ref GROUP BY 1),
@@ -1784,7 +1819,8 @@ def psi_price_drift(spark, sf_dir):
     for empty bins, rounded to int64 ppm per bin (sum the column for
     the headline PSI; >0.2 conventionally = major shift). The binning
     is a broadcast range lookup; everything else is a 10-row frame."""
-    o = _t(spark, sf_dir, "orders")
+    # complete-case: NULL values bin nowhere (see oracle, r10)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     tagged = o.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0)
@@ -2117,7 +2153,11 @@ def quality_classifier_inference(spark, sf_dir):
     WITH RECURSIVE daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c
-      FROM orders GROUP BY 1
+      FROM orders
+      -- a time series has no NULL period: rows with no order date
+      -- cannot sit on the smoothing axis (r10 nullmix parity)
+      WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
     ),
     ord AS (SELECT *, row_number() OVER (ORDER BY d) AS i FROM daily),
     holt AS (
@@ -2144,8 +2184,10 @@ def holt_trend_daily_revenue(spark, sf_dir):
     the scorecard."""
     from etl_rj_spark.operators.stats import holt_linear_smooth
 
+    # complete-case: a time series has no NULL period (see oracle, r10)
     daily = (
         _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
     )
@@ -2371,6 +2413,9 @@ def date_spine_fill_gaps(spark, sf_dir):
     WITH v AS (
       SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
       FROM orders
+      -- the bootstrap resamples OBSERVED values only — mirrors the
+      -- engine fold's isNotNull drop (r10 nullmix parity)
+      WHERE o_totalprice IS NOT NULL
     ),
     fan AS (
       SELECT o_orderkey, cents, CAST(unnest(range(0, 8)) AS INT) AS replicate
@@ -2425,8 +2470,15 @@ def bootstrap_median_revenue(spark, sf_dir):
     window."""
     from etl_rj_spark.operators.stats import poisson_weight_expr
 
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    # the bootstrap resamples OBSERVED values only (the
+    # poisson_bootstrap_means contract; see oracle, r10 nullmix parity)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
     )
     fan = o.select(
         "o_orderkey", "cents",
@@ -3466,7 +3518,11 @@ def ivm_join_maintenance(spark, sf_dir):
     """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
            CAST(ROUND(COALESCE(value, 0)*100) AS BIGINT) AS cents
-    FROM events ORDER BY event_id
+    FROM events
+    -- an event with no event-time cannot pass a watermark operator:
+    -- Spark drops NULL-ts rows from watermarked dedup (r10 parity)
+    WHERE ts IS NOT NULL
+    ORDER BY event_id
     """,
     tags=("streaming", "dedup", "watermark", "exactly-once"),
 )

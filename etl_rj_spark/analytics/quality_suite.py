@@ -171,9 +171,12 @@ def repetition_filter_docs(spark, sf_dir):
              - LENGTH(regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
              AS email_chars_removed
     FROM (
+      -- || not concat(): DuckDB's concat() coerces NULL args to ''
+      -- (non-standard) while Spark's concat and SQL || propagate
+      -- NULL — a NULL doc has nothing to scrub (r10 nullmix parity)
       SELECT doc_id,
-             concat('contact user', CAST(doc_id AS VARCHAR), '@example.com or +1 (555) 010-',
-                    CAST(1000 + doc_id % 9000 AS VARCHAR), ' re: ', substr(text, 1, 40)) AS dirty
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+               || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' re: ' || substr(text, 1, 40) AS dirty
       FROM documents
     ) ORDER BY doc_id
     """,
@@ -470,7 +473,10 @@ def bigram_fluency_score_q(spark, sf_dir):
 @_q(
     "equi_depth_price_bins",
     """
-    WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    -- complete-case: a NULL price has no bin and must not inflate the
+    -- depth denominator (r10 nullmix parity)
+    WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_totalprice IS NOT NULL),
     counts AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY cents),
     cum AS (
       SELECT cents,
@@ -498,8 +504,11 @@ def equi_depth_price_bins(spark, sf_dir):
     replays the cumulative and the (before·k) div n rule."""
     from etl_rj_spark.operators.stats import equi_depth_bins
 
-    o = _t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    # complete-case: a NULL price has no bin (see oracle, r10)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
     )
     return (
         equi_depth_bins(o, "cents", 20)
@@ -1292,6 +1301,9 @@ _POIS_SQL_W = """CASE
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
              CAST(r.r AS INTEGER) AS replicate
       FROM orders, (SELECT UNNEST(range(0, 32)) AS r) r
+      -- the bootstrap resamples OBSERVED values only — mirrors the
+      -- engine fold's isNotNull drop (r10 nullmix parity)
+      WHERE o_totalprice IS NOT NULL
     ), h AS (
       SELECT replicate, cents,
              ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
@@ -1469,7 +1481,11 @@ _CMS_COL = (
 @_q(
     "cms_user_event_counts",
     f"""
-    WITH ev AS (SELECT user_id FROM events),
+    -- complete-case: a NULL user is not a sketch item (Spark's
+    -- xxhash64 would hash NULL to a real cell, conflating every NULL
+    -- row into one phantom heavy hitter); mirrors the engine filter
+    -- (r10 nullmix parity)
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
     sk AS (
       SELECT rr.r, {_CMS_COL.format(r='rr.r', key='user_id')} AS col,
              COUNT(*) AS counter
@@ -1502,7 +1518,12 @@ def cms_user_event_counts(spark, sf_dir):
     depth's MIN bounds."""
     from etl_rj_spark.streaming.sketches import cms_estimate, cms_sketch
 
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    # complete-case: NULL users are not sketch items (see oracle, r10)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+    )
     sk = cms_sketch(ev, "user_id", depth=4, width=64)
     top = (
         ev.groupBy("user_id")
@@ -1516,7 +1537,11 @@ def cms_user_event_counts(spark, sf_dir):
 @_q(
     "stream_cms_maintenance",
     f"""
-    WITH ev AS (SELECT user_id FROM events),
+    -- complete-case: a NULL user is not a sketch item (Spark's
+    -- xxhash64 would hash NULL to a real cell, conflating every NULL
+    -- row into one phantom heavy hitter); mirrors the engine filter
+    -- (r10 nullmix parity)
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
     sk AS (
       SELECT rr.r, {_CMS_COL.format(r='rr.r', key='user_id')} AS col,
              COUNT(*) AS counter
@@ -1562,7 +1587,12 @@ def stream_cms_maintenance(spark, sf_dir):
     )
 
     root = _scratch("stream_cms")
-    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select("user_id", "ts")
+    # complete-case: NULL users are not sketch items (see oracle, r10)
+    ev = (
+        read_parquet_table(spark, f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .where(F.col("user_id").isNotNull())
+    )
     ev.repartition(3).write.parquet(f"{root}/in")
     schema = spark.read.parquet(f"{root}/in").schema
     stream = spark.readStream.schema(schema).option(
@@ -1760,7 +1790,10 @@ def shard_source_diversity(spark, sf_dir):
                        (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency,
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
-      FROM orders GROUP BY o_custkey
+      FROM orders
+      -- a NULL customer key is not a customer (r10 nullmix parity)
+      WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey
     ),
     n AS (SELECT COUNT(*) AS n FROM cust),
     rb AS (SELECT v, CAST((before * 4) // n AS INTEGER) AS bin FROM (
@@ -1802,7 +1835,8 @@ def rfm_segmentation(spark, sf_dir):
     segment rollup (code = R·100 + F·10 + M, quartiles 1..4)."""
     from etl_rj_spark.operators.stats import equi_depth_bins
 
-    o = _t(spark, sf_dir, "orders")
+    # complete-case: a NULL customer key is not a customer (see oracle)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__mx"))
     cust = (
         o.join(F.broadcast(mx))

@@ -785,7 +785,11 @@ def topk_orders_per_customer(spark, sf_dir):
     SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
            time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES AS window_end,
            event_type, COUNT(*) AS n_events, {_msum('value', 'value_sum')}
-    FROM events GROUP BY 1, 2, 3
+    FROM events
+    -- an event with no timestamp cannot be assigned a window: Spark's
+    -- window() drops NULL-ts rows by definition (r10 nullmix parity)
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2, 3
     """,
     bench=True,
     tags=("streaming", "A3"),
@@ -909,7 +913,11 @@ def variant_props_extract(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events
+      -- an event with no timestamp cannot be sessionized: Spark's
+      -- session_window() drops NULL-ts rows (r10 nullmix parity)
+      WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid

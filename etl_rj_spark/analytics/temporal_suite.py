@@ -151,7 +151,11 @@ def snapshot_diff_orders(spark, sf_dir):
     SELECT CAST(o_orderdate AS DATE) AS fecha,
            CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
            COUNT(*) AS n
-    FROM orders GROUP BY 1
+    FROM orders
+    -- MV state is keyed by date: a NULL date routes to NEITHER the
+    -- stored-state nor the delta partition (r10 nullmix parity)
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY 1
     """,
     tags=("incremental-agg",),
 )
@@ -656,7 +660,10 @@ def purchase_attribution_linear(spark, sf_dir):
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM orders GROUP BY 1
+      FROM orders
+      -- a time series has no NULL period (r10 nullmix parity)
+      WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
     ),
     tot AS (SELECT COUNT(*) AS n, SUM(cents::HUGEINT) AS s FROM daily),
     c AS (
@@ -679,7 +686,8 @@ def cusum_changepoint_revenue(spark, sf_dir):
     both ordered windows run over days."""
     from etl_rj_spark.operators.stats import cusum_changepoint
 
-    o = _t(spark, sf_dir, "orders")
+    # complete-case: a time series has no NULL period (see oracle, r10)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
@@ -796,7 +804,11 @@ def nearest_view_to_purchase(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events
+      -- sessions need a user and a timestamp (r10 nullmix parity;
+      -- mirrors the engine filter)
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
@@ -821,7 +833,12 @@ def session_path_topk(spark, sf_dir):
     the final small path count."""
     from etl_rj_spark.operators.windows import sessionize
 
-    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # complete-case: sessions need a user and a timestamp (see oracle)
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
     s = sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id")
     paths = s.groupBy("user_id", "session_id").agg(
         F.array_join(

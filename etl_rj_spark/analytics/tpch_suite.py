@@ -234,7 +234,13 @@ def zscore_events_by_type(spark, sf_dir):
     the UDF, so the Python path is bit-reproducible by the SQL oracle."""
     from etl_rj_spark.operators.grouped_pandas import zscore_by_group
 
-    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # complete-case: NULL event_type is not a normalization group (the
+    # oracle's inner join drops it; r10 nullmix parity)
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .where(F.col("event_type").isNotNull())
+    )
     return zscore_by_group(e, ["event_type"], "value")
 
 
@@ -443,7 +449,11 @@ def approx_distinct_stats(spark, sf_dir):
         "l_returnflag", "n", "exact_orders", "exact_parts",
         ok(F.col("__ao"), F.col("exact_orders"), 0.06).alias("approx_orders_ok"),
         ok(F.col("__ap"), F.col("exact_parts"), 0.06).alias("approx_parts_ok"),
-        ok(F.col("__am"), F.col("__em"), 0.01).alias("approx_median_ok"),
+        # a group whose every value is NULL has no median — the bound
+        # is VACUOUS for it, not violated (r10 nullmix parity)
+        F.when(F.col("__em").isNull(), F.lit(1))
+        .otherwise(ok(F.col("__am"), F.col("__em"), 0.01))
+        .alias("approx_median_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -453,7 +463,12 @@ def approx_distinct_stats(spark, sf_dir):
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS exact_users,
            1 AS merge_consistent, 1 AS estimate_ok
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events
+    -- complete-case: a NULL event_type is not a category (the NULL
+    -- group's flags are undefined — no sketch of no items); mirrors
+    -- the engine filter (r10 nullmix parity)
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
     """,
     tags=("approx-sketch", "mergeable", "incremental"),
 )
@@ -477,7 +492,10 @@ def hll_sketch_rollup(spark, sf_dir):
     where rsd(lgK=12) ≈ 1.6 % — so a 5 % bound — of the exact distinct
     count computed in the same query. The oracle
     pins both flags to literal 1 beside the exact counts."""
-    ev = _t(spark, sf_dir, "events")
+    # complete-case: NULL event_type is not a category — without the
+    # filter the NULL group silently vanished at the inner equi-join
+    # below (NULL never equi-matches), a wrong way to be right (r10)
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("__day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"))
@@ -507,7 +525,11 @@ def hll_sketch_rollup(spark, sf_dir):
     "topk_sketch_rollup",
     """
     WITH counts AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+      -- complete-case: a NULL item is not a heavy hitter (the
+      -- ItemsSketch skips NULLs, like COUNT(DISTINCT)); mirrors the
+      -- engine filter (r10 nullmix parity)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      WHERE event_type IS NOT NULL GROUP BY event_type
     )
     SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT) AS rank,
            event_type, n, 1 AS merge_is_exact
@@ -536,7 +558,10 @@ def topk_sketch_rollup(spark, sf_dir):
 
     from etl_rj_spark.streaming.sketches import topk_sketch_batch
 
-    ev = _t(spark, sf_dir, "events")
+    # complete-case: the ItemsSketch skips NULL items while the exact
+    # GROUP BY beside it keeps the NULL group — filter so both sides
+    # count the same population (r10 nullmix parity)
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     # the SAME per-day accumulate the streaming fold persists — one
     # source of truth for the state shape and max_items
     daily = topk_sketch_batch(ev, item_col="event_type", max_items=1024)
@@ -678,7 +703,10 @@ def small_qty_revenue_q17(spark, sf_dir):
            SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0 AS bal_sum
     FROM (
       SELECT c_acctbal,
-             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+             -- NULLS FIRST: Spark's default ASC ordering (DuckDB
+             -- defaults NULLS LAST — r10 nullmix parity)
+             ntile(4) OVER (ORDER BY c_acctbal NULLS FIRST,
+                            c_custkey NULLS FIRST) AS quartile
       FROM customer
     ) GROUP BY quartile ORDER BY quartile
     """,
@@ -711,7 +739,12 @@ def ntile_acctbal_quartiles(spark, sf_dir):
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS sketch_n,
            1 AS n_lossless, 1 AS median_rank_ok
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    FROM orders
+    -- complete-case: NULL priority is not a profiling group and a
+    -- NULL price never enters a KLL sketch (sketch_n counts VALUES);
+    -- mirrors the engine filter (r10 nullmix parity)
+    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     tags=("approx-sketch", "mergeable", "quantile", "incremental"),
 )
@@ -738,7 +771,12 @@ def kll_quantile_rollup(spark, sf_dir):
     the only rank is 1.0) and on heavy ties (r10 degenerate-input
     sweep fix). The oracle pins both flags to literal 1 beside the
     exact group counts."""
-    ord_ = _t(spark, sf_dir, "orders")
+    # complete-case (see oracle): NULL priority groups vanished at the
+    # inner equi-join below, and NULL prices never enter the sketch so
+    # n_lossless would read 0 against COUNT(*) (r10 nullmix parity)
+    ord_ = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     val = F.col("o_totalprice").cast("double")
     daily = ord_.groupBy("o_orderpriority", "o_orderdate").agg(
         F.kll_sketch_agg_double(val.alias("v"), F.lit(200)).alias("__sk")
@@ -818,7 +856,9 @@ def scd2_customer_history(spark, sf_dir):
     closed + new opens), so it checks semantics, not mechanism."""
     from etl_rj_spark.operators.scd import scd2_apply
 
-    c = _t(spark, sf_dir, "customer")
+    # complete-case: a NULL entity key is not a dimension member (the
+    # oracle's modulo arms all exclude NULL keys — r10 nullmix parity)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey").isNotNull())
     d95 = F.lit("1995-01-01").cast("date")
     open0 = c.select(
         "c_custkey", "c_mktsegment", "c_acctbal",

@@ -87,7 +87,13 @@ def kmeans_fit(
     would rescale them.
     """
     vec = quantize_vec(vec_col) if quantize else _c(vec_col)
-    pts = df.select(F.col(id_col).alias("__id"), vec.alias("__iv")).localCheckpoint()
+    # NULL vectors are not clusterable points: a NULL seed or member
+    # would poison every centroid mean (r10 nullmix-regime fix)
+    pts = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), vec.alias("__iv"))
+        .localCheckpoint()
+    )
 
     centroids = (
         pts.orderBy("__id")
@@ -158,7 +164,13 @@ def kmeans_assign(
     """(id, cell) for every row — the IVF bucketing layout. At scale,
     write the corpus partitioned/bucketed by ``cell`` so a query scans
     exactly one bucket."""
-    pts = df.select(F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv"))
+    # NULL vectors have no nearest cell — silently routing them to an
+    # arbitrary bucket was the r10 nullmix-regime bug; they are dropped
+    # here (the IVF probe/append paths separately ERROR on them via
+    # the _meta dim guard, which is the right posture for an index)
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
+    )
     return _assign(pts, centroids).select(
         F.col("__id").alias(id_col), F.col("cid").alias("cell")
     )

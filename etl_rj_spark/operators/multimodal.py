@@ -60,14 +60,24 @@ def binary_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            # na_action="ignore" + nullable Int dtypes: a NULL payload
+            # (absent blob) yields NULL features, never a worker crash
+            # — quarantine semantics, matching the oracle's
+            # md5(NULL) → NULL (r10 nullmix degenerate-regime fix)
+            md5s = payloads.map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest(), na_action="ignore"
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(len, na_action="ignore").astype("Int64"),
                     "content_md5": md5s,
-                    "fake_width": md5s.map(lambda h: _fake_dims(h)[0]).astype("int32"),
-                    "fake_height": md5s.map(lambda h: _fake_dims(h)[1]).astype("int32"),
+                    "fake_width": md5s.map(
+                        lambda h: _fake_dims(h)[0], na_action="ignore"
+                    ).astype("Int32"),
+                    "fake_height": md5s.map(
+                        lambda h: _fake_dims(h)[1], na_action="ignore"
+                    ).astype("Int32"),
                 }
             )
 

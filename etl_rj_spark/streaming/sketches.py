@@ -70,11 +70,22 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     ``except AnalysisException`` around the read would also swallow
     REAL analysis errors (schema drift in the partials table, a
     different group_col than it was built with) and silently replace
-    accumulated partials with only the current batch's sketches."""
+    accumulated partials with only the current batch's sketches.
+
+    "Exists" means HAS VISIBLE DATA: a directory holding only
+    underscore/dot-hidden entries (the ``_schema`` sidecar an empty
+    first drain leaves) is NOT a materialized table — reading it would
+    throw UNABLE_TO_INFER_SCHEMA, and the fold must take the
+    first-write branch instead (r10 nullmix-regime fix)."""
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs.exists(root)
+    if not fs.exists(root):
+        return False
+    for st in fs.listStatus(root):
+        if not st.getPath().getName().startswith(("_", ".")):
+            return True
+    return False
 
 
 def sketch_batch(

@@ -27,14 +27,17 @@ uses (tests/oracle_utils.py). Statuses:
   ORACLE_ERR  — the DuckDB oracle raised on empty input
 
 Usage:
-  python scripts/degenerate_sweep.py [--regime empty|single]
+  python scripts/degenerate_sweep.py [--regime empty|single|nullmix]
                                      [--out out.json] [name ...]
 
 Regimes: ``empty`` (default) — every table with its real schema and
 ZERO rows; ``single`` — every table exactly ONE row (first row of
 sf0.001, FK integrity deliberately not preserved), which probes the
 n=1 classes empty input can't reach: zero variance, one-class
-categoricals, one-element windows/folds, partnerless joins.
+categoricals, one-element windows/folds, partnerless joins;
+``nullmix`` — one real row plus two ALL-NULL rows per table (keys
+included), which probes NULL keys/values coexisting with real data
+through every join, group, parse, and aggregate.
 
 The empty dataset is synthesized under /tmp/sf_empty from the sf0.001
 schemas (limit 0) and reused across runs.
@@ -69,6 +72,10 @@ EXPECTED_REFUSAL = {
     "ann_ivf_index_probe": "ZERO centroids",
     "ann_ivf_index_append_probe": "ZERO centroids",
     "stream_ivf_maintenance": "ZERO centroids",
+    # K1 sink contract (SURVEY §4): a NULL dedup key cannot
+    # fingerprint — the sink refuses with "normalize keys first"
+    # rather than silently treating NULL as a value (nullmix regime)
+    "incremental_anti_join": "null dedup key",
 }
 
 
@@ -120,6 +127,40 @@ def ensure_single_row_dataset(spark: SparkSession) -> str:
     return SINGLE
 
 
+NULLMIX = "/tmp/sf_nullmix"
+
+
+def ensure_nullmix_dataset(spark: SparkSession) -> str:
+    """The third degenerate regime: every table = its FIRST real row
+    plus two ALL-NULL rows (every column NULL, keys included). Probes
+    NULL keys and NULL values COEXISTING with real data through every
+    join (NULL never equi-matches), group (NULL is its own group in
+    both engines), kernel parse, and aggregate — the shape of a dirty
+    100 TB corpus, where a null-ridden shard rides next to clean data
+    in the same scan. Both engines see identical rows, so any
+    divergence is structural."""
+    marker = os.path.join(NULLMIX, "_built")
+    if os.path.exists(marker):
+        return NULLMIX
+    os.makedirs(NULLMIX, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{BASE}/{t}.parquet")
+        nulls = pa.table(
+            {f.name: pa.nulls(2, f.type) for f in tbl.schema},
+            schema=tbl.schema,
+        )
+        pq.write_table(
+            pa.concat_tables([tbl.slice(0, 1), nulls]),
+            f"{NULLMIX}/{t}.parquet",
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return NULLMIX
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     out_path = None
@@ -131,8 +172,8 @@ def main() -> int:
     if "--regime" in args:
         i = args.index("--regime")
         regime = args[i + 1]
-        if regime not in ("empty", "single"):
-            raise SystemExit(f"unknown --regime {regime!r} (empty|single)")
+        if regime not in ("empty", "single", "nullmix"):
+            raise SystemExit(f"unknown --regime {regime!r} (empty|single|nullmix)")
         del args[i:i + 2]
     only = set(args)
 
@@ -147,7 +188,8 @@ def main() -> int:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
-    build = ensure_empty_dataset if regime == "empty" else ensure_single_row_dataset
+    build = {"empty": ensure_empty_dataset, "single": ensure_single_row_dataset,
+             "nullmix": ensure_nullmix_dataset}[regime]
     sf_dir = build(spark)
     con = duck_connection(sf_dir)
     t0 = time.time()

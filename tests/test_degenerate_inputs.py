@@ -101,6 +101,49 @@ def test_query_oracle_parity_on_single_row_dataset(
     compare_spark_duck(q.build(spark, single_dir), single_con, q.oracle)
 
 
+@pytest.fixture(scope="module")
+def nullmix_dir(spark):
+    from degenerate_sweep import ensure_nullmix_dataset
+
+    return ensure_nullmix_dataset(spark)
+
+
+@pytest.fixture(scope="module")
+def nullmix_con(nullmix_dir):
+    return duck_connection(nullmix_dir)
+
+
+#: one representative per NULL-mix mechanism (third r10 sweep regime —
+#: one real row + two all-NULL rows per table): window()/watermark
+#: drops NULL event-times (windowed_event_counts); sketches skip NULL
+#: items while GROUP BY keeps the NULL group (cms); DuckDB concat()
+#: coerces NULL to '' where Spark/|| propagate (pii_scrub); Spark
+#: NULLS FIRST vs SQL NULLS LAST in rank/CDF windows (ntile,
+#: negative_sample); the NOT-IN three-valued-NULL trap (fuzzy);
+#: NULL vectors are not clusterable points (kmeans_cells); and
+#: complete-case profiling groups (kll).
+_NULLMIX_PINS = [
+    "windowed_event_counts",
+    "cms_user_event_counts",
+    "pii_scrub_docs",
+    "ntile_acctbal_quartiles",
+    "negative_sample_parts",
+    "fuzzy_rescued_lookup",
+    "kmeans_cells",
+    "kll_quantile_rollup",
+]
+
+
+@pytest.mark.parametrize("name", _NULLMIX_PINS)
+def test_query_oracle_parity_on_nullmix_dataset(
+    spark, nullmix_dir, nullmix_con, name
+):
+    from etl_rj_spark.analytics import REGISTRY
+
+    q = REGISTRY[name]
+    compare_spark_duck(q.build(spark, nullmix_dir), nullmix_con, q.oracle)
+
+
 def test_expectation_suite_empty_input_passes_every_rule(spark):
     """An empty load trivially satisfies every row-level expectation:
     0 violations, passed=1 — never NULL (a NULL report row reads as
