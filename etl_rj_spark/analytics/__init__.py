@@ -128,18 +128,58 @@ _PRIORITY = [
     "s3_xls_biff_roundtrip",   # r4: BIFF .xls sheet scan
     "k1_incremental_append_roundtrip", # r4: K1 sink (shares J4 null-safe dedup)
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-11 STAGED BACKFILL (written at end of r10): -----
-    # continue the oldest-green re-confirmation in last-verdict order —
-    # the remaining r4-green names first (jsonl_corrupt_quarantine,
-    # s4_excel_named_tables_roundtrip, s5_jdbc_dim_roundtrip,
-    # k2_snapshot_roundtrip, projection_ops_kernel,
-    # flexible_status_kernel, dict_map_lookup_kernel,
-    # regex_extract_kernel, hard_casts_kernel, fillna_zero_kernel,
-    # load_stamp_kernel, incremental_near_dup, kmeans_cells,
-    # ann_kmeans_ivf_topk, ann_lsh_topk, dup_clusters_star, ...),
-    # then r5/r6-green in registration order, which
-    # ``ordered_registry()`` already appends — at the r11 rotation,
-    # delete blocks A–C above and promote the next 50 stalest.
+    # ---- ROUND-11 STAGED PLAN (written at end of r10) ----------
+    # The round-10 degenerate-input waves (empty/single/nullmix —
+    # SCALE.md §15) changed engine or oracle semantics of ~50
+    # registered queries AFTER their last driver verdicts.  Exactly
+    # as this round's block B re-proved the 7cda17f kernels, the r11
+    # prefix MUST lead with the changed-this-round names not already
+    # under the r10 prefix, so the driver confirms the NEW two-sided
+    # NULL contracts.  In priority order:
+    #   - streaming/state fixes: stream_hll_maintenance,
+    #     stream_topk_maintenance, stream_moments_maintenance,
+    #     stream_cms_maintenance, stream_theta_overlap,
+    #     stream_dedup_within_watermark (the _table_exists
+    #     schema-sidecar crash class lives here)
+    #   - sketch/rank contracts: hll_sketch_rollup,
+    #     topk_sketch_rollup, kll_quantile_rollup,
+    #     cms_user_event_counts, approx_distinct_stats,
+    #     ntile_acctbal_quartiles, equi_depth_price_bins,
+    #     negative_sample_parts
+    #   - kmeans/embedding (NULL-vector drop): kmeans_cells,
+    #     cell_balanced_sample, semdedup_prune, doc_topic_cells,
+    #     embedding_mean_pool, ann_ivf_index_probe,
+    #     ann_ivf_index_append_probe, stream_ivf_maintenance,
+    #     minhash_lsh_pairs_scaled, embedding_near_pairs_lsh_scaled,
+    #     exact_dedup_docs
+    #   - stats/time-series complete-case: poisson_bootstrap_revenue,
+    #     bootstrap_median_revenue, price_qty_correlation,
+    #     js_divergence_source_halves, psi_price_drift,
+    #     cusum_changepoint_revenue, holt_trend_daily_revenue,
+    #     ab_test_purchase_conversion, zscore_events_by_type,
+    #     incremental_trend_merge, rfm_segmentation,
+    #     stratified_split_sources, resample_source_mix,
+    #     resample_source_mix_threshold, scd2_customer_history,
+    #     session_path_topk, session_window_native, skyline_parts,
+    #     windowed_event_counts, fuzzy_rescued_lookup,
+    #     expectation_suite_orders, theta_segment_algebra
+    #   - source/sink fixtures: jsonl_corrupt_quarantine,
+    #     csv_corrupt_quarantine, s4_excel_named_tables_roundtrip,
+    #     xls_datasource_roundtrip, multimodal_meta,
+    #     orc_events_roundtrip, k2_snapshot_roundtrip,
+    #     k1_atomic_jdbc_roundtrip, arrow_ipc_roundtrip,
+    #     rollup_flag_status, cube_flag_status,
+    #     grouping_sets_flag_status, fillna_zero_kernel,
+    #     pii_scrub_docs
+    # (queries already under the r10 prefix — s2/s3/k1-incremental/
+    # incremental_anti_join/percentile_rank_chars/poisson_xxh — carry
+    # their fixes under THIS round's verdicts.)  That list is ~55:
+    # promote the first 50 by the order above; whatever spills, plus
+    # the oldest-green r4/r5 backfill (s5_jdbc_dim_roundtrip,
+    # projection_ops_kernel, flexible_status_kernel,
+    # dict_map_lookup_kernel, regex_extract_kernel, hard_casts_kernel,
+    # load_stamp_kernel, incremental_near_dup, ann_kmeans_ivf_topk,
+    # ann_lsh_topk, dup_clusters_star, ...), staged for r12.
 ]
 
 
