@@ -71,115 +71,113 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: addition (`k1_jdbc_upsert_roundtrip`, the MERGE upsert VERDICT r9
 #: #4 named as the one capability gap) rides in block A so the
 #: never-driver-checked count stays ZERO through this round.
+#: ROUND-11 ROTATION (executed per VERDICT r10 directive #1): the
+#: round-10 degenerate-input waves (empty/single/nullmix — SCALE.md
+#: §15) changed engine or oracle semantics of ~50 registered queries
+#: AFTER their latest driver verdicts.  This prefix is the staged
+#: round-11 plan written at the end of r10, verbatim in its priority
+#: order — streaming folds → sketch/rank contracts → kmeans/embedding
+#: NULL-vector drops → stats complete-case → source/sink fixtures —
+#: so the driver confirms the NEW two-sided NULL contracts, exactly
+#: as r10's block B did for `7cda17f`.  Three round-11 hygiene fixes
+#: ride in the sink slots so the driver verdicts their new behavior
+#: the same round it ships: `k2_snapshot_roundtrip` (read_latest_
+#: snapshot probe-not-except + write-once sidecar, ADVICE r10),
+#: `k1_atomic_jdbc_roundtrip` and `k1_jdbc_upsert_roundtrip` (poison
+#: rollback proofs narrowed to integrity-violation asserts, VERDICT
+#: r10 #4).  Names already verdicted under the r10 prefix
+#: (s2/s3/k1-incremental/incremental_anti_join/percentile_rank_chars/
+#: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
+#: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-10 DRIVER PREFIX (50 names) ---------------------
-    # -- block A: the 18 never-driver-checked (clears debt to 311/311)
-    "percentile_rank_chars",   # CDF percentile-rank normalize
-    "log2_histogram_order_values", # exact log2-bucket histogram
-    "dow_hour_value_p50",      # 7x24 exact-median heatmap
-    "stickiness_daily",        # DAU/WAU engagement ppm
-    "ewma_daily_revenue",      # dyadic integer EWMA
-    "fano_factor_users",       # burstiness (var/mean) screen
-    "benford_first_digit_audit", # first-digit ppm audit
-    "date_spine_fill_gaps",    # dense-calendar zero fill
-    "max_drawdown_daily_revenue", # running-peak drawdown
-    "hierarchy_share_report",  # two-level ratio-to-parent
-    "bayes_avg_part_quantity", # shrinkage (Bayesian average) ranking
-    "entropy_event_type_users", # behavioral entropy ppm
-    "interpurchase_gap_stats", # value-grain gap median/p90
-    "vocab_oov_rate",          # top-k vocab coverage audit
-    "dup_cluster_size_histogram", # dedup health report
-    "weekday_seasonality_revenue", # integer-ppm seasonal index
-    "ohlc_daily_value",        # M4/OHLC downsampling bars
-    "poisson_bootstrap_revenue_xxh", # xxhash64 fast-path contract flag
-    "k1_jdbc_upsert_roundtrip", # NEW r10: MERGE upsert vs live Derby (VERDICT r9 #4)
-    # -- block B: kernels whose semantics changed AFTER their last
-    #    (r7) driver verdict — 7cda17f parity fixes + r10 money fix
-    "money_parse_kernel",      # X4: parens-split + r10 end-only whitespace strip
-    "thousands_int_kernel",    # N4: truncate-through-double
-    "date_parse_kernel",       # D2: ISO-then-M/d/yyyy pandas inference
-    "truncate_fields",         # X7: strip-before-truncate
-    "contains_scrub_filter",   # F3: empty-col tolerance, forecast-only scope
-    "s2_trimmed_csv_roundtrip", # F5: first-row drop is forecast-only
-    "incremental_anti_join",   # J4/J5: null-safe key fingerprints
-    "union_schema_drift",      # U1: post-union 0.0 fill
-    # -- block C: oldest-green re-confirmation backfill (r1 → r4)
-    "ngram_jaccard_pairs",     # r1: n-gram Jaccard near-dup pairs
-    "simhash_fingerprints",    # r1: 64-bit SimHash fingerprints
-    "simhash_near_pairs",      # r1: Hamming-banded near-dup pairs
-    "lang_id_docs",            # r1: n-gram language-ID heuristic
-    "quality_score_docs",      # r1: length/punct/stopword quality score
-    "token_stats_docs",        # r1: whitespace+BPE-ish token counts
-    "doc_fingerprints",        # r1: rolling-hash document fingerprints
-    "cosine_topk_bruteforce",  # r1: exact cosine top-k baseline
-    "ann_ivf_topk",            # r1: IVF-bucketed ANN variant
-    "embedding_norm_stats",    # r1: embedding norm distribution
-    "dup_clusters",            # r1: exact-hash dedup clusters
-    "udtf_token_ngrams",       # r1: lateral-join UDTF n-grams
-    "dedup_corpus_survivors",  # r1: dedup survivor selection
-    "hash_split_docs",         # r1: hash-stable corpus split
-    "keep_latest_events",      # r1: last-writer-wins latest snapshot
-    "count_rows",              # r3: A2 count + observe counters
-    "upper_trim_recode_kernel", # r3: X2/X5 upper+trim recode
-    "tfidf_top_terms",         # r3: TF-IDF top terms per doc
-    "repetition_filter_docs",  # r3: repeated-line/ngram quality filter
-    "pii_scrub_docs",          # r3: PII pattern scrub
-    "s1_csv_scan_roundtrip",   # r4: CSV scan + legacy dispatch
-    "s3_xls_biff_roundtrip",   # r4: BIFF .xls sheet scan
-    "k1_incremental_append_roundtrip", # r4: K1 sink (shares J4 null-safe dedup)
+    # ---- ROUND-11 DRIVER PREFIX (50 names) ---------------------
+    # -- streaming/state folds (the _table_exists schema-sidecar
+    #    crash class, fixed r10; read path re-probed r11)
+    "stream_hll_maintenance",
+    "stream_topk_maintenance",
+    "stream_moments_maintenance",
+    "stream_cms_maintenance",
+    "stream_theta_overlap",
+    "stream_dedup_within_watermark",
+    # -- sketch/rank contracts (NULL-item skip = COUNT(DISTINCT) rule)
+    "hll_sketch_rollup",
+    "topk_sketch_rollup",
+    "kll_quantile_rollup",
+    "cms_user_event_counts",
+    "approx_distinct_stats",
+    "ntile_acctbal_quartiles",
+    "equi_depth_price_bins",
+    "negative_sample_parts",
+    # -- kmeans/embedding (NULL vectors DROPPED, not mis-routed)
+    "kmeans_cells",
+    "cell_balanced_sample",
+    "semdedup_prune",
+    "doc_topic_cells",
+    "embedding_mean_pool",
+    "ann_ivf_index_probe",
+    "ann_ivf_index_append_probe",
+    "stream_ivf_maintenance",
+    "minhash_lsh_pairs_scaled",
+    "embedding_near_pairs_lsh_scaled",
+    "exact_dedup_docs",
+    # -- stats/time-series complete-case contracts
+    "poisson_bootstrap_revenue",
+    "bootstrap_median_revenue",
+    "price_qty_correlation",
+    "js_divergence_source_halves",
+    "psi_price_drift",
+    "cusum_changepoint_revenue",
+    "holt_trend_daily_revenue",
+    "ab_test_purchase_conversion",
+    "zscore_events_by_type",
+    "incremental_trend_merge",
+    "rfm_segmentation",
+    "stratified_split_sources",
+    "resample_source_mix",
+    "resample_source_mix_threshold",
+    "scd2_customer_history",
+    "session_path_topk",
+    "session_window_native",
+    "skyline_parts",
+    "windowed_event_counts",
+    "fuzzy_rescued_lookup",
+    "expectation_suite_orders",
+    "theta_segment_algebra",
+    # -- sink fixtures carrying this round's hygiene fixes
+    "k2_snapshot_roundtrip",
+    "k1_atomic_jdbc_roundtrip",
+    "k1_jdbc_upsert_roundtrip",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-11 STAGED PLAN (written at end of r10) ----------
-    # The round-10 degenerate-input waves (empty/single/nullmix —
-    # SCALE.md §15) changed engine or oracle semantics of ~50
-    # registered queries AFTER their last driver verdicts.  Exactly
-    # as this round's block B re-proved the 7cda17f kernels, the r11
-    # prefix MUST lead with the changed-this-round names not already
-    # under the r10 prefix, so the driver confirms the NEW two-sided
-    # NULL contracts.  In priority order:
-    #   - streaming/state fixes: stream_hll_maintenance,
-    #     stream_topk_maintenance, stream_moments_maintenance,
-    #     stream_cms_maintenance, stream_theta_overlap,
-    #     stream_dedup_within_watermark (the _table_exists
-    #     schema-sidecar crash class lives here)
-    #   - sketch/rank contracts: hll_sketch_rollup,
-    #     topk_sketch_rollup, kll_quantile_rollup,
-    #     cms_user_event_counts, approx_distinct_stats,
-    #     ntile_acctbal_quartiles, equi_depth_price_bins,
-    #     negative_sample_parts
-    #   - kmeans/embedding (NULL-vector drop): kmeans_cells,
-    #     cell_balanced_sample, semdedup_prune, doc_topic_cells,
-    #     embedding_mean_pool, ann_ivf_index_probe,
-    #     ann_ivf_index_append_probe, stream_ivf_maintenance,
-    #     minhash_lsh_pairs_scaled, embedding_near_pairs_lsh_scaled,
-    #     exact_dedup_docs
-    #   - stats/time-series complete-case: poisson_bootstrap_revenue,
-    #     bootstrap_median_revenue, price_qty_correlation,
-    #     js_divergence_source_halves, psi_price_drift,
-    #     cusum_changepoint_revenue, holt_trend_daily_revenue,
-    #     ab_test_purchase_conversion, zscore_events_by_type,
-    #     incremental_trend_merge, rfm_segmentation,
-    #     stratified_split_sources, resample_source_mix,
-    #     resample_source_mix_threshold, scd2_customer_history,
-    #     session_path_topk, session_window_native, skyline_parts,
-    #     windowed_event_counts, fuzzy_rescued_lookup,
-    #     expectation_suite_orders, theta_segment_algebra
-    #   - source/sink fixtures: jsonl_corrupt_quarantine,
-    #     csv_corrupt_quarantine, s4_excel_named_tables_roundtrip,
-    #     xls_datasource_roundtrip, multimodal_meta,
-    #     orc_events_roundtrip, k2_snapshot_roundtrip,
-    #     k1_atomic_jdbc_roundtrip, arrow_ipc_roundtrip,
-    #     rollup_flag_status, cube_flag_status,
-    #     grouping_sets_flag_status, fillna_zero_kernel,
-    #     pii_scrub_docs
-    # (queries already under the r10 prefix — s2/s3/k1-incremental/
-    # incremental_anti_join/percentile_rank_chars/poisson_xxh — carry
-    # their fixes under THIS round's verdicts.)  That list is ~55:
-    # promote the first 50 by the order above; whatever spills, plus
-    # the oldest-green r4/r5 backfill (s5_jdbc_dim_roundtrip,
-    # projection_ops_kernel, flexible_status_kernel,
-    # dict_map_lookup_kernel, regex_extract_kernel, hard_casts_kernel,
-    # load_stamp_kernel, incremental_near_dup, ann_kmeans_ivf_topk,
-    # ann_lsh_topk, dup_clusters_star, ...), staged for r12.
+    # ---- ROUND-12 STAGED PLAN (written during r11) -------------
+    # Lead with the queries whose engine or oracle the r11 DUPSTORM
+    # wave (SCALE.md §15, scripts/degenerate_sweep.py --regime
+    # dupstorm) changed AFTER their latest driver verdicts and that
+    # are NOT already under the r11 prefix (those — kmeans_cells,
+    # cell_balanced_sample, doc_topic_cells, semdedup_prune,
+    # minhash_lsh_pairs_scaled, embedding_near_pairs_lsh_scaled,
+    # scd2_customer_history, stream_dedup_within_watermark — carry
+    # their fixes under THIS round's verdicts):
+    #   bm25_search_topk (row-grain corpus model, benched),
+    #   range_join_error_clicks (left_unique row-id grouping, benched),
+    #   ann_lsh_topk, ann_lsh_multiprobe_topk (distinct-candidate
+    #   ranks), ngram_jaccard_pairs, set_similarity_prefix_pairs,
+    #   minhash_lsh_pairs, simhash_near_pairs, neardup_eval_simhash
+    #   (distinct-pairs contract), embedding_standardize,
+    #   wav_audio_stats (row-grain oracles), s2_trimmed_csv_roundtrip
+    #   (positional oracle), semdedup_incremental, ann_kmeans_ivf_topk
+    #   (carry-through assignment)
+    # then the r10-changed source/sink fixtures still unre-driven:
+    #   orc_events_roundtrip (also read_orc probe-not-except, r11),
+    #   jsonl_corrupt_quarantine, csv_corrupt_quarantine,
+    #   s4_excel_named_tables_roundtrip, xls_datasource_roundtrip,
+    #   multimodal_meta, arrow_ipc_roundtrip, rollup_flag_status,
+    #   cube_flag_status, grouping_sets_flag_status,
+    #   fillna_zero_kernel
+    # then the oldest-green r4/r5 backfill, oldest first:
+    #   s5_jdbc_dim_roundtrip, projection_ops_kernel,
+    #   flexible_status_kernel, dict_map_lookup_kernel,
+    #   regex_extract_kernel, hard_casts_kernel, load_stamp_kernel,
+    #   incremental_near_dup, dup_clusters_star, ...
 ]
 
 

@@ -36,6 +36,31 @@ from etl_rj_spark.operators.projection import (
 
 _DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
+#: Substrings that mark a Derby duplicate-key / MERGE-cardinality
+#: failure: SQLSTATE 23505 ("duplicate key value in a unique or
+#: primary key constraint") surfaces for both the atomic-append PK
+#: violation and the intra-batch-duplicate MERGE (both poison rows are
+#: NOT MATCHED, the second insert trips the PK); the exception class
+#: name and a cardinality message cover other drivers' spellings.
+_INTEGRITY_MARKS = (
+    "duplicate key",
+    "23505",
+    "SQLIntegrityConstraintViolation",
+    "cardinality",
+)
+
+
+def _assert_integrity_violation(e: Exception) -> None:
+    """The poison-batch rollback proofs must accept ONLY the intended
+    integrity violation — a bare ``except Exception`` would let a
+    failure BEFORE the publish (staging write error, connection
+    failure) pass the proof vacuously, since the poison keys would be
+    absent either way (VERDICT r10 §wrong #2 / ADVICE r10). Any other
+    exception re-raises, failing the query loudly."""
+    text = str(e)
+    if not any(m.lower() in text.lower() for m in _INTEGRITY_MARKS):
+        raise e
+
 
 def _scratch(name: str) -> str:
     """Fresh fixed-name scratch dir (idempotent across re-runs)."""
@@ -71,8 +96,17 @@ def s1_csv_scan_roundtrip(spark, sf_dir):
 @_q(
     "s2_trimmed_csv_roundtrip",
     """
-    SELECT n_nationkey, n_name, n_nationkey AS _row_idx
-    FROM nation WHERE n_nationkey >= 1
+    -- POSITIONAL oracle: _row_idx is the 0-based DATA-ROW index of the
+    -- written fixture (rows sorted by key then name), and F5 drops the
+    -- first data row (_row_idx >= 1). The old `n_nationkey AS
+    -- _row_idx` shortcut leaned on nation keys being dense AND unique
+    -- — under duplicated keys (r11 dupstorm) position and key diverge,
+    -- and position is what the engine's read actually carries.
+    SELECT n_nationkey, n_name, _row_idx FROM (
+      SELECT n_nationkey, n_name,
+             row_number() OVER (ORDER BY n_nationkey, n_name) - 1 AS _row_idx
+      FROM nation WHERE n_nationkey IS NOT NULL
+    ) WHERE _row_idx >= 1
     """,
     tags=("S2", "F5"),
 )
@@ -934,8 +968,11 @@ def k1_atomic_jdbc_roundtrip(spark, sf_dir):
         raise AssertionError("poison publish should have failed")
     except AssertionError:
         raise
-    except Exception:
-        pass  # expected: PK violation rolled the whole publish back
+    except Exception as e:  # noqa: BLE001 — narrowed by the assert below
+        # expected: PK violation rolled the whole publish back; any
+        # OTHER failure (staging write, connection) re-raises so the
+        # proof can't pass vacuously (VERDICT r10 #4)
+        _assert_integrity_violation(e)
     out = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -1022,8 +1059,10 @@ def k1_jdbc_upsert_roundtrip(spark, sf_dir):
         raise AssertionError("poison MERGE should have failed")
     except AssertionError:
         raise
-    except Exception:
-        pass  # expected: duplicate-key violation rolled the MERGE back
+    except Exception as e:  # noqa: BLE001 — narrowed by the assert below
+        # expected: duplicate-key violation rolled the MERGE back; any
+        # OTHER failure re-raises (VERDICT r10 #4)
+        _assert_integrity_violation(e)
     out = (
         spark.read.format("jdbc")
         .option("url", url)

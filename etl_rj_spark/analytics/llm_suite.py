@@ -118,7 +118,9 @@ _NEAR_CORPUS = (
     f"""
     WITH corpus AS ({_NEAR_CORPUS}),
     sets AS ({_sql_shingle_sets('SELECT * FROM corpus')})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    -- DISTINCT: distinct-pairs contract, see _NGRAM_JACCARD_ORACLE
+    -- (r11 dupstorm parity)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     WHERE {_JACCARD} >= 0.8
     """,
@@ -260,7 +262,11 @@ _NGRAM_JACCARD_ORACLE = f"""
                ELSE [] END) AS s
       FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    -- DISTINCT: one row per (id_a, id_b, jaccard) — verbatim-
+    -- duplicated corpus rows fan the sets self-join out but collapse
+    -- here, matching _jaccard_on_sets' distinct-pairs contract (r11
+    -- dupstorm parity; no-op on unique ids)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     WHERE {_JACCARD} >= 0.7
     """
@@ -317,7 +323,10 @@ def set_similarity_prefix_pairs_q(spark, sf_dir):
       FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
     ),
     splits AS (
-      SELECT doc_id,
+      -- DISTINCT: one (id, split) row per id — a split is a function
+      -- of the id, and duplicated corpus rows must not fan the pair
+      -- join-back out (r11 dupstorm parity with split_leakage_pairs)
+      SELECT DISTINCT doc_id,
              CASE WHEN bucket < 80 THEN 'train'
                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM (
@@ -327,7 +336,8 @@ def set_similarity_prefix_pairs_q(spark, sf_dir):
         FROM corpus
       )
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    -- DISTINCT pairs: the distinct-pairs contract (r11 dupstorm)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            sa.split AS split_a, sb.split AS split_b, {_JACCARD} AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
     JOIN splits sa ON sa.doc_id = a.doc_id
@@ -397,7 +407,9 @@ _FP_CORPUS = (
         FROM corpus
       )
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    -- DISTINCT: distinct-pairs contract (r11 dupstorm parity with
+    -- the engine's pair .distinct(); no-op on unique ids)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
     FROM fps a JOIN fps b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 3
@@ -616,11 +628,17 @@ def _kmeans_oracle_ctes(
     q = 1 << 20
     rng = f"range(1, {dim + 1})"
 
+    # assignment is ROW-GRAIN (PARTITION BY the synthetic per-row rid,
+    # never vec_id): duplicated ids — the re-ingested-shard shape —
+    # must not collapse to one point, exactly as the engine's
+    # map-side argmin assigns every ROW (r11 dupstorm parity; verbatim
+    # duplicates have identical sums/means, so the trained centroids
+    # are unchanged on clean data)
     def assign(cents: str, pts: str) -> str:
         return f"""(
-          SELECT vec_id, iv, cid FROM (
-            SELECT p.vec_id, p.iv, c.cid,
-                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+          SELECT rid, vec_id, iv, cid FROM (
+            SELECT p.rid, p.vec_id, p.iv, c.cid,
+                   row_number() OVER (PARTITION BY p.rid ORDER BY
                      list_sum(list_transform({rng}, i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
             FROM {pts} p CROSS JOIN {cents} c
           ) WHERE rn = 1
@@ -654,8 +672,11 @@ def _kmeans_oracle_ctes(
     return f"""
     {p}base AS (
       -- NULL vectors are not clusterable points (r10 parity;
-      -- mirrors kmeans_fit/kmeans_assign's isNotNull drop)
-      SELECT vec_id, {iv_sql} AS iv, {dv_sql} AS dv
+      -- mirrors kmeans_fit/kmeans_assign's isNotNull drop).
+      -- rid: synthetic PER-ROW identity (arbitrary order — only used
+      -- as a partition key, never ordered on), so duplicated vec_ids
+      -- stay distinct points exactly as in the engine (r11 dupstorm)
+      SELECT row_number() OVER () AS rid, vec_id, {iv_sql} AS iv, {dv_sql} AS dv
       FROM {source}{null_guard}
     ),
     {p}fitpts AS (SELECT * FROM {p}base WHERE {fit_filter}),
@@ -675,9 +696,11 @@ def _kmeans_oracle_ctes(
     f"""
     WITH {_kmeans_oracle_ctes()},
     final AS (
+      -- row-grain assignment (PARTITION BY rid): one output row per
+      -- corpus row, duplicated ids included (r11 dupstorm parity)
       SELECT vec_id, cid FROM (
-        SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        SELECT p.rid, p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.rid ORDER BY
                  list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
         FROM base p CROSS JOIN c2 c
       ) WHERE rn = 1
@@ -716,9 +739,10 @@ _DOC_FEATS_IV = """list_transform(range(0, 16), j ->
     f"""
     WITH {_kmeans_oracle_ctes(k=6, dim=16, source=_DOC_FEATS_SOURCE, iv_expr=_DOC_FEATS_IV)},
     final AS (
+      -- row-grain assignment (PARTITION BY rid, r11 dupstorm parity)
       SELECT vec_id, cid FROM (
-        SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        SELECT p.rid, p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.rid ORDER BY
                  list_sum(list_transform(range(1, 17), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
         FROM base p CROSS JOIN c2 c
       ) WHERE rn = 1
@@ -751,9 +775,10 @@ def doc_topic_cells(spark, sf_dir):
     f"""
     WITH {_kmeans_oracle_ctes()},
     cells AS (
+      -- row-grain assignment (PARTITION BY rid, r11 dupstorm parity)
       SELECT vec_id, cid AS cell FROM (
-        SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        SELECT p.rid, p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.rid ORDER BY
                  list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
         FROM base p CROSS JOIN c2 c
       ) WHERE rn = 1
@@ -862,7 +887,10 @@ def _lsh_oracle_sql(k: int = 10, dim: int = 64, bits: int = 4, tables: int = 8) 
     ), cand AS (
       SELECT q.query_id, q.qv, c.vec_id, c.cv FROM q JOIN bk c ON {on}
     ), scored AS (
-      SELECT query_id, vec_id, {_SQL_COS} AS score FROM cand
+      -- DISTINCT: ranks are over DISTINCT (query, id, score) results
+      -- — duplicated corpus/query rows must not occupy several of the
+      -- k slots (r11 dupstorm parity with lsh_topk's scored.distinct)
+      SELECT DISTINCT query_id, vec_id, {_SQL_COS} AS score FROM cand
     )
     SELECT query_id, vec_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -1218,9 +1246,16 @@ def embedding_random_projection(spark, sf_dir):
 @_q(
     "embedding_standardize",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 200),
+    -- rid: per-row identity so the final GROUP BY is ROW-grain —
+    -- duplicated vec_ids stay separate output rows, exactly as the
+    -- engine's scan-stage z-transform (r11 dupstorm parity; the
+    -- per-dimension stats are unaffected: both engines always counted
+    -- every row)
+    WITH e AS (SELECT row_number() OVER () AS rid, vec_id,
+                      embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 200),
     x AS (
-      SELECT vec_id, i AS dim, CAST(ROUND(cv[i + 1] * 1000000) AS BIGINT) AS xi
+      SELECT rid, vec_id, i AS dim, CAST(ROUND(cv[i + 1] * 1000000) AS BIGINT) AS xi
       FROM e, range(0, 64) t(i)
     ),
     stats AS (
@@ -1228,7 +1263,7 @@ def embedding_random_projection(spark, sf_dir):
       FROM x GROUP BY dim
     ),
     z AS (
-      SELECT vec_id, dim,
+      SELECT rid, vec_id, dim,
              CASE WHEN n * q - s * s = 0 THEN CAST(0 AS BIGINT)
                   ELSE CAST(ROUND((n * xi - s)::DOUBLE / sqrt((n * q - s * s)::DOUBLE)
                                   * 1000000) AS BIGINT)
@@ -1236,7 +1271,7 @@ def embedding_random_projection(spark, sf_dir):
       FROM x JOIN stats USING (dim)
     )
     SELECT vec_id, string_agg(CAST(zz AS VARCHAR), ',' ORDER BY dim) AS z_csv
-    FROM z GROUP BY vec_id
+    FROM z GROUP BY rid, vec_id
     """,
     tags=("similarity-standardize",),
 )
@@ -1647,8 +1682,16 @@ def curated_corpus_splits(spark, sf_dir):
 def _scaled_docs(spark, sf_dir, copies: int):
     """documents replicated ``copies``× with per-copy id offsets and a
     distinct suffix word — every copy is a near-dup of its original, so
-    dedup at this scale has real work to do."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup at this scale has real work to do.
+
+    Exact-distinct at the corpus boundary (r11 dupstorm-regime
+    contract): the replica-id arithmetic (doc_id + i·10⁶) guarantees
+    unique derived ids ONLY if base rows are unique — a verbatim-
+    duplicated base row would mint verbatim-duplicated replica ids and
+    silently inflate every within-base pair count. The distinct runs
+    on the small PRE-explode frame (one narrow shuffle before the
+    ``copies``× fan-out, never after)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").distinct()
     rep = d.select(
         F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__i"), "doc_id", "text"
     )
@@ -1752,9 +1795,11 @@ def _recall_contract(pairs, expected, min_frac, name):
     SELECT CAST(25 * COUNT(*) AS BIGINT) AS n_corpus_rows,
            TRUE AS precision_ok, TRUE AS recall_ok,
            CAST(NULL AS VARCHAR) AS recall_check
-    -- corpus rows = documents WITH content: a NULL text shingles to
-    -- nothing and never enters the replicated corpus (r10 parity)
-    FROM documents WHERE text IS NOT NULL
+    -- corpus rows = DISTINCT documents WITH content: a NULL text
+    -- shingles to nothing and never enters the replicated corpus (r10
+    -- parity); verbatim-duplicated base rows collapse at the corpus
+    -- boundary exactly as _scaled_docs' distinct does (r11 dupstorm)
+    FROM (SELECT DISTINCT doc_id, text FROM documents WHERE text IS NOT NULL)
     """,
     bench=True,
     tags=("dedup-minhash-lsh", "bench-scale"),
@@ -1995,20 +2040,24 @@ def curation_pipeline_e2e(spark, sf_dir):
     ),
     {_kmeans_oracle_ctes(source="corpus")},
     cells AS (
-      SELECT vec_id, cid FROM (
-        SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      -- row-grain assignment (PARTITION BY rid; dv carried through so
+      -- the prune never joins back by a possibly-duplicated id —
+      -- r11 dupstorm parity with the engine's carry-through argmin)
+      SELECT rid, vec_id, dv, cid FROM (
+        SELECT p.rid, p.vec_id, p.dv, c.cid,
+               row_number() OVER (PARTITION BY p.rid ORDER BY
                  list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
         FROM base p CROSS JOIN c2 c
       ) WHERE rn = 1
     ),
     dropped AS (
+      -- drop rule stays ID-keyed (earlier cell-mate = STRICTLY lower
+      -- vec_id): verbatim copies of one id never block each other and
+      -- die or survive together, exactly as the engine's anti-join
       SELECT DISTINCT vec_id FROM (
-        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        SELECT c1.vec_id, c1.dv AS qv, cx.dv AS cv
         FROM cells c1
-        JOIN base b1 ON c1.vec_id = b1.vec_id
         JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
-        JOIN base bx ON cx.vec_id = bx.vec_id
       ) WHERE {_SQL_COS} >= 0.99
     )
     SELECT vec_id, cid AS cell FROM cells
@@ -2064,20 +2113,20 @@ def semdedup_prune(spark, sf_dir):
     ),
     {_kmeans_oracle_ctes(source="corpus", fit_filter="vec_id < 100000")},
     cells AS (
-      SELECT vec_id, cid FROM (
-        SELECT p.vec_id, c.cid,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+      -- row-grain assignment with dv carried through (r11 dupstorm
+      -- parity — no join-back by possibly-duplicated id)
+      SELECT rid, vec_id, dv, cid FROM (
+        SELECT p.rid, p.vec_id, p.dv, c.cid,
+               row_number() OVER (PARTITION BY p.rid ORDER BY
                  list_sum(list_transform(range(1, 65), i -> (p.iv[i]-c.cv[i])*(p.iv[i]-c.cv[i]))), c.cid) AS rn
         FROM base p CROSS JOIN c2 c
       ) WHERE rn = 1
     ),
     dropped0 AS (
       SELECT DISTINCT vec_id FROM (
-        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        SELECT c1.vec_id, c1.dv AS qv, cx.dv AS cv
         FROM cells c1
-        JOIN base b1 ON c1.vec_id = b1.vec_id
         JOIN cells cx ON cx.cid = c1.cid AND cx.vec_id < c1.vec_id
-        JOIN base bx ON cx.vec_id = bx.vec_id
         WHERE c1.vec_id < 100000 AND cx.vec_id < 100000
       ) WHERE {_SQL_COS} >= 0.99
     ),
@@ -2087,14 +2136,12 @@ def semdedup_prune(spark, sf_dir):
     ),
     dropped_new AS (
       SELECT DISTINCT vec_id FROM (
-        SELECT c1.vec_id, b1.dv AS qv, bx.dv AS cv
+        SELECT c1.vec_id, c1.dv AS qv, cx.dv AS cv
         FROM cells c1
-        JOIN base b1 ON c1.vec_id = b1.vec_id
         JOIN cells cx
           ON cx.cid = c1.cid
          AND (cx.vec_id IN (SELECT vec_id FROM kept0)
               OR (cx.vec_id >= 100000 AND cx.vec_id < c1.vec_id))
-        JOIN base bx ON cx.vec_id = bx.vec_id
         WHERE c1.vec_id >= 100000
       ) WHERE {_SQL_COS} >= 0.99
     )
@@ -2140,9 +2187,12 @@ def semdedup_incremental(spark, sf_dir):
     SELECT CAST(20 * COUNT(*) AS BIGINT) AS n_corpus_rows,
            TRUE AS precision_ok, TRUE AS recall_ok,
            CAST(NULL AS VARCHAR) AS recall_check
-    -- corpus rows = vectors: a NULL embedding never enters the
-    -- replicated corpus (r10 parity)
-    FROM embeddings WHERE embedding IS NOT NULL
+    -- corpus rows = DISTINCT vectors: a NULL embedding never enters
+    -- the replicated corpus (r10 parity); verbatim-duplicated base
+    -- rows collapse at the corpus boundary (r11 dupstorm, matching
+    -- the engine's pre-explode distinct)
+    FROM (SELECT DISTINCT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL)
     """,
     tags=("dedup-embedding", "similarity-lsh", "bench-scale"),
 )
@@ -2164,7 +2214,11 @@ def embedding_near_pairs_lsh_scaled(spark, sf_dir):
         vec_double,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    # exact-distinct at the corpus boundary, same contract as
+    # _scaled_docs: duplicated base rows would mint duplicated replica
+    # ids and inflate the within-base truth (r11 dupstorm fix; small
+    # pre-explode frame, never the 20× fan-out)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").distinct()
     v = vec_double("embedding")
     rep = e.select(
         F.explode(F.sequence(F.lit(0), F.lit(19))).alias("__i"), "vec_id", "embedding"
@@ -2309,12 +2363,15 @@ def avi_frame_sampling(spark, sf_dir):
 @_q(
     "wav_audio_stats",
     """
+    -- rid: ROW-grain demux — every input row is one media object, so
+    -- duplicated doc_ids produce duplicated stat rows exactly as the
+    -- engine's per-row mapInPandas demux does (r11 dupstorm parity)
     WITH base AS (
-      SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+      SELECT row_number() OVER () AS rid, doc_id, 400 + (doc_id % 5) * 100 AS n
       FROM documents WHERE doc_id < 60 AND doc_id % 10 != 7
     ),
     samples AS (
-      SELECT doc_id, n,
+      SELECT rid, doc_id, n,
              CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS BIGINT) AS s
       FROM base, LATERAL unnest(range(0, n)) t(i)
     )
@@ -2323,7 +2380,7 @@ def avi_frame_sampling(spark, sf_dir):
            CAST(SUM(s * s) AS BIGINT) AS energy,
            CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs,
            CAST(NULL AS VARCHAR) AS skip_reason
-    FROM samples GROUP BY doc_id, n
+    FROM samples GROUP BY rid, doc_id, n
     UNION ALL
     SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), 'not_riff_wave'
@@ -2715,7 +2772,10 @@ def _lsh_multiprobe_oracle_sql(k: int = 10, dim: int = 64, bits: int = 4, tables
     ), cand AS (
       SELECT q.query_id, q.qv, c.vec_id, c.cv FROM q JOIN bk c ON {on}
     ), scored AS (
-      SELECT query_id, vec_id, {_SQL_COS} AS score FROM cand
+      -- DISTINCT: ranks are over DISTINCT (query, id, score) results
+      -- — duplicated corpus/query rows must not occupy several of the
+      -- k slots (r11 dupstorm parity with lsh_topk's scored.distinct)
+      SELECT DISTINCT query_id, vec_id, {_SQL_COS} AS score FROM cand
     )
     SELECT query_id, vec_id, score,
            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -3762,7 +3822,8 @@ def embedding_centroid_drift(spark, sf_dir):
       FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
     ),
     truth AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      -- DISTINCT pairs (r11 dupstorm parity: metrics count id pairs)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
       WHERE {_JACCARD} >= 0.7
     ),
@@ -3779,7 +3840,8 @@ def embedding_centroid_drift(spark, sf_dir):
       )
     ),
     found AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      -- DISTINCT pairs (r11 dupstorm parity)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM fps a JOIN fps b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
     ),

@@ -1367,9 +1367,16 @@ def correlation_matrix_lineitem(spark, sf_dir):
 @_q(
     "bm25_search_topk",
     f"""
-    WITH base AS (SELECT doc_id, text, {_SQL_TOKS} AS tt FROM documents),
+    -- rid: ROW-GRAIN corpus model (r11 dupstorm parity) — every input
+    -- row is one document, so df/tf/dl key on the row, never on a
+    -- possibly-duplicated doc_id (the old doc_id-keyed dl join fanned
+    -- duplicated ids out and tripled their scores); value-identical on
+    -- unique ids
+    WITH base AS (SELECT row_number() OVER () AS rid, doc_id, text,
+                         {_SQL_TOKS} AS tt
+                  FROM documents),
     dl AS (
-      SELECT doc_id,
+      SELECT rid, doc_id,
              CASE WHEN trim(text) = '' THEN 0 ELSE len(tt) END AS dl
       FROM base
     ),
@@ -1379,23 +1386,24 @@ def correlation_matrix_lineitem(spark, sf_dir):
       FROM dl
     ),
     toks AS (
-      SELECT b.doc_id, t.term FROM base b, UNNEST(tt) AS t(term)
+      SELECT b.rid, b.doc_id, t.term FROM base b, UNNEST(tt) AS t(term)
       WHERE t.term IN ('spark', 'window', 'hash')
     ),
-    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    tf AS (SELECT rid, doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM toks GROUP BY 1, 2, 3),
     idf AS (
-      SELECT term, (s.n * 1000000) // COUNT(DISTINCT doc_id) AS idf_ppm
+      SELECT term, (s.n * 1000000) // COUNT(DISTINCT rid) AS idf_ppm
       FROM tf CROSS JOIN stats s GROUP BY term, s.n
     ),
     scored AS (
-      SELECT tf.doc_id,
+      SELECT tf.rid, tf.doc_id,
              CAST(SUM((idf_ppm * tf.tf * 44 * s.avgdl)
                       // (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * d.dl))
                   AS BIGINT) AS score
       FROM tf JOIN idf USING (term)
-           JOIN dl d ON d.doc_id = tf.doc_id
+           JOIN dl d ON d.rid = tf.rid
            CROSS JOIN stats s
-      GROUP BY tf.doc_id
+      GROUP BY tf.rid, tf.doc_id
     )
     SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
       SELECT doc_id, score,
@@ -3516,7 +3524,12 @@ def ivm_join_maintenance(spark, sf_dir):
 @_q(
     "stream_dedup_within_watermark",
     """
-    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+    -- DISTINCT: the streamed output is the DUPLICATE-FREE relation —
+    -- dropDuplicatesWithinWatermark keys on event_id, so a base table
+    -- that itself carries verbatim-duplicated events (at-least-once
+    -- ingestion upstream of the replay) reads back deduplicated too
+    -- (r11 dupstorm parity; on unique event_ids this is a no-op)
+    SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
            CAST(ROUND(COALESCE(value, 0)*100) AS BIGINT) AS cents
     FROM events
     -- an event with no event-time cannot pass a watermark operator:

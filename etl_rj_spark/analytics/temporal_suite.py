@@ -49,12 +49,17 @@ def asof_purchase_last_view(spark, sf_dir):
 @_q(
     "range_join_error_clicks",
     """
-    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    -- rid: ROW-grain probe counts — the engine's left_unique fast path
+    -- emits one output row per left INPUT ROW, so duplicated event_ids
+    -- (a re-ingested shard) stay separate rows instead of collapsing
+    -- into one group (r11 dupstorm parity; no-op on unique event_ids)
+    WITH e AS (SELECT row_number() OVER () AS rid, event_id, user_id, ts
+               FROM events WHERE event_type = 'error'),
          c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
     SELECT e.event_id, e.user_id, e.ts, COUNT(c.ts) AS n_clicks
     FROM e LEFT JOIN c
       ON c.user_id = e.user_id AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 3600 SECOND
-    GROUP BY 1, 2, 3
+    GROUP BY e.rid, 1, 2, 3
     """,
     bench=True,
     tags=("range-join",),

@@ -823,24 +823,33 @@ def kll_quantile_rollup(spark, sf_dir):
 @_q(
     "scd2_customer_history",
     """
-    WITH closed0 AS (
+    -- cust: DISTINCT dimension rows — an SCD2 history has exactly one
+    -- open row per key, so verbatim-duplicated source rows (the
+    -- re-ingested-shard shape) collapse at the ingestion boundary, on
+    -- BOTH sides (r11 dupstorm parity, matching the engine's
+    -- .distinct(); scd2_apply's own contract already demands one
+    -- change per key per batch)
+    WITH cust AS (
+      SELECT DISTINCT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    closed0 AS (
       SELECT c_custkey, c_mktsegment, c_acctbal,
              DATE '1994-01-01' AS valid_from, DATE '1995-01-01' AS valid_to
-      FROM customer WHERE c_custkey % 13 = 1
+      FROM cust WHERE c_custkey % 13 = 1
     )
     SELECT * FROM closed0
     UNION ALL  -- open rows untouched: no change arrived, or a no-op change
     SELECT c_custkey, c_mktsegment, c_acctbal, DATE '1995-01-01', NULL
-    FROM customer WHERE c_custkey % 7 <> 0
+    FROM cust WHERE c_custkey % 7 <> 0
     UNION ALL  -- open rows closed by the real segment change
     SELECT c_custkey, c_mktsegment, c_acctbal, DATE '1995-01-01', DATE '1996-06-01'
-    FROM customer WHERE c_custkey % 7 = 0
+    FROM cust WHERE c_custkey % 7 = 0
     UNION ALL  -- fresh open rows for changed keys
     SELECT c_custkey, 'RELOCATED', c_acctbal, DATE '1996-06-01', NULL
-    FROM customer WHERE c_custkey % 7 = 0
+    FROM cust WHERE c_custkey % 7 = 0
     UNION ALL  -- fresh open rows for brand-new keys
     SELECT c_custkey + 1000000, 'NEWKEY', 0.0, DATE '1996-06-01', NULL
-    FROM customer WHERE c_custkey % 11 = 3
+    FROM cust WHERE c_custkey % 11 = 3
     ORDER BY c_custkey, valid_from
     """,
     tags=("scd2", "dimension-history", "merge-upsert"),
@@ -857,8 +866,17 @@ def scd2_customer_history(spark, sf_dir):
     from etl_rj_spark.operators.scd import scd2_apply
 
     # complete-case: a NULL entity key is not a dimension member (the
-    # oracle's modulo arms all exclude NULL keys — r10 nullmix parity)
-    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey").isNotNull())
+    # oracle's modulo arms all exclude NULL keys — r10 nullmix parity).
+    # Exact-distinct at the ingestion boundary: an SCD2 history keeps
+    # ONE open row per key, and scd2_apply's full-outer join would fan
+    # verbatim-duplicated source rows out multiplicity² (r11 dupstorm
+    # fix; the projection keeps the distinct narrow)
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isNotNull())
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .distinct()
+    )
     d95 = F.lit("1995-01-01").cast("date")
     open0 = c.select(
         "c_custkey", "c_mktsegment", "c_acctbal",

@@ -141,6 +141,16 @@ def range_join_count(
     # report the sum instead of its own per-row count — the join-back
     # below fans the correct count out to every duplicate
     uniq = left if left_unique else left.distinct()
+    if left_unique:
+        # ROW-GRAIN even when the uniqueness claim is violated (r11
+        # dupstorm fix): group on a plan-internal row id so duplicate
+        # left rows each count their OWN matches instead of merging
+        # into one multiplicity×-count group, and the join-back keys
+        # on that one narrow id instead of an all-columns null-safe
+        # comparison — same shuffle count, cheaper keys, and correct
+        # under the re-ingested-shard shape the fast path's claim
+        # doesn't survive
+        uniq = uniq.withColumn("__lrid", F.monotonically_increasing_id())
     l = uniq.withColumn("__lus", _epoch_us(uniq, left_ts))
     bucket_l = _floor_bucket("__lus")
     l = l.withColumn("__bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
@@ -157,6 +167,14 @@ def range_join_count(
         .groupBy(*[F.col(c) for c in uniq.columns])
         .agg(F.count("*").alias(count_alias))
     )
+    if left_unique:
+        # rid-keyed join-back: exact per-row counts, 0 when no match
+        return uniq.join(
+            hits.select("__lrid", count_alias), "__lrid", "left"
+        ).select(
+            *[F.col(c) for c in left.columns],
+            F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
+        )
     # NULL-SAFE join-back: distinct()/groupBy above treat NULLs as
     # equal, so the fan-out join must too — a null-unsafe `on=` would
     # silently stamp 0 on any left row holding a NULL in a non-key

@@ -537,7 +537,12 @@ def split_leakage_pairs(
     pairs = set_similarity_pairs_prefix(
         df.select(F.col(id_col), F.col(text_col)), id_col, text_col, threshold, n
     )
-    s = df.select(F.col(id_col), F.col(split_col))
+    # DISTINCT (id, split) mapping: a split is a function of the id
+    # (hash_split), so duplicated rows of one id carry one split — the
+    # distinct keeps the pair join-back from fanning duplicated ids out
+    # multiplicity² (r11 dupstorm fix). Narrow two-column shuffle; the
+    # heavy work stays the audited pair production itself.
+    s = df.select(F.col(id_col), F.col(split_col)).distinct()
     sa = s.toDF("id_a", "split_a")
     sb = s.toDF("id_b", "split_b")
     return (

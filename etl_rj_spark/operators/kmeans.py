@@ -150,8 +150,14 @@ def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
             ),
         )
     )
+    # ROW-GRAIN pass-through: every pts column rides along, so callers
+    # can carry payload (the double vector, doc text) THROUGH the
+    # assignment instead of joining it back by id afterwards — a
+    # join-back fans out multiplicity² when ids are duplicated (a
+    # re-ingested shard; r11 dupstorm-regime fix) and costs a
+    # corpus-sized shuffle even when they aren't
     return pts.crossJoin(packed).select(
-        "__id", "__iv", best["cid"].alias("cid")
+        *[c for c in pts.columns], best["cid"].alias("cid")
     )
 
 
@@ -160,19 +166,32 @@ def kmeans_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry: "dict[str, Column] | None" = None,
 ) -> DataFrame:
-    """(id, cell) for every row — the IVF bucketing layout. At scale,
-    write the corpus partitioned/bucketed by ``cell`` so a query scans
-    exactly one bucket."""
+    """(id, cell[, carry...]) ONE ROW PER INPUT ROW — the IVF bucketing
+    layout. At scale, write the corpus partitioned/bucketed by ``cell``
+    so a query scans exactly one bucket.
+
+    ``carry`` maps output names to Column expressions over ``df``
+    evaluated alongside the assignment (e.g. the double-precision
+    vector a rescoring stage needs). Carrying payload through the
+    map-side argmin replaces the old join-back-by-id pattern, which
+    fanned out multiplicity² under duplicated ids (r11 dupstorm-regime
+    fix) and paid a corpus-sized shuffle even on clean data."""
     # NULL vectors have no nearest cell — silently routing them to an
     # arbitrary bucket was the r10 nullmix-regime bug; they are dropped
     # here (the IVF probe/append paths separately ERROR on them via
     # the _meta dim guard, which is the right posture for an index)
+    carry = carry or {}
     pts = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__iv")
+        F.col(id_col).alias("__id"),
+        quantize_vec(vec_col).alias("__iv"),
+        *[expr.alias(name) for name, expr in carry.items()],
     )
     return _assign(pts, centroids).select(
-        F.col("__id").alias(id_col), F.col("cid").alias("cell")
+        F.col("__id").alias(id_col),
+        F.col("cid").alias("cell"),
+        *[F.col(name) for name in carry],
     )
 
 
@@ -188,20 +207,18 @@ def kmeans_ivf_topk(
     """ANN top-k through trained cells: assign both sides to their
     nearest centroid, equi-join on cell, exact cosine rescoring (9 dp,
     id tie-break — the contract shared by every top-k in
-    ``operators/similarity.py``)."""
+    ``operators/similarity.py``). The rescoring vectors ride THROUGH
+    the assignment (``carry``) — no join-back by id, so duplicated ids
+    neither fan out nor cost a corpus shuffle (r11)."""
     from etl_rj_spark.operators.similarity import cosine, vec_double
 
-    c_cells = kmeans_assign(corpus, centroids, vec_col, id_col)
-    q_cells = kmeans_assign(queries, centroids, vec_col, id_col)
-    c = corpus.select(
-        F.col(id_col), vec_double(vec_col).alias("__cv")
-    ).join(c_cells, id_col)
+    c = kmeans_assign(
+        corpus, centroids, vec_col, id_col, carry={"__cv": vec_double(vec_col)}
+    )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id_col), vec_double(vec_col).alias("__qv")
-        ).join(
-            q_cells.select(F.col(id_col).alias(query_id_col), "cell"), query_id_col
-        )
+        kmeans_assign(
+            queries, centroids, vec_col, id_col, carry={"__qv": vec_double(vec_col)}
+        ).select(F.col(id_col).alias(query_id_col), "cell", "__qv")
     )
     scored = q.join(c, "cell").select(
         query_id_col,

@@ -163,21 +163,36 @@ def bm25_search_topk(
     distributed ``ranked_topk``. Returns (id, score, rank).
     """
     terms = [t.lower() for t in query_terms]
+    # ROW-GRAIN document identity (r11 dupstorm-regime contract): each
+    # input ROW is one document. Under a duplicated id (a re-ingested
+    # shard) the old id-keyed grouping merged the copies' tf while N
+    # still counted them separately — an incoherent corpus model whose
+    # scores matched nothing. __rid is plan-internal only (never
+    # emitted), so monotonically_increasing_id's run-to-run instability
+    # cannot leak into results; on unique ids every aggregate below is
+    # value-identical to the old id-keyed form.
     base = docs.select(
         F.col(id_col),
         whitespace_tokens(normalized_text(text_col)).alias("__toks"),
-    ).select(F.col(id_col), "__toks", F.size("__toks").alias("__dl"))
+    ).select(
+        F.monotonically_increasing_id().alias("__rid"),
+        F.col(id_col),
+        "__toks",
+        F.size("__toks").alias("__dl"),
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__sumdl"),
     ).select("__n", F.expr("__sumdl div __n").alias("__avgdl"))
     toks = base.select(
-        F.col(id_col), "__dl", F.explode("__toks").alias("term")
+        "__rid", F.col(id_col), "__dl", F.explode("__toks").alias("term")
     ).filter(F.col("term").isin(terms))
-    tf = toks.groupBy(id_col, "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("__rid", id_col, "__dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     idf = (
         tf.groupBy("term")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .agg(F.count_distinct(F.col("__rid")).alias("df"))
         .join(F.broadcast(stats))
         .select(
             "term",
@@ -188,13 +203,14 @@ def bm25_search_topk(
     scored = (
         tf.join(F.broadcast(idf), "term")
         .select(
+            "__rid",
             F.col(id_col),
             F.expr(
                 "(idf_ppm * tf * 44 * __avgdl)"
                 " div (20 * tf * __avgdl + 6 * __avgdl + 18 * __dl)"
             ).alias("__term_score"),
         )
-        .groupBy(id_col)
+        .groupBy("__rid", id_col)
         .agg(F.sum("__term_score").alias("score"))
     )
     return ranked_topk(

@@ -280,9 +280,14 @@ def lsh_topk(
         F.broadcast(qb).join(cb, ["table", "bucket"]).select(query_id_col, "__qv", id_col).distinct()
     )
     c = corpus.select(F.col(id_col), vec_double(vec_col).alias("__cv"))
+    # .distinct() on the CANDIDATE-sized scored frame: ranks are over
+    # DISTINCT (query, id, score) results — a corpus row duplicated by
+    # a re-ingested shard must not occupy several of the k slots (r11
+    # dupstorm-regime contract; value-level no-op on unique ids, and
+    # never a corpus-sized dedup)
     scored = cand.join(c, id_col).select(
         query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
-    )
+    ).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -375,12 +380,13 @@ def semdedup_incremental(
     the probe join needs no Exchange on the survivor side."""
     from etl_rj_spark.operators.kmeans import kmeans_assign
 
-    cells_new = kmeans_assign(batch, centroids, vec_col=vec_col, id_col=id_col)
-    vnew = (
-        batch.join(cells_new, id_col)
-        .select(F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v"))
-        .localCheckpoint()
-    )
+    # the probe vector rides THROUGH the assignment (no join-back by
+    # id: duplicated batch ids would fan out multiplicity² — r11
+    # dupstorm fix — and the join cost a batch-sized shuffle)
+    vnew = kmeans_assign(
+        batch, centroids, vec_col=vec_col, id_col=id_col,
+        carry={"__v": vec_double(vec_col)},
+    ).localCheckpoint()
     a = vnew.select(F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va"))
     old_side = existing.select(
         F.lit(None).cast("long").alias("id_b"), F.col("cell"),
@@ -428,17 +434,21 @@ def semdedup(
     contract)."""
     from etl_rj_spark.operators.kmeans import kmeans_assign
 
-    cells = kmeans_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
     # materialize (id, cell, vec) ONCE: it feeds both sides of the
     # within-cell self-join AND the survivor anti-join — without the
-    # barrier the assignment argmin and the corpus-cells join would
-    # re-evaluate up to 3× in one plan (kmeans_fit localCheckpoints
-    # its iteration state for the same reason)
-    v = (
-        corpus.join(cells, id_col)
-        .select(F.col(id_col), F.col("cell"), vec_double(vec_col).alias("__v"))
-        .localCheckpoint()
-    )
+    # barrier the assignment argmin would re-evaluate up to 3× in one
+    # plan (kmeans_fit localCheckpoints its iteration state for the
+    # same reason). The vector rides THROUGH the assignment (carry) —
+    # the old join-back by id fanned out multiplicity² under
+    # duplicated ids (r11 dupstorm fix: 3 verbatim copies per id made
+    # 9 survivor rows) and paid a corpus-sized shuffle even on clean
+    # data. ONE ROW PER INPUT ROW: verbatim copies of one id share its
+    # cell and survive or die together (same-id rows never block each
+    # other — exact dedup is an upstream concern, not SemDeDup's).
+    v = kmeans_assign(
+        corpus, centroids, vec_col=vec_col, id_col=id_col,
+        carry={"__v": vec_double(vec_col)},
+    ).localCheckpoint()
     a = v.select(F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va"))
     b = v.select(F.col(id_col).alias("id_b"), "cell", F.col("__v").alias("__vb"))
     dropped = (
@@ -502,9 +512,14 @@ def lsh_topk_multiprobe(
         .distinct()
     )
     c = corpus.select(F.col(id_col), vec_double(vec_col).alias("__cv"))
+    # .distinct() on the CANDIDATE-sized scored frame: ranks are over
+    # DISTINCT (query, id, score) results — a corpus row duplicated by
+    # a re-ingested shard must not occupy several of the k slots (r11
+    # dupstorm-regime contract; value-level no-op on unique ids, and
+    # never a corpus-sized dedup)
     scored = cand.join(c, id_col).select(
         query_id_col, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("score")
-    )
+    ).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

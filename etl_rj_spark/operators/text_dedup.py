@@ -198,10 +198,20 @@ def _jaccard_select(withsets: DataFrame) -> DataFrame:
 
 def _jaccard_on_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     """Join (id_a, id_b) pairs to an (id, __set) table on both sides
-    and emit the exact Jaccard (see :func:`_jaccard_select`)."""
+    and emit the exact Jaccard (see :func:`_jaccard_select`).
+
+    Distinct-pairs contract (r11 dupstorm-regime fix): a corpus whose
+    ids are DUPLICATED (a re-ingested shard — routine at 100 TB) fans
+    this join out multiplicity² per pair; the result dedup collapses
+    that back to one row per (id_a, id_b, jaccard). Deliberately
+    placed on the RESULT — near-dup-pair-sized, KBs — never on the
+    corpus-sized ``sets`` frame, which would add a full-corpus shuffle
+    to every dedup path. Same-id rows with DIFFERENT sets surface as
+    two jaccard values for the pair (ambiguity kept visible, not
+    hidden)."""
     sa = sets.toDF("id_a", "__set_a")
     sb = sets.toDF("id_b", "__set_b")
-    return _jaccard_select(pairs.join(sa, "id_a").join(sb, "id_b"))
+    return _jaccard_select(pairs.join(sa, "id_a").join(sb, "id_b")).distinct()
 
 
 def lsh_candidate_pairs(

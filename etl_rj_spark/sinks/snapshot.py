@@ -15,6 +15,8 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_rj_spark.streaming.fsutil import has_visible_data, path_exists
+
 
 def append_snapshot(
     df: DataFrame,
@@ -33,7 +35,13 @@ def append_snapshot(
     # underscore-prefixed — invisible to partition discovery — and a
     # plain 0-row parquet write there preserves the full schema for
     # ``read_latest_snapshot``'s fallback (r10 degenerate-input fix).
-    stamped.limit(0).write.mode("overwrite").parquet(f"{path}/_schema")
+    # Written ONCE, at first append: re-overwriting it every append
+    # costs an extra Spark job per snapshot and opens a last-writer-
+    # wins window during which the sidecar is momentarily absent —
+    # exactly when a fallback reader would need it — and write-once
+    # also freezes the schema of record at first write (ADVICE r10).
+    if not path_exists(stamped.sparkSession, f"{path}/_schema"):
+        stamped.limit(0).write.mode("overwrite").parquet(f"{path}/_schema")
     return stamped
 
 
@@ -50,10 +58,14 @@ def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fe
     A table whose snapshots were all EMPTY (zero partition
     directories) reads back as a 0-row frame with the schema preserved
     by ``append_snapshot``'s ``_schema`` sidecar — not an inference
-    error (r10 degenerate-input fix)."""
-    try:
+    error (r10 degenerate-input fix). The sidecar path is chosen by an
+    EXPLICIT visible-files probe, never by catching exceptions around
+    the read: a corrupt part-file footer, a permissions error, or a
+    transient FS failure over a table that HAS data must fail loudly,
+    not silently serve an empty snapshot (ADVICE r10, medium)."""
+    if has_visible_data(spark, path) or not path_exists(spark, f"{path}/_schema"):
         df = spark.read.parquet(path)
-    except Exception:
+    else:
         # zero partitions materialized — fall back to the sidecar
         return spark.read.parquet(f"{path}/_schema")
     latest = df.select(F.max(snapshot_col).alias("m")).first()[0]

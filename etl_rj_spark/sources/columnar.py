@@ -76,12 +76,18 @@ def read_orc(
 
     A partitioned table whose every write was EMPTY reads back as a
     0-row frame via the ``_schema`` sidecar ``write_orc`` leaves — not
-    an inference error (r10 degenerate-input fix)."""
-    from pyspark.errors import AnalysisException
+    an inference error (r10 degenerate-input fix). The sidecar path is
+    chosen by an EXPLICIT probe, never by catching
+    ``AnalysisException`` around the read: a never-written path must
+    propagate PATH_NOT_FOUND with the ORIGINAL path (non-partitioned
+    tables have no sidecar at all, so the old retry produced a
+    misleading secondary error), and a real analysis error over a
+    populated table must fail loudly (ADVICE r10)."""
+    from etl_rj_spark.streaming.fsutil import has_visible_data, path_exists
 
-    try:
+    if has_visible_data(spark, path) or not path_exists(spark, f"{path}/_schema"):
         df = spark.read.orc(path)
-    except AnalysisException:
+    else:
         df = spark.read.orc(f"{path}/_schema")
     return normalize_timestamps(df, ns_timestamp_cols)
 

@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_rj_spark.streaming.fsutil import ensure_state_schema, read_state_or_schema
+from etl_rj_spark.streaming.fsutil import (
+    ensure_state_schema,
+    has_visible_data,
+    read_state_or_schema,
+)
 
 #: Shared relative-error bound for the lgK=12 HLL contract checks:
 #: rsd(lgK=12) = 1.04/sqrt(2^12) ~= 1.6 %, and the contracts pin the
@@ -76,16 +80,10 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     underscore/dot-hidden entries (the ``_schema`` sidecar an empty
     first drain leaves) is NOT a materialized table — reading it would
     throw UNABLE_TO_INFER_SCHEMA, and the fold must take the
-    first-write branch instead (r10 nullmix-regime fix)."""
-    jvm = spark.sparkContext._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return False
-    for st in fs.listStatus(root):
-        if not st.getPath().getName().startswith(("_", ".")):
-            return True
-    return False
+    first-write branch instead (r10 nullmix-regime fix). Since r11 the
+    probe itself lives in :mod:`fsutil` (``has_visible_data``), shared
+    with the state/snapshot/ORC readers."""
+    return has_visible_data(spark, path)
 
 
 def sketch_batch(
@@ -307,10 +305,25 @@ def estimate_topk_partials(
     spark: SparkSession, path: str, k: int = 64, max_items: int = 1024
 ) -> DataFrame:
     """Serving read: combine every day partial and estimate the top-k
-    as (item, n) rows."""
-    combined = read_state_or_schema(spark, path).agg(
-        F.expr(f"approx_top_k_estimate(approx_top_k_combine(st, {int(max_items)}), {int(k)})")
-        .alias("__e")
+    as (item, n) rows.
+
+    The combine runs as a GROUPED aggregate on a constant key, never a
+    global one: a global ``approx_top_k_combine`` over an EMPTY state
+    table (a stream that has seen no items yet — a normal serving
+    state) executes once with its item type never initialized and dies
+    in Spark's sketch serializer (``ApproxTopKCombine.serialize``,
+    ``scala.MatchError: null``); a grouped aggregate over zero rows
+    emits zero groups, so the empty stream serves the correct EMPTY
+    top-k (r11; surfaced when the fingerprint-keyed degenerate cache
+    rebuild exposed a stale-twin mask over the r10 empty sweep)."""
+    combined = (
+        read_state_or_schema(spark, path)
+        .groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.expr(
+                f"approx_top_k_estimate(approx_top_k_combine(st, {int(max_items)}), {int(k)})"
+            ).alias("__e")
+        )
     )
     return combined.select(F.explode("__e").alias("__x")).select(
         F.col("__x.item").alias("item"), F.col("__x.count").alias("n")

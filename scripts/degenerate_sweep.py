@@ -27,8 +27,8 @@ uses (tests/oracle_utils.py). Statuses:
   ORACLE_ERR  — the DuckDB oracle raised on empty input
 
 Usage:
-  python scripts/degenerate_sweep.py [--regime empty|single|nullmix]
-                                     [--out out.json] [name ...]
+  python scripts/degenerate_sweep.py [--regime empty|single|nullmix|dupstorm]
+                                     [--out out.json] [--rebuild] [name ...]
 
 Regimes: ``empty`` (default) — every table with its real schema and
 ZERO rows; ``single`` — every table exactly ONE row (first row of
@@ -37,10 +37,18 @@ n=1 classes empty input can't reach: zero variance, one-class
 categoricals, one-element windows/folds, partnerless joins;
 ``nullmix`` — one real row plus two ALL-NULL rows per table (keys
 included), which probes NULL keys/values coexisting with real data
-through every join, group, parse, and aggregate.
+through every join, group, parse, and aggregate; ``dupstorm`` — every
+table's first real row TRIPLED verbatim, which probes total-tie
+determinism: rank/row_number tie-breaking, keep-latest with identical
+timestamps, dedup survivor selection, and the K1 intra-batch
+duplicate-key cardinality contracts (VERDICT r10 #8 — the one
+degenerate shape the first three regimes don't reach).
 
-The empty dataset is synthesized under /tmp/sf_empty from the sf0.001
-schemas (limit 0) and reused across runs.
+The synthetic datasets live under /tmp/sf_{empty,single,nullmix,
+dupstorm} and are reused across runs; each cache is keyed on a
+FINGERPRINT of the base sf0.001 tables (schema + size + mtime), so a
+regenerated testdata tree invalidates the twins instead of silently
+sweeping stale data (ADVICE r10). ``--rebuild`` forces it.
 """
 
 from __future__ import annotations
@@ -78,87 +86,145 @@ EXPECTED_REFUSAL = {
     "incremental_anti_join": "null dedup key",
 }
 
-
-def ensure_empty_dataset(spark: SparkSession) -> str:
-    marker = os.path.join(EMPTY, "_built")
-    if os.path.exists(marker):
-        return EMPTY
-    os.makedirs(EMPTY, exist_ok=True)
-    # single-FILE parquet per table (pyarrow), zero rows, exact base
-    # schema — both duck_connection and the engine's readers expect the
-    # testdata layout (one file, not a Spark part-file directory), and
-    # the pyarrow rewrite preserves even the events table's
-    # TIMESTAMP(NANOS) physical type so the empty twin exercises the
-    # same nanosAsLong scan path as the real data
-    import pyarrow.parquet as pq
-
-    for t in TABLES:
-        schema = pq.read_schema(f"{BASE}/{t}.parquet")
-        pq.write_table(schema.empty_table(), f"{EMPTY}/{t}.parquet")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return EMPTY
+#: Regime-SCOPED refusals: contracts that only trip under one regime's
+#: specific shape. Kept separate from the global table so a raise with
+#: the same message under any OTHER regime stays ENGINE_ERR (red) —
+#: e.g. a duplicate-key refusal on clean single-row data would be a
+#: real bug, not a documented contract.
+EXPECTED_REFUSAL_BY_REGIME = {
+    "dupstorm": {
+        # K1 cardinality contracts: a batch whose every row is a
+        # verbatim triplicate has intra-batch duplicate dedup keys —
+        # the atomic append's PK insert and the MERGE upsert both
+        # refuse the WHOLE batch (the exact behavior the poison-batch
+        # rollback proofs pin with _assert_integrity_violation).
+        "k1_atomic_jdbc_roundtrip": "duplicate key",
+        "k1_jdbc_upsert_roundtrip": "duplicate key",
+    },
+}
 
 
 SINGLE = "/tmp/sf_single"
+NULLMIX = "/tmp/sf_nullmix"
+DUPSTORM = "/tmp/sf_dupstorm"
+
+FORCE_REBUILD = False
+
+
+def _base_fingerprint() -> str:
+    """Cheap identity of the base sf0.001 tables: per-table file size
+    + mtime + parquet schema. The cached degenerate twins are keyed on
+    this, so regenerating testdata (new schema, new first row)
+    invalidates every later sweep's cache instead of silently running
+    against stale twins (ADVICE r10). mtime+size catches a same-schema
+    regeneration with a different first row without hashing data."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for t in TABLES:
+        p = f"{BASE}/{t}.parquet"
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}:{pq.read_schema(p)}")
+    import hashlib
+
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def _build_cached(out_dir: str, write_table) -> str:
+    """Build (or reuse) a degenerate twin dataset: single-FILE parquet
+    per table (pyarrow), exact base schema — both duck_connection and
+    the engine's readers expect the testdata layout (one file, not a
+    Spark part-file directory), and the pyarrow rewrite preserves even
+    the events table's TIMESTAMP(NANOS) physical type so every twin
+    exercises the same nanosAsLong scan path as the real data.
+
+    The ``_built`` marker stores the base fingerprint; a mismatch (or
+    ``--rebuild``) rebuilds in place."""
+    import pyarrow.parquet as pq
+
+    fp = _base_fingerprint()
+    marker = os.path.join(out_dir, "_built")
+    if not FORCE_REBUILD and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return out_dir
+        print(f"# stale cache (base testdata changed) — rebuilding {out_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{BASE}/{t}.parquet")
+        write_table(tbl, f"{out_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out_dir
+
+
+def ensure_empty_dataset(spark: SparkSession) -> str:
+    """Regime 1: every table with its real schema and ZERO rows."""
+    import pyarrow.parquet as pq
+
+    return _build_cached(
+        EMPTY, lambda tbl, path: pq.write_table(tbl.schema.empty_table(), path)
+    )
 
 
 def ensure_single_row_dataset(spark: SparkSession) -> str:
-    """The second degenerate regime: every table exactly ONE row (the
-    first row of the sf0.001 table). Probes the failure classes empty
-    input can't reach — zero variance/denominator with n=1, one-class
-    categoricals, one-element windows/folds, self-joins that find no
-    partner — while both engines still see IDENTICAL data, so any
-    divergence is structural, not data luck. FK integrity across
-    tables is deliberately NOT preserved (a lineitem row whose order
-    is missing is itself a real degenerate state: joins must emit
-    empty, not error)."""
-    marker = os.path.join(SINGLE, "_built")
-    if os.path.exists(marker):
-        return SINGLE
-    os.makedirs(SINGLE, exist_ok=True)
+    """Regime 2: every table exactly ONE row (the first row of the
+    sf0.001 table). Probes the failure classes empty input can't reach
+    — zero variance/denominator with n=1, one-class categoricals,
+    one-element windows/folds, self-joins that find no partner — while
+    both engines still see IDENTICAL data, so any divergence is
+    structural, not data luck. FK integrity across tables is
+    deliberately NOT preserved (a lineitem row whose order is missing
+    is itself a real degenerate state: joins must emit empty, not
+    error)."""
     import pyarrow.parquet as pq
 
-    for t in TABLES:
-        tbl = pq.read_table(f"{BASE}/{t}.parquet")
-        pq.write_table(tbl.slice(0, 1), f"{SINGLE}/{t}.parquet")
-    with open(marker, "w") as f:
-        f.write("ok")
-    return SINGLE
-
-
-NULLMIX = "/tmp/sf_nullmix"
+    return _build_cached(
+        SINGLE, lambda tbl, path: pq.write_table(tbl.slice(0, 1), path)
+    )
 
 
 def ensure_nullmix_dataset(spark: SparkSession) -> str:
-    """The third degenerate regime: every table = its FIRST real row
-    plus two ALL-NULL rows (every column NULL, keys included). Probes
-    NULL keys and NULL values COEXISTING with real data through every
-    join (NULL never equi-matches), group (NULL is its own group in
-    both engines), kernel parse, and aggregate — the shape of a dirty
-    100 TB corpus, where a null-ridden shard rides next to clean data
-    in the same scan. Both engines see identical rows, so any
-    divergence is structural."""
-    marker = os.path.join(NULLMIX, "_built")
-    if os.path.exists(marker):
-        return NULLMIX
-    os.makedirs(NULLMIX, exist_ok=True)
+    """Regime 3: every table = its FIRST real row plus two ALL-NULL
+    rows (every column NULL, keys included). Probes NULL keys and NULL
+    values COEXISTING with real data through every join (NULL never
+    equi-matches), group (NULL is its own group in both engines),
+    kernel parse, and aggregate — the shape of a dirty 100 TB corpus,
+    where a null-ridden shard rides next to clean data in the same
+    scan. Both engines see identical rows, so any divergence is
+    structural."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    for t in TABLES:
-        tbl = pq.read_table(f"{BASE}/{t}.parquet")
+    def write(tbl, path):
         nulls = pa.table(
             {f.name: pa.nulls(2, f.type) for f in tbl.schema},
             schema=tbl.schema,
         )
-        pq.write_table(
-            pa.concat_tables([tbl.slice(0, 1), nulls]),
-            f"{NULLMIX}/{t}.parquet",
-        )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return NULLMIX
+        pq.write_table(pa.concat_tables([tbl.slice(0, 1), nulls]), path)
+
+    return _build_cached(NULLMIX, write)
+
+
+def ensure_dupstorm_dataset(spark: SparkSession) -> str:
+    """Regime 4 (VERDICT r10 #8): every table = its FIRST real row
+    TRIPLED verbatim. Every key is a duplicate, every ordering a total
+    tie, every timestamp identical — the regime that probes
+    determinism contracts the first three can't reach: rank/interval
+    behavior under total ties, keep-latest survivor selection with
+    equal timestamps (must be deterministic, not partition-order
+    luck), dedup cluster labeling, and the K1 sinks' intra-batch
+    duplicate-key CARDINALITY contracts (the MERGE/PK refusal the
+    poison-batch proofs pin). Both engines see identical rows, so any
+    divergence is structural."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(tbl, path):
+        one = tbl.slice(0, 1)
+        pq.write_table(pa.concat_tables([one, one, one]), path)
+
+    return _build_cached(DUPSTORM, write)
 
 
 def main() -> int:
@@ -172,9 +238,15 @@ def main() -> int:
     if "--regime" in args:
         i = args.index("--regime")
         regime = args[i + 1]
-        if regime not in ("empty", "single", "nullmix"):
-            raise SystemExit(f"unknown --regime {regime!r} (empty|single|nullmix)")
+        if regime not in ("empty", "single", "nullmix", "dupstorm"):
+            raise SystemExit(
+                f"unknown --regime {regime!r} (empty|single|nullmix|dupstorm)"
+            )
         del args[i:i + 2]
+    if "--rebuild" in args:
+        global FORCE_REBUILD
+        FORCE_REBUILD = True
+        args.remove("--rebuild")
     only = set(args)
 
     from etl_rj_spark.analytics import ordered_registry  # noqa: E402
@@ -189,8 +261,11 @@ def main() -> int:
         .getOrCreate()
     )
     build = {"empty": ensure_empty_dataset, "single": ensure_single_row_dataset,
-             "nullmix": ensure_nullmix_dataset}[regime]
+             "nullmix": ensure_nullmix_dataset,
+             "dupstorm": ensure_dupstorm_dataset}[regime]
     sf_dir = build(spark)
+    refusals = dict(EXPECTED_REFUSAL)
+    refusals.update(EXPECTED_REFUSAL_BY_REGIME.get(regime, {}))
     con = duck_connection(sf_dir)
     t0 = time.time()
     detail: dict[str, dict] = {}
@@ -221,7 +296,7 @@ def main() -> int:
                         counts["DIVERGES"] += 1
                         detail[n] = {"status": "DIVERGES", "err": str(ae)[:800]}
         except Exception as e:  # noqa: BLE001 — sweep must finish
-            if n in EXPECTED_REFUSAL and EXPECTED_REFUSAL[n] in str(e):
+            if n in refusals and refusals[n] in str(e):
                 counts["refused_by_design"] += 1
                 detail[n] = {"status": "refused_by_design", "err": str(e)[:200]}
             else:

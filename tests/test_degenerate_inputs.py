@@ -231,3 +231,278 @@ def test_empty_excel_sheet_lifts_as_schemad_frame(spark):
     df = _pdf_to_spark(spark, pdf)
     assert df.count() == 0
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "bigint"]
+
+
+# ---------------------------------------------------------------------------
+# r11 pins: the fallback readers choose their path by EXPLICIT probe,
+# never by exception-driven control flow (VERDICT r10 §wrong #1 /
+# ADVICE r10). The r10 pins above prove the readers SERVE empty state
+# when that is the truth; these prove they FAIL LOUDLY when it isn't.
+# ---------------------------------------------------------------------------
+
+
+def test_state_read_error_over_populated_table_raises(spark, tmp_path):
+    """A REAL analysis error over a POPULATED state table (here: a bad
+    manual write that left conflicting partition structures) must
+    RAISE, not be silently served as 'empty state' via the _schema
+    sidecar — at 100 TB that silent swallow turns one corrupted ledger
+    directory into a sketch fold that quietly forgets all history."""
+    import datetime
+
+    from pyspark.errors import AnalysisException
+
+    from etl_rj_spark.streaming.fsutil import ensure_state_schema, read_state_or_schema
+
+    d = str(tmp_path / "state")
+    proto = spark.createDataFrame(
+        [("a", datetime.date(2024, 1, 1), bytearray(b"x"))],
+        "grp string, day date, sk binary",
+    )
+    proto.write.partitionBy("day").parquet(d)
+    ensure_state_schema(proto, d)
+    # sanity: the healthy populated table reads fine
+    assert read_state_or_schema(spark, d).count() == 1
+    # bad manual write: a second, conflicting partition scheme
+    # (Spark raises SparkRuntimeException KD009 here, not
+    # AnalysisException — either way it must PROPAGATE)
+    spark.createDataFrame([("b",)], "grp string").write.parquet(f"{d}/week=3")
+    with pytest.raises(Exception, match="Conflicting|KD009"):
+        read_state_or_schema(spark, d).collect()
+
+    # the AnalysisException class the OLD except-driven fallback
+    # swallowed: a state dir whose only VISIBLE entry is a fileless
+    # partition directory (a bad manual write / interrupted delete)
+    # next to a _schema sidecar. The explicit probe says 'visible
+    # entries = materialized table', so the read's real
+    # UNABLE_TO_INFER_SCHEMA surfaces — the anomaly is flagged, not
+    # silently served as healthy empty state.
+    d2 = str(tmp_path / "state2")
+    proto.write.partitionBy("day").parquet(d2)
+    ensure_state_schema(proto, d2)
+    for day_dir in os.listdir(d2):
+        if day_dir.startswith("day="):
+            for f in os.listdir(os.path.join(d2, day_dir)):
+                os.remove(os.path.join(d2, day_dir, f))
+    with pytest.raises(AnalysisException):
+        read_state_or_schema(spark, d2).collect()
+
+
+def test_state_read_never_written_path_raises_original(spark, tmp_path):
+    """A never-written state path propagates PATH_NOT_FOUND naming the
+    ORIGINAL path — not a misleading secondary error about a _schema
+    sidecar that also doesn't exist (ADVICE r10)."""
+    from pyspark.errors import AnalysisException
+
+    from etl_rj_spark.streaming.fsutil import read_state_or_schema
+
+    missing = str(tmp_path / "never_written")
+    with pytest.raises(AnalysisException) as ei:
+        read_state_or_schema(spark, missing).collect()
+    assert "never_written" in str(ei.value)
+    assert "_schema" not in str(ei.value)
+
+
+def test_latest_snapshot_read_error_over_populated_table_raises(spark, tmp_path):
+    """read_latest_snapshot over a populated-but-broken snapshot table
+    raises instead of serving the empty sidecar (ADVICE r10 medium: the
+    old bare `except Exception` silently served an empty snapshot for
+    ANY read failure — corrupt footer, permissions, transient FS)."""
+    import datetime
+
+    from etl_rj_spark.sinks.snapshot import append_snapshot, read_latest_snapshot
+
+    d = str(tmp_path / "snap")
+    one = spark.createDataFrame([(1, "x")], "k long, v string")
+    append_snapshot(one, d, snapshot_date=datetime.date(2024, 1, 1))
+    assert read_latest_snapshot(spark, d).count() == 1
+    # bad manual write: conflicting partition scheme next to fecha_carga=
+    spark.createDataFrame([(2,)], "k long").write.parquet(f"{d}/other=1")
+    with pytest.raises(Exception, match="Conflicting|KD009"):
+        read_latest_snapshot(spark, d).collect()
+
+
+def test_orc_read_never_written_path_raises_original(spark, tmp_path):
+    """read_orc on a never-written path raises naming the ORIGINAL
+    path — non-partitioned ORC tables have no sidecar at all, so the
+    old AnalysisException retry produced a misleading secondary error
+    about `{path}/_schema` (ADVICE r10)."""
+    from pyspark.errors import AnalysisException
+
+    from etl_rj_spark.sources.columnar import read_orc
+
+    missing = str(tmp_path / "no_orc_here")
+    with pytest.raises(AnalysisException) as ei:
+        read_orc(spark, missing).collect()
+    assert "no_orc_here" in str(ei.value)
+    assert "_schema" not in str(ei.value)
+
+
+def test_snapshot_schema_sidecar_written_once(spark, tmp_path):
+    """append_snapshot writes the _schema sidecar only at FIRST append:
+    re-overwriting it every append costs an extra Spark job per
+    snapshot and opens a last-writer-wins window during which the
+    sidecar is momentarily absent — exactly when a concurrent fallback
+    reader would need it (ADVICE r10)."""
+    import datetime
+
+    from etl_rj_spark.sinks.snapshot import append_snapshot
+
+    d = str(tmp_path / "snap")
+    one = spark.createDataFrame([(1, "x")], "k long, v string")
+    append_snapshot(one, d, snapshot_date=datetime.date(2024, 1, 1))
+    sidecar = os.path.join(d, "_schema")
+    first_files = sorted(os.listdir(sidecar))
+    append_snapshot(one, d, snapshot_date=datetime.date(2024, 1, 2))
+    # an overwrite would have landed NEW random part-file names
+    assert sorted(os.listdir(sidecar)) == first_files
+
+
+def test_integrity_violation_assert_narrows_the_rollback_proof():
+    """The K1 poison-batch rollback proofs accept ONLY a duplicate-key
+    / cardinality violation; any other failure re-raises so the proof
+    can't pass vacuously (VERDICT r10 #4 — a staging-write or
+    connection failure also leaves the poison keys absent)."""
+    from etl_rj_spark.analytics.coverage_suite import _assert_integrity_violation
+
+    _assert_integrity_violation(
+        Exception(
+            "The statement was aborted because it would have caused a "
+            "duplicate key value in a unique or primary key constraint"
+        )
+    )
+    _assert_integrity_violation(Exception("ERROR 23505: ..."))
+    with pytest.raises(Exception, match="connection refused"):
+        _assert_integrity_violation(Exception("java.net.ConnectException: connection refused"))
+
+
+# ---------------------------------------------------------------------------
+# r11 pins: DUPSTORM-regime contracts (every row a verbatim triplicate —
+# the re-ingested-shard shape). One representative per mechanism; the
+# full-registry probe is scripts/degenerate_sweep.py --regime dupstorm.
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_pairs_distinct_under_duplicated_ids(spark):
+    """_jaccard_on_sets' distinct-pairs contract: verbatim-duplicated
+    corpus rows collapse to ONE (id_a, id_b, jaccard) row instead of
+    fanning the verify join out multiplicity²."""
+    from etl_rj_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    corpus = spark.createDataFrame(rows * 3, "doc_id long, text string")
+    out = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5, n=3).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_kmeans_assign_row_grain_and_carry(spark):
+    """kmeans_assign emits ONE row per input row (duplicated ids
+    included) and carries payload through the map-side argmin — no
+    join-back, no fanout."""
+    from etl_rj_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from etl_rj_spark.operators.similarity import vec_double
+
+    rows = [(7, [1.0, 0.0]), (8, [0.0, 1.0])]
+    e = spark.createDataFrame(rows * 3, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(e, k=2, iters=1)
+    out = kmeans_assign(
+        e, cents, carry={"__v": vec_double("embedding")}
+    ).collect()
+    assert len(out) == 6  # row grain: 3 copies each of 2 ids
+    assert {r.vec_id for r in out} == {7, 8}
+    # verbatim copies of one id share one cell, and the payload rode through
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, set()).add(r.cell)
+        assert r["__v"] is not None
+    assert all(len(cells) == 1 for cells in by_id.values())
+
+
+def test_semdedup_duplicated_ids_no_fanout(spark):
+    """SemDeDup under verbatim-duplicated ids: copies of one id share
+    its fate (same-id rows never block each other), and the survivor
+    frame is row-grain — 3 copies in, 3 survivor rows out, never 9."""
+    from etl_rj_spark.operators.kmeans import kmeans_fit
+    from etl_rj_spark.operators.similarity import semdedup
+
+    rows = [(1, [1.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(rows * 3, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(corpus, k=1, iters=1)
+    out = semdedup(corpus, cents, threshold=0.99).collect()
+    assert len(out) == 3
+    assert {r.vec_id for r in out} == {1}
+
+
+def test_lsh_topk_ranks_over_distinct_candidates(spark):
+    """Top-k ranks are over DISTINCT (query, id, score) results: a
+    corpus row duplicated by a re-ingested shard occupies ONE of the k
+    slots, not several."""
+    from etl_rj_spark.operators.similarity import lsh_topk
+
+    c_rows = [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(c_rows * 3, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = lsh_topk(corpus, queries, k=10, dim=4, bits=2, tables=4).collect()
+    got = {(r.query_id, r.vec_id) for r in out}
+    assert len(out) == len(got), "duplicate corpus rows occupied extra slots"
+
+
+def test_range_join_count_left_unique_row_grain_counts(spark):
+    """range_join_count(left_unique=True) under a VIOLATED uniqueness
+    claim: each duplicated left row counts its OWN matches (m), never
+    the merged multiplicity×m — the failure the dupstorm regime's
+    0-match data couldn't reach, pinned here with real matches."""
+    import datetime
+
+    from etl_rj_spark.operators.asof import range_join_count
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    errors = spark.createDataFrame(
+        [(10, "u1", t0)] * 3, "event_id long, user_id string, ts timestamp"
+    )
+    clicks = spark.createDataFrame(
+        [("u1", t0 + datetime.timedelta(minutes=m)) for m in (1, 2)],
+        "user_id string, ts timestamp",
+    )
+    out = range_join_count(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=3600, count_alias="n", left_unique=True,
+    ).collect()
+    assert [r.n for r in out] == [2, 2, 2]
+
+
+def test_bm25_row_grain_document_model(spark):
+    """BM25's corpus model is ROW-grain: a corpus with one doc
+    duplicated 3× scores exactly like a corpus of 3 distinct docs with
+    the same text (same N, df, tf, dl per row) — the old id-keyed
+    grouping merged tf across copies while N counted them apart."""
+    from etl_rj_spark.operators.search import bm25_search_topk
+
+    text = "spark window hash spark filler words here"
+    dup = spark.createDataFrame([(5, text)] * 3, "doc_id long, text string")
+    distinct_ids = spark.createDataFrame(
+        [(5, text), (6, text), (7, text)], "doc_id long, text string"
+    )
+    s_dup = sorted(r.score for r in bm25_search_topk(dup, ("spark", "window", "hash")).collect())
+    s_dis = sorted(r.score for r in bm25_search_topk(distinct_ids, ("spark", "window", "hash")).collect())
+    assert len(s_dup) == 3 and s_dup == s_dis
+
+
+def test_topk_serve_over_empty_state_emits_zero_rows(spark, tmp_path):
+    """Serving the frequent-items maintainer over an EMPTY state table
+    (a stream that has seen no items yet) returns ZERO rows — never
+    the ApproxTopKCombine scala.MatchError a GLOBAL combine over zero
+    sketches raises (r11; the fingerprint-keyed cache rebuild exposed
+    this as a stale-twin mask over the r10 empty sweep)."""
+    from etl_rj_spark.streaming.fsutil import ensure_state_schema
+    from etl_rj_spark.streaming.sketches import estimate_topk_partials
+
+    d = str(tmp_path / "topk_state")
+    proto = spark.range(0).selectExpr(
+        "CAST(NULL AS DATE) AS day",
+        "approx_top_k_accumulate(CAST(NULL AS STRING), 16) AS st",
+        "CAST(array() AS ARRAY<LONG>) AS batch_ids",
+    )
+    ensure_state_schema(proto, d)
+    assert estimate_topk_partials(spark, d, k=8, max_items=16).count() == 0
