@@ -27,7 +27,7 @@ uses (tests/oracle_utils.py). Statuses:
   ORACLE_ERR  — the DuckDB oracle raised on empty input
 
 Usage:
-  python scripts/degenerate_sweep.py [--regime empty|single|nullmix|dupstorm]
+  python scripts/degenerate_sweep.py [--regime empty|single|nullmix|dupstorm|nulldup]
                                      [--out out.json] [--rebuild] [name ...]
 
 Regimes: ``empty`` (default) — every table with its real schema and
@@ -42,10 +42,12 @@ table's first real row TRIPLED verbatim, which probes total-tie
 determinism: rank/row_number tie-breaking, keep-latest with identical
 timestamps, dedup survivor selection, and the K1 intra-batch
 duplicate-key cardinality contracts (VERDICT r10 #8 — the one
-degenerate shape the first three regimes don't reach).
+degenerate shape the first three regimes don't reach); ``nulldup`` —
+the first row, two verbatim copies, AND two all-NULL rows (r11),
+crossing the duplicate and NULL shapes in one scan.
 
 The synthetic datasets live under /tmp/sf_{empty,single,nullmix,
-dupstorm} and are reused across runs; each cache is keyed on a
+dupstorm,nulldup} and are reused across runs; each cache is keyed on a
 FINGERPRINT of the base sf0.001 tables (schema + size + mtime), so a
 regenerated testdata tree invalidates the twins instead of silently
 sweeping stale data (ADVICE r10). ``--rebuild`` forces it.
@@ -92,6 +94,13 @@ EXPECTED_REFUSAL = {
 #: e.g. a duplicate-key refusal on clean single-row data would be a
 #: real bug, not a documented contract.
 EXPECTED_REFUSAL_BY_REGIME = {
+    # nulldup carries BOTH parent shapes' contracts: duplicate keys
+    # trip the K1 cardinality refusals exactly as under dupstorm (the
+    # null-dedup-key refusal is already global)
+    "nulldup": {
+        "k1_atomic_jdbc_roundtrip": "duplicate key",
+        "k1_jdbc_upsert_roundtrip": "duplicate key",
+    },
     "dupstorm": {
         # K1 cardinality contracts: a batch whose every row is a
         # verbatim triplicate has intra-batch duplicate dedup keys —
@@ -206,6 +215,35 @@ def ensure_nullmix_dataset(spark: SparkSession) -> str:
     return _build_cached(NULLMIX, write)
 
 
+NULLDUP = "/tmp/sf_nulldup"
+
+
+def ensure_nulldup_dataset(spark: SparkSession) -> str:
+    """Regime 5 (r11, the cross of the two r10/r11 shapes): every
+    table = its FIRST real row, TWO MORE verbatim copies of it, and
+    two ALL-NULL rows (keys included) — a re-ingested shard AND a
+    null-ridden shard in the same scan. Probes the interactions the
+    single-shape regimes can't reach: dedup fingerprints choosing
+    among ties while NULL keys ride alongside, rank/CDF layouts under
+    ties AND NULLS FIRST/LAST divergence simultaneously, keep-latest
+    with equal timestamps next to NULL timestamps, grouped sketches
+    folding duplicate items while skipping NULL items. Verbatim
+    copies and fully-NULL rows keep every divergence structural, not
+    an arbitrary-pick ambiguity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(tbl, path):
+        one = tbl.slice(0, 1)
+        nulls = pa.table(
+            {f.name: pa.nulls(2, f.type) for f in tbl.schema},
+            schema=tbl.schema,
+        )
+        pq.write_table(pa.concat_tables([one, one, one, nulls]), path)
+
+    return _build_cached(NULLDUP, write)
+
+
 def ensure_dupstorm_dataset(spark: SparkSession) -> str:
     """Regime 4 (VERDICT r10 #8): every table = its FIRST real row
     TRIPLED verbatim. Every key is a duplicate, every ordering a total
@@ -238,9 +276,10 @@ def main() -> int:
     if "--regime" in args:
         i = args.index("--regime")
         regime = args[i + 1]
-        if regime not in ("empty", "single", "nullmix", "dupstorm"):
+        if regime not in ("empty", "single", "nullmix", "dupstorm", "nulldup"):
             raise SystemExit(
-                f"unknown --regime {regime!r} (empty|single|nullmix|dupstorm)"
+                f"unknown --regime {regime!r} "
+                "(empty|single|nullmix|dupstorm|nulldup)"
             )
         del args[i:i + 2]
     if "--rebuild" in args:
@@ -262,7 +301,8 @@ def main() -> int:
     )
     build = {"empty": ensure_empty_dataset, "single": ensure_single_row_dataset,
              "nullmix": ensure_nullmix_dataset,
-             "dupstorm": ensure_dupstorm_dataset}[regime]
+             "dupstorm": ensure_dupstorm_dataset,
+             "nulldup": ensure_nulldup_dataset}[regime]
     sf_dir = build(spark)
     refusals = dict(EXPECTED_REFUSAL)
     refusals.update(EXPECTED_REFUSAL_BY_REGIME.get(regime, {}))
