@@ -490,3 +490,22 @@ def test_expectation_suite_single_scan(spark, sf_dir):
     counts = explain_counts(REGISTRY["expectation_suite_orders"].build(spark, sf_dir))
     assert counts["parquet_scans"] == 1, counts
     assert counts["sort_merge_join"] == 0, counts
+
+
+def test_kmeans_carry_through_assignment_join_budget(spark, sf_dir):
+    """The r11 carry-through assignment deleted the join-back-by-id at
+    every kmeans rescoring/prune call site (executed-plan audit in
+    SCALE.md §16): pin the shuffle budget so a refactor can't silently
+    reintroduce a corpus-sized join. Measured at HEAD: semdedup_prune
+    3 Exchanges / 1 SMJ, ann_kmeans_ivf_topk 6 / 0, semdedup_incremental
+    6 / 2 — the pins allow equality, never growth."""
+    budgets = {
+        "semdedup_prune": (3, 1),
+        "ann_kmeans_ivf_topk": (6, 0),
+        "semdedup_incremental": (6, 2),
+    }
+    for name, (max_ex, max_smj) in budgets.items():
+        df = REGISTRY[name].build(spark, sf_dir)
+        counts = explain_counts(df)
+        assert counts["exchange"] <= max_ex, (name, counts)
+        assert counts["sort_merge_join"] <= max_smj, (name, counts)
