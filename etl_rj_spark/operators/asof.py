@@ -145,17 +145,41 @@ def range_join_count(
         # ROW-GRAIN even when the uniqueness claim is violated (r11
         # dupstorm fix): group on a plan-internal row id so duplicate
         # left rows each count their OWN matches instead of merging
-        # into one multiplicity×-count group, and the join-back keys
-        # on that one narrow id instead of an all-columns null-safe
-        # comparison — same shuffle count, cheaper keys, and correct
-        # under the re-ingested-shard shape the fast path's claim
-        # doesn't survive
+        # into one multiplicity×-count group. The rid appears in ONE
+        # linear lineage only (LEFT-join + conditional sum below) —
+        # never re-evaluated on both sides of a self-join, so
+        # monotonically_increasing_id's run-to-run instability cannot
+        # misassign counts.
         uniq = uniq.withColumn("__lrid", F.monotonically_increasing_id())
     l = uniq.withColumn("__lus", _epoch_us(uniq, left_ts))
     bucket_l = _floor_bucket("__lus")
     l = l.withColumn("__bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
     r_proj = right.select(*on, _epoch_us(right, right_ts).alias("__rus"))
     r = r_proj.withColumn("__bucket", _floor_bucket("__rus"))
+
+    if left_unique:
+        # one LEFT join + one aggregate, NO join-back (the old fast
+        # path shuffled left a third time to fan counts back out):
+        # unmatched rows — including NULL join keys and NULL
+        # timestamps — survive the left join and sum to 0; a real
+        # match lands in exactly ONE of the row's two probe buckets,
+        # so the per-rid sum across both bucket copies is the exact
+        # per-row count
+        in_window = (
+            (F.col("__rus") >= F.col("__lus"))
+            & (F.col("__rus") < F.col("__lus") + F.lit(window_us))
+        )
+        return (
+            l.join(r, on=[*on, "__bucket"], how="left")
+            .groupBy(*[F.col(c) for c in uniq.columns])
+            .agg(
+                F.sum(F.when(in_window, 1).otherwise(0)).alias(count_alias)
+            )
+            .select(
+                *[F.col(c) for c in left.columns],
+                F.col(count_alias),
+            )
+        )
 
     # exact predicate in the same integer-µs space as the bucket grid
     hits = (
@@ -167,14 +191,6 @@ def range_join_count(
         .groupBy(*[F.col(c) for c in uniq.columns])
         .agg(F.count("*").alias(count_alias))
     )
-    if left_unique:
-        # rid-keyed join-back: exact per-row counts, 0 when no match
-        return uniq.join(
-            hits.select("__lrid", count_alias), "__lrid", "left"
-        ).select(
-            *[F.col(c) for c in left.columns],
-            F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
-        )
     # NULL-SAFE join-back: distinct()/groupBy above treat NULLs as
     # equal, so the fan-out join must too — a null-unsafe `on=` would
     # silently stamp 0 on any left row holding a NULL in a non-key
