@@ -41,12 +41,18 @@ _DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 #: primary key constraint") surfaces for both the atomic-append PK
 #: violation and the intra-batch-duplicate MERGE (both poison rows are
 #: NOT MATCHED, the second insert trips the PK); the exception class
-#: name and a cardinality message cover other drivers' spellings.
+#: name covers other JDBC drivers' spellings. The former bare
+#: ``'cardinality'`` mark is dropped (ADVICE r11): matched
+#: case-insensitively against the WHOLE exception text it would let
+#: any unrelated planner/analyzer error that merely mentions
+#: cardinality vacuously pass the rollback proof; the standard
+#: MERGE-cardinality SQLSTATE (21000) stays, as the specific spelling
+#: of drivers that report the duplicate-source-rows case that way.
 _INTEGRITY_MARKS = (
     "duplicate key",
     "23505",
     "SQLIntegrityConstraintViolation",
-    "cardinality",
+    "21000",
 )
 
 

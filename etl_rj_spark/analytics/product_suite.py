@@ -3524,17 +3524,22 @@ def ivm_join_maintenance(spark, sf_dir):
 @_q(
     "stream_dedup_within_watermark",
     """
-    -- DISTINCT: the streamed output is the DUPLICATE-FREE relation —
-    -- dropDuplicatesWithinWatermark keys on event_id, so a base table
-    -- that itself carries verbatim-duplicated events (at-least-once
-    -- ingestion upstream of the replay) reads back deduplicated too
-    -- (r11 dupstorm parity; on unique event_ids this is a no-op)
-    SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
-           CAST(ROUND(COALESCE(value, 0)*100) AS BIGINT) AS cents
+    -- event_id-KEYED canonical relation (ADVICE r11, medium): the
+    -- streaming operator dedups on event_id alone, and which copy of
+    -- a duplicated id it keeps is arrival-order arbitrary — so BOTH
+    -- sides reduce each event_id to the same deterministic canonical
+    -- payload (column-wise MIN of the observed values; engines agree
+    -- on NULL-skipping MIN where struct-ordering rules diverge).
+    -- On unique event_ids — and on the dupstorm regime's verbatim
+    -- duplicates — this is exactly the former full-row DISTINCT.
+    SELECT event_id, MIN(epoch_us(ts)) AS ts_us, MIN(user_id) AS user_id,
+           MIN(event_type) AS event_type,
+           MIN(CAST(ROUND(COALESCE(value, 0)*100) AS BIGINT)) AS cents
     FROM events
     -- an event with no event-time cannot pass a watermark operator:
     -- Spark drops NULL-ts rows from watermarked dedup (r10 parity)
     WHERE ts IS NOT NULL
+    GROUP BY event_id
     ORDER BY event_id
     """,
     tags=("streaming", "dedup", "watermark", "exactly-once"),
@@ -3548,18 +3553,38 @@ def stream_dedup_within_watermark(spark, sf_dir):
     watermark the duplicate arrives well inside the original's state
     lifetime, so the operator must drop every re-send while evicting
     state older than the watermark (bounded memory — unlike a plain
-    ``dropDuplicates`` whose streaming state grows forever). The
-    oracle is simply the original events table: the streamed output
-    must be EXACTLY the duplicate-free relation. Re-sent rows are
-    byte-identical, so which copy survives is immaterial."""
+    ``dropDuplicates`` whose streaming state grows forever).
+
+    The replay source is the CANONICALIZED events relation: one row
+    per event_id, payload = column-wise MIN of the observed values
+    (NULL-timestamped rows dropped first — they cannot pass a
+    watermark operator either way). The operator keys on event_id and
+    keeps an arrival-order-arbitrary survivor, so without the
+    canonical reduction a duplicated id carrying DIFFERING payloads
+    (at-least-once ingestion racing an update) would make engine vs
+    oracle diverge nondeterministically — the r11 oracle's full-row
+    DISTINCT only matched under the verbatim-duplicate assumption
+    (ADVICE r11, medium). Canonicalizing both sides makes the parity
+    deterministic under every regime while leaving the tested
+    behavior — in-stream drop of the re-sent tail hours — intact, and
+    is a no-op on unique ids and on verbatim duplicates."""
     from etl_rj_spark.analytics.coverage_suite import _scratch
     from etl_rj_spark.sources.parquet import read_parquet_table
 
     root = _scratch("stream_dedup_wm")
-    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
-        "event_id", "ts", "user_id", "event_type",
-        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
-        .cast("bigint").alias("cents"),
+    ev = (
+        read_parquet_table(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull())
+        .groupBy("event_id")
+        .agg(
+            F.min("ts").alias("ts"),
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.min(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                .cast("bigint")
+            ).alias("cents"),
+        )
     )
     bounds = ev.agg(
         F.expr("percentile_approx(cast(ts as double), 0.34)").alias("t1"),

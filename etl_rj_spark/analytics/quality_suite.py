@@ -432,7 +432,7 @@ def unigram_rarity_score(spark, sf_dir):
 
 @_q(
     "bigram_fluency_score",
-    """
+    r"""
     WITH toks AS (
       -- \s+ split mirrors the engine (r9): newline/tab-separated words
       -- must not fuse into phantom rare bigrams
@@ -1316,7 +1316,6 @@ _POIS_SQL_W = """CASE
            CAST(SUM(w::HUGEINT * cents) // SUM(w) AS BIGINT) AS mean_value
     FROM w GROUP BY replicate ORDER BY replicate
     """,
-    bench=True,
     tags=("stats-bootstrap", "A3-generalized"),
 )
 def poisson_bootstrap_revenue(spark, sf_dir):
@@ -1328,7 +1327,16 @@ def poisson_bootstrap_revenue(spark, sf_dir):
     precomputed 52-bit integer CDF thresholds (no float anywhere), and
     one partial-aggregating shuffle with 32 output groups yields all
     replicates in a single pass. The scan reads 2 columns; the fan-out
-    is 32× rows but 0× extra I/O."""
+    is 32× rows but 0× extra I/O.
+
+    DE-BENCHED r12 (VERDICT r11 #3): this md5 row stays the
+    cross-engine ORACLE twin — DuckDB replays every weight draw
+    bit-for-bit — but the TIMED Poisson row is now
+    ``poisson_bootstrap_revenue_xxh`` (the xxhash64 production fast
+    path, identical plan, ~3.4× faster). Benching the md5 kernel every
+    round paid an 8–10 s md5 tax that dominated suite variance while
+    measuring the hash, not the engine; the draw kernel's correctness
+    is still driver-checked here every rotation, just untimed."""
     from etl_rj_spark.operators.stats import poisson_bootstrap_means
 
     o = _t(spark, sf_dir, "orders").select(
@@ -1361,7 +1369,10 @@ def _poisson_xxh_orders(spark, sf_dir):
     -- (r10 degenerate-input sweep fix)
     WHERE EXISTS (SELECT 1 FROM orders)
     """,
-    bench=True,  # NEW bench row r9 (VERDICT r8 #7): production fast path tracked
+    # the benched Poisson DEFAULT since r12 (VERDICT r11 #3): the md5
+    # twin above keeps the cross-engine draw-replay oracle but is no
+    # longer timed
+    bench=True,
     tags=("stats-bootstrap", "production-fast-path", "contract-flag"),
 )
 def poisson_bootstrap_revenue_xxh(spark, sf_dir):

@@ -183,6 +183,15 @@ def kmeans_assign(
     # here (the IVF probe/append paths separately ERROR on them via
     # the _meta dim guard, which is the right posture for an index)
     carry = carry or {}
+    reserved = {"__id", "__iv", "cid", "cell", id_col}
+    clash = sorted(set(carry) & reserved)
+    if clash:
+        # a carry name shadowing an internal/output column would
+        # silently produce duplicate or wrong columns (ADVICE r11)
+        raise ValueError(
+            f"carry names {clash} collide with reserved assignment "
+            f"columns {sorted(reserved)}"
+        )
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         quantize_vec(vec_col).alias("__iv"),

