@@ -90,94 +90,96 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
 #: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-11 DRIVER PREFIX (50 names) ---------------------
-    # -- streaming/state folds (the _table_exists schema-sidecar
-    #    crash class, fixed r10; read path re-probed r11)
-    "stream_hll_maintenance",
-    "stream_topk_maintenance",
-    "stream_moments_maintenance",
-    "stream_cms_maintenance",
-    "stream_theta_overlap",
+    # ---- ROUND-12 DRIVER PREFIX (50 names) ---------------------
+    # Executes VERDICT r11 directive #1: the staged r12 rotation,
+    # verbatim in its planned order.  Block A = the queries whose
+    # engine or oracle the r11 dupstorm/nulldup waves changed AFTER
+    # their latest driver verdicts and that the r11 prefix did NOT
+    # cover (benched rows first).  Block A' = the two queries whose
+    # semantics moved THIS round, so the driver verdicts the new
+    # behavior the same round it ships (the r10/r11 convention):
+    # `stream_dedup_within_watermark` (event_id-keyed canonical
+    # payload, ADVICE r11 medium) and `equi_depth_price_bins`
+    # (two-phase range-bucket cumulative, VERDICT r11 §wrong #1 —
+    # bit-identical output, re-driven to prove it).  Block B = the
+    # r10-changed source/sink fixtures still carrying pre-r10-change
+    # verdicts.  Block C = the oldest-green backfill: ALL remaining
+    # r4-verdicted names (the registry's staleness floor rises to r5
+    # this round), then the highest-operator-value r5 names.
+    # -- A: r11-changed, un-re-driven (dupstorm/nulldup contracts)
+    "bm25_search_topk",
+    "range_join_error_clicks",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ngram_jaccard_pairs",
+    "set_similarity_prefix_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "neardup_eval_simhash",
+    "embedding_standardize",
+    "wav_audio_stats",
+    "s2_trimmed_csv_roundtrip",
+    "semdedup_incremental",
+    "ann_kmeans_ivf_topk",
+    # -- A': changed THIS round (r12)
     "stream_dedup_within_watermark",
-    # -- sketch/rank contracts (NULL-item skip = COUNT(DISTINCT) rule)
-    "hll_sketch_rollup",
-    "topk_sketch_rollup",
-    "kll_quantile_rollup",
-    "cms_user_event_counts",
-    "approx_distinct_stats",
-    "ntile_acctbal_quartiles",
     "equi_depth_price_bins",
-    "negative_sample_parts",
-    # -- kmeans/embedding (NULL vectors DROPPED, not mis-routed)
-    "kmeans_cells",
-    "cell_balanced_sample",
-    "semdedup_prune",
-    "doc_topic_cells",
-    "embedding_mean_pool",
-    "ann_ivf_index_probe",
-    "ann_ivf_index_append_probe",
-    "stream_ivf_maintenance",
-    "minhash_lsh_pairs_scaled",
-    "embedding_near_pairs_lsh_scaled",
-    "exact_dedup_docs",
-    # -- stats/time-series complete-case contracts
-    "poisson_bootstrap_revenue",
-    "bootstrap_median_revenue",
-    "price_qty_correlation",
-    "js_divergence_source_halves",
-    "psi_price_drift",
-    "cusum_changepoint_revenue",
-    "holt_trend_daily_revenue",
-    "ab_test_purchase_conversion",
-    "zscore_events_by_type",
-    "incremental_trend_merge",
-    "rfm_segmentation",
-    "stratified_split_sources",
-    "resample_source_mix",
-    "resample_source_mix_threshold",
-    "scd2_customer_history",
-    "session_path_topk",
-    "session_window_native",
-    "skyline_parts",
-    "windowed_event_counts",
-    "fuzzy_rescued_lookup",
-    "expectation_suite_orders",
-    "theta_segment_algebra",
-    # -- sink fixtures carrying this round's hygiene fixes
-    "k2_snapshot_roundtrip",
-    "k1_atomic_jdbc_roundtrip",
-    "k1_jdbc_upsert_roundtrip",
+    # -- B: r10-changed source/sink fixtures
+    "orc_events_roundtrip",
+    "jsonl_corrupt_quarantine",
+    "csv_corrupt_quarantine",
+    "s4_excel_named_tables_roundtrip",
+    "xls_datasource_roundtrip",
+    "multimodal_meta",
+    "arrow_ipc_roundtrip",
+    "rollup_flag_status",
+    "cube_flag_status",
+    "grouping_sets_flag_status",
+    "fillna_zero_kernel",
+    # -- C: oldest-green backfill — every remaining r4 name ...
+    "s5_jdbc_dim_roundtrip",
+    "projection_ops_kernel",
+    "flexible_status_kernel",
+    "dict_map_lookup_kernel",
+    "regex_extract_kernel",
+    "hard_casts_kernel",
+    "load_stamp_kernel",
+    "incremental_near_dup",
+    "dup_clusters_star",
+    "avi_frame_sampling",
+    "embedding_l2_normalized",
+    "jsonl_docs_roundtrip",
+    "png_decode_stats",
+    # -- ... then the operator-heaviest r5 names
+    "asof_purchase_last_view",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "xml_feed_roundtrip",
+    "jsonl_shard_export",
+    "curation_pipeline_e2e",
+    "funnel_conversion",
+    "fuzzy_name_best_match",
+    "rolling_7day_revenue",
+    "set_ops_customers",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-12 STAGED PLAN (written during r11) -------------
-    # Lead with the queries whose engine or oracle the r11 DUPSTORM
-    # wave (SCALE.md §15, scripts/degenerate_sweep.py --regime
-    # dupstorm) changed AFTER their latest driver verdicts and that
-    # are NOT already under the r11 prefix (those — kmeans_cells,
-    # cell_balanced_sample, doc_topic_cells, semdedup_prune,
-    # minhash_lsh_pairs_scaled, embedding_near_pairs_lsh_scaled,
-    # scd2_customer_history, stream_dedup_within_watermark — carry
-    # their fixes under THIS round's verdicts):
-    #   bm25_search_topk (row-grain corpus model, benched),
-    #   range_join_error_clicks (left_unique row-id grouping, benched),
-    #   ann_lsh_topk, ann_lsh_multiprobe_topk (distinct-candidate
-    #   ranks), ngram_jaccard_pairs, set_similarity_prefix_pairs,
-    #   minhash_lsh_pairs, simhash_near_pairs, neardup_eval_simhash
-    #   (distinct-pairs contract), embedding_standardize,
-    #   wav_audio_stats (row-grain oracles), s2_trimmed_csv_roundtrip
-    #   (positional oracle), semdedup_incremental, ann_kmeans_ivf_topk
-    #   (carry-through assignment)
-    # then the r10-changed source/sink fixtures still unre-driven:
-    #   orc_events_roundtrip (also read_orc probe-not-except, r11),
-    #   jsonl_corrupt_quarantine, csv_corrupt_quarantine,
-    #   s4_excel_named_tables_roundtrip, xls_datasource_roundtrip,
-    #   multimodal_meta, arrow_ipc_roundtrip, rollup_flag_status,
-    #   cube_flag_status, grouping_sets_flag_status,
-    #   fillna_zero_kernel
-    # then the oldest-green r4/r5 backfill, oldest first:
-    #   s5_jdbc_dim_roundtrip, projection_ops_kernel,
-    #   flexible_status_kernel, dict_map_lookup_kernel,
-    #   regex_extract_kernel, hard_casts_kernel, load_stamp_kernel,
-    #   incremental_near_dup, dup_clusters_star, ...
+    # ---- ROUND-13 STAGED PLAN (written during r12) -------------
+    # After this round the staleness floor is r5; the r13 rotation
+    # drains the remaining r5-green tail (32 names), oldest first —
+    # the TPC-H SQL shapes (min_cost_supplier_q2, forecast_revenue_q6,
+    # volume_shipping_q7, market_share_q8, product_profit_q9,
+    # returned_item_reporting_q10, important_stock_q11,
+    # shipping_priority_counts_q12, order_count_distribution_q13,
+    # promo_revenue_q14, top_supplier_q15, parts_supplier_counts_q16,
+    # small_qty_revenue_q17, large_volume_customers_q18,
+    # disjunctive_revenue_q19, promotion_suppliers_q20,
+    # exclusive_late_supplier_q21, dormant_customers_q22) and the
+    # remaining operator rows (acctbal_distribution_ranks,
+    # cheapest_part_per_type, doc_chunk_windows, first_last_order_span,
+    # late_order_priority_counts, lateral_top2_orders,
+    # orders_array_per_customer, revenue_by_nation, supplier_part_
+    # distincts, top_unshipped_revenue, unigram_rarity_score,
+    # variant_props_extract) — then whatever r12 itself changes,
+    # which ALWAYS outranks backfill.
 ]
 
 
