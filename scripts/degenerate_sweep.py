@@ -27,7 +27,7 @@ uses (tests/oracle_utils.py). Statuses:
   ORACLE_ERR  — the DuckDB oracle raised on empty input
 
 Usage:
-  python scripts/degenerate_sweep.py [--regime empty|single|nullmix|dupstorm|nulldup]
+  python scripts/degenerate_sweep.py [--regime empty|single|nullmix|dupstorm|nulldup|hotkey]
                                      [--out out.json] [--rebuild] [name ...]
 
 Regimes: ``empty`` (default) — every table with its real schema and
@@ -244,6 +244,60 @@ def ensure_nulldup_dataset(spark: SparkSession) -> str:
     return _build_cached(NULLDUP, write)
 
 
+HOTKEY = "/tmp/sf_hotkey"
+
+#: hotkey regime: which columns get the 99%-one-value rewrite, per
+#: table. Primary/unique keys are deliberately NOT here — realistic
+#: skew has unique row identities under a hot JOIN/GROUP key (one
+#: customer, one supplier, one user, one near-duplicated document),
+#: and keeping PKs unique keeps the K1 duplicate-key contracts out of
+#: play so the sweep measures skew handling, not dupstorm again.
+HOTKEY_COLS = {
+    "customer": ["c_nationkey", "c_mktsegment"],
+    "supplier": ["s_nationkey"],
+    "part": ["p_brand", "p_type"],
+    "orders": ["o_custkey", "o_orderpriority", "o_orderdate"],
+    "lineitem": ["l_suppkey", "l_partkey"],
+    "events": ["user_id", "event_type"],
+    "documents": ["source", "lang", "text"],
+    "embeddings": ["embedding", "label"],
+}
+
+
+def ensure_hotkey_dataset(spark: SparkSession) -> str:
+    """Regime 6 (r12, VERDICT r11 #5): every table keeps ALL its base
+    rows and unique ids, but each column in ``HOTKEY_COLS`` is
+    rewritten so the FIRST row's value owns ~99% of the table (every
+    100th row keeps its original value — a deterministic cold tail,
+    so group-bys still have >1 group and joins still have cold
+    partners). This is the one adversarial shape the other five
+    regimes don't reach: REALISTIC skew. It presses AQE skew-join
+    handling and the salted-join/bucket-cap paths (a 99%-hot
+    o_custkey join partner, a 99%-one-text near-dup clique through
+    MinHash/SimHash banding, a 99%-one-vector k-means mass point)
+    while both engines still read identical bytes — so any divergence
+    is structural, not data luck."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(tbl, path):
+        t = os.path.basename(path).rsplit(".", 1)[0]
+        for colname in HOTKEY_COLS.get(t, []):
+            i = tbl.schema.get_field_index(colname)
+            col = tbl.column(i)
+            vals = col.to_pylist()
+            if not vals:
+                continue
+            hot = vals[0]
+            new = [v if j % 100 == 0 else hot for j, v in enumerate(vals)]
+            tbl = tbl.set_column(
+                i, tbl.schema.field(colname), pa.array(new, type=col.type)
+            )
+        pq.write_table(tbl, path)
+
+    return _build_cached(HOTKEY, write)
+
+
 def ensure_dupstorm_dataset(spark: SparkSession) -> str:
     """Regime 4 (VERDICT r10 #8): every table = its FIRST real row
     TRIPLED verbatim. Every key is a duplicate, every ordering a total
@@ -276,10 +330,12 @@ def main() -> int:
     if "--regime" in args:
         i = args.index("--regime")
         regime = args[i + 1]
-        if regime not in ("empty", "single", "nullmix", "dupstorm", "nulldup"):
+        if regime not in (
+            "empty", "single", "nullmix", "dupstorm", "nulldup", "hotkey"
+        ):
             raise SystemExit(
                 f"unknown --regime {regime!r} "
-                "(empty|single|nullmix|dupstorm|nulldup)"
+                "(empty|single|nullmix|dupstorm|nulldup|hotkey)"
             )
         del args[i:i + 2]
     if "--rebuild" in args:
@@ -302,7 +358,8 @@ def main() -> int:
     build = {"empty": ensure_empty_dataset, "single": ensure_single_row_dataset,
              "nullmix": ensure_nullmix_dataset,
              "dupstorm": ensure_dupstorm_dataset,
-             "nulldup": ensure_nulldup_dataset}[regime]
+             "nulldup": ensure_nulldup_dataset,
+             "hotkey": ensure_hotkey_dataset}[regime]
     sf_dir = build(spark)
     refusals = dict(EXPECTED_REFUSAL)
     refusals.update(EXPECTED_REFUSAL_BY_REGIME.get(regime, {}))

@@ -10,8 +10,18 @@ distributions. Dimension tables (region, nation) and the LLM tables
 (documents, embeddings — their bench queries self-replicate in-query)
 are copied through unchanged as the held-constant control.
 
-Usage: python scripts/synth_scale.py <base_sf_dir> <out_dir> <copies>
+Usage: python scripts/synth_scale.py <base_sf_dir> <out_dir> <copies> [--llm]
 (BASELINE.md's ladder used copies=5; round-5 adds copies=10.)
+
+``--llm`` (r12, VERDICT r11 #6): ALSO replicate documents (doc_id)
+and embeddings (vec_id) with the same per-copy id offsets, so the
+r9–r11 operators that read those tables (BM25 search, k-means/IVF
+carry-through) get an honest N× ladder too. Text/vector payloads are
+copied verbatim — postings lists, DF counts, and cell masses grow N×
+at unchanged per-key shape, which is the throughput question. Do NOT
+point the pair-quadratic near-dup bench rows at an ``--llm`` tree:
+verbatim copies are near-dup CLIQUES, so candidate pairs grow N²,
+which measures the workload change, not the engine.
 """
 
 from __future__ import annotations
@@ -40,12 +50,22 @@ OFFSET_COLS = {
 PASSTHROUGH = ["region", "nation", "documents", "embeddings"]
 
 
+LLM_OFFSET_COLS = {"documents": ["doc_id"], "embeddings": ["vec_id"]}
+
+
 def main() -> None:
-    base, out, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if a != "--llm"]
+    llm = "--llm" in sys.argv[1:]
+    base, out, copies = args[0], args[1], int(args[2])
+    offset_cols = dict(OFFSET_COLS)
+    passthrough = list(PASSTHROUGH)
+    if llm:
+        offset_cols.update(LLM_OFFSET_COLS)
+        passthrough = [t for t in passthrough if t not in LLM_OFFSET_COLS]
     spark = get_spark(app_name="synth-scale")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    for t, keys in OFFSET_COLS.items():
+    for t, keys in offset_cols.items():
         df = read_parquet_table(spark, f"{base}/{t}.parquet")
         # fail fast if a base key range reaches the per-copy offset:
         # overlapping copies would silently change join fan-outs and
@@ -68,7 +88,7 @@ def main() -> None:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(t, "x", copies, flush=True)
-    for t in PASSTHROUGH:
+    for t in passthrough:
         read_parquet_table(spark, f"{base}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out}/{t}.parquet")
