@@ -67,6 +67,41 @@ def _floor_div(s: str, n: str) -> Column:
     return F.expr(f"(({s} - (({s} % {n} + {n}) % {n})) div {n})")
 
 
+def auto_cells(
+    n_rows: int, target_cell_size: int = 512, min_cells: int = 8
+) -> int:
+    """Cell count for a corpus of ``n_rows`` that HOLDS THE CELL SIZE
+    CONSTANT as the corpus grows: ``k = max(min_cells,
+    ceil(n / target_cell_size))``.
+
+    Why this is the scale contract and not a convenience: every
+    cell-confined quadratic in this package (SemDeDup's within-cell
+    prune, IVF rescoring) costs Σ|cell|² ≈ n·|cell| when cells are
+    balanced — LINEAR in n at fixed cell size, but n²/k if k is
+    frozen while n grows. The r12 5× scale ladder measured exactly
+    that failure: ``semdedup`` with a fixed k=8 ran 6.7× slower on
+    5× data (cells 5× fatter → 25× pair work); with ``auto_cells``
+    the same step is ~linear (BASELINE.md r12 ladder). The price is
+    the assignment argmin's n·k = n²/target term — a per-row
+    packed-broadcast dot product with a ~100× smaller constant than
+    the pairwise prune, which is the right side of the trade until k
+    reaches broadcast limits (~10⁵ centroids at 64 dims); past that,
+    shard the corpus or train a two-level (coarse × fine) codebook —
+    the IVFPQ path. ``√n`` cells (equalizing the two terms at n^1.5
+    each) is the textbook compromise; constant cell size is chosen
+    here because the prune term dominates wall-clock at every scale
+    this repo measures, and linear beats n^1.5.
+
+    Callers with an oracle-pinned k (the sf-fixed test fixtures) pass
+    their literal k; production entry points derive it from a cheap
+    ``count()``."""
+    import math
+
+    if n_rows <= 0:
+        return min_cells
+    return max(min_cells, math.ceil(n_rows / target_cell_size))
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",

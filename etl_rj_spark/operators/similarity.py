@@ -427,7 +427,10 @@ def semdedup(
     The cell partitioning confines the pairwise work: Σ|cell|² instead
     of N² — with balanced cells that is N²/k, and at corpus scale the
     cells ARE the shuffle partitioning (one equi-join on cell), so no
-    all-pairs crossJoin ever materializes. Drop rule is exists-earlier
+    all-pairs crossJoin ever materializes. N²/k is only linear if k
+    GROWS with the corpus: derive k from ``kmeans.auto_cells`` (hold
+    the cell size constant) — the r12 5× ladder measured a frozen k=8
+    at 6.7× wall for 5× data, and auto_cells at 0.89× (BASELINE.md). Drop rule is exists-earlier
     (deterministic, order-free): chains a~b~c with a≁c keep only a —
     slightly more aggressive than one-per-connected-component but
     stable under re-runs and replayable in plain SQL (the oracle

@@ -286,3 +286,19 @@ def test_hard_negative_mining_labels_and_ranks(spark, sf_dir):
         )
         top = min(rows, key=lambda r: r.rank)
         assert (top.vec_id, top.score) == (best.vec_id, best.s)
+
+
+def test_auto_cells_holds_cell_size_constant():
+    """r12 ladder finding: a frozen cell count makes the SemDeDup
+    prune n²/k (6.7× wall for 5× data); auto_cells holds |cell| ~
+    target so the quadratic is confined to a constant factor."""
+    from etl_rj_spark.operators.kmeans import auto_cells
+
+    assert auto_cells(0) == 8
+    assert auto_cells(4_000) == 8          # the sf0.1 fixture shape
+    assert auto_cells(20_000) == 40        # the 5x ladder shape
+    assert auto_cells(1_000_000) == 1954
+    # implied cell size stays within 2x of target across 4 decades
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        k = auto_cells(n)
+        assert 256 <= n / k <= 512, (n, k)
