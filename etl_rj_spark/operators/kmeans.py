@@ -117,6 +117,12 @@ def kmeans_fit(
     integer updates. A cluster that loses all members keeps its
     previous centroid (deterministic, and keeps k stable).
 
+    Choosing ``k``: oracle-pinned fixtures pass their literal k;
+    production callers feeding a cell-confined quadratic (SemDeDup,
+    IVF rescoring) should derive it from :func:`auto_cells` so the
+    cell size — and with it the downstream Σ|cell|² — stays constant
+    as the corpus grows (the r12 ladder finding, BASELINE.md).
+
     ``quantize=False`` takes ``vec_col`` as ALREADY-integer arrays
     (e.g. IVF-PQ residuals ``iv - coarse_cv``) — quantizing twice
     would rescale them.
