@@ -121,9 +121,15 @@ _PRIORITY = [
     "s2_trimmed_csv_roundtrip",
     "semdedup_incremental",
     "ann_kmeans_ivf_topk",
-    # -- A': changed THIS round (r12)
+    # -- A': changed THIS round (r12) — semantic (stream-dedup
+    #    canonical payload) and plan-rewritten-bit-identical
+    #    (equi-depth two-phase; token-χ² window-free grid; overlap's
+    #    two-phase global burst sessionize — the r12 window-audit
+    #    fixes), all re-driven the round they ship
     "stream_dedup_within_watermark",
     "equi_depth_price_bins",
+    "token_dist_chi2_drift",
+    "session_error_overlap",
     # -- B: r10-changed source/sink fixtures
     "orc_events_roundtrip",
     "jsonl_corrupt_quarantine",
@@ -159,8 +165,9 @@ _PRIORITY = [
     "curation_pipeline_e2e",
     "funnel_conversion",
     "fuzzy_name_best_match",
-    "rolling_7day_revenue",
-    "set_ops_customers",
+    # (rolling_7day_revenue and set_ops_customers yield their slots
+    #  to the two r12 window-audit rewrites above — changed contracts
+    #  ALWAYS outrank backfill; both move to the r13 staged list)
     # ---- 50-query driver prefix ends here ----------------------
     # ---- ROUND-13 STAGED PLAN (written during r12) -------------
     # After this round the staleness floor is r5; the r13 rotation
@@ -173,7 +180,8 @@ _PRIORITY = [
     # small_qty_revenue_q17, large_volume_customers_q18,
     # disjunctive_revenue_q19, promotion_suppliers_q20,
     # exclusive_late_supplier_q21, dormant_customers_q22) and the
-    # remaining operator rows (acctbal_distribution_ranks,
+    # remaining operator rows (rolling_7day_revenue,
+    # set_ops_customers, acctbal_distribution_ranks,
     # cheapest_part_per_type, doc_chunk_windows, first_last_order_span,
     # late_order_priority_counts, lateral_top2_orders,
     # orders_array_per_customer, revenue_by_nation, supplier_part_

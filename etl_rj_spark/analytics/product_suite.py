@@ -1116,7 +1116,7 @@ def session_error_overlap(spark, sf_dir):
     overlap predicate filters. The oracle runs the textbook theta
     join."""
     from etl_rj_spark.operators.asof import interval_overlap_join
-    from etl_rj_spark.operators.windows import sessionize
+    from etl_rj_spark.operators.windows import global_sessionize, sessionize
 
     ev = _t(spark, sf_dir, "events")
     views = sessionize(
@@ -1126,10 +1126,13 @@ def session_error_overlap(spark, sf_dir):
     sessions = views.groupBy(
         "user_id", F.col("session_id").cast("bigint").alias("session_id")
     ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
-    errs = sessionize(
-        ev.filter(F.col("event_type") == "error")
-        .select(F.lit(0).alias("__g"), "ts", "event_id"),
-        "__g", "ts", 300, tiebreak_col="event_id",
+    # GLOBAL burst detection rides the two-phase range-bucket form
+    # (r12 window-audit fix): the former constant-key sessionize put
+    # every error event through one task; ids are identical (dense,
+    # start-ordered — the oracle's running sum) at any partition count
+    errs = global_sessionize(
+        ev.filter(F.col("event_type") == "error").select("ts", "event_id"),
+        "ts", 300, tiebreak_col="event_id",
     )
     bursts = errs.groupBy(
         F.col("session_id").cast("bigint").alias("burst_id")

@@ -1125,27 +1125,34 @@ def token_dist_chi2_drift(spark, sf_dir):
     sum, so the reduction is exact int64 and immune to summation
     order (the determinism rule every float aggregate here follows).
 
-    Scale: one tf reduce, the grid is |sources|×|vocab| (vocabulary-
-    sized, not corpus-sized), three windows over it, one global sum."""
+    Scale: one tf reduce, the grid is |sources|×|vocab| — and the
+    TOKEN vocabulary is explicitly NOT a bounded grain (SCALE.md §3,
+    rule sharpened r9), so NO window may walk it. Rewritten r12 (the
+    window audit's one engine finding): the three former windows are
+    now aggregates — ``col_n`` per token rides the sources×col_tot
+    cross join that completes the zero cells (one token-grain shuffle,
+    no second pass), ``row_n`` (|sources| rows) and the scalar ``n``
+    broadcast back. Zero WindowExec at any vocabulary size; values
+    bit-identical (same sums, same fixed-order double expression)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
     toks = (
         docs.select("source", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
     cells = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
-    grid = (
+    col_tot = cells.groupBy("token").agg(F.sum("o").alias("col_n"))
+    row_tot = cells.groupBy("source").agg(F.sum("o").alias("row_n"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    tot = (
         cells.select("source").distinct()
-        .crossJoin(cells.select("token").distinct())
+        .crossJoin(col_tot)
         .join(cells, ["source", "token"], "left")
-        .select("source", "token", F.coalesce("o", F.lit(0)).alias("o"))
-    )
-    from pyspark.sql import Window
-
-    tot = grid.select(
-        "token", "o",
-        F.sum("o").over(Window.partitionBy("source")).alias("row_n"),
-        F.sum("o").over(Window.partitionBy("token")).alias("col_n"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
+        .select(
+            "source", "token", "col_n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .join(F.broadcast(row_tot), "source")
+        .join(F.broadcast(n_tot))
     )
     e = (F.col("row_n").cast("double") * F.col("col_n").cast("double")) / F.col("n").cast("double")
     term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e

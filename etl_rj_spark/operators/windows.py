@@ -59,6 +59,107 @@ def sessionize(
     )
 
 
+def global_sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+    session_col: str = "session_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization over the WHOLE stream — no group key
+    (incident/burst detection: "cluster all error events closer than
+    5 minutes"). Calling ``sessionize`` with a constant key puts every
+    row through ONE task; this form reproduces its output — dense
+    1-based session ids in (ts, tiebreak) start order, the exact
+    numbering an ANSI running-sum oracle replays — with NO
+    unpartitioned window (r12 window-audit fix, SCALE.md §3):
+
+    range-partition on (ts, tiebreak); per partition, a PARTITIONED
+    lag/running-sum assigns local ids and each partition's first row
+    provisionally starts a session; then per-partition stats (first/
+    last epoch, local session count) — one row per shuffle partition,
+    configuration-bounded — feed a triangular join that computes (a)
+    the id offset before each partition and (b) whether the
+    partition's first session CONTINUES the previous non-empty
+    partition's last session (boundary gap ≤ g: subtract 1 from the
+    offset, which also collapses whole-partition chains, since a
+    single-session partition that continues backward passes its
+    predecessor's id forward through the same arithmetic). Offsets
+    are exact, so the result is row-identical to the single-window
+    form at any partition count; range boundaries only move WORK, not
+    ids. Two shuffles (range + stats agg) and a broadcast join back.
+
+    ``tiebreak_col`` is required: without a total order the running
+    numbering is partition-order luck — the nondeterminism class the
+    dupstorm regime exists to catch."""
+    sess = df.sparkSession
+    p = num_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    g_us = int(gap_seconds) * 1_000_000
+    epoch = F.unix_micros(F.col(ts_col))
+    part = df.repartitionByRange(
+        p, F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    ).withColumn("__pid", F.spark_partition_id()).withColumn("__e", epoch)
+    lw = Window.partitionBy("__pid").orderBy(ts_col, tiebreak_col)
+    gap = F.col("__e") - F.lag("__e").over(lw)
+    is_new = F.when(gap.isNull() | (gap > g_us), 1).otherwise(0)
+    loc = part.withColumn(
+        "__lsid", F.sum(is_new).over(lw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    stats = loc.groupBy("__pid").agg(
+        F.min("__e").alias("__first"),
+        F.max("__e").alias("__last"),
+        F.max("__lsid").alias("__ns"),
+    )
+    # pass 1 — per-partition continuation flag: the boundary gap to
+    # the previous NON-EMPTY partition (max of earlier __last, which
+    # is monotone across range partitions) is within the session gap
+    a, b = stats.alias("a"), stats.alias("b")
+    adj = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(
+            F.col("a.__pid").alias("__pid"),
+            F.col("a.__first").alias("__first"),
+            F.col("a.__ns").alias("__ns"),
+        )
+        .agg(F.max("b.__last").alias("__prev_last"))
+        .select(
+            "__pid", "__ns",
+            F.when(
+                F.col("__prev_last").isNotNull()
+                & (F.col("__first") - F.col("__prev_last") <= g_us),
+                1,
+            ).otherwise(0).alias("__adj"),
+        )
+    )
+    # pass 2 — exact id offset per partition. A row's global id is
+    #   Σ_{j<i} ns_j − Σ_{j≤i} adj_j + local_sid:
+    # every continuing boundary removes exactly one session START
+    # from the dense global numbering, and the CUMULATIVE subtraction
+    # is what collapses chains (a single-session partition that
+    # continues backward passes its predecessor's id forward).
+    c, d = adj.alias("c"), adj.alias("d")
+    pre = (
+        c.join(d, F.col("d.__pid") < F.col("c.__pid"), "left")
+        .groupBy(F.col("c.__pid").alias("__pid"), F.col("c.__adj").alias("__a"))
+        .agg(
+            F.coalesce(F.sum("d.__ns"), F.lit(0)).alias("__sn"),
+            F.coalesce(F.sum("d.__adj"), F.lit(0)).alias("__sa"),
+        )
+        .select(
+            "__pid",
+            (F.col("__sn") - F.col("__sa") - F.col("__a")).alias("__off"),
+        )
+    )
+    return (
+        loc.join(F.broadcast(pre), "__pid")
+        .withColumn(session_col, (F.col("__off") + F.col("__lsid")).cast("bigint"))
+        .drop("__pid", "__e", "__lsid", "__off")
+    )
+
+
 def future_window_label(
     df: DataFrame,
     group_col: str,

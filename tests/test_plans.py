@@ -519,3 +519,24 @@ def test_kmeans_carry_through_assignment_join_budget(spark, sf_dir):
         counts = explain_counts(df)
         assert counts["exchange"] <= max_ex, (name, counts)
         assert counts["sort_merge_join"] <= max_smj, (name, counts)
+
+
+def test_token_chi2_no_window_at_all(spark, sf_dir):
+    """r12 window audit: the token-vocabulary contingency grid may
+    not be walked by ANY window (tokens are not a bounded grain —
+    SCALE.md §3); totals ride aggregates + broadcast joins."""
+    df = REGISTRY["token_dist_chi2_drift"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "window over the token grid"
+
+
+def test_session_error_overlap_windows_partitioned(spark, sf_dir):
+    """r12 window audit: the global error-burst sessionize rides the
+    two-phase range-bucket form — every window in the overlap plan is
+    partitioned (by user for view sessions, by __pid for bursts)."""
+    df = REGISTRY["session_error_overlap"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the session windows"
+    for l in win_lines:
+        assert "__pid" in l or "user_id" in l, ("unpartitioned window", l)

@@ -113,3 +113,43 @@ def test_range_join_null_nonkey_column(spark):
     out = range_join_count(left, right, ["k"], "lts", "rts", 60)
     got = {r.note: r.n_in_range for r in out.collect()}
     assert got == {None: 2, "x": 2}
+
+
+def test_global_sessionize_identical_to_single_window(spark):
+    """r12 window-audit fix: the two-phase global sessionize must be
+    ROW-IDENTICAL to the constant-key single-window form at every
+    partition count — including a session spanning many range
+    partitions (the chain-collapse case: each continuing boundary
+    subtracts one session start from the dense numbering,
+    cumulatively)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.windows import global_sessionize, sessionize
+
+    rows, t, i = [], datetime.datetime(2024, 1, 1), 0
+    for _ in range(10):  # 10 bursts of 3 events, 400 s apart
+        for _ in range(3):
+            rows.append((i, t)); i += 1; t += datetime.timedelta(seconds=10)
+        t += datetime.timedelta(seconds=400)
+    for _ in range(30):  # one long session spanning many partitions
+        rows.append((i, t)); i += 1; t += datetime.timedelta(seconds=10)
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    base = sessionize(
+        df.withColumn("__g", F.lit(0)), "__g", "ts", 300, tiebreak_col="event_id"
+    )
+    expect = {r.event_id: r.session_id for r in base.collect()}
+    assert max(expect.values()) == 11
+    for p in (1, 2, 5, 13):
+        got = {
+            r.event_id: r.session_id
+            for r in global_sessionize(
+                df, "ts", 300, "event_id", num_partitions=p
+            ).collect()
+        }
+        assert got == expect, p
+    # empty input drains to an empty frame with the session column
+    empty = spark.createDataFrame([], "event_id long, ts timestamp")
+    out = global_sessionize(empty, "ts", 300, "event_id")
+    assert out.count() == 0 and "session_id" in out.columns
