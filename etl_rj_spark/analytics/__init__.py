@@ -164,10 +164,12 @@ _PRIORITY = [
     "jsonl_shard_export",
     "curation_pipeline_e2e",
     "funnel_conversion",
-    "fuzzy_name_best_match",
-    # (rolling_7day_revenue and set_ops_customers yield their slots
-    #  to the two r12 window-audit rewrites above — changed contracts
-    #  ALWAYS outrank backfill; both move to the r13 staged list)
+    # (rolling_7day_revenue, set_ops_customers and
+    #  fuzzy_name_best_match yield their slots to the two r12
+    #  window-audit rewrites above and the round's ONE new query —
+    #  changed contracts and never-checked names ALWAYS outrank
+    #  backfill; all three move to the r13 staged list)
+    "ntile_acctbal_quartiles_scaled",
     # ---- 50-query driver prefix ends here ----------------------
     # ---- ROUND-13 STAGED PLAN (written during r12) -------------
     # After this round the staleness floor is r5; the r13 rotation
@@ -181,7 +183,8 @@ _PRIORITY = [
     # disjunctive_revenue_q19, promotion_suppliers_q20,
     # exclusive_late_supplier_q21, dormant_customers_q22) and the
     # remaining operator rows (rolling_7day_revenue,
-    # set_ops_customers, acctbal_distribution_ranks,
+    # set_ops_customers, fuzzy_name_best_match,
+    # acctbal_distribution_ranks,
     # cheapest_part_per_type, doc_chunk_windows, first_last_order_span,
     # late_order_priority_counts, lateral_top2_orders,
     # orders_array_per_customer, revenue_by_nation, supplier_part_

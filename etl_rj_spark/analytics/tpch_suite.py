@@ -717,10 +717,11 @@ def ntile_acctbal_quartiles(spark, sf_dir):
     c_custkey tiebreaker), rolled up per quartile.
 
     This is the documented TPC-H window SHAPE — ntile is inherently a
-    global sort through one partition. The scale-safe form of the same
-    statistic is ``rfm_segmentation`` (quality_suite): equi-depth
-    quartile codes from approx-quantile boundaries, value-grain, no
-    global window — prefer it on anything bigger than a dim table."""
+    global sort through one partition (allowlisted as the one demo in
+    scripts/window_audit.py). Its BIT-IDENTICAL scale-safe twin is
+    ``ntile_acctbal_quartiles_scaled`` below (two-phase
+    ``windows.ntile_exact``, r12); the approximate-boundary cousin is
+    ``rfm_segmentation`` (quality_suite)."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")
@@ -728,6 +729,45 @@ def ntile_acctbal_quartiles(spark, sf_dir):
     return (
         c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
         .groupBy("quartile")
+        .agg(F.count("*").alias("n"), money_sum("c_acctbal").alias("bal_sum"))
+        .orderBy("quartile")
+    )
+
+
+@_q(
+    "ntile_acctbal_quartiles_scaled",
+    """
+    SELECT quartile, COUNT(*) AS n,
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0 AS bal_sum
+    FROM (
+      SELECT c_acctbal,
+             -- NULLS FIRST: Spark's default ASC ordering (DuckDB
+             -- defaults NULLS LAST — r10 nullmix parity)
+             ntile(4) OVER (ORDER BY c_acctbal NULLS FIRST,
+                            c_custkey NULLS FIRST) AS quartile
+      FROM customer
+    ) GROUP BY quartile ORDER BY quartile
+    """,
+    tags=("window-ntile", "two-phase-rank"),
+)
+def ntile_acctbal_quartiles_scaled(spark, sf_dir):
+    """EXACT ntile quartiles with NO single-partition window — the
+    scale-safe twin of ``ntile_acctbal_quartiles`` (r12, closing the
+    window audit's one demo license with a true equivalent). SQL
+    ntile's pack-bigger-tiles-first semantics reduce to a closed
+    integer form over the global row number, and the row number rides
+    the two-phase range-bucket machinery (``windows.ntile_exact``), so
+    the oracle is plain SQL ntile while the plan's every window is
+    __pid-partitioned (pinned in test_plans). Same report, same
+    values, any data size."""
+    from etl_rj_spark.operators.windows import ntile_exact
+
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    tiled = ntile_exact(
+        c, [("c_acctbal", True), ("c_custkey", True)], 4, tile_col="quartile"
+    )
+    return (
+        tiled.groupBy("quartile")
         .agg(F.count("*").alias("n"), money_sum("c_acctbal").alias("bal_sum"))
         .orderBy("quartile")
     )

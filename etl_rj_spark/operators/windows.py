@@ -245,6 +245,82 @@ def ranked_topk(
     )
 
 
+def ntile_exact(
+    df: DataFrame,
+    keys: "Sequence[tuple[str, bool]]",
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile(k)`` over a global total order WITHOUT the
+    single-partition window ntile plans to (the shape
+    ``ntile_acctbal_quartiles`` documents as its non-scale demo —
+    this is its scale-safe equivalent, bit-identical output).
+
+    SQL ntile semantics — n rows into k tiles, the first ``rem = n
+    mod k`` tiles one row bigger (q+1 where ``q = n div k``), bigger
+    tiles packed FIRST (not spread: ``((r−1)·k) div n`` distributes
+    the remainder evenly and diverges from ntile once n > k·k) — are
+    the closed form over the 0-based global rank r₀:
+    ``r₀ < rem·(q+1) ? r₀ div (q+1) : rem + (r₀ − rem·(q+1)) div q``
+    (+1), so ntile reduces to a global row_number plus one broadcast
+    scalar:
+    rank via the two-phase range-bucket form (range-repartition on the
+    keys, PARTITIONED local row_number, exact per-partition offsets
+    from a triangular join over one stats row per shuffle partition —
+    the ``global_rank_cumsum`` machinery), n broadcast back. No window
+    ever runs unpartitioned; range boundaries move work, not ranks.
+
+    ``keys``: (column, ascending) pairs forming a TOTAL order (include
+    a unique tiebreaker — without one the rank is partition-order
+    luck). ASC uses Spark's NULLS FIRST default, matching the
+    ``NULLS FIRST`` spelling the oracles pin."""
+    sess = df.sparkSession
+    p = num_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in keys
+    ]
+    part = df.repartitionByRange(p, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("__pid").orderBy(*order)
+    loc = part.withColumn("__lrk", F.row_number().over(lw))
+    stats = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = stats.alias("a"), stats.alias("b")
+    pre = (
+        a.join(b, F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__off"))
+    )
+    total = stats.agg(F.sum("__n").alias("__tot"))
+    return (
+        loc.join(F.broadcast(pre), "__pid")
+        .join(F.broadcast(total))
+        .withColumn(
+            tile_col,
+            # integer arithmetic only (a double quotient would
+            # ulp-flip tile boundaries); the ELSE's q is guarded with
+            # greatest(q,1) — when n < k every row sits in the WHEN
+            # branch (rem = n, q = 0) but ANSI mode must never see a
+            # div-by-zero even on the unevaluated side
+            F.expr(
+                f"""cast(CASE
+                  WHEN (__off + __lrk - 1)
+                       < (__tot % {int(k)}) * ((__tot div {int(k)}) + 1)
+                  THEN (__off + __lrk - 1) div ((__tot div {int(k)}) + 1)
+                  ELSE (__tot % {int(k)})
+                       + ((__off + __lrk - 1)
+                          - (__tot % {int(k)}) * ((__tot div {int(k)}) + 1))
+                         div greatest(__tot div {int(k)}, 1)
+                END as int) + 1"""
+            ),
+        )
+        .drop("__pid", "__lrk", "__off", "__tot")
+    )
+
+
 def global_rank_cumsum(
     df: DataFrame,
     value_col: str,

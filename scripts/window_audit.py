@@ -72,7 +72,8 @@ ALLOWLIST: dict[str, str] = {
     # -- explicit demonstrations (documented non-scale shapes with a
     #    named scale-safe twin)
     "ntile_acctbal_quartiles":
-        "documented ntile demo on a dim table (twin: rfm_segmentation)",
+        "documented ntile demo on a dim table (bit-identical scale-safe "
+        "twin: ntile_acctbal_quartiles_scaled via windows.ntile_exact)",
 }
 
 

@@ -548,3 +548,15 @@ def test_session_error_overlap_windows_partitioned(spark, sf_dir):
     assert win_lines, "expected the session windows"
     for l in win_lines:
         assert "__pid" in l or "user_id" in l, ("unpartitioned window", l)
+
+
+def test_ntile_scaled_windows_partitioned(spark, sf_dir):
+    """r12: the exact-ntile twin must carry NO unpartitioned window —
+    its global row number rides the two-phase range-bucket form, so
+    every window in the plan is keyed by __pid."""
+    df = REGISTRY["ntile_acctbal_quartiles_scaled"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected the per-bucket rank window"
+    for l in win_lines:
+        assert "__pid" in l, ("unpartitioned window in exact-ntile plan", l)

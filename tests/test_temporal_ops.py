@@ -153,3 +153,33 @@ def test_global_sessionize_identical_to_single_window(spark):
     empty = spark.createDataFrame([], "event_id long, ts timestamp")
     out = global_sessionize(empty, "ts", 300, "event_id")
     assert out.count() == 0 and "session_id" in out.columns
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    """r12: ntile_exact must reproduce SQL ntile's pack-bigger-tiles-
+    first semantics bit-for-bit at every (n, k, partition-count) shape
+    — including NULL keys (NULLS FIRST) and n < k (one-row tiles)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_rj_spark.operators.windows import ntile_exact
+
+    random.seed(7)
+    rows = [
+        (i, random.choice([None] + list(range(50))) if i % 9 else None)
+        for i in range(257)
+    ]
+    df = spark.createDataFrame(rows, "id long, v int")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    for k in (3, 10, 300):
+        exp = {r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
+        for p in (1, 3, 11):
+            got = {
+                r.id: r.tile
+                for r in ntile_exact(
+                    df, [("v", True), ("id", True)], k, num_partitions=p
+                ).collect()
+            }
+            assert got == exp, (k, p)
