@@ -130,6 +130,13 @@ _PRIORITY = [
     "equi_depth_price_bins",
     "token_dist_chi2_drift",
     "session_error_overlap",
+    # -- A'' (late r12): the low-cardinality-key audit rewrites —
+    #    per-category order statistics moved onto the value-grain
+    #    grouped CDF (complete-case NULL contract pinned two-sided)
+    "mad_outlier_events",
+    "trimmed_mean_price_brand",
+    "acctbal_distribution_ranks",
+    "cheapest_part_per_type",
     # -- B: r10-changed source/sink fixtures
     "orc_events_roundtrip",
     "jsonl_corrupt_quarantine",
@@ -159,16 +166,14 @@ _PRIORITY = [
     # -- ... then the operator-heaviest r5 names
     "asof_purchase_last_view",
     "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "xml_feed_roundtrip",
-    "jsonl_shard_export",
     "curation_pipeline_e2e",
-    "funnel_conversion",
-    # (rolling_7day_revenue, set_ops_customers and
-    #  fuzzy_name_best_match yield their slots to the two r12
-    #  window-audit rewrites above and the round's ONE new query —
-    #  changed contracts and never-checked names ALWAYS outrank
-    #  backfill; all three move to the r13 staged list)
+    # (rolling_7day_revenue, set_ops_customers, fuzzy_name_best_match,
+    #  snapshot_diff_orders, xml_feed_roundtrip, jsonl_shard_export
+    #  and funnel_conversion yield their slots to the r12 rewrites
+    #  above — the two window-audit fixes, the four low-cardinality-
+    #  key CDF rewrites — and the round's ONE new query; changed
+    #  contracts and never-checked names ALWAYS outrank backfill;
+    #  all seven move to the r13 staged list)
     "ntile_acctbal_quartiles_scaled",
     # ---- 50-query driver prefix ends here ----------------------
     # ---- ROUND-13 STAGED PLAN (written during r12) -------------
@@ -183,8 +188,8 @@ _PRIORITY = [
     # disjunctive_revenue_q19, promotion_suppliers_q20,
     # exclusive_late_supplier_q21, dormant_customers_q22) and the
     # remaining operator rows (rolling_7day_revenue,
-    # set_ops_customers, fuzzy_name_best_match,
-    # acctbal_distribution_ranks,
+    # set_ops_customers, fuzzy_name_best_match, snapshot_diff_orders,
+    # xml_feed_roundtrip, jsonl_shard_export, funnel_conversion,
     # cheapest_part_per_type, doc_chunk_windows, first_last_order_span,
     # late_order_priority_counts, lateral_top2_orders,
     # orders_array_per_customer, revenue_by_nation, supplier_part_

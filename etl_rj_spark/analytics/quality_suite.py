@@ -1215,7 +1215,12 @@ def benford_first_digit(spark, sf_dir):
     "trimmed_mean_price_brand",
     """
     WITH c AS (
-      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents FROM part
+      -- complete-case (r12, the r10 stats convention): a NULL price
+      -- has no rank position and must not occupy a kept-band slot —
+      -- engines disagree on NULL sort order, so it is dropped on
+      -- BOTH sides (a group whose every value is NULL disappears)
+      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part WHERE p_retailprice IS NOT NULL
     ), r AS (
       SELECT p_brand, cents,
              row_number() OVER (PARTITION BY p_brand ORDER BY cents) AS rn,

@@ -60,27 +60,53 @@ def rolling_7day_revenue(spark, sf_dir):
 @_q(
     "acctbal_distribution_ranks",
     """
+    -- complete-case (r12): a NULL balance has no rank position —
+    -- engines disagree on NULL sort order (Spark NULLS FIRST, DuckDB
+    -- NULLS LAST), so those rows are excluded on BOTH sides
     SELECT c_custkey, c_mktsegment,
            PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pct_rank,
            CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cume,
            RANK()         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rnk
-    FROM customer ORDER BY c_custkey
+    FROM customer WHERE c_acctbal IS NOT NULL ORDER BY c_custkey
     """,
     tags=("W-rank", "distribution"),
 )
 def acctbal_distribution_ranks(spark, sf_dir):
     """PERCENT_RANK / CUME_DIST / RANK per market segment. Ordering by
     the raw double is safe: both engines assign tied doubles the same
-    rank, and the rank ratios are exact small-integer divisions."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.rank().over(w).alias("rnk"),
-    ).orderBy("c_custkey")
+    rank, and the rank ratios are exact small-integer divisions.
+
+    Rewritten r12 on the value-grain grouped CDF: all three are pure
+    functions of each value's (rows-below, rows-at-or-below, n) —
+    RANK = below+1, CUME_DIST = through/n, PERCENT_RANK =
+    below/(n−1) (0 when n = 1, both engines' convention) — so the
+    only window walks each segment's distinct balances after a
+    map-side count, and the vocabulary-sized rank map broadcasts back
+    onto the customer scan. The old per-segment ROW window was the
+    low-cardinality-key trap: 5 segments means corpus/5 rows through
+    one task. Values identical: ties share a CDF row by construction."""
+    from etl_rj_spark.operators.stats import grouped_value_cdf
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal").isNotNull())
+    ranks = grouped_value_cdf(
+        c.select("c_mktsegment", "c_acctbal"), "c_mktsegment", "c_acctbal"
+    ).select(
+        F.col("c_mktsegment").alias("__seg"), F.col("c_acctbal").alias("__bal"),
+        F.when(F.col("__n") == 1, F.lit(0.0))
+        .otherwise(F.col("__before") / (F.col("__n") - 1)).alias("pct_rank"),
+        (F.col("__through") / F.col("__n")).alias("cume"),
+        (F.col("__before") + 1).cast("int").alias("rnk"),
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(
+            F.broadcast(ranks),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg"))
+            & (F.col("c_acctbal") == F.col("__bal")),
+        )
+        .select("c_custkey", "c_mktsegment", "pct_rank", "cume", "rnk")
+        .orderBy("c_custkey")
+    )
 
 
 @_q(
@@ -138,14 +164,17 @@ def first_last_order_span(spark, sf_dir):
 def cheapest_part_per_type(spark, sf_dir):
     """TPC-H-Q2-shaped groupwise minimum (no partsupp table — retail
     price stands in for supply cost): parts matching their type's
-    minimum price. One window-agg pass instead of the classic
-    correlated subquery's second scan; equality compares the same
-    stored double, so float drift cannot diverge. Ties all survive
-    (same both engines) and p_partkey orders them."""
+    minimum price. The per-type minimum is a map-side-combining
+    aggregate broadcast back onto the scan (rewritten r12 — the old
+    `MIN OVER (PARTITION BY p_type)` window put each type's WHOLE
+    row set through one task, the low-cardinality-key trap: the
+    hotkey regime's 99%-one-type table rode a single sort). Equality
+    compares the same stored double, so float drift cannot diverge.
+    Ties all survive (same both engines) and p_partkey orders them."""
     p = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_type")
+    mins = p.groupBy("p_type").agg(F.min("p_retailprice").alias("mn"))
     return (
-        p.withColumn("mn", F.min("p_retailprice").over(w))
+        p.join(F.broadcast(mins), "p_type")
         .filter(F.col("p_retailprice") == F.col("mn"))
         .select("p_type", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "p_partkey")

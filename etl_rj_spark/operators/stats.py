@@ -92,6 +92,47 @@ def equi_depth_bins(
     return df.join(bins, value_col, "left")
 
 
+def grouped_value_cdf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group VALUE-GRAIN cumulative distribution: one row per
+    distinct (group, value) with ``__c`` (count), ``__before``
+    (rows strictly below the value within the group), ``__through``
+    (rows at-or-below), and ``__n`` (group total). The shared
+    primitive behind the per-category order statistics here (median/
+    MAD, trimmed mean, rank/cume_dist) — the r12 low-cardinality-key
+    audit found those walking ROW-grain windows partitioned by a
+    handful of categories, i.e. corpus/|categories| rows through one
+    task at 100 TB. This form's only window is partitioned by the
+    group over the group's DISTINCT VALUES — the bounded-vocabulary
+    license (SCALE.md §3) — after a map-side-combining count, so a
+    hot category degrades to a vocabulary-sized sort, never a
+    corpus-sized one. NULL VALUES are dropped — complete-case, the
+    r10 stats convention: engines disagree on a NULL's sort position,
+    so callers pin ``IS NOT NULL`` in their oracles too. NULL GROUPS
+    are kept (SQL's GROUP BY keeps them): the total joins back
+    null-safe."""
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnt.withColumn("__through", F.sum("__c").over(w)).withColumn(
+        "__before", F.col("__through") - F.col("__c")
+    )
+    tot = cnt.groupBy(group_col).agg(F.sum("__c").alias("__n")).withColumnRenamed(
+        group_col, "__gvc_g"
+    )
+    return cum.join(
+        tot, F.col(group_col).eqNullSafe(F.col("__gvc_g"))
+    ).drop("__gvc_g")
+
+
 def mad_outlier_screen(
     df: DataFrame,
     group_col: str,
@@ -108,7 +149,16 @@ def mad_outlier_screen(
     with partial-aggregation order AND get dragged by the very
     outliers it hunts.
 
-    Two per-GROUP rank windows (groups bounded, never a global sort).
+    Both order statistics ride the VALUE-GRAIN grouped CDF
+    (``grouped_value_cdf`` — rewritten r12): the lower median is the
+    distinct value whose cumulative count first reaches
+    ``(n+1) div 2``, so the only windows walk each group's distinct
+    VALUES after a map-side-combining count — the bounded-vocabulary
+    license — instead of row_number over corpus/|categories| rows per
+    task (the low-cardinality-key audit finding; the old row-rank
+    form died first on a hot category). Output values are identical:
+    a rank-k order statistic is a pure function of the value CDF.
+
     Returns (group, id, value, median, mad, is_outlier). Constant
     groups (MAD = 0) flag any deviation, the conventional degenerate
     case; the caller can pre-filter if that is too sharp. NULL values
@@ -116,27 +166,19 @@ def mad_outlier_screen(
     and engines disagree on NULL sort position).
     """
     df = df.filter(F.col(value_col).isNotNull())
-    w_rank = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
-    ranked = df.select(
-        F.col(group_col), F.col(id_col), F.col(value_col),
-        F.row_number().over(w_rank).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
-    )
+    pick = F.col("__before") < F.expr("(__n + 1) div 2")
+    reach = F.col("__through") >= F.expr("(__n + 1) div 2")
     med = (
-        ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        grouped_value_cdf(df, group_col, value_col)
+        .filter(pick & reach)
         .select(group_col, F.col(value_col).alias("median"))
     )
     dev = df.join(med, group_col).withColumn(
         "__ad", F.abs(F.col(value_col) - F.col("median"))
     )
-    w_dev = Window.partitionBy(group_col).orderBy(F.col("__ad"), F.col(id_col))
-    dev_ranked = dev.select(
-        group_col, "median", F.col("__ad"),
-        F.row_number().over(w_dev).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
-    )
     mad = (
-        dev_ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        grouped_value_cdf(dev, group_col, "__ad")
+        .filter(pick & reach)
         .select(group_col, F.col("__ad").alias("mad"))
     )
     return (
@@ -371,32 +413,38 @@ def trimmed_mean_by_group(
     with no float in the pipeline. Rank ties among equal values are
     cut arbitrarily, but every tied row carries the SAME value, so the
     kept SUM/COUNT/MIN/MAX are deterministic regardless of which tied
-    row the cut drops.
+    row the cut drops — which is exactly why the whole computation is
+    a pure function of the per-value counts.
 
-    Scale: ONE shuffle on the group key; the rank window sorts within
-    each group partition (group-sized, not corpus-sized). For grouping
-    columns with huge per-group cardinality, cut by value-count ranks
-    instead (the equi_depth_bins construction) — this is the exact
-    row-rank form for dimension-sized groups.
+    Rewritten r12 on the VALUE-GRAIN grouped CDF: each distinct value
+    keeps ``min(__through, n−cut) − max(__before, cut)`` of its rows
+    (the overlap of its rank interval with the kept band), so the only
+    window walks each group's distinct values after a map-side count —
+    never row_number over corpus/|categories| rows in one task (the
+    low-cardinality-key audit finding). Identical output at any tie
+    structure.
     """
-    n_w = Window.partitionBy(group_col)
-    r_w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = df.select(group_col, value_col).select(
-        group_col,
-        F.col(value_col).alias("__v"),
-        F.row_number().over(r_w).alias("__rn"),
-        F.count(F.lit(1)).over(n_w).alias("__n"),
-    )
     cut = F.expr(f"__n div {int(trim_denom)}")
-    kept = ranked.filter((F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut))
+    kept_c = F.greatest(
+        F.lit(0),
+        F.least(F.col("__through"), F.col("__n") - cut)
+        - F.greatest(F.col("__before"), cut),
+    )
+    kept = (
+        grouped_value_cdf(df.select(group_col, value_col), group_col, value_col)
+        .withColumn("__k", kept_c)
+        .filter(F.col("__k") > 0)
+    )
+    v = F.col(value_col)
     return kept.groupBy(group_col).agg(
         F.max("__n").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_kept"),
-        F.expr("cast(sum(cast(__v as decimal(38,0))) div count(1) as bigint)").alias(
-            "trimmed_mean"
-        ),
-        F.min("__v").alias("min_kept"),
-        F.max("__v").alias("max_kept"),
+        F.sum("__k").alias("n_kept"),
+        F.expr(
+            f"cast(sum(cast({value_col} as decimal(38,0)) * __k) div sum(__k) "
+            "as bigint)"
+        ).alias("trimmed_mean"),
+        F.min(v).alias("min_kept"),
+        F.max(v).alias("max_kept"),
     )
 
 

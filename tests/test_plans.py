@@ -560,3 +560,27 @@ def test_ntile_scaled_windows_partitioned(spark, sf_dir):
     assert win_lines, "expected the per-bucket rank window"
     for l in win_lines:
         assert "__pid" in l, ("unpartitioned window in exact-ntile plan", l)
+
+
+def test_lowcard_category_stats_are_value_grain(spark, sf_dir):
+    """r12 low-cardinality-key audit: per-category order statistics
+    (median/MAD, trimmed mean, distribution ranks) must ride the
+    value-grain grouped CDF — no row_number/rank windows over the raw
+    rows (corpus/|categories| per task), and the groupwise-min query
+    must carry no window at all (agg + broadcast join)."""
+    for name in (
+        "mad_outlier_events",
+        "trimmed_mean_price_brand",
+        "acctbal_distribution_ranks",
+    ):
+        plan = (
+            REGISTRY[name].build(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "row_number" not in plan, (name, "row-grain rank window")
+        assert "percent_rank" not in plan and "cume_dist" not in plan, name
+    plan = (
+        REGISTRY["cheapest_part_per_type"].build(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, "groupwise-min must be agg + join"
