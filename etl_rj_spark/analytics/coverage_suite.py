@@ -52,8 +52,15 @@ _INTEGRITY_MARKS = (
     "duplicate key",
     "23505",
     "SQLIntegrityConstraintViolation",
-    "21000",
 )
+
+#: The MERGE-cardinality SQLSTATE must be matched as a SQLSTATE, not a
+#: bare numeric substring (ADVICE r12): '21000' as a substring of the
+#: whole exception text would let any unrelated error mentioning 21000
+#: (a row count, an offset, a port) vacuously pass the rollback proof
+#: — the same vacuous-match class the bare 'cardinality' mark was
+#: removed for (ADVICE r11).
+_INTEGRITY_SQLSTATE_RE = r"(?i)(?:sqlstate[:=\s]*'?|state\s+)21000"
 
 
 def _assert_integrity_violation(e: Exception) -> None:
@@ -63,9 +70,14 @@ def _assert_integrity_violation(e: Exception) -> None:
     failure) pass the proof vacuously, since the poison keys would be
     absent either way (VERDICT r10 §wrong #2 / ADVICE r10). Any other
     exception re-raises, failing the query loudly."""
+    import re
+
     text = str(e)
-    if not any(m.lower() in text.lower() for m in _INTEGRITY_MARKS):
-        raise e
+    if any(m.lower() in text.lower() for m in _INTEGRITY_MARKS):
+        return
+    if re.search(_INTEGRITY_SQLSTATE_RE, text):
+        return
+    raise e
 
 
 def _scratch(name: str) -> str:

@@ -170,11 +170,19 @@ def cheapest_part_per_type(spark, sf_dir):
     row set through one task, the low-cardinality-key trap: the
     hotkey regime's 99%-one-type table rode a single sort). Equality
     compares the same stored double, so float drift cannot diverge.
-    Ties all survive (same both engines) and p_partkey orders them."""
+    Ties all survive (same both engines) and p_partkey orders them.
+    The join back is NULL-SAFE on p_type (ADVICE r12): the oracle's
+    window keeps a NULL partition, so a NULL-type group with non-NULL
+    prices must survive the rewrite too — a bare equi-join silently
+    dropped it (groupBy aggregates the NULL group; only the join lost
+    it)."""
     p = _t(spark, sf_dir, "part")
     mins = p.groupBy("p_type").agg(F.min("p_retailprice").alias("mn"))
     return (
-        p.join(F.broadcast(mins), "p_type")
+        p.join(
+            F.broadcast(mins.withColumnRenamed("p_type", "__mn_type")),
+            p["p_type"].eqNullSafe(F.col("__mn_type")),
+        )
         .filter(F.col("p_retailprice") == F.col("mn"))
         .select("p_type", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "p_partkey")

@@ -224,7 +224,10 @@ def kmeans_assign(
     # here (the IVF probe/append paths separately ERROR on them via
     # the _meta dim guard, which is the right posture for an index)
     carry = carry or {}
-    reserved = {"__id", "__iv", "cid", "cell", id_col}
+    # "__cents" is _assign's packed-centroid broadcast column — a carry
+    # by that name rides into the crossJoin and collides there, exactly
+    # the shadowing class this guard rejects (ADVICE r12)
+    reserved = {"__id", "__iv", "__cents", "cid", "cell", id_col}
     clash = sorted(set(carry) & reserved)
     if clash:
         # a carry name shadowing an internal/output column would

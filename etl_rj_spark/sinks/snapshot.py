@@ -53,8 +53,14 @@ def append_snapshot(
 def _sidecar_needs_write(batch: DataFrame, sidecar: str) -> bool:
     """True when the ``_schema`` sidecar is absent, unreadable, or no
     longer matches the batch's (name, type) shape. Nullability is
-    ignored: a parquet round-trip relaxes non-null flags, so comparing
-    full StructTypes would flag every append as drift."""
+    ignored AT EVERY NESTING LEVEL: a parquet round-trip relaxes
+    non-null flags both on top-level fields and INSIDE types
+    (ArrayType.containsNull, MapType.valueContainsNull, inner struct
+    fields), so the comparison uses a recursively-nullable normal form
+    — comparing raw dataType flagged every append of a table with a
+    non-null-element array column as drift, reintroducing the
+    per-append sidecar job the validated skip exists to avoid
+    (ADVICE r12)."""
     spark = batch.sparkSession
     if not path_exists(spark, sidecar):
         return True
@@ -62,8 +68,27 @@ def _sidecar_needs_write(batch: DataFrame, sidecar: str) -> bool:
         existing = spark.read.parquet(sidecar).schema
     except Exception:  # corrupt/partial sidecar — repair it
         return True
-    shape = [(f.name, f.dataType) for f in batch.schema.fields]
-    return [(f.name, f.dataType) for f in existing.fields] != shape
+
+    def shape(schema):
+        return [(f.name, _as_nullable(f.dataType)) for f in schema.fields]
+
+    return shape(existing) != shape(batch.schema)
+
+
+def _as_nullable(dt):
+    """``dt`` with every nested nullability flag forced to True —
+    parquet's round-trip normal form."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
 
 
 def read_latest_snapshot(spark: SparkSession, path: str, snapshot_col: str = "fecha_carga") -> DataFrame:

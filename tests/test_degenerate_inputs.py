@@ -357,6 +357,38 @@ def test_snapshot_schema_sidecar_written_once(spark, tmp_path):
     assert sorted(os.listdir(sidecar)) == first_files
 
 
+def test_snapshot_sidecar_ignores_nested_nullability(spark, tmp_path):
+    """ADVICE r12: the sidecar drift check must normalize NESTED
+    nullability too — a parquet round-trip relaxes
+    ArrayType.containsNull / inner struct flags, so a table with a
+    non-null-element array column would otherwise be flagged as drift
+    and rewrite the sidecar on EVERY append, reintroducing the
+    per-append job and absence window the write-once skip avoids."""
+    import datetime
+
+    from etl_rj_spark.sinks.snapshot import append_snapshot
+
+    d = str(tmp_path / "snap_arr")
+    # F.array(lit, lit) infers containsNull=False; struct(lit) infers
+    # non-null inner field — both relax to nullable on read-back
+    batch = spark.createDataFrame([(1,)], "k long").select(
+        "k",
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+        F.struct(F.lit("x").alias("s")).alias("st"),
+    )
+    assert not batch.schema["arr"].dataType.containsNull  # fixture sanity
+    append_snapshot(batch, d, snapshot_date=datetime.date(2024, 1, 1))
+    sidecar = os.path.join(d, "_schema")
+    first_files = sorted(os.listdir(sidecar))
+    append_snapshot(batch, d, snapshot_date=datetime.date(2024, 1, 2))
+    assert sorted(os.listdir(sidecar)) == first_files
+    # a REAL type change must still be detected as drift
+    from etl_rj_spark.sinks.snapshot import _sidecar_needs_write
+
+    drifted = batch.withColumn("arr", F.array(F.lit("a")))
+    assert _sidecar_needs_write(drifted, sidecar)
+
+
 def test_integrity_violation_assert_narrows_the_rollback_proof():
     """The K1 poison-batch rollback proofs accept ONLY a duplicate-key
     / cardinality violation; any other failure re-raises so the proof
@@ -371,8 +403,17 @@ def test_integrity_violation_assert_narrows_the_rollback_proof():
         )
     )
     _assert_integrity_violation(Exception("ERROR 23505: ..."))
+    # the MERGE-cardinality SQLSTATE is matched as a SQLSTATE, never a
+    # bare numeric substring (ADVICE r12): a row count / offset / port
+    # that merely mentions 21000 must NOT pass the proof
+    _assert_integrity_violation(Exception("... SQLSTATE: 21000 ..."))
+    _assert_integrity_violation(Exception("error with state 21000: merge cardinality"))
     with pytest.raises(Exception, match="connection refused"):
         _assert_integrity_violation(Exception("java.net.ConnectException: connection refused"))
+    with pytest.raises(Exception, match="offset"):
+        _assert_integrity_violation(Exception("failed reading block at offset 21000"))
+    with pytest.raises(Exception, match="21000 rows"):
+        _assert_integrity_violation(Exception("analysis error: scanned 21000 rows"))
 
 
 # ---------------------------------------------------------------------------

@@ -588,6 +588,9 @@ def test_kmeans_assign_carry_collision_raises(spark):
     cents = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, centroid array<double>"
     )
-    for bad in ("cell", "__iv", "vec_id"):
+    # "__cents" is _assign's packed-centroid broadcast column — it
+    # collides INSIDE the assignment crossJoin, not in the output
+    # projection, so it must be in the reserved set too (ADVICE r12)
+    for bad in ("cell", "__iv", "vec_id", "__cents"):
         with _pytest.raises(ValueError, match="collide"):
             kmeans_assign(pts, cents, carry={bad: F.lit(1)})
