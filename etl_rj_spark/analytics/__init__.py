@@ -11,6 +11,7 @@ from etl_rj_spark.analytics import tpch_hard_suite  # noqa: F401  (registers que
 from etl_rj_spark.analytics import window_suite  # noqa: F401  (registers queries)
 from etl_rj_spark.analytics import quality_suite  # noqa: F401  (registers queries)
 from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queries)
+from etl_rj_spark.analytics import pipeline_suite  # noqa: F401  (registers queries)
 
 #: The driver's correctness harness checks a PREFIX of the registry in
 #: iteration order (confirmed round 1: exactly the first 50 names).
@@ -90,112 +91,95 @@ from etl_rj_spark.analytics import product_suite  # noqa: F401  (registers queri
 #: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
 #: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-12 DRIVER PREFIX (50 names) ---------------------
-    # Executes VERDICT r11 directive #1: the staged r12 rotation,
-    # verbatim in its planned order.  Block A = the queries whose
-    # engine or oracle the r11 dupstorm/nulldup waves changed AFTER
-    # their latest driver verdicts and that the r11 prefix did NOT
-    # cover (benched rows first).  Block A' = the two queries whose
-    # semantics moved THIS round, so the driver verdicts the new
-    # behavior the same round it ships (the r10/r11 convention):
-    # `stream_dedup_within_watermark` (event_id-keyed canonical
-    # payload, ADVICE r11 medium) and `equi_depth_price_bins`
-    # (two-phase range-bucket cumulative, VERDICT r11 §wrong #1 —
-    # bit-identical output, re-driven to prove it).  Block B = the
-    # r10-changed source/sink fixtures still carrying pre-r10-change
-    # verdicts.  Block C = the oldest-green backfill: ALL remaining
-    # r4-verdicted names (the registry's staleness floor rises to r5
-    # this round), then the highest-operator-value r5 names.
-    # -- A: r11-changed, un-re-driven (dupstorm/nulldup contracts)
-    "bm25_search_topk",
-    "range_join_error_clicks",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ngram_jaccard_pairs",
-    "set_similarity_prefix_pairs",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "neardup_eval_simhash",
-    "embedding_standardize",
-    "wav_audio_stats",
-    "s2_trimmed_csv_roundtrip",
-    "semdedup_incremental",
-    "ann_kmeans_ivf_topk",
-    # -- A': changed THIS round (r12) — semantic (stream-dedup
-    #    canonical payload) and plan-rewritten-bit-identical
-    #    (equi-depth two-phase; token-χ² window-free grid; overlap's
-    #    two-phase global burst sessionize — the r12 window-audit
-    #    fixes), all re-driven the round they ship
-    "stream_dedup_within_watermark",
-    "equi_depth_price_bins",
-    "token_dist_chi2_drift",
-    "session_error_overlap",
-    # -- A'' (late r12): the low-cardinality-key audit rewrites —
-    #    per-category order statistics moved onto the value-grain
-    #    grouped CDF (complete-case NULL contract pinned two-sided)
-    "mad_outlier_events",
-    "trimmed_mean_price_brand",
-    "acctbal_distribution_ranks",
+    # ---- ROUND-13 DRIVER PREFIX (50 names) ---------------------
+    # Executes VERDICT r12 directive #1: the staged r13 rotation,
+    # with (per the standing rule) anything round 13 itself changes
+    # outranking backfill.  Block A = changed/new THIS round: the four
+    # reference-pipeline e2e compositions (VERDICT r12 #3 — fixture
+    # file → clean → enrich → dedup → sink → read-back, DuckDB-replayed
+    # end-to-end), the null-safe groupwise-min join fix
+    # (cheapest_part_per_type, ADVICE r12), the snapshot-sidecar
+    # nested-nullability normalize (k2, ADVICE r12), and the SQLSTATE-
+    # anchored rollback proofs (k1 pair, ADVICE r12).  Block B = the
+    # staged r5-green drain, verbatim in its planned order (the 18
+    # TPC-H SQL shapes, then the operator rows) — after this round the
+    # staleness floor rises to r6.  Block C = the oldest r6 names the
+    # remaining slots admit, led by the six VERDICT r12 #7 named
+    # (minhash_index_probe … cosine_topk_scaled).
+    # -- A: changed/new this round (r13)
+    "ventas_pipeline_e2e",
+    "cartera_pipeline_e2e",
+    "pending_orders_pipeline_e2e",
+    "wor_pipeline_e2e",
     "cheapest_part_per_type",
-    # -- B: r10-changed source/sink fixtures
-    "orc_events_roundtrip",
-    "jsonl_corrupt_quarantine",
-    "csv_corrupt_quarantine",
-    "s4_excel_named_tables_roundtrip",
-    "xls_datasource_roundtrip",
-    "multimodal_meta",
-    "arrow_ipc_roundtrip",
-    "rollup_flag_status",
-    "cube_flag_status",
-    "grouping_sets_flag_status",
-    "fillna_zero_kernel",
-    # -- C: oldest-green backfill — every remaining r4 name ...
-    "s5_jdbc_dim_roundtrip",
-    "projection_ops_kernel",
-    "flexible_status_kernel",
-    "dict_map_lookup_kernel",
-    "regex_extract_kernel",
-    "hard_casts_kernel",
-    "load_stamp_kernel",
-    "incremental_near_dup",
-    "dup_clusters_star",
-    "avi_frame_sampling",
-    "embedding_l2_normalized",
-    "jsonl_docs_roundtrip",
-    "png_decode_stats",
-    # -- ... then the operator-heaviest r5 names
-    "asof_purchase_last_view",
-    "merge_upsert_orders",
-    "curation_pipeline_e2e",
-    # (rolling_7day_revenue, set_ops_customers, fuzzy_name_best_match,
-    #  snapshot_diff_orders, xml_feed_roundtrip, jsonl_shard_export
-    #  and funnel_conversion yield their slots to the r12 rewrites
-    #  above — the two window-audit fixes, the four low-cardinality-
-    #  key CDF rewrites — and the round's ONE new query; changed
-    #  contracts and never-checked names ALWAYS outrank backfill;
-    #  all seven move to the r13 staged list)
-    "ntile_acctbal_quartiles_scaled",
+    "k2_snapshot_roundtrip",
+    "k1_atomic_jdbc_roundtrip",
+    "k1_jdbc_upsert_roundtrip",
+    # -- B: the r5-green drain (staged at r12 close)
+    "min_cost_supplier_q2",
+    "forecast_revenue_q6",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "product_profit_q9",
+    "returned_item_reporting_q10",
+    "important_stock_q11",
+    "shipping_priority_counts_q12",
+    "order_count_distribution_q13",
+    "promo_revenue_q14",
+    "top_supplier_q15",
+    "parts_supplier_counts_q16",
+    "small_qty_revenue_q17",
+    "large_volume_customers_q18",
+    "disjunctive_revenue_q19",
+    "promotion_suppliers_q20",
+    "exclusive_late_supplier_q21",
+    "dormant_customers_q22",
+    "rolling_7day_revenue",
+    "set_ops_customers",
+    "fuzzy_name_best_match",
+    "snapshot_diff_orders",
+    "xml_feed_roundtrip",
+    "jsonl_shard_export",
+    "funnel_conversion",
+    "doc_chunk_windows",
+    "first_last_order_span",
+    "late_order_priority_counts",
+    "lateral_top2_orders",
+    "orders_array_per_customer",
+    "revenue_by_nation",
+    "supplier_part_distincts",
+    "top_unshipped_revenue",
+    "unigram_rarity_score",
+    "variant_props_extract",
+    # -- C: oldest-r6 backfill (VERDICT r12 #7 names first)
+    "minhash_index_probe",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "decontaminate_docs",
+    "training_shard_pipeline",
+    "cosine_topk_scaled",
+    "accent_fold_kernel",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-13 STAGED PLAN (written during r12) -------------
-    # After this round the staleness floor is r5; the r13 rotation
-    # drains the remaining r5-green tail (32 names), oldest first —
-    # the TPC-H SQL shapes (min_cost_supplier_q2, forecast_revenue_q6,
-    # volume_shipping_q7, market_share_q8, product_profit_q9,
-    # returned_item_reporting_q10, important_stock_q11,
-    # shipping_priority_counts_q12, order_count_distribution_q13,
-    # promo_revenue_q14, top_supplier_q15, parts_supplier_counts_q16,
-    # small_qty_revenue_q17, large_volume_customers_q18,
-    # disjunctive_revenue_q19, promotion_suppliers_q20,
-    # exclusive_late_supplier_q21, dormant_customers_q22) and the
-    # remaining operator rows (rolling_7day_revenue,
-    # set_ops_customers, fuzzy_name_best_match, snapshot_diff_orders,
-    # xml_feed_roundtrip, jsonl_shard_export, funnel_conversion,
-    # cheapest_part_per_type, doc_chunk_windows, first_last_order_span,
-    # late_order_priority_counts, lateral_top2_orders,
-    # orders_array_per_customer, revenue_by_nation, supplier_part_
-    # distincts, top_unshipped_revenue, unigram_rarity_score,
-    # variant_props_extract) — then whatever r12 itself changes,
-    # which ALWAYS outranks backfill.
+    # ---- ROUND-14 STAGED PLAN (written during r13) -------------
+    # After this round the staleness floor is r6; the r14 rotation
+    # drains the remaining 30 r6-green names, oldest first —
+    # benford_first_digit, binary_file_ingest, cohort_retention,
+    # curated_corpus_splits, date_spine_gap_fill,
+    # decay_weighted_revenue, embedding_cosine_near_pairs,
+    # embedding_int8_quantized, event_type_transitions,
+    # fixed_width_roundtrip, gap_fill_interpolate, histogram_totalprice,
+    # intersect_customers, ngram_containment_pairs, pack_sequences_budget,
+    # pagerank_interaction_graph, parquet_schema_evolution,
+    # pit_dimension_enrich, profile_lineitem, quantile_stats,
+    # quarantine_reason_counts, recursive_reachability,
+    # resample_epoch_upsample, salted_customer_rollup, span_dedup_docs,
+    # stratified_sample_events, target_encoding_loo,
+    # top_event_type_per_user, triangle_count, xml_column_extract —
+    # then the oldest r7 names the remaining ~20 slots admit, with
+    # whatever r13/r14 itself changes ALWAYS outranking backfill.
+    # ---- ROUND-12 DRIVER PREFIX: superseded (executed verbatim —
+    #      CORRECTNESS_r12 went 50/50 green; see that file and the
+    #      git history of this list for the exact names/order) -----
 ]
 
 

@@ -106,7 +106,7 @@ def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     quantize: bool = True,
 ) -> DataFrame:
@@ -117,16 +117,23 @@ def kmeans_fit(
     integer updates. A cluster that loses all members keeps its
     previous centroid (deterministic, and keeps k stable).
 
-    Choosing ``k``: oracle-pinned fixtures pass their literal k;
-    production callers feeding a cell-confined quadratic (SemDeDup,
-    IVF rescoring) should derive it from :func:`auto_cells` so the
-    cell size — and with it the downstream Σ|cell|² — stays constant
-    as the corpus grows (the r12 ladder finding, BASELINE.md).
+    Choosing ``k``: the DEFAULT (``k=None``) derives it from
+    :func:`auto_cells` via one cheap count, so every production entry
+    point that trains centroids for a cell-confined quadratic
+    (SemDeDup, IVF rescoring, persisted indexes) holds the cell size
+    — and with it the downstream Σ|cell|² — constant as the corpus
+    grows. A LITERAL ``k`` is the explicit opt-out for oracle-pinned
+    fixtures and codebook shapes (PQ's 2^bits). The old frozen
+    ``k=8`` default was exactly the r12 5× ladder failure (6.7× wall
+    for 5× data, VERDICT r12 #8 — the test suite pins the None
+    default so it cannot silently return).
 
     ``quantize=False`` takes ``vec_col`` as ALREADY-integer arrays
     (e.g. IVF-PQ residuals ``iv - coarse_cv``) — quantizing twice
     would rescale them.
     """
+    if k is None:
+        k = auto_cells(df.where(F.col(vec_col).isNotNull()).count())
     vec = quantize_vec(vec_col) if quantize else _c(vec_col)
     # NULL vectors are not clusterable points: a NULL seed or member
     # would poison every centroid mean (r10 nullmix-regime fix)

@@ -302,3 +302,32 @@ def test_auto_cells_holds_cell_size_constant():
     for n in (10_000, 100_000, 1_000_000, 10_000_000):
         k = auto_cells(n)
         assert 256 <= n / k <= 512, (n, k)
+
+
+def test_kmeans_fit_default_k_derives_auto_cells(spark):
+    """VERDICT r12 #8: production constructors must not ship a frozen
+    k — kmeans_fit's default is None and derives the cell count from
+    auto_cells (cell size held constant as the corpus grows; the r12
+    5x ladder measured a frozen k=8 at 6.7x wall for 5x data). The
+    signature pin keeps the old frozen-8 default from silently
+    returning; a literal k stays the explicit opt-out for
+    oracle-pinned fixtures and PQ codebook shapes."""
+    import inspect
+
+    from etl_rj_spark.operators.kmeans import auto_cells
+
+    assert inspect.signature(kmeans_fit).parameters["k"].default is None
+    # auto_cells math: the cell size, not the cell count, is constant
+    assert auto_cells(0) == 8 and auto_cells(100) == 8     # min_cells floor
+    assert auto_cells(5000) == 10                           # ceil(5000/512)
+    assert auto_cells(50000) == 98                          # ceil(50000/512)
+    assert auto_cells(5 * 50000) == 489                     # ~linear in n
+
+    pts = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 100).cast("double"), (F.col("id") % 7).cast("double")
+        ).alias("embedding"),
+    )
+    cents = kmeans_fit(pts, iters=1)  # default k → auto_cells(5000)
+    assert cents.count() == auto_cells(5000) == 10

@@ -1,0 +1,63 @@
+"""Full-registry plan-audit contracts, in CI (ADVICE r12 / VERDICT r12
+#6): every registered query's optimized plan is checked for the two
+100-TB scale-killers — unpartitioned windows (whole input through ONE
+task) and unbounded cross joins (quadratic blow-up) — against the
+documented allowlists in scripts/window_audit.py and
+scripts/crossjoin_audit.py.
+
+Until r13 the window audit's "fails CI the round it lands" claim was
+aspirational: nothing in the suite invoked it (the staleness invariant
+got test_driver_verdict_staleness_invariant when it converted from
+convention to contract; this is the same conversion for the plan
+audits). One registry pass serves both checks — each query is built
+once and both plan walks run on the same DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def test_plan_audits_full_registry(spark, sf_dir):
+    """Builds all registered queries at sf0.001 (side-effect fixtures
+    included — the audits see the serve-side plans) and asserts ZERO
+    build errors, zero unallowlisted unpartitioned windows, and zero
+    unallowlisted cross joins. A new query that sneaks a global
+    Window.orderBy or an all-pairs crossJoin onto an unbounded grain
+    fails here with its name in hand, the round it lands."""
+    from crossjoin_audit import ALLOWLIST as XJ_ALLOW
+    from crossjoin_audit import cross_joins
+    from window_audit import ALLOWLIST as WIN_ALLOW
+    from window_audit import unpartitioned_windows
+
+    from etl_rj_spark.analytics import ordered_registry
+
+    win_found: dict[str, list[str]] = {}
+    xj_found: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, q in ordered_registry().items():
+        try:
+            df = q.build(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — report ALL failures at once
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        wins = unpartitioned_windows(df)
+        if wins:
+            win_found[name] = wins
+        joins = cross_joins(df)
+        if joins:
+            xj_found[name] = joins
+
+    assert not errors, f"query build errors: {errors}"
+    win_violations = sorted(set(win_found) - set(WIN_ALLOW))
+    assert not win_violations, {
+        n: win_found[n] for n in win_violations
+    }
+    xj_violations = sorted(set(xj_found) - set(XJ_ALLOW))
+    assert not xj_violations, {
+        n: xj_found[n] for n in xj_violations
+    }
