@@ -13,6 +13,15 @@ are copied through unchanged as the held-constant control.
 Usage: python scripts/synth_scale.py <base_sf_dir> <out_dir> <copies> [--llm]
 (BASELINE.md's ladder used copies=5; round-5 adds copies=10.)
 
+``--hotkey`` (r13, VERDICT r12 #4): instead of replicating, copy the
+base tree with the degenerate-sweep HOTKEY_COLS recipe applied at
+FULL bench scale — each listed join/group column rewritten so the
+first row's value owns ~99% of the table (every 100th row keeps its
+original value as the deterministic cold tail). This is the
+bench-scale twin of the correctness-only hotkey regime: the tree the
+recorded skew envelope (BASELINE.md §hotkey ladder) is timed on.
+``copies`` is ignored with ``--hotkey``.
+
 ``--llm`` (r12, VERDICT r11 #6): ALSO replicate documents (doc_id)
 and embeddings (vec_id) with the same per-copy id offsets, so the
 r9–r11 operators that read those tables (BM25 search, k-means/IVF
@@ -53,10 +62,45 @@ PASSTHROUGH = ["region", "nation", "documents", "embeddings"]
 LLM_OFFSET_COLS = {"documents": ["doc_id"], "embeddings": ["vec_id"]}
 
 
+def build_hotkey(base: str, out: str) -> None:
+    """Copy ``base`` to ``out`` with the hotkey rewrite (no Spark —
+    one pyarrow pass per single-file table, same code shape as
+    degenerate_sweep.ensure_hotkey_dataset's writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from degenerate_sweep import HOTKEY_COLS
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        t = f.rsplit(".", 1)[0]
+        tbl = pq.read_table(os.path.join(base, f))
+        for colname in HOTKEY_COLS.get(t, []):
+            i = tbl.schema.get_field_index(colname)
+            col = tbl.column(i)
+            vals = col.to_pylist()
+            if not vals:
+                continue
+            hot = vals[0]
+            new = [v if j % 100 == 0 else hot for j, v in enumerate(vals)]
+            tbl = tbl.set_column(
+                i, tbl.schema.field(colname), pa.array(new, type=col.type)
+            )
+        pq.write_table(tbl, os.path.join(out, f))
+        print(t, "hotkey" if t in HOTKEY_COLS else "passthrough", flush=True)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--llm"]
+    args = [a for a in sys.argv[1:] if a not in ("--llm", "--hotkey")]
     llm = "--llm" in sys.argv[1:]
     base, out, copies = args[0], args[1], int(args[2])
+    if "--hotkey" in sys.argv[1:]:
+        build_hotkey(base, out)
+        return
     offset_cols = dict(OFFSET_COLS)
     passthrough = list(PASSTHROUGH)
     if llm:
