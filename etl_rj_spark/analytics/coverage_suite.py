@@ -205,6 +205,12 @@ def jsonl_docs_roundtrip(spark, sf_dir):
 
     d = _scratch("jsonl")
     _t(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+    # the quarantine split CACHES its scan; a rebuild in the same
+    # session rewrites this path under the cached relation, which the
+    # CacheManager would silently serve STALE (r13 finding — the xml
+    # twin returned 0 corrupt rows on rebuild). refreshByPath is the
+    # documented invalidation for a data-source path.
+    spark.catalog.refreshByPath(d)
     good, bad = quarantine_corrupt(read_jsonl(spark, d, DOCUMENTS_SCHEMA))
     assert bad.count() == 0  # clean write: nothing quarantined
     return good.select("doc_id", "text", "lang", "source", "n_chars")
@@ -229,6 +235,7 @@ def jsonl_shard_export(spark, sf_dir):
         docs, d, num_shards=4, max_records_per_file=200,
         compression="gzip", shard_by="doc_id",
     )
+    spark.catalog.refreshByPath(d)  # rebuild-stale cache guard (see jsonl twin)
     good, bad = quarantine_corrupt(read_jsonl(spark, d, DOCUMENTS_SCHEMA))
     assert bad.count() == 0
     return good.select("doc_id", "text", "lang", "source", "n_chars")
@@ -277,6 +284,7 @@ def jsonl_corrupt_quarantine(spark, sf_dir):
             T.StructField("n_name", T.StringType()),
         ]
     )
+    spark.catalog.refreshByPath(d)  # rebuild-stale cache guard (see jsonl twin)
     good, bad = quarantine_corrupt(read_jsonl(spark, d, schema))
     assert bad.count() == len(corrupt)  # every broken line quarantined
     return good.select(F.col("n_nationkey").cast("int"), "n_name")
@@ -405,6 +413,7 @@ def csv_corrupt_quarantine(spark, sf_dir):
             T.StructField("n_name", T.StringType()),
         ]
     )
+    spark.catalog.refreshByPath(d)  # rebuild-stale cache guard (see jsonl twin)
     good, bad = quarantine_corrupt(read_csv_permissive(spark, d, schema))
     assert bad.count() == len(corrupt)  # every broken line quarantined
     return good.select(F.col("n_nationkey").cast("int"), "n_name")
@@ -521,6 +530,7 @@ def xml_feed_roundtrip(spark, sf_dir):
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate date, o_orderpriority string"
     )
+    spark.catalog.refreshByPath(d)  # rebuild-stale cache guard (see jsonl twin)
     good, bad = quarantine_corrupt(
         read_xml(spark, d, row_tag="order", schema=schema)
     )

@@ -100,7 +100,18 @@ def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     scan would have to re-parse just to report corruption), and both
     split sides re-reading the 100 TB input once each would double the
     ingest scan anyway — one materialization, two cheap filters is the
-    intended pattern (per Spark's own error guidance)."""
+    intended pattern (per Spark's own error guidance).
+
+    CACHE-STALENESS CAVEAT (r13): because this caches the scan, a
+    caller that later REWRITES the same source path and re-reads it in
+    the same session gets the stale cached relation — the CacheManager
+    substitutes by plan identity (same rootPath + schema + options),
+    silently serving the old bytes (observed: a rewritten fixture's
+    corrupt row vanished from the re-read). Call
+    ``spark.catalog.refreshByPath(path)`` after any rewrite of a path
+    read through this split; in production, treat an ingest landing
+    path as append-only/immutable per batch (the lake convention that
+    makes the cache safe)."""
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

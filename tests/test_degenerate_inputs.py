@@ -547,3 +547,25 @@ def test_topk_serve_over_empty_state_emits_zero_rows(spark, tmp_path):
     )
     ensure_state_schema(proto, d)
     assert estimate_topk_partials(spark, d, k=8, max_items=16).count() == 0
+
+
+def test_quarantine_fixture_queries_rebuild_clean(spark, sf_dir):
+    """r13 finding: the quarantine split caches its scan, so a fixture
+    query that REWRITES its scratch path and re-reads it in the same
+    session was silently served the stale cached relation (the xml
+    roundtrip's corrupt row vanished on rebuild — bad.count()==1
+    failed only when built twice, which is exactly what the full
+    pytest run does: oracle parity builds it, then the plan audit
+    rebuilds it). Each such query now refreshByPath's after the
+    rewrite; this pins the double-build for the whole class."""
+    from etl_rj_spark.analytics import REGISTRY
+
+    for name in (
+        "xml_feed_roundtrip",
+        "jsonl_docs_roundtrip",
+        "jsonl_shard_export",
+        "jsonl_corrupt_quarantine",
+        "csv_corrupt_quarantine",
+    ):
+        REGISTRY[name].build(spark, sf_dir).count()
+        REGISTRY[name].build(spark, sf_dir).count()  # in-query asserts re-run
