@@ -89,6 +89,18 @@ def main() -> None:
     # signal — round 3 lost all 19 numbers to a single AnalysisException
     # raised during warm-up.
     load_start = _host_load_stamp()
+    # Loaded-box tripwire (VERDICT r13 #3): two rounds running, the
+    # recorded artifact was a loaded-box pass that could only be
+    # diagnosed after the fact from the loadavg stamp. Make it a
+    # first-class field the moment it happens.
+    warning = None
+    if load_start.get("loadavg") and load_start["loadavg"][0] > int(cpus) / 4:
+        warning = (
+            f"box loaded at start (1-min loadavg {load_start['loadavg'][0]} > "
+            f"{int(cpus)}/4): timings are NOT a settled envelope — compare "
+            "against BASELINE.md idle per-row records, not directly"
+        )
+        print(f"WARNING: {warning}", file=sys.stderr, flush=True)
     timings: dict[str, float | dict] = {}
     for name in bench_queries:
         try:
@@ -112,6 +124,7 @@ def main() -> None:
                 "errors": sum(1 for t in timings.values() if isinstance(t, dict)),
                 "load_start": load_start,
                 "load_end": _host_load_stamp(),
+                **({"warning": warning} if warning else {}),
             }
         )
     )

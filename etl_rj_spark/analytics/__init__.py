@@ -183,9 +183,27 @@ _PRIORITY = [
 ]
 
 
+#: The driver verdicts exactly this many registry-prefix queries per
+#: round; ``_PRIORITY`` is maintained at exactly this length so the
+#: staged rotation IS the verdicted set.
+_DRIVER_PREFIX_LEN = 50
+
+
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY re-keyed so ``_PRIORITY`` names come first (unknown
-    names skipped), then every remaining query in registration order."""
-    out = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    """REGISTRY re-keyed so ``_PRIORITY`` names come first, then every
+    remaining query in registration order.
+
+    Prefix integrity is ASSERTED, not silently repaired (ADVICE r13):
+    a typo in ``_PRIORITY`` or a future query rename would otherwise
+    silently shrink the verdicted prefix below the driver's sample
+    size with no failure signal — the staged rotation would quietly
+    verdict the wrong queries for a round."""
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"_PRIORITY names absent from REGISTRY: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == _DRIVER_PREFIX_LEN, (
+        f"_PRIORITY must be exactly {_DRIVER_PREFIX_LEN} unique names, "
+        f"got {len(_PRIORITY)} ({len(set(_PRIORITY))} unique)"
+    )
+    out = {n: REGISTRY[n] for n in _PRIORITY}
     out.update((n, q) for n, q in REGISTRY.items() if n not in out)
     return out

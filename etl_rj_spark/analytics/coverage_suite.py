@@ -50,17 +50,19 @@ _DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 #: of drivers that report the duplicate-source-rows case that way.
 _INTEGRITY_MARKS = (
     "duplicate key",
-    "23505",
     "SQLIntegrityConstraintViolation",
 )
 
-#: The MERGE-cardinality SQLSTATE must be matched as a SQLSTATE, not a
-#: bare numeric substring (ADVICE r12): '21000' as a substring of the
-#: whole exception text would let any unrelated error mentioning 21000
-#: (a row count, an offset, a port) vacuously pass the rollback proof
-#: — the same vacuous-match class the bare 'cardinality' mark was
-#: removed for (ADVICE r11).
-_INTEGRITY_SQLSTATE_RE = r"(?i)(?:sqlstate[:=\s]*'?|state\s+)21000"
+#: Integrity SQLSTATEs must be matched as SQLSTATEs, not bare numeric
+#: substrings (ADVICE r12 for 21000, ADVICE r13 for 23505): '23505' as
+#: a case-insensitive substring of the whole exception text would let
+#: any unrelated error mentioning it ("scanned 23505 rows", an offset,
+#: a port) vacuously pass the rollback proof — the same vacuous-match
+#: class the bare 'cardinality' mark was removed for (ADVICE r11).
+#: The ``error\s+`` alternative covers Derby's own ``ERROR 23505:``
+#: spelling; prose marks ("duplicate key", the exception class name)
+#: stay as-is above.
+_INTEGRITY_SQLSTATE_RE = r"(?i)(?:sqlstate[:=\s]*'?|state\s+|error\s+)(21000|23505)"
 
 
 def _assert_integrity_violation(e: Exception) -> None:
@@ -81,8 +83,18 @@ def _assert_integrity_violation(e: Exception) -> None:
 
 
 def _scratch(name: str) -> str:
-    """Fresh fixed-name scratch dir (idempotent across re-runs)."""
-    d = os.path.join(tempfile.gettempdir(), f"etl_rj_cov_{name}")
+    """Fresh scratch dir, unique per PROCESS (pid-suffixed) and
+    idempotent across re-runs WITHIN a process (rmtree on entry).
+
+    The pid suffix is load-bearing (VERDICT r13 §wrong #1): with a
+    fixed ``/tmp/etl_rj_cov_<name>`` two concurrent registry runs —
+    e.g. ``window_audit.py`` alongside a live pytest — are mutually
+    destructive: one process's rmtree-on-entry deleted the other's
+    LIVE streaming checkpoint (reproduced:
+    ``FileNotFoundException: .../etl_rj_cov_stream_dedup_wm/ck/state/0/132``).
+    A per-session id keeps the idempotence (same process → same path →
+    clean slate per build) while making cross-process runs disjoint."""
+    d = os.path.join(tempfile.gettempdir(), f"etl_rj_cov_{os.getpid()}_{name}")
     shutil.rmtree(d, ignore_errors=True)
     return d
 

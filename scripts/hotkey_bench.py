@@ -81,35 +81,51 @@ def main() -> int:
         app_name="hotkey-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
 
-    def run(name: str, sf_dir: str) -> tuple[float, bool]:
-        """(min-of-2 steady seconds, any-AQE-skew-split?) — the skew
-        flag greps the FINAL adaptive plan for the `skew=true` marker
-        Spark stamps on skew-split sort-merge joins."""
+    def run(name: str, sf_dir: str, want_flag: bool = False) -> tuple[float, bool | None]:
+        """(min-of-2 steady seconds, any-AQE-skew-split?).
+
+        The skew flag is measured on a DEDICATED pass that executes the
+        DataFrame's OWN QueryExecution JVM-side
+        (``executedPlan().execute().count()``) and only then greps the
+        plan for the ``skew=true`` marker OptimizeSkewedJoin stamps.
+        The old flag read was a guaranteed false negative (ADVICE r13):
+        the noop write runs through a SEPARATE QueryExecution (the
+        DataFrameWriter command), so ``df``'s own executedPlan stays an
+        unfinalized ``AdaptiveSparkPlan isFinalPlan=false`` stub that
+        never carries runtime markers. Verified live this round: a
+        forced-skew SMJ shows ``SortMergeJoin(skew=true)`` +
+        ``AQEShuffleRead skewed`` through the own-QE pass and nothing
+        through the write-path read. If the executed plan somehow is
+        not finalized, the flag is None (unknown), never False."""
         if name in EXTRA_BUILDS:
             build = EXTRA_BUILDS[name]
         else:
             q = REGISTRY[name]
             build = q.bench_build or q.build
 
-        def once() -> tuple[float, bool]:
+        def once() -> float:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = build(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            sec = time.perf_counter() - t0
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            return sec, "skew=true" in plan
+            return time.perf_counter() - t0
 
         once()  # warm-up (codegen/JIT), unrecorded
-        a = once()
-        b = once()
-        return round(min(a[0], b[0]), 3), a[1] or b[1]
+        sec = round(min(once(), once()), 3)
+        flag: bool | None = None
+        if want_flag:
+            spark.catalog.clearCache()
+            df = build(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan().execute().count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            flag = "skew=true" in plan if "isFinalPlan=true" in plan else None
+        return sec, flag
 
     out = []
     for name in names:
         try:
             u_sec, _ = run(name, uniform)
-            h_sec, h_skew = run(name, hotkey)
+            h_sec, h_skew = run(name, hotkey, want_flag=True)
             row = {
                 "query": name,
                 "uniform_sec": u_sec,

@@ -403,17 +403,23 @@ def test_integrity_violation_assert_narrows_the_rollback_proof():
         )
     )
     _assert_integrity_violation(Exception("ERROR 23505: ..."))
-    # the MERGE-cardinality SQLSTATE is matched as a SQLSTATE, never a
-    # bare numeric substring (ADVICE r12): a row count / offset / port
-    # that merely mentions 21000 must NOT pass the proof
+    # integrity SQLSTATEs are matched as SQLSTATEs, never bare numeric
+    # substrings (ADVICE r12 for 21000, ADVICE r13 for 23505): a row
+    # count / offset / port that merely mentions either number must
+    # NOT pass the proof
     _assert_integrity_violation(Exception("... SQLSTATE: 21000 ..."))
     _assert_integrity_violation(Exception("error with state 21000: merge cardinality"))
+    _assert_integrity_violation(Exception("... SQLSTATE: 23505 ..."))
     with pytest.raises(Exception, match="connection refused"):
         _assert_integrity_violation(Exception("java.net.ConnectException: connection refused"))
     with pytest.raises(Exception, match="offset"):
         _assert_integrity_violation(Exception("failed reading block at offset 21000"))
     with pytest.raises(Exception, match="21000 rows"):
         _assert_integrity_violation(Exception("analysis error: scanned 21000 rows"))
+    with pytest.raises(Exception, match="23505 rows"):
+        _assert_integrity_violation(Exception("analysis error: scanned 23505 rows"))
+    with pytest.raises(Exception, match="offset 23505"):
+        _assert_integrity_violation(Exception("failed reading block at offset 23505"))
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
+def test_driver_prefix_integrity():
+    """The staged rotation's 50-name driver prefix must reference only
+    live registry names and be exactly 50 long (ADVICE r13):
+    ordered_registry() used to SILENTLY drop unknown _PRIORITY names,
+    so a typo or a query rename would shrink the verdicted prefix with
+    no failure signal. The assert now lives in ordered_registry()
+    itself (it runs on every driver invocation); this test pins it at
+    CI time too and proves the prefix is exactly _PRIORITY."""
+    from etl_rj_spark.analytics import (
+        _DRIVER_PREFIX_LEN,
+        _PRIORITY,
+        REGISTRY,
+        ordered_registry,
+    )
+
+    assert set(_PRIORITY) <= set(REGISTRY)
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == _DRIVER_PREFIX_LEN
+    ordered = list(ordered_registry())
+    assert ordered[:_DRIVER_PREFIX_LEN] == _PRIORITY
+    assert len(ordered) == len(REGISTRY)
+
+
 def test_plan_audits_full_registry(spark, sf_dir):
     """Builds all registered queries at sf0.001 (side-effect fixtures
     included — the audits see the serve-side plans) and asserts ZERO
