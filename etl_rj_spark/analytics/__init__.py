@@ -91,94 +91,89 @@ from etl_rj_spark.analytics import pipeline_suite  # noqa: F401  (registers quer
 #: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
 #: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-13 DRIVER PREFIX (50 names) ---------------------
-    # Executes VERDICT r12 directive #1: the staged r13 rotation,
-    # with (per the standing rule) anything round 13 itself changes
-    # outranking backfill.  Block A = changed/new THIS round: the four
-    # reference-pipeline e2e compositions (VERDICT r12 #3 — fixture
-    # file → clean → enrich → dedup → sink → read-back, DuckDB-replayed
-    # end-to-end), the null-safe groupwise-min join fix
-    # (cheapest_part_per_type, ADVICE r12), the snapshot-sidecar
-    # nested-nullability normalize (k2, ADVICE r12), and the SQLSTATE-
-    # anchored rollback proofs (k1 pair, ADVICE r12).  Block B = the
-    # staged r5-green drain, verbatim in its planned order (the 18
-    # TPC-H SQL shapes, then the operator rows) — after this round the
-    # staleness floor rises to r6.  Block C = the oldest r6 names the
-    # remaining slots admit, led by the six VERDICT r12 #7 named
-    # (minhash_index_probe … cosine_topk_scaled).
-    # -- A: changed/new this round (r13)
-    "ventas_pipeline_e2e",
-    "cartera_pipeline_e2e",
-    "pending_orders_pipeline_e2e",
-    "wor_pipeline_e2e",
-    "cheapest_part_per_type",
-    "k2_snapshot_roundtrip",
+    # ---- ROUND-14 DRIVER PREFIX (50 names) ---------------------
+    # Executes VERDICT r13 directive #1: the staged r14 rotation,
+    # with (per the standing rule) anything round 14 itself changes
+    # outranking backfill.  Block A = changed/new THIS round:
+    # `near_dup_pairs_storm` (NEW — the storm-safe default near-dup
+    # entry point under an injected exact-dup storm, VERDICT r13 #5),
+    # `minhash_lsh_pairs` (CHANGED contract — now routed through the
+    # `near_dup_pairs` default; two-tier oracle), and the k1 pair
+    # (CHANGED acceptance set — SQLSTATE 23505 anchored like 21000,
+    # ADVICE r13).  Block B = the staged r6-green drain, verbatim in
+    # its planned order — after this round the staleness floor rises
+    # to r7.  Block C = the oldest-r7 names the remaining 16 slots
+    # admit, led by the four VERDICT r13 #7 named
+    # (trend_total_by_snapshot … month_es_en_recode).
+    # -- A: changed/new this round (r14)
+    "near_dup_pairs_storm",
+    "minhash_lsh_pairs",
     "k1_atomic_jdbc_roundtrip",
     "k1_jdbc_upsert_roundtrip",
-    # -- B: the r5-green drain (staged at r12 close)
-    "min_cost_supplier_q2",
-    "forecast_revenue_q6",
-    "volume_shipping_q7",
-    "market_share_q8",
-    "product_profit_q9",
-    "returned_item_reporting_q10",
-    "important_stock_q11",
-    "shipping_priority_counts_q12",
-    "order_count_distribution_q13",
-    "promo_revenue_q14",
-    "top_supplier_q15",
-    "parts_supplier_counts_q16",
-    "small_qty_revenue_q17",
-    "large_volume_customers_q18",
-    "disjunctive_revenue_q19",
-    "promotion_suppliers_q20",
-    "exclusive_late_supplier_q21",
-    "dormant_customers_q22",
-    "rolling_7day_revenue",
-    "set_ops_customers",
-    "fuzzy_name_best_match",
-    "snapshot_diff_orders",
-    "xml_feed_roundtrip",
-    "jsonl_shard_export",
-    "funnel_conversion",
-    "doc_chunk_windows",
-    "first_last_order_span",
-    "late_order_priority_counts",
-    "lateral_top2_orders",
-    "orders_array_per_customer",
-    "revenue_by_nation",
-    "supplier_part_distincts",
-    "top_unshipped_revenue",
-    "unigram_rarity_score",
-    "variant_props_extract",
-    # -- C: oldest-r6 backfill (VERDICT r12 #7 names first)
-    "minhash_index_probe",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "decontaminate_docs",
-    "training_shard_pipeline",
-    "cosine_topk_scaled",
-    "accent_fold_kernel",
+    # -- B: the r6-green drain (staged at r13 close, verbatim)
+    "benford_first_digit",
+    "binary_file_ingest",
+    "cohort_retention",
+    "curated_corpus_splits",
+    "date_spine_gap_fill",
+    "decay_weighted_revenue",
+    "embedding_cosine_near_pairs",
+    "embedding_int8_quantized",
+    "event_type_transitions",
+    "fixed_width_roundtrip",
+    "gap_fill_interpolate",
+    "histogram_totalprice",
+    "intersect_customers",
+    "ngram_containment_pairs",
+    "pack_sequences_budget",
+    "pagerank_interaction_graph",
+    "parquet_schema_evolution",
+    "pit_dimension_enrich",
+    "profile_lineitem",
+    "quantile_stats",
+    "quarantine_reason_counts",
+    "recursive_reachability",
+    "resample_epoch_upsample",
+    "salted_customer_rollup",
+    "span_dedup_docs",
+    "stratified_sample_events",
+    "target_encoding_loo",
+    "top_event_type_per_user",
+    "triangle_count",
+    "xml_column_extract",
+    # -- C: oldest-r7 backfill (VERDICT r13 #7 names first, then
+    #       alphabetical)
+    "trend_total_by_snapshot",
+    "latest_snapshot",
+    "clean_name_kernel",
+    "month_es_en_recode",
+    "client_zone_rollup",
+    "cluster_quality_keep",
+    "decontaminate_docs_hashed",
+    "dim_enrich_left",
+    "distinct_topk_dates",
+    "ecommerce_rewrite",
+    "embedding_random_projection",
+    "fuzzy_best_match_blocked",
+    "fuzzy_multipass_rescue",
+    "image_header_sniff",
+    "json_extract_props",
+    "lag_day_over_day",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-14 STAGED PLAN (written during r13) -------------
-    # After this round the staleness floor is r6; the r14 rotation
-    # drains the remaining 30 r6-green names, oldest first —
-    # benford_first_digit, binary_file_ingest, cohort_retention,
-    # curated_corpus_splits, date_spine_gap_fill,
-    # decay_weighted_revenue, embedding_cosine_near_pairs,
-    # embedding_int8_quantized, event_type_transitions,
-    # fixed_width_roundtrip, gap_fill_interpolate, histogram_totalprice,
-    # intersect_customers, ngram_containment_pairs, pack_sequences_budget,
-    # pagerank_interaction_graph, parquet_schema_evolution,
-    # pit_dimension_enrich, profile_lineitem, quantile_stats,
-    # quarantine_reason_counts, recursive_reachability,
-    # resample_epoch_upsample, salted_customer_rollup, span_dedup_docs,
-    # stratified_sample_events, target_encoding_loo,
-    # top_event_type_per_user, triangle_count, xml_column_extract —
-    # then the oldest r7 names the remaining ~20 slots admit, with
-    # whatever r13/r14 itself changes ALWAYS outranking backfill.
-    # ---- ROUND-12 DRIVER PREFIX: superseded (executed verbatim —
-    #      CORRECTNESS_r12 went 50/50 green; see that file and the
+    # ---- ROUND-15 STAGED PLAN (written during r14) -------------
+    # After this round the staleness floor is r7; the r15 rotation
+    # drains the remaining 12 r7-green names —
+    # last_two_snapshots_delta, monthly_order_stats,
+    # pivot_status_by_priority, pricing_summary, recode_static_map,
+    # sessionization, temporal_dims_kernel, threshold_filter,
+    # topk_orders_per_customer, unmapped_clients_report,
+    # unpivot_flag_measures, zone_coalesce_default —
+    # then the oldest r8 names the remaining ~34 slots admit
+    # (alphabetical from the 33-name r8 cohort: ann_eval_recall_mrr,
+    # bigram_fluency_score, bpe_pair_merge_candidates, …), with
+    # whatever r14/r15 itself changes ALWAYS outranking backfill.
+    # ---- ROUND-13 DRIVER PREFIX: superseded (executed verbatim —
+    #      CORRECTNESS_r13 went 50/50 green; see that file and the
     #      git history of this list for the exact names/order) -----
 ]
 

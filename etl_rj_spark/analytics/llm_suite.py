@@ -113,29 +113,95 @@ _NEAR_CORPUS = (
     "FROM documents WHERE doc_id < 100"
 )
 
+def _two_tier_near_dup_oracle(corpus_sql: str) -> str:
+    """The DuckDB replay of :func:`near_dup_pairs`'s storm-safe
+    default (VERDICT r13 #5): exact-duplicate groups (identical
+    normalized text, NULL-text rows excluded) reported as LINEAR
+    ``(canonical=MIN(id), member, 1.0)`` star edges, then all-pairs
+    ground-truth Jaccard over the per-content REPRESENTATIVES only
+    (recall-1 at the query's LSH parameters). On a corpus with no
+    exact-duplicate group this reduces exactly to the raw all-pairs
+    oracle — which is why one spelling serves every regime (the
+    dupstorm tree included)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    keyed AS (SELECT doc_id, text, md5({_NT}) AS key FROM corpus
+              WHERE text IS NOT NULL),
+    mapping AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY key) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT doc_id, text FROM mapping WHERE doc_id = canonical_id),
+    sets AS ({_sql_shingle_sets('SELECT * FROM reps')}),
+    lsh AS (
+      -- DISTINCT: distinct-pairs contract, see _NGRAM_JACCARD_ORACLE
+      -- (r11 dupstorm parity)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.8
+    ),
+    star AS (SELECT DISTINCT canonical_id AS id_a, doc_id AS id_b,
+                    1.0::DOUBLE AS jaccard
+             FROM mapping WHERE doc_id <> canonical_id)
+    SELECT * FROM lsh UNION ALL SELECT * FROM star
+    """
+
+
 @_q(
     "minhash_lsh_pairs",
-    f"""
-    WITH corpus AS ({_NEAR_CORPUS}),
-    sets AS ({_sql_shingle_sets('SELECT * FROM corpus')})
-    -- DISTINCT: distinct-pairs contract, see _NGRAM_JACCARD_ORACLE
-    -- (r11 dupstorm parity)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
-    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE {_JACCARD} >= 0.8
-    """,
+    _two_tier_near_dup_oracle(_NEAR_CORPUS),
     tags=("dedup-minhash-lsh",),
 )
 def minhash_lsh_pairs_q(spark, sf_dir):
     """MinHash(32)+LSH(8 bands × 4 rows) candidates → exact-Jaccard
-    filter at 0.8 over documents ∪ near-identical copies. Oracle is
-    all-pairs ground truth (recall-1 at these parameters)."""
+    filter at 0.8 over documents ∪ near-identical copies — routed
+    through :func:`near_dup_pairs`, the engine's DEFAULT (storm-safe)
+    near-dup entry point (VERDICT r13 #5). This corpus carries no
+    exact-duplicate group, so the count gate sends it down the raw
+    LSH path and the output is byte-identical to the raw operator's;
+    the two-tier oracle spelling covers the degenerate regimes where
+    duplicates DO appear. Oracle is all-pairs ground truth over the
+    representatives (recall-1 at these parameters)."""
+    from etl_rj_spark.operators.text_dedup import near_dup_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
     dup = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
     )
     corpus = d.unionByName(dup)
-    return minhash_lsh_dedup_pairs(corpus, "doc_id", "text", threshold=0.8)
+    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.8)
+
+
+@_q(
+    "near_dup_pairs_storm",
+    _two_tier_near_dup_oracle(
+        _NEAR_CORPUS
+        + " UNION ALL SELECT 200000 + g.i AS doc_id, d.text AS text"
+        " FROM documents d CROSS JOIN range(0, 30) g(i) WHERE d.doc_id = 7"
+    ),
+    tags=("dedup-minhash-lsh",),
+)
+def near_dup_pairs_storm(spark, sf_dir):
+    """:func:`near_dup_pairs` under an injected exact-duplicate storm
+    (30 verbatim copies of one document's text at fresh ids): the
+    count gate trips, the storm collapses to its canonical (doc 7),
+    the LSH tier runs over representatives only, and the storm group
+    surfaces as 30 LINEAR star edges ``(7, 200000+i, 1.0)`` — never
+    the C(31,2) clique a raw all-pairs output would quadratically
+    emit. This is the r13 hotkey finding (raw LSH untimeable under a
+    99%-one-text storm) pinned as the engine's default posture."""
+    from etl_rj_spark.operators.text_dedup import near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    storm = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select((F.lit(200000) + F.col("i")).cast("long").alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dup).unionByName(storm)
+    return near_dup_pairs(corpus, "doc_id", "text", threshold=0.8)
 
 
 _INC_OLD = "SELECT doc_id, text FROM documents WHERE doc_id < 100"
@@ -1863,10 +1929,15 @@ def minhash_lsh_pairs_scaled(spark, sf_dir):
 
 
 def _minhash_lsh_pairs_scaled_bench(spark, sf_dir):
-    """Timed bench path: LSH pair production ALONE — the operator a
-    user actually runs, and the exact shape rounds 1–4 timed. The
-    within-base ground-truth contract stays on the correctness
-    ``build`` above, where the driver (not the stopwatch) pays for it."""
+    """Timed bench path: RAW LSH pair production ALONE — the exact
+    shape rounds 1–4 timed, kept raw so the BASELINE row stays
+    comparable across rounds. The within-base ground-truth contract
+    stays on the correctness ``build`` above, where the driver (not
+    the stopwatch) pays for it. A production caller should reach this
+    through ``near_dup_pairs`` (the storm-safe default, r14), whose
+    count gate adds one mapping pass — the hotkey bench's
+    ``minhash_lsh_storm_safe`` row times THAT entry point on both
+    trees."""
     from etl_rj_spark.session import ensure_session_defaults
 
     ensure_session_defaults(spark)

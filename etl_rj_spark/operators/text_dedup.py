@@ -290,10 +290,18 @@ def minhash_lsh_dedup_pairs(
     shingle_hashes_df: DataFrame | None = None,
     max_bucket_len: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates, then exact-Jaccard filter
-    at ``threshold``. Probabilistic recall (tune bands/rows to τ);
-    precision exact. ``hashed_sets``/``token_ngrams_n`` → the cheap
-    at-scale configuration (see jaccard_on_pairs/_shingles).
+    """Near-duplicate pairs (RAW all-pairs semantics): LSH candidates,
+    then exact-Jaccard filter at ``threshold``. Probabilistic recall
+    (tune bands/rows to τ); precision exact. ``hashed_sets``/
+    ``token_ngrams_n`` → the cheap at-scale configuration (see
+    jaccard_on_pairs/_shingles).
+
+    Prefer :func:`near_dup_pairs` (the storm-safe DEFAULT entry point,
+    r14): on a corpus carrying an exact-duplicate storm this raw
+    operator's pair OUTPUT is inherently quadratic — C(m,2) for an
+    m-member identical-content group (the r13 hotkey tree: 7.7e9
+    pairs, untimeable) — while the default collapses such groups to
+    linear star edges before LSH ever runs.
 
     ``max_bucket_len`` is the hashed path's quadratic-blow-up guard —
     the LSH twin of the n-gram index's posting-list cap: a degenerate
@@ -378,6 +386,96 @@ def minhash_lsh_dedup_pairs(
 
     sets = base.select(F.col(id_col), F.array_distinct("__h").alias("__set"))
     return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hashed_sets: bool = False,
+    token_ngrams_n: int | None = None,
+    fast_hash: bool = False,
+    max_bucket_len: int | None = None,
+    exact_collapse_first: bool = True,
+) -> DataFrame:
+    """THE near-duplicate entry point — storm-safe by default
+    (VERDICT r13 #5: the r13 hotkey finding promoted from a
+    composition the caller must remember into the engine's default
+    posture).
+
+    Why not raw LSH by default: a corpus carrying an exact-duplicate
+    storm (99 % one text — boilerplate, a replayed shard) has an
+    inherently quadratic near-dup PAIR OUTPUT — C(124k, 2) ≈ 7.7e9
+    pairs at the sf0.1 hotkey tree, where the raw band self-join ran
+    >12 min before being killed. The storm-safe tier order bounds
+    that: exact-collapse first (one narrow md5-key shuffle), LSH only
+    over the per-content representatives, and the exact-duplicate
+    groups reported as LINEAR star edges — ``(canonical_id, member,
+    1.0)``, group_size−1 rows — instead of the C(m,2) clique.
+
+    Output contract (``id_a < id_b`` in every row):
+    - exact tier: one ``(canonical, member, jaccard=1.0)`` edge per
+      non-canonical member of each identical-normalized-text group
+      (canonical = MIN(id); NULL-text rows never pair — no content,
+      no duplicate relation — matching the LSH tier's exclusion of
+      un-shingleable docs);
+    - LSH tier: ``minhash_lsh_dedup_pairs`` over the representatives
+      only, same parameters.
+    The pair set is COMPONENT-equivalent to the raw output (exact-dup
+    groups are jaccard-1.0 cliques; a star spans the same component),
+    so :func:`dedup_survivors` keeps the identical corpus — what
+    changes is only that redundant intra-clique edges and per-member
+    duplicates of the representative's near-dup edges are not
+    re-emitted quadratically.
+
+    Count-gated (VERDICT r13 #5 "ideally count-gated"): when the
+    corpus has NO exact-duplicate group, the representatives ARE the
+    corpus, so the raw path runs unchanged — byte-identical output to
+    ``minhash_lsh_dedup_pairs`` — and the storm posture costs exactly
+    one mapping pass + a limit(1) probe job. ``exact_collapse_first=
+    False`` opts out entirely (the raw operator, for callers that
+    need all-pairs semantics and accept the quadratic risk)."""
+    lsh_kwargs = dict(
+        threshold=threshold,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        hashed_sets=hashed_sets,
+        token_ngrams_n=token_ngrams_n,
+        fast_hash=fast_hash,
+        max_bucket_len=max_bucket_len,
+    )
+    if not exact_collapse_first:
+        return minhash_lsh_dedup_pairs(df, id_col, text_col, **lsh_kwargs)
+
+    content = df.filter(F.col(text_col).isNotNull())
+    mapping = exact_dedup_mapping(content, id_col, text_col).persist()
+    dup_edges = mapping.filter(F.col(id_col) != F.col("canonical_id"))
+    # the gate: limit(1)-bounded probe, never a full count
+    if dup_edges.limit(1).count() == 0:
+        mapping.unpersist()
+        return minhash_lsh_dedup_pairs(df, id_col, text_col, **lsh_kwargs)
+
+    reps = content.join(
+        mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    # distinct-pairs contract (r11): duplicated input ROWS (same id +
+    # text twice — a replayed shard) duplicate mapping rows; collapse
+    # on the star output (near-linear-sized), never on the corpus
+    star = dup_edges.select(
+        F.col("canonical_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    ).distinct()
+    return minhash_lsh_dedup_pairs(reps, id_col, text_col, **lsh_kwargs).unionByName(
+        star
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -38,10 +38,12 @@ DEFAULT_ROWS = [
 
 def _minhash_storm_safe(spark, sf_dir):
     """The at-scale NEAR-DUP posture for a corpus that may carry an
-    exact-duplicate storm: exact-collapse first (one narrow shuffle,
-    min-id representative per identical-content group — the curation
-    pipeline's tier order), then the same ×25 LSH pair production the
-    bench row times, with the ``max_bucket_len`` belt on.
+    exact-duplicate storm — since r14 this IS the engine's default
+    entry point, ``near_dup_pairs`` (VERDICT r13 #5): count-gated
+    exact-collapse first (one narrow md5-key shuffle, min-id
+    representative per identical-content group, linear star edges),
+    then the same ×25 LSH pair production the bench row times over
+    the representatives, with the ``max_bucket_len`` belt on.
 
     Why the raw ``minhash_lsh_pairs_scaled`` row is NOT timed on the
     hotkey tree: 99%-one-text makes ~124k docs verbatim-identical, and
@@ -49,17 +51,17 @@ def _minhash_storm_safe(spark, sf_dir):
     r13 measurement ran the raw row's one-bucket band join >12 min
     before being killed. That is a WORKLOAD change, not an engine gap
     (synth_scale.py documents the same caveat for --llm trees); the
-    engine's answer to the storm is this composition, and the bucket
-    cap is the belt for the slice that survives collapse."""
+    engine's answer to the storm is the default tier order this row
+    times, and the bucket cap is the belt for the slice that survives
+    collapse."""
     from etl_rj_spark.analytics.llm_suite import _scaled_docs
-    from etl_rj_spark.operators.text_dedup import exact_dedup, minhash_lsh_dedup_pairs
+    from etl_rj_spark.operators.text_dedup import near_dup_pairs
     from etl_rj_spark.session import ensure_session_defaults
 
     ensure_session_defaults(spark)
     corpus = _scaled_docs(spark, sf_dir, 25)
-    reps = exact_dedup(corpus, "doc_id", "text")
-    return minhash_lsh_dedup_pairs(
-        reps, "doc_id", "text", threshold=0.8,
+    return near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8,
         num_hashes=16, hashed_sets=True, token_ngrams_n=3, fast_hash=True,
         max_bucket_len=2000,
     )

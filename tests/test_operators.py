@@ -135,6 +135,101 @@ def test_incremental_near_dup_probes_index_without_corpus_rescan(spark):
     assert not any(101 in p for p in pairs)             # unrelated stays clean
 
 
+class TestNearDupPairsDefault:
+    """near_dup_pairs — the storm-safe DEFAULT near-dup entry point
+    (VERDICT r13 #5): count-gated exact-collapse-first tier order."""
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again %d"
+
+    def test_no_storm_gate_matches_raw_operator_exactly(self, spark):
+        from etl_rj_spark.operators.text_dedup import (
+            minhash_lsh_dedup_pairs,
+            near_dup_pairs,
+        )
+
+        rows = [(i, self.BASE % i) for i in range(8)] + [
+            (100, (self.BASE % 0) + " zz")  # near-dup, NOT exact
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in near_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        )
+        raw = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_lsh_dedup_pairs(
+                df, "doc_id", "text", threshold=0.8
+            ).collect()
+        )
+        assert got == raw and (0, 100) in {(a, b) for a, b, _ in got}
+
+    def test_storm_collapses_to_linear_star_edges(self, spark):
+        from etl_rj_spark.operators.text_dedup import near_dup_pairs
+
+        # genuinely DISTINCT base texts (BASE%i strings are one char
+        # apart — near-dups of each other at τ=0.8, wrong fixture here)
+        distinct = [
+            (0, "spark shuffles hash partition data across every executor node"),
+            (1, "parquet stores columnar pages with dictionary and rle encodings"),
+            (2, "watermarks bound streaming state for late arriving event rows"),
+        ]
+        storm_text = self.BASE % 7
+        rows = (
+            distinct
+            + [(7, storm_text)]
+            + [(200 + i, storm_text) for i in range(20)]  # exact-dup storm of doc 7
+            + [(100, storm_text + " zz")]  # near-dup of the storm content
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        star = {(r.id_a, r.id_b) for r in pairs if r.jaccard == 1.0}
+        # linear: 20 (7, 200+i) edges — never the C(21,2)=210 clique
+        assert star == {(7, 200 + i) for i in range(20)}
+        # the near-dup surfaces ONCE, at the representative
+        near = {(r.id_a, r.id_b) for r in pairs if r.jaccard < 1.0}
+        assert near == {(7, 100)}
+        assert len(pairs) == 21
+
+    def test_duplicated_rows_emit_distinct_star_edges(self, spark):
+        from etl_rj_spark.operators.text_dedup import near_dup_pairs
+
+        rows = [(1, self.BASE % 0), (2, self.BASE % 0)] * 3  # replayed shard
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+    def test_null_text_rows_never_pair(self, spark):
+        from etl_rj_spark.operators.text_dedup import near_dup_pairs
+
+        rows = [(1, self.BASE % 0), (2, None), (3, None), (4, self.BASE % 0)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in near_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        }
+        assert pairs == {(1, 4)}  # NULLs are content-free, not dups of each other
+
+    def test_opt_out_is_the_raw_operator(self, spark):
+        from etl_rj_spark.operators.text_dedup import (
+            minhash_lsh_dedup_pairs,
+            near_dup_pairs,
+        )
+
+        rows = [(1, self.BASE % 0), (2, self.BASE % 0), (3, (self.BASE % 0) + " zz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in near_dup_pairs(
+                df, "doc_id", "text", threshold=0.8, exact_collapse_first=False
+            ).collect()
+        )
+        raw = sorted(
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        )
+        assert got == raw == [(1, 2), (1, 3), (2, 3)]  # the full clique, by request
+
+
 class TestChunkWindows:
     def test_boundary_chunk_counts_and_offsets(self, spark):
         from etl_rj_spark.operators.curation import chunk_windows
