@@ -95,18 +95,21 @@ _PRIORITY = [
     # Executes VERDICT r13 directive #1: the staged r14 rotation,
     # with (per the standing rule) anything round 14 itself changes
     # outranking backfill.  Block A = changed/new THIS round:
-    # `near_dup_pairs_storm` (NEW — the storm-safe default near-dup
-    # entry point under an injected exact-dup storm, VERDICT r13 #5),
+    # `near_dup_pairs_storm` + `near_dup_survivors_storm` (NEW — the
+    # storm-safe default near-dup entry point under an injected
+    # exact-dup storm, and its end-to-end component-equivalence proof
+    # via dedup_survivors + recursive-CTE oracle, VERDICT r13 #5),
     # `minhash_lsh_pairs` (CHANGED contract — now routed through the
     # `near_dup_pairs` default; two-tier oracle), and the k1 pair
     # (CHANGED acceptance set — SQLSTATE 23505 anchored like 21000,
     # ADVICE r13).  Block B = the staged r6-green drain, verbatim in
     # its planned order — after this round the staleness floor rises
-    # to r7.  Block C = the oldest-r7 names the remaining 16 slots
+    # to r7.  Block C = the oldest-r7 names the remaining 15 slots
     # admit, led by the four VERDICT r13 #7 named
     # (trend_total_by_snapshot … month_es_en_recode).
     # -- A: changed/new this round (r14)
     "near_dup_pairs_storm",
+    "near_dup_survivors_storm",
     "minhash_lsh_pairs",
     "k1_atomic_jdbc_roundtrip",
     "k1_jdbc_upsert_roundtrip",
@@ -158,12 +161,11 @@ _PRIORITY = [
     "fuzzy_multipass_rescue",
     "image_header_sniff",
     "json_extract_props",
-    "lag_day_over_day",
     # ---- 50-query driver prefix ends here ----------------------
     # ---- ROUND-15 STAGED PLAN (written during r14) -------------
     # After this round the staleness floor is r7; the r15 rotation
-    # drains the remaining 12 r7-green names —
-    # last_two_snapshots_delta, monthly_order_stats,
+    # drains the remaining 13 r7-green names —
+    # lag_day_over_day, last_two_snapshots_delta, monthly_order_stats,
     # pivot_status_by_priority, pricing_summary, recode_static_map,
     # sessionization, temporal_dims_kernel, threshold_filter,
     # topk_orders_per_customer, unmapped_clients_report,

@@ -171,13 +171,16 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     return near_dup_pairs(corpus, "doc_id", "text", threshold=0.8)
 
 
+_STORM_CORPUS = (
+    _NEAR_CORPUS
+    + " UNION ALL SELECT 200000 + g.i AS doc_id, d.text AS text"
+    " FROM documents d CROSS JOIN range(0, 30) g(i) WHERE d.doc_id = 7"
+)
+
+
 @_q(
     "near_dup_pairs_storm",
-    _two_tier_near_dup_oracle(
-        _NEAR_CORPUS
-        + " UNION ALL SELECT 200000 + g.i AS doc_id, d.text AS text"
-        " FROM documents d CROSS JOIN range(0, 30) g(i) WHERE d.doc_id = 7"
-    ),
+    _two_tier_near_dup_oracle(_STORM_CORPUS),
     tags=("dedup-minhash-lsh",),
 )
 def near_dup_pairs_storm(spark, sf_dir):
@@ -202,6 +205,68 @@ def near_dup_pairs_storm(spark, sf_dir):
     )
     corpus = d.unionByName(dup).unionByName(storm)
     return near_dup_pairs(corpus, "doc_id", "text", threshold=0.8)
+
+
+@_q(
+    "near_dup_survivors_storm",
+    rf"""
+    WITH RECURSIVE corpus AS ({_STORM_CORPUS}),
+    keyed AS (SELECT doc_id, text, md5({_NT}) AS key FROM corpus
+              WHERE text IS NOT NULL),
+    mapping AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY key) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT doc_id, text FROM mapping WHERE doc_id = canonical_id),
+    sets AS ({_sql_shingle_sets('SELECT * FROM reps')}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= 0.8
+      UNION ALL
+      SELECT DISTINCT canonical_id, doc_id
+      FROM mapping WHERE doc_id <> canonical_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    ORDER BY doc_id
+    """,
+    tags=("dedup-minhash-lsh", "dedup-clusters"),
+)
+def near_dup_survivors_storm(spark, sf_dir):
+    """The end-to-end dedup CONSEQUENCE of the storm-safe default
+    (VERDICT r13 #5's component-equivalence claim, driver-proven):
+    ``dedup_survivors ∘ near_dup_pairs`` over the storm corpus keeps
+    exactly the corpus the RAW all-pairs flow would keep — the linear
+    star edges span the same connected components as the C(m,2)
+    clique, so min-id-per-component survivor selection is identical
+    while the pair frame shrinks from quadratic to linear. The DuckDB
+    oracle replays the whole chain: two-tier pairs → recursive-CTE
+    min-label components → non-losers. A companion unit test
+    (tests/test_operators.py) additionally pins survivor equality
+    between the default and the raw operator on the same fixture."""
+    from etl_rj_spark.operators.text_dedup import dedup_survivors, near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    storm = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select((F.lit(200000) + F.col("i")).cast("long").alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dup).unionByName(storm)
+    pairs = near_dup_pairs(corpus, "doc_id", "text", threshold=0.8)
+    return dedup_survivors(corpus, "doc_id", pairs).select("doc_id").orderBy("doc_id")
 
 
 _INC_OLD = "SELECT doc_id, text FROM documents WHERE doc_id < 100"

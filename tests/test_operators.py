@@ -209,6 +209,42 @@ class TestNearDupPairsDefault:
         }
         assert pairs == {(1, 4)}  # NULLs are content-free, not dups of each other
 
+    def test_survivors_identical_default_vs_raw(self, spark):
+        """The component-equivalence claim behind the linear star
+        edges: dedup_survivors keeps EXACTLY the same corpus whether
+        the pairs came from the storm-safe default or the raw
+        all-pairs operator — the star spans the same components as
+        the clique."""
+        from etl_rj_spark.operators.text_dedup import (
+            dedup_survivors,
+            minhash_lsh_dedup_pairs,
+            near_dup_pairs,
+        )
+
+        storm_text = self.BASE % 3
+        rows = (
+            [(0, "spark shuffles hash partition data across every executor node"),
+             (1, "parquet stores columnar pages with dictionary and rle encodings")]
+            + [(3, storm_text)]
+            + [(300 + i, storm_text) for i in range(12)]   # exact-dup storm
+            + [(50, storm_text + " zz")]                    # near-dup of the storm
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        s_default = sorted(
+            r.doc_id
+            for r in dedup_survivors(
+                df, "doc_id", near_dup_pairs(df, "doc_id", "text", threshold=0.8)
+            ).collect()
+        )
+        s_raw = sorted(
+            r.doc_id
+            for r in dedup_survivors(
+                df, "doc_id",
+                minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8),
+            ).collect()
+        )
+        assert s_default == s_raw == [0, 1, 3]  # storm + near-dup all collapse to 3
+
     def test_opt_out_is_the_raw_operator(self, spark):
         from etl_rj_spark.operators.text_dedup import (
             minhash_lsh_dedup_pairs,
