@@ -94,10 +94,11 @@ def main() -> None:
     # diagnosed after the fact from the loadavg stamp. Make it a
     # first-class field the moment it happens.
     warning = None
-    if load_start.get("loadavg") and load_start["loadavg"][0] > int(cpus) / 4:
+    n_cpus = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    if load_start.get("loadavg") and load_start["loadavg"][0] > n_cpus / 4:
         warning = (
             f"box loaded at start (1-min loadavg {load_start['loadavg'][0]} > "
-            f"{int(cpus)}/4): timings are NOT a settled envelope — compare "
+            f"{n_cpus}/4): timings are NOT a settled envelope — compare "
             "against BASELINE.md idle per-row records, not directly"
         )
         print(f"WARNING: {warning}", file=sys.stderr, flush=True)
