@@ -382,27 +382,54 @@ def minhash_index_probe(spark, sf_dir):
 
 # --- n-gram Jaccard (exact inverted index) ---------------------------------
 
-#: Exact all-pairs token-3-gram Jaccard ≥ 0.7 over the near-dup corpus.
-#: SHARED by `ngram_jaccard_pairs` (any-shared-gram inverted index) and
-#: `set_similarity_prefix_pairs` (PPJoin prefix filtering): both engine
-#: paths must produce byte-identical answers to this ground truth.
-_NGRAM_JACCARD_ORACLE = f"""
-    WITH corpus AS ({_NEAR_CORPUS}),
+def _two_tier_ngram_oracle(corpus_sql: str, threshold: float) -> str:
+    """DuckDB replay of the n-gram family's storm-safe default
+    (VERDICT r14 #2 — the r14 two-tier MinHash spelling bound to token
+    3-gram sets): exact-duplicate groups (identical normalized text,
+    NULL-text rows excluded) as linear ``(canonical=MIN(id), member,
+    1.0)`` star edges, then exact all-pairs gram Jaccard over the
+    per-content REPRESENTATIVES only. With no exact-duplicate group
+    this reduces to the raw all-pairs ground truth — one spelling
+    serves every regime, the dupstorm tree included."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    keyed AS (SELECT doc_id, text, md5({_NT}) AS key FROM corpus
+              WHERE text IS NOT NULL),
+    mapping AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY key) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT doc_id, text FROM mapping WHERE doc_id = canonical_id),
     sets AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3 THEN
                [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]
                ELSE [] END) AS s
-      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM corpus)
-    )
+      FROM (SELECT doc_id, string_split_regex({_NT}, '\\s+') AS toks FROM reps)
+    ),
     -- DISTINCT: one row per (id_a, id_b, jaccard) — verbatim-
     -- duplicated corpus rows fan the sets self-join out but collapse
     -- here, matching _jaccard_on_sets' distinct-pairs contract (r11
     -- dupstorm parity; no-op on unique ids)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
-    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE {_JACCARD} >= 0.7
+    raw AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD} >= {threshold}
+    ),
+    star AS (SELECT DISTINCT canonical_id AS id_a, doc_id AS id_b,
+                    1.0::DOUBLE AS jaccard
+             FROM mapping WHERE doc_id <> canonical_id)
+    SELECT * FROM raw UNION ALL SELECT * FROM star
     """
+
+
+#: Exact token-3-gram Jaccard ≥ 0.7 through the storm-safe default —
+#: SHARED by `ngram_jaccard_pairs` (any-shared-gram inverted index) and
+#: `set_similarity_prefix_pairs` (PPJoin prefix filtering): both engine
+#: paths must produce byte-identical answers to this ground truth. The
+#: registered corpus carries no exact-duplicate group, so the count
+#: gate sends both down the raw path and the two-tier spelling reduces
+#: to raw all-pairs; the two-tier form covers the degenerate regimes.
+_NGRAM_JACCARD_ORACLE = _two_tier_ngram_oracle(_NEAR_CORPUS, 0.7)
 
 
 def _near_dup_token_corpus(spark, sf_dir):
@@ -420,9 +447,47 @@ def _near_dup_token_corpus(spark, sf_dir):
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Token-3-gram Jaccard pairs ≥ 0.7 via inverted-index join —
-    exact (recall 1), oracle equality is strict."""
+    exact (recall 1), oracle equality is strict. Since r15 the entry
+    point is storm-safe by default (VERDICT r14 #2): this corpus has
+    no exact-duplicate group, so the count gate sends it down the raw
+    index path byte-identically; the two-tier oracle spelling covers
+    the regimes where duplicates DO appear."""
     corpus = _near_dup_token_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3)
+
+
+_NGRAM_STORM_ORACLE = _two_tier_ngram_oracle(_STORM_CORPUS, 0.7)
+
+
+@_q(
+    "ngram_jaccard_pairs_storm",
+    _NGRAM_STORM_ORACLE,
+    tags=("dedup-ngram-jaccard",),
+)
+def ngram_jaccard_pairs_storm(spark, sf_dir):
+    """:func:`ngram_jaccard_pairs` under an injected exact-duplicate
+    storm (30 verbatim copies of one document's text at fresh ids) —
+    the n-gram twin of ``near_dup_pairs_storm`` (VERDICT r14 #2):
+    identical texts share every gram, so the raw inverted index would
+    emit the C(31,2) jaccard-1.0 clique (and its posting cap bounds
+    candidate WORK, not that OUTPUT); the storm-safe default collapses
+    the group to 30 linear star edges ``(7, 200000+i, 1.0)`` and runs
+    the index over representatives only. Component-equivalence to the
+    raw pair set is pinned end-to-end by
+    tests/test_operators.py (survivor equality default-vs-raw)."""
+    from etl_rj_spark.operators.text_dedup import ngram_jaccard_pairs as _njp
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    storm = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select((F.lit(200000) + F.col("i")).cast("long").alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dup).unionByName(storm)
+    return _njp(corpus, "doc_id", "text", threshold=0.7, n=3)
 
 
 @_q(
@@ -437,7 +502,10 @@ def set_similarity_prefix_pairs_q(spark, sf_dir):
     ~(1-τ)·|s| globally-RAREST grams instead of every shared gram: the
     any-gram index degenerates into one candidate clique on a common
     gram (its posting cap trades exactness for scale), while the prefix
-    filter keeps recall 1 with bounded posting fan-out."""
+    filter keeps recall 1 with bounded posting fan-out. Storm-safe by
+    default since r15 (same tier order and count gate as
+    `ngram_jaccard_pairs` — no exact-dup group here, so the raw prefix
+    path runs byte-identically)."""
     from etl_rj_spark.operators.text_dedup import set_similarity_pairs_prefix
 
     corpus = _near_dup_token_corpus(spark, sf_dir)
@@ -524,10 +592,21 @@ _FP_CORPUS = (
     "FROM documents WHERE doc_id < 100"
 )
 
-@_q(
-    "simhash_near_pairs",
-    f"""
-    WITH corpus AS ({_FP_CORPUS}),
+
+def _two_tier_simhash_oracle(corpus_sql: str) -> str:
+    """DuckDB replay of the SimHash family's storm-safe default
+    (VERDICT r14 #2): exact-duplicate groups as ``(canonical=MIN(id),
+    member, hamming=0)`` star edges, then the bit-exact 60-bit SimHash
+    all-pairs hamming join over the per-content REPRESENTATIVES only.
+    Reduces to the raw all-pairs oracle when no group exists."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    keyed AS (SELECT doc_id, text, md5({_NT}) AS key FROM corpus
+              WHERE text IS NOT NULL),
+    mapping AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY key) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT doc_id, text FROM mapping WHERE doc_id = canonical_id),
     fps AS (
       SELECT doc_id,
              CAST(list_sum(list_transform(range(0, 60), j ->
@@ -537,28 +616,82 @@ _FP_CORPUS = (
         SELECT doc_id,
                list_transform(string_split_regex({_NT}, '\\s+'),
                               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
-        FROM corpus
+        FROM reps
       )
-    )
+    ),
     -- DISTINCT: distinct-pairs contract (r11 dupstorm parity with
     -- the engine's pair .distinct(); no-op on unique ids)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= 3
-    """,
+    raw AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ),
+    star AS (SELECT DISTINCT canonical_id AS id_a, doc_id AS id_b,
+                    0 AS hamming
+             FROM mapping WHERE doc_id <> canonical_id)
+    SELECT * FROM raw UNION ALL SELECT * FROM star
+    """
+
+
+@_q(
+    "simhash_near_pairs",
+    _two_tier_simhash_oracle(_FP_CORPUS),
     tags=("dedup-simhash",),
 )
 def simhash_near_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3) with 15-bit segment
     blocking — pigeonhole guarantees a pair within hamming 3 agrees on
-    ≥1 of 4 segments, so recall is exact and the all-pairs oracle is a
-    strict equality check."""
+    ≥1 of 4 segments, so recall is exact and the oracle is a strict
+    equality check. CONTRACT CHANGED r15 (VERDICT r14 #2): the entry
+    point is storm-safe by default, and this corpus — every doc plus a
+    VERBATIM copy — trips the count gate, so each identical pair now
+    surfaces as its linear star edge ``(id, id+100000, hamming=0)``
+    (identical texts ⇒ identical fingerprints) and the blocked hamming
+    join runs over the 100 representatives only, instead of the raw
+    4×-fanned all-pairs output."""
     from etl_rj_spark.operators.text_dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
     corpus = d.unionByName(dup)
+    pairs = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_FP_STORM_CORPUS = (
+    _FP_CORPUS
+    + " UNION ALL SELECT 200000 + g.i AS doc_id, d.text AS text"
+    " FROM documents d CROSS JOIN range(0, 30) g(i) WHERE d.doc_id = 7"
+)
+
+
+@_q(
+    "simhash_near_pairs_storm",
+    _two_tier_simhash_oracle(_FP_STORM_CORPUS),
+    tags=("dedup-simhash",),
+)
+def simhash_near_pairs_storm(spark, sf_dir):
+    """:func:`simhash_near_pairs` under an injected exact-duplicate
+    storm (30 more verbatim copies of doc 7 at fresh ids) — the
+    SimHash twin of ``near_dup_pairs_storm`` (VERDICT r14 #2):
+    identical texts have IDENTICAL fingerprints, so segment blocking
+    puts an m-member storm group in one bucket per segment and the raw
+    operator's output is the C(m,2) hamming-0 clique no blocking can
+    bound; the storm-safe default emits the group as linear star edges
+    through its canonical and runs the blocked join over
+    representatives only. Survivor equality to the raw pair set is
+    pinned by tests/test_operators.py."""
+    from etl_rj_spark.operators.text_dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    storm = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select((F.lit(200000) + F.col("i")).cast("long").alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dup).unionByName(storm)
     pairs = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -2052,34 +2185,60 @@ def cosine_topk_scaled(spark, sf_dir):
 
 # --- embedding-cosine near-dup (dedup by embedding) ------------------------
 
-@_q(
-    "embedding_cosine_near_pairs",
-    f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    corpus AS (
-      SELECT vec_id, v FROM base
+_VEC_NEAR_CORPUS = """
+      SELECT vec_id, v FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(range(1, 65),
                             i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END)
-      FROM base
-    ),
-    a AS (SELECT vec_id AS id_a, v AS qv FROM corpus),
-    b AS (SELECT vec_id AS id_b, v AS cv FROM corpus)
-    SELECT id_a, id_b, {{_SQL_COS}} AS score
-    FROM a JOIN b ON id_a < id_b
-    WHERE {{_SQL_COS}} >= 0.99
-    """.format(_SQL_COS=_SQL_COS),
-    tags=("dedup-embedding-cosine",),
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+_VEC_STORM_CORPUS = (
+    _VEC_NEAR_CORPUS
+    + """
+      UNION ALL
+      SELECT 200000 + g.i AS vec_id, b.v AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+      CROSS JOIN range(0, 30) g(i) WHERE b.vec_id = 7
+"""
 )
-def embedding_cosine_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup dedup (ground truth): the corpus is
-    embeddings plus one perturbed copy of each vector (+0.05 on the
-    first component, id+100000); every original/copy pair lands at
-    cosine ~1 and must be the exact pair set at threshold 0.99.
-    Brute-force all-pairs — the oracle-checkable baseline whose scale
-    path is cosine_near_pairs_lsh (recall-tested in test_fuzzy)."""
-    from etl_rj_spark.operators.similarity import cosine_near_pairs, vec_double
+
+
+def _two_tier_vector_oracle(corpus_sql: str, threshold: float) -> str:
+    """DuckDB replay of :func:`near_dup_vector_pairs`'s storm-safe
+    default (VERDICT r14 #2): BIT-IDENTICAL-vector groups (grouped on
+    the vector value itself — the engine groups on xxhash64 of the
+    double array, identical groups modulo a 2^-64 collision; NULL
+    vectors excluded) as linear ``(canonical=MIN(id), member, 1.0)``
+    star edges, then brute-force all-pairs cosine over the
+    REPRESENTATIVES only. Raw tier carries NO DISTINCT — multiplicity
+    parity with the engine's brute join under duplicated rows (r11
+    dupstorm contract); the star tier is DISTINCT like the engine's.
+    Reduces to the raw all-pairs oracle when no group exists."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    keyed AS (SELECT vec_id, v FROM corpus WHERE v IS NOT NULL),
+    mapping AS (SELECT vec_id, v,
+                       MIN(vec_id) OVER (PARTITION BY v) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT vec_id, v FROM mapping WHERE vec_id = canonical_id),
+    a AS (SELECT vec_id AS id_a, v AS qv FROM reps),
+    b AS (SELECT vec_id AS id_b, v AS cv FROM reps),
+    raw AS (
+      SELECT id_a, id_b, {_SQL_COS} AS score
+      FROM a JOIN b ON id_a < id_b
+      WHERE {_SQL_COS} >= {threshold}
+    ),
+    star AS (SELECT DISTINCT canonical_id AS id_a, vec_id AS id_b,
+                    1.0::DOUBLE AS score
+             FROM mapping WHERE vec_id <> canonical_id)
+    SELECT * FROM raw UNION ALL SELECT * FROM star
+    """
+
+
+def _vec_near_corpus(spark, sf_dir, storm: bool = False):
+    from etl_rj_spark.operators.similarity import vec_double
 
     e = _t(spark, sf_dir, "embeddings")
     v = vec_double("embedding")
@@ -2087,7 +2246,113 @@ def embedding_cosine_near_pairs(spark, sf_dir):
     corpus = e.select("vec_id", v.alias("embedding")).unionByName(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), perturbed.alias("embedding"))
     )
-    return cosine_near_pairs(corpus, threshold=0.99)
+    if storm:
+        corpus = corpus.unionByName(
+            e.filter(F.col("vec_id") == 7)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), v.alias("embedding"))
+            .select((F.lit(200000) + F.col("i")).cast("long").alias("vec_id"), "embedding")
+        )
+    return corpus
+
+
+@_q(
+    "embedding_cosine_near_pairs",
+    _two_tier_vector_oracle(_VEC_NEAR_CORPUS, 0.99),
+    tags=("dedup-embedding-cosine",),
+)
+def embedding_cosine_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (ground truth): the corpus is
+    embeddings plus one perturbed copy of each vector (+0.05 on the
+    first component, id+100000); every original/copy pair lands at
+    cosine ~1 and must be the exact pair set at threshold 0.99.
+    Routed through :func:`near_dup_vector_pairs` (r15 — the engine's
+    storm-safe DEFAULT vector entry point, VERDICT r14 #2) on its
+    brute-force tier: no two corpus vectors are bit-identical, so the
+    count gate sends it down the raw all-pairs path byte-identically;
+    the two-tier oracle spelling covers the regimes where identical
+    vectors DO appear. The scale tier is cosine_near_pairs_lsh
+    (recall-tested in test_fuzzy)."""
+    from etl_rj_spark.operators.similarity import near_dup_vector_pairs
+
+    return near_dup_vector_pairs(_vec_near_corpus(spark, sf_dir), threshold=0.99)
+
+
+@_q(
+    "vector_near_dup_pairs_storm",
+    _two_tier_vector_oracle(_VEC_STORM_CORPUS, 0.99),
+    tags=("dedup-embedding-cosine",),
+)
+def vector_near_dup_pairs_storm(spark, sf_dir):
+    """:func:`near_dup_vector_pairs` under an injected exact-duplicate
+    storm (30 BIT-IDENTICAL copies of vector 7 at fresh ids — the
+    replayed-embedding-shard shape): the count gate trips, the storm
+    group surfaces as 30 linear star edges ``(7, 200000+i, 1.0)``, and
+    the brute/LSH tier runs over representatives only — never the
+    C(m,2) cosine-1.0 clique a raw pair generator would quadratically
+    emit (identical vectors co-bucket in EVERY LSH table, so no
+    bucketing parameter bounds that output). The vector twin of
+    ``near_dup_pairs_storm`` (VERDICT r14 #2)."""
+    from etl_rj_spark.operators.similarity import near_dup_vector_pairs
+
+    return near_dup_vector_pairs(
+        _vec_near_corpus(spark, sf_dir, storm=True), threshold=0.99
+    )
+
+
+@_q(
+    "vector_near_dup_survivors_storm",
+    rf"""
+    WITH RECURSIVE corpus AS ({_VEC_STORM_CORPUS}),
+    keyed AS (SELECT vec_id, v FROM corpus WHERE v IS NOT NULL),
+    mapping AS (SELECT vec_id, v,
+                       MIN(vec_id) OVER (PARTITION BY v) AS canonical_id
+                FROM keyed),
+    reps AS (SELECT vec_id, v FROM mapping WHERE vec_id = canonical_id),
+    a AS (SELECT vec_id AS id_a, v AS qv FROM reps),
+    b AS (SELECT vec_id AS id_b, v AS cv FROM reps),
+    pairs AS (
+      SELECT id_a, id_b FROM a JOIN b ON id_a < id_b
+      WHERE {_SQL_COS} >= 0.99
+      UNION ALL
+      SELECT DISTINCT canonical_id, vec_id
+      FROM mapping WHERE vec_id <> canonical_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT vec_id FROM corpus
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    ORDER BY vec_id
+    """,
+    tags=("dedup-embedding-cosine", "dedup-clusters"),
+)
+def vector_near_dup_survivors_storm(spark, sf_dir):
+    """The end-to-end dedup CONSEQUENCE of the vector family's
+    storm-safe default — the component-equivalence proof
+    (VERDICT r14 #2 "Done =", mirroring ``near_dup_survivors_storm``):
+    ``dedup_survivors ∘ near_dup_vector_pairs`` over the vector storm
+    corpus keeps exactly the corpus the RAW all-pairs flow would keep,
+    because the linear star edges span the same connected components
+    as the C(m,2) cosine-1.0 clique. The DuckDB oracle replays the
+    whole chain — two-tier pairs → recursive-CTE min-label components
+    → non-losers; a companion unit test additionally pins survivor
+    equality between the default and the raw operator."""
+    from etl_rj_spark.operators.similarity import near_dup_vector_pairs
+    from etl_rj_spark.operators.text_dedup import dedup_survivors
+
+    corpus = _vec_near_corpus(spark, sf_dir, storm=True)
+    pairs = near_dup_vector_pairs(corpus, threshold=0.99)
+    return (
+        dedup_survivors(corpus, "vec_id", pairs.select("id_a", "id_b"))
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
 
 
 @_q(
@@ -4017,12 +4282,16 @@ def neardup_eval_simhash(spark, sf_dir):
     )
 
     corpus = _near_dup_token_corpus(spark, sf_dir)
-    truth = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3).select(
-        "id_a", "id_b"
-    )
-    found = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3).select(
-        "id_a", "id_b"
-    )
+    # RAW on both sides (r15): this harness measures the SimHash
+    # FINGERPRINT's candidate quality against ground truth, so the
+    # storm-safe collapse tier must not substitute its star edges for
+    # either pair set — the documented raw-semantics caller.
+    truth = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.7, n=3, exact_collapse_first=False
+    ).select("id_a", "id_b")
+    found = simhash_near_pairs(
+        corpus, "doc_id", "text", max_hamming=3, exact_collapse_first=False
+    ).select("id_a", "id_b")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     f_ = found.agg(F.count(F.lit(1)).alias("n_found"))
     h = truth.join(found, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -38,12 +38,15 @@ from etl_rj_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    near_dup_vector_pairs,
 )
 from etl_rj_spark.operators.skew import salted_join  # noqa: F401
 from etl_rj_spark.operators.text_dedup import (  # noqa: F401
+    exact_collapse_star_pairs,
     exact_dedup,
     exact_dedup_mapping,
     minhash_lsh_dedup_pairs,
+    near_dup_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,

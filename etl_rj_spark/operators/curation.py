@@ -534,8 +534,14 @@ def split_leakage_pairs(
     """
     from etl_rj_spark.operators.text_dedup import set_similarity_pairs_prefix
 
+    # exact_collapse_first=False — deliberately RAW (r15): the storm-
+    # safe default reports an exact-dup group as star edges through its
+    # canonical only, so a cross-split pair between two NON-canonical
+    # members would vanish from the audit. Leakage recall beats output
+    # linearity here; this audit is the documented raw-semantics caller.
     pairs = set_similarity_pairs_prefix(
-        df.select(F.col(id_col), F.col(text_col)), id_col, text_col, threshold, n
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col, threshold, n,
+        exact_collapse_first=False,
     )
     # DISTINCT (id, split) mapping: a split is a function of the id
     # (hash_split), so duplicated rows of one id carry one split — the

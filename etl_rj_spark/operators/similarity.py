@@ -355,6 +355,67 @@ def cosine_near_pairs_lsh(
     )
 
 
+def near_dup_vector_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bits: int = 4,
+    tables: int = 8,
+    exact_collapse_first: bool = True,
+) -> DataFrame:
+    """THE embedding near-duplicate entry point — storm-safe by
+    default (VERDICT r14 #2: the MinHash family's r14 posture extended
+    to vectors; a replayed embedding shard is the vector twin of the
+    boilerplate text storm, and C(m,2) cosine-1.0 pairs for an
+    m-member identical-vector group is the same inherently quadratic
+    OUTPUT no bucketing cap can bound).
+
+    Tier order (shared machinery,
+    :func:`~etl_rj_spark.operators.text_dedup.exact_collapse_star_pairs`):
+    exact-collapse BIT-IDENTICAL vectors (group key = ``xxhash64`` of
+    the double-cast array — one 8-byte shuffle key instead of the
+    512-byte vector; NULL-vector rows never pair), count-gate via a
+    limit(1) probe, emit each identical-vector group as linear
+    ``(canonical=MIN(id), member, score=1.0)`` star edges, and run the
+    raw pair generator over per-content representatives only. With no
+    identical-vector group the raw path runs over the full corpus,
+    byte-identical to the opt-out.
+
+    Raw tier: brute-force :func:`cosine_near_pairs` when ``dim`` is
+    None (the oracle-checkable baseline), hyperplane-LSH
+    :func:`cosine_near_pairs_lsh` when ``dim`` is given (the scale
+    path — identical vectors always co-bucket, so the exact tier
+    subsumes exactly the pairs LSH would re-derive quadratically).
+
+    Component equivalence: identical vectors are cosine-1.0 ≥ any
+    threshold ≤ 1, and the star spans the same connected component as
+    the raw clique, so ``dedup_survivors`` keeps the identical corpus;
+    degenerate all-zero vectors (cosine undefined → raw emits nothing)
+    are still collapsed by the exact tier — identical content is a
+    duplicate relation regardless of a defined similarity score, the
+    same scoping as the un-shingleable-text regime (ADVICE r14).
+    ``exact_collapse_first=False`` is the raw all-pairs opt-out."""
+    from etl_rj_spark.operators.text_dedup import exact_collapse_star_pairs
+
+    def raw(d: DataFrame) -> DataFrame:
+        if dim is None:
+            return cosine_near_pairs(d, threshold, id_col, vec_col)
+        return cosine_near_pairs_lsh(d, threshold, dim, id_col, vec_col, bits, tables)
+
+    if not exact_collapse_first:
+        return raw(corpus)
+    return exact_collapse_star_pairs(
+        corpus,
+        id_col,
+        F.xxhash64(vec_double(vec_col)),
+        raw,
+        {"score": F.lit(1.0)},
+        content_filter=F.col(vec_col).isNotNull(),
+    )
+
+
 def semdedup_incremental(
     existing: DataFrame,
     batch: DataFrame,

