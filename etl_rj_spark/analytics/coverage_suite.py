@@ -93,10 +93,12 @@ def _scratch(name: str) -> str:
     LIVE streaming checkpoint (reproduced:
     ``FileNotFoundException: .../etl_rj_cov_stream_dedup_wm/ck/state/0/132``).
     A per-session id keeps the idempotence (same process → same path →
-    clean slate per build) while making cross-process runs disjoint."""
-    d = os.path.join(tempfile.gettempdir(), f"etl_rj_cov_{os.getpid()}_{name}")
-    shutil.rmtree(d, ignore_errors=True)
-    return d
+    clean slate per build) while making cross-process runs disjoint.
+    Lifetime is bounded by ``analytics.scratch`` (r15, ADVICE r14):
+    atexit removal plus a dead-pid sibling sweep on entry."""
+    from etl_rj_spark.analytics.scratch import pid_scratch
+
+    return pid_scratch("etl_rj_cov", name)
 
 
 # ---------------------------------------------------------------------------
