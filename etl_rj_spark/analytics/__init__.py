@@ -91,91 +91,93 @@ from etl_rj_spark.analytics import pipeline_suite  # noqa: F401  (registers quer
 #: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
 #: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-14 DRIVER PREFIX (50 names) ---------------------
-    # Executes VERDICT r13 directive #1: the staged r14 rotation,
-    # with (per the standing rule) anything round 14 itself changes
-    # outranking backfill.  Block A = changed/new THIS round:
-    # `near_dup_pairs_storm` + `near_dup_survivors_storm` (NEW — the
-    # storm-safe default near-dup entry point under an injected
-    # exact-dup storm, and its end-to-end component-equivalence proof
-    # via dedup_survivors + recursive-CTE oracle, VERDICT r13 #5),
-    # `minhash_lsh_pairs` (CHANGED contract — now routed through the
-    # `near_dup_pairs` default; two-tier oracle), and the k1 pair
-    # (CHANGED acceptance set — SQLSTATE 23505 anchored like 21000,
-    # ADVICE r13).  Block B = the staged r6-green drain, verbatim in
-    # its planned order — after this round the staleness floor rises
-    # to r7.  Block C = the oldest-r7 names the remaining 15 slots
-    # admit, led by the four VERDICT r13 #7 named
-    # (trend_total_by_snapshot … month_es_en_recode).
-    # -- A: changed/new this round (r14)
-    "near_dup_pairs_storm",
-    "near_dup_survivors_storm",
-    "minhash_lsh_pairs",
-    "k1_atomic_jdbc_roundtrip",
-    "k1_jdbc_upsert_roundtrip",
-    # -- B: the r6-green drain (staged at r13 close, verbatim)
-    "benford_first_digit",
-    "binary_file_ingest",
-    "cohort_retention",
-    "curated_corpus_splits",
-    "date_spine_gap_fill",
-    "decay_weighted_revenue",
+    # ---- ROUND-15 DRIVER PREFIX (50 names) ---------------------
+    # Executes VERDICT r14 directive #1: the staged r15 rotation,
+    # with (per the standing rule) anything round 15 itself changes
+    # outranking backfill.  Block A = changed/new THIS round
+    # (VERDICT r14 #2 — the storm-safe exact-collapse-first default
+    # generalized beyond MinHash): four NEW storm queries — the
+    # SimHash / n-gram / vector family twins of near_dup_pairs_storm
+    # plus the vector survivors component-equivalence proof
+    # (recursive-CTE oracle) — and four CHANGED contracts:
+    # `simhash_near_pairs` (its verbatim-copy corpus now trips the
+    # count gate → star edges + rep-level hamming join),
+    # `ngram_jaccard_pairs` / `set_similarity_prefix_pairs` /
+    # `embedding_cosine_near_pairs` (routed through the new defaults;
+    # gate does not trip on their corpora so output is byte-identical,
+    # but the oracles are re-spelled two-tier for the degenerate
+    # regimes).  Block B = the 13 remaining r7-green names, verbatim
+    # from the staged plan — after this round the staleness floor
+    # rises to r8.  Block C = the oldest-r8 drain, alphabetical, as
+    # many as the remaining 29 slots admit (the 4 leftover r8 names
+    # are at age 7 — inside MAX_AGE — and lead the staged r16 plan).
+    # -- A: changed/new this round (r15)
+    "simhash_near_pairs_storm",
+    "ngram_jaccard_pairs_storm",
+    "vector_near_dup_pairs_storm",
+    "vector_near_dup_survivors_storm",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "set_similarity_prefix_pairs",
     "embedding_cosine_near_pairs",
-    "embedding_int8_quantized",
-    "event_type_transitions",
-    "fixed_width_roundtrip",
-    "gap_fill_interpolate",
-    "histogram_totalprice",
-    "intersect_customers",
-    "ngram_containment_pairs",
-    "pack_sequences_budget",
-    "pagerank_interaction_graph",
-    "parquet_schema_evolution",
-    "pit_dimension_enrich",
-    "profile_lineitem",
-    "quantile_stats",
-    "quarantine_reason_counts",
-    "recursive_reachability",
-    "resample_epoch_upsample",
-    "salted_customer_rollup",
-    "span_dedup_docs",
-    "stratified_sample_events",
-    "target_encoding_loo",
-    "top_event_type_per_user",
-    "triangle_count",
-    "xml_column_extract",
-    # -- C: oldest-r7 backfill (VERDICT r13 #7 names first, then
-    #       alphabetical)
-    "trend_total_by_snapshot",
-    "latest_snapshot",
-    "clean_name_kernel",
-    "month_es_en_recode",
-    "client_zone_rollup",
-    "cluster_quality_keep",
-    "decontaminate_docs_hashed",
-    "dim_enrich_left",
-    "distinct_topk_dates",
-    "ecommerce_rewrite",
-    "embedding_random_projection",
-    "fuzzy_best_match_blocked",
-    "fuzzy_multipass_rescue",
-    "image_header_sniff",
-    "json_extract_props",
+    # -- B: the r7-green drain (staged at r14 close, verbatim)
+    "lag_day_over_day",
+    "last_two_snapshots_delta",
+    "monthly_order_stats",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "recode_static_map",
+    "sessionization",
+    "temporal_dims_kernel",
+    "threshold_filter",
+    "topk_orders_per_customer",
+    "unmapped_clients_report",
+    "unpivot_flag_measures",
+    "zone_coalesce_default",
+    # -- C: oldest-r8 backfill (alphabetical; 29 of 33)
+    "ann_eval_recall_mrr",
+    "bigram_fluency_score",
+    "bpe_pair_merge_candidates",
+    "calibration_bins_events",
+    "cdc_apply_orders",
+    "decontaminate_docs_bloom",
+    "distribution_match_resample",
+    "event_cooccurrence_lift",
+    "exact_auc_purchase_value",
+    "golden_record_docs",
+    "hard_negative_mining",
+    "hybrid_search_rrf",
+    "join_key_skew_audit",
+    "keyword_search_topk",
+    "knn_label_vote",
+    "manifest_incremental_ingest",
+    "margin_bitext_pairs",
+    "nearest_view_to_purchase",
+    "pareto_revenue_report",
+    "pk_uniqueness_audit",
+    "preference_pairs_mined",
+    "prorate_order_totals",
+    "purchase_attribution_linear",
+    "referential_integrity_audit",
+    "retention_labels_events",
+    "shard_source_diversity",
+    "split_leakage_audit",
+    "temperature_mix_docs",
+    "user_feature_snapshot",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-15 STAGED PLAN (written during r14) -------------
-    # After this round the staleness floor is r7; the r15 rotation
-    # drains the remaining 13 r7-green names —
-    # lag_day_over_day, last_two_snapshots_delta, monthly_order_stats,
-    # pivot_status_by_priority, pricing_summary, recode_static_map,
-    # sessionization, temporal_dims_kernel, threshold_filter,
-    # topk_orders_per_customer, unmapped_clients_report,
-    # unpivot_flag_measures, zone_coalesce_default —
-    # then the oldest r8 names the remaining ~34 slots admit
-    # (alphabetical from the 33-name r8 cohort: ann_eval_recall_mrr,
-    # bigram_fluency_score, bpe_pair_merge_candidates, …), with
-    # whatever r14/r15 itself changes ALWAYS outranking backfill.
-    # ---- ROUND-13 DRIVER PREFIX: superseded (executed verbatim —
-    #      CORRECTNESS_r13 went 50/50 green; see that file and the
+    # ---- ROUND-16 STAGED PLAN (written during r15) -------------
+    # After this round the staleness floor is r8; the r16 rotation
+    # leads with the 4 r8 names this prefix could not admit —
+    # value_trend_slope, weighted_percentiles_price,
+    # weighted_sample_sources, zorder_layout_buckets (age 8 by then,
+    # i.e. AT the MAX_AGE boundary — they must ride or be staged) —
+    # then the oldest r9 cohort alphabetically
+    # (abc_classification_parts, acf_daily_revenue,
+    # attribution_model_compare, bpe_second_merge_candidates, …, 36
+    # names) as the remaining ~46 slots admit, with whatever r15/r16
+    # itself changes ALWAYS outranking backfill.
+    # ---- ROUND-14 DRIVER PREFIX: superseded (executed verbatim —
+    #      CORRECTNESS_r14 went 50/50 green; see that file and the
     #      git history of this list for the exact names/order) -----
 ]
 
