@@ -2004,7 +2004,10 @@ def _within_base_expected(values_by_base, pair_pred):
     ).otherwise(F.array().cast("array<long>"))
     return (
         values_by_base.groupBy("__base")
-        .agg(F.collect_list("__val").alias("ms"))
+        # sorted: the C(n,2) pair-flag SUM below is order-free already,
+        # but the canonical order lets order_audit.py verify that
+        # structurally (r15; ~25 small arrays per base — free)
+        .agg(F.array_sort(F.collect_list("__val")).alias("ms"))
         .select(
             F.aggregate(pair_flags, F.lit(0).cast("long"), lambda a, x: a + x).alias("c"),
             F.size("ms").cast("long").alias("__n"),

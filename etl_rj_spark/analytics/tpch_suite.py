@@ -823,7 +823,11 @@ def kll_quantile_rollup(spark, sf_dir):
     )
     merged = (
         daily.groupBy("o_orderpriority")
-        .agg(F.collect_list("__sk").alias("__sks"))
+        # sorted (r15, order_audit.py): KLL merge accepts any order,
+        # but compaction detail depends on it — the lexicographic sort
+        # of the sketch blobs makes the merged sketch (and so the
+        # median estimate) run-deterministic, not just band-stable
+        .agg(F.array_sort(F.collect_list("__sk")).alias("__sks"))
         .select(
             "o_orderpriority",
             F.aggregate(
@@ -842,7 +846,10 @@ def kll_quantile_rollup(spark, sf_dir):
         "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.first("sketch_n").alias("sketch_n"),
+        # min == the value: sketch_n is constant per group (functional
+        # dependency of the broadcast join key) — min states that
+        # order-freely where first() only happened to (r15 order audit)
+        F.min("sketch_n").alias("sketch_n"),
         F.sum((val < F.col("__med_est")).cast("long")).alias("__lt_est"),
         F.sum((val <= F.col("__med_est")).cast("long")).alias("__le_est"),
     )

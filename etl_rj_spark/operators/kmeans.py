@@ -183,12 +183,16 @@ def _assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     (array of (cid, cv) structs) and argmin is ``array_min`` over
     ``struct(dist, cid)`` — lexicographic struct ordering IS the
     (distance, cid) tie-break, and min over a set is independent of
-    ``collect_list``'s nondeterministic order. Assignment is a pure
+    ``collect_list``'s nondeterministic order; the ``array_sort``
+    wrapper (r15) additionally pins the PLAN-level order so the
+    order-determinism audit (scripts/order_audit.py) can verify
+    determinism structurally instead of by allowlist — k structs,
+    one row, free. Assignment is a pure
     map over the corpus scan; the naive alternative (explode k rows
     per point + row_number window) would shuffle the whole corpus
     once per Lloyd iteration."""
     packed = F.broadcast(
-        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+        centroids.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("__cents"))
     )
     best = F.array_min(
         F.transform(
@@ -457,7 +461,7 @@ def probe_ivf_index(
     from etl_rj_spark.operators.similarity import quantize_vec
 
     packed = F.broadcast(
-        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+        centroids.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("__cents"))
     )
     best = F.array_min(
         F.transform(
@@ -598,7 +602,7 @@ def pq_encode(
     out = df.select(F.col(id_col), vec_double(vec_col).alias("__dv"))
     for s, cb in enumerate(codebooks):
         out = out.crossJoin(
-            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+            F.broadcast(cb.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(f"__cents{s}")))
         )
     def _best_fn(sv):
         # closure factory: a default-arg capture (lambda c, sv=sv) has
@@ -644,7 +648,7 @@ def pq_adc_topk(
     )
     for s, cb in enumerate(codebooks):
         q = q.crossJoin(
-            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+            F.broadcast(cb.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(f"__cents{s}")))
         )
     def _dist_fn(sv):
         return lambda c: _sqdist(sv, c["cv"])  # closure, not default-arg (arity!)
@@ -764,7 +768,7 @@ def ivfpq_build(
     out = resid
     for s, cb in enumerate(books):
         out = out.crossJoin(
-            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+            F.broadcast(cb.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(f"__cents{s}")))
         )
 
     def _best_fn(sv):
@@ -785,7 +789,7 @@ def _assign_topn(pts: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
     ``array_sort`` on (dist, cid) structs is the deterministic
     ordering, ``slice`` takes the n nearest)."""
     packed = F.broadcast(
-        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("__cents"))
+        centroids.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("__cents"))
     )
     dists = F.array_sort(
         F.transform(
@@ -839,7 +843,7 @@ def ivfpq_topk(
     )
     for s, cb in enumerate(codebooks):
         qres = qres.crossJoin(
-            F.broadcast(cb.agg(F.collect_list(F.struct("cid", "cv")).alias(f"__cents{s}")))
+            F.broadcast(cb.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(f"__cents{s}")))
         )
 
     def _dist_fn(sv):

@@ -1,16 +1,19 @@
 """Full-registry plan-audit contracts, in CI (ADVICE r12 / VERDICT r12
-#6): every registered query's optimized plan is checked for the two
-100-TB scale-killers — unpartitioned windows (whole input through ONE
-task) and unbounded cross joins (quadratic blow-up) — against the
-documented allowlists in scripts/window_audit.py and
-scripts/crossjoin_audit.py.
+#6; third audit VERDICT r14 #6): every registered query's optimized
+plan is checked for the two 100-TB scale-killers — unpartitioned
+windows (whole input through ONE task) and unbounded cross joins
+(quadratic blow-up) — against the documented allowlists in
+scripts/window_audit.py and scripts/crossjoin_audit.py, plus (r15)
+the order-determinism contract of scripts/order_audit.py: no unsorted
+collect_list/collect_set/first/last whose value can depend on
+partition/row order.
 
 Until r13 the window audit's "fails CI the round it lands" claim was
 aspirational: nothing in the suite invoked it (the staleness invariant
 got test_driver_verdict_staleness_invariant when it converted from
 convention to contract; this is the same conversion for the plan
-audits). One registry pass serves both checks — each query is built
-once and both plan walks run on the same DataFrame.
+audits). One registry pass serves all three checks — each query is
+built once and every plan walk runs on the same DataFrame.
 """
 
 from __future__ import annotations
@@ -53,6 +56,8 @@ def test_plan_audits_full_registry(spark, sf_dir):
     fails here with its name in hand, the round it lands."""
     from crossjoin_audit import ALLOWLIST as XJ_ALLOW
     from crossjoin_audit import cross_joins
+    from order_audit import ALLOWLIST as ORD_ALLOW
+    from order_audit import order_dependent_aggs
     from window_audit import ALLOWLIST as WIN_ALLOW
     from window_audit import unpartitioned_windows
 
@@ -60,6 +65,7 @@ def test_plan_audits_full_registry(spark, sf_dir):
 
     win_found: dict[str, list[str]] = {}
     xj_found: dict[str, list[str]] = {}
+    ord_found: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     for name, q in ordered_registry().items():
         try:
@@ -73,6 +79,9 @@ def test_plan_audits_full_registry(spark, sf_dir):
         joins = cross_joins(df)
         if joins:
             xj_found[name] = joins
+        aggs = order_dependent_aggs(df)
+        if aggs:
+            ord_found[name] = aggs
 
     assert not errors, f"query build errors: {errors}"
     win_violations = sorted(set(win_found) - set(WIN_ALLOW))
@@ -82,4 +91,8 @@ def test_plan_audits_full_registry(spark, sf_dir):
     xj_violations = sorted(set(xj_found) - set(XJ_ALLOW))
     assert not xj_violations, {
         n: xj_found[n] for n in xj_violations
+    }
+    ord_violations = sorted(set(ord_found) - set(ORD_ALLOW))
+    assert not ord_violations, {
+        n: ord_found[n] for n in ord_violations
     }
