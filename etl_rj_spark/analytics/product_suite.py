@@ -1037,15 +1037,39 @@ def triangle_count_copurchase(spark, sf_dir):
     from etl_rj_spark.operators.components import triangle_stats
 
     li = _t(spark, sf_dir, "lineitem")
-    pres = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pres.alias("a")
-    b = pres.select(F.col("o"), F.col("p").alias("p2"))
+    # r15 (guide §2.4): the old shape was distinct(o,p) → self-join on
+    # o → groupBy(u,v) — three exchanges and a join whose per-order
+    # fan-out Spark rebuilt row-by-row. An order's co-purchase pairs
+    # are a PER-ORDER local product (orders hold a handful of parts),
+    # so ONE groupBy(o) with a sorted part set + an in-row C(n,2) pair
+    # expansion replaces the distinct AND the self-join: 2 exchanges,
+    # 0 joins, identical (u, v, sup) multiset (array_sort makes i<j ⇒
+    # u<v canonical, collect_set = the old distinct). Per-row width is
+    # bounded by the order's part count — the same C(n,2) the join
+    # emitted, just generated where the data already sits.
+    parts = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    n = F.size("ps")
+    pair_structs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n.cast("long")),
+                    lambda j: F.struct(
+                        F.element_at(F.col("ps"), i.cast("int")).alias("u"),
+                        F.element_at(F.col("ps"), j.cast("int")).alias("v"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<u:bigint,v:bigint>>"))
     edges = (
-        a.join(b, "o")
-        .filter(F.col("p") < F.col("p2"))
-        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
+        parts.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("u", "v")
@@ -2479,7 +2503,7 @@ def bootstrap_median_revenue(spark, sf_dir):
     cannot give for a skewed measure. One fan-out scan + one
     (replicate, value) aggregate + a replicate-partitioned vocabulary
     window."""
-    from etl_rj_spark.operators.stats import poisson_weight_expr
+    from etl_rj_spark.operators.stats import poisson_h52_expr, poisson_weight_from_h52
 
     # the bootstrap resamples OBSERVED values only (the
     # poisson_bootstrap_means contract; see oracle, r10 nullmix parity)
@@ -2495,7 +2519,20 @@ def bootstrap_median_revenue(spark, sf_dir):
         "o_orderkey", "cents",
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("replicate"),
     )
-    weighted = fan.withColumn("w", poisson_weight_expr("o_orderkey", "replicate"))
+    # draw hash materialized as its own column before the weight CASE
+    # (r15, guide §1.2): inline, the md5→hex→conv chain re-evaluates per
+    # CASE branch (conditional evaluation defeats codegen subexpression
+    # elimination) — the draw stage alone measured 3.69 s vs 1.29 s.
+    # Draw values (and the oracle's bit-for-bit md5 replay) unchanged.
+    weighted = fan.withColumn(
+        "__h52", poisson_h52_expr("o_orderkey", "replicate")
+    ).withColumn("w", poisson_weight_from_h52(F.col("__h52")))
+    # (r15 note: a w > 0 pre-shuffle filter would drop the e⁻¹ ≈ 37 %
+    # zero-weight rows, but predicate pushdown substitutes the md5
+    # chain into the pushed filter below the __h52 projection — the
+    # hash then evaluates TWICE per row, which costs more than the
+    # saved shuffle bytes. Measured and reverted; the wsum > 0 filter
+    # below keeps the identical grain table.)
     grain = (
         weighted.groupBy("replicate", "cents")
         .agg(F.sum("w").alias("wsum"))

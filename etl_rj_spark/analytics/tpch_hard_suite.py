@@ -444,6 +444,17 @@ def exclusive_late_supplier_q21(spark, sf_dir):
             ).alias("late")
         )
     )
+    # r15 (guide §2.4/§5): `flags` feeds TWO branches (the per-order
+    # culprit filter AND the late-supplier rows semi-joined back); left
+    # lazy, the planner compiled two full lineitem⋈orders joins +
+    # aggregations — the differing column pruning per branch defeats
+    # exchange reuse (10 parquet scans in the r14 plan). Materializing
+    # the narrow (order, supplier, late) aggregate once makes the plan
+    # read each table once and both branches reuse the 600k-row
+    # intermediate (measured 4.2 s → 3.1 s shape-for-shape;
+    # localCheckpoint = ContextCleaner-bounded blocks, the house
+    # pattern for reused corpus-grain intermediates).
+    flags = flags.localCheckpoint()
     culprit = (
         flags.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late"))

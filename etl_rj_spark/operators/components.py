@@ -306,13 +306,19 @@ def triangle_stats(
         & (F.greatest("t1", "t2") == F.col("cv")),
         "left_semi",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # n_nodes, n_wedges AND n_edges all come from the one degree table:
+    # Σd = 2·|E| exactly on the canonical simple-edge set, which drops
+    # the separate full edge-count pass (r15, guide §1.2 — don't
+    # recompute what an existing aggregate already carries)
     wedge_total = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        # coalesce: an EMPTY graph must keep reporting n_edges = 0 (the
+        # old COUNT(*) semantics), not a NULL sum
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0).cast("bigint")).alias("n_edges"),
     )
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        wedge_total.join(F.broadcast(n_edges)).join(F.broadcast(tri))
+        wedge_total.join(F.broadcast(tri))
         .select(
             "n_nodes", "n_edges", "n_wedges",
             F.col("n_triangles").cast("bigint").alias("n_triangles"),

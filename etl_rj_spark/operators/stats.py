@@ -464,34 +464,32 @@ _POIS1_T52 = (
 )
 
 
-def poisson_weight_expr(
-    id_col: str, replicate_col: str, hash: str = "md5"
-) -> F.Column:
-    """Deterministic Poisson(1) replicate weight for (row, replicate):
-    u52 = 52-bit integer from md5(id ':' replicate); the weight is the
-    inverse-CDF step count over precomputed integer thresholds (capped
-    at 5 — P(X>5) < 6e-4 and the cap keeps the CASE finite).
+def poisson_h52_expr(id_col: str, replicate_col: str, hash: str = "md5") -> F.Column:
+    """The 52-bit deterministic draw hash for (row, replicate).
 
-    This IS the distributed bootstrap: instead of materializing B
-    resampled copies (a B× shuffle), every row draws its own
-    multiplicity per replicate map-side, and one aggregation keyed by
-    replicate yields all B statistics in a single pass. The md5 seed
-    makes the draw reproducible across runs AND engines.
+    ``md5`` (default): u52 from md5(id ':' replicate) — engine-portable,
+    DuckDB replays every draw bit-for-bit (the cross-engine oracle
+    contract; the string build + md5 + hex conv is the price of that
+    portability).
 
-    ``hash='xxhash64'`` (VERDICT r7 #6) is the production fast path:
-    the low 52 bits of the JVM-native xxhash64 replace the
-    md5→hex→conv chain (the dominant cost of a B×-fanned-out draw).
-    Still deterministic across runs/partitionings — but JVM-only, so
-    md5 stays the default and the cross-engine oracle contract.
+    ``xxhash64`` (VERDICT r7 #6): the production fast path — the low
+    52 bits of the JVM-native xxhash64 over the NATIVE (id, replicate)
+    columns. r15 (guide §2.3/§4): hashing the raw columns replaces the
+    old ``xxhash64(concat_ws(':', cast, cast))`` form, whose per-row
+    decimal rendering + string build was ~50× the cost of the hash
+    itself (measured 2.8 s vs 0.48 s on the 32×-fanned sf0.1 draw).
+    Different draw values than the old string form — still a uniform
+    deterministic 52-bit hash, which is the only property any
+    xxhash64-path consumer may rely on (the draws are JVM-only and
+    never oracle-replayed; the one registry consumer pins itself with
+    an 8σ distribution contract, not draw values).
     """
     if hash == "xxhash64":
-        h = F.xxhash64(
-            F.concat_ws(
-                ":", F.col(id_col).cast("string"), F.col(replicate_col).cast("string")
-            )
-        ).bitwiseAND(F.lit((1 << 52) - 1))
-    elif hash == "md5":
-        h = F.conv(
+        return F.xxhash64(F.col(id_col), F.col(replicate_col)).bitwiseAND(
+            F.lit((1 << 52) - 1)
+        )
+    if hash == "md5":
+        return F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
@@ -504,12 +502,47 @@ def poisson_weight_expr(
             16,
             10,
         ).cast("long")
-    else:  # pragma: no cover - guard
-        raise ValueError(f"unknown hash {hash!r} (use 'md5' or 'xxhash64')")
+    raise ValueError(f"unknown hash {hash!r} (use 'md5' or 'xxhash64')")
+
+
+def poisson_weight_from_h52(h: F.Column) -> F.Column:
+    """Poisson(1) multiplicity from a materialized 52-bit draw hash:
+    the inverse-CDF step count over precomputed integer thresholds
+    (capped at 5 — P(X>5) < 6e-4 and the cap keeps the CASE finite).
+
+    ``h`` MUST be a cheap reference (a column the caller projected in
+    its own ``select``/``withColumn`` step), never the raw md5/conv
+    expression: the CASE's five comparisons each sit in a conditional
+    evaluation branch, where codegen's subexpression elimination does
+    not reach, so an inline hash expression is re-evaluated up to 5×
+    per row (guide §1.2 per-task work; measured 3.10 s → 1.74 s on the
+    sf0.1 8×-fanned md5 draw just from materializing the hash)."""
     w = F.lit(5)
     for k in range(len(_POIS1_T52) - 1, -1, -1):
         w = F.when(h < F.lit(_POIS1_T52[k]), F.lit(k)).otherwise(w)
     return w
+
+
+def poisson_weight_expr(
+    id_col: str, replicate_col: str, hash: str = "md5"
+) -> F.Column:
+    """Deterministic Poisson(1) replicate weight for (row, replicate) —
+    the single-expression convenience form of
+    ``poisson_weight_from_h52(poisson_h52_expr(...))``.
+
+    This IS the distributed bootstrap: instead of materializing B
+    resampled copies (a B× shuffle), every row draws its own
+    multiplicity per replicate map-side, and one aggregation keyed by
+    replicate yields all B statistics in a single pass. The md5 seed
+    makes the draw reproducible across runs AND engines.
+
+    PERF (r15): on a fanned-out frame, project ``poisson_h52_expr`` as
+    its own column first and apply ``poisson_weight_from_h52`` to the
+    column reference — as a single inline expression the md5/conv
+    chain is re-evaluated per CASE branch (see
+    ``poisson_weight_from_h52``). This form is kept for tests and
+    small inputs where clarity beats the ~2× draw cost."""
+    return poisson_weight_from_h52(poisson_h52_expr(id_col, replicate_col, hash=hash))
 
 
 def poisson_bootstrap_means(
@@ -538,19 +571,34 @@ def poisson_bootstrap_means(
     ``x // 0 → NULL`` emits in the cross-engine oracle (r10
     degenerate-input sweep fix — a bare ``div`` hard-errors under
     ANSI).
+
+    r15 perf (guide §1.2/§2.3), values unchanged: (1) the draw hash is
+    projected as its own column before the weight CASE — inline it was
+    re-evaluated per CASE branch (conditional branches are outside
+    codegen subexpression elimination), ~2.4× the whole draw stage;
+    (2) the replicate sum Σ __w·__v runs in BIGINT, not decimal(38,0)
+    — per-row long→Decimal boxing cost ~1.4 s of the 32×-fanned sf0.1
+    pass alone. Exactness bound: __w ≤ 5 and __v is exact integer
+    cents, so |Σ| ≤ 5·(total corpus |value|); for money values int64
+    overflows only past ~9.2e16 cents ≈ $9.2e14 total — three orders
+    of magnitude above gross world product, and a corpus that somehow
+    exceeds it fails LOUDLY under the engine's ANSI default
+    (ARITHMETIC_OVERFLOW), never silently. The DuckDB oracle's HUGEINT
+    sum is integer-identical inside that bound.
     """
     fan = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col), F.col(value_col).alias("__v"),
         F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("replicate"),
     )
-    weighted = fan.withColumn("__w", poisson_weight_expr(id_col, "replicate", hash=hash))
+    weighted = fan.withColumn(
+        "__h52", poisson_h52_expr(id_col, "replicate", hash=hash)
+    ).withColumn("__w", poisson_weight_from_h52(F.col("__h52")))
     return (
         weighted.groupBy("replicate")
         .agg(
             F.sum("__w").alias("n_eff"),
             F.expr(
-                "cast(sum(cast(__w as decimal(38,0)) * __v)"
-                " div nullif(sum(__w), 0) as bigint)"
+                "cast(sum(__w * __v) div nullif(sum(__w), 0) as bigint)"
             ).alias("mean_value"),
         )
     )

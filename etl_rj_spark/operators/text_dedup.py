@@ -136,11 +136,27 @@ def minhash_signature_from_hashes(hashes: Column | str, num_hashes: int = 32) ->
     true Jaccard and ~0.16 % of jaccard≥0.95 pairs missed every LSH
     band at 16 hashes. Caught by minhash_lsh_pairs_scaled's in-query
     within-base recall contract; a full-width mix per coordinate
-    restores the Pr[agree] = J(A,B) minhash property.)"""
+    restores the Pr[agree] = J(A,B) minhash property.)
+
+    An EMPTY or NULL hash set yields a NULL signature (r15; formerly an
+    array of num_hashes NULL minima — same no-signal meaning, one cell).
+    The ``size(h) > 0`` guard doubles as a structural perf barrier: it
+    makes this expression reference its input twice, which stops
+    CollapseProject from inlining a caller's shingle-hash PROJECTION
+    into the signature lambdas — inlined, the whole hashing pass
+    re-evaluates once per outer sequence element, i.e. num_hashes× per
+    row (measured 47 s vs 2 s at the 312k-doc scaled corpus). Callers
+    still should project the hash column in their own select (see
+    shingle_hashes docstring); predicate pushdown can additionally copy
+    that projection into a pre-filter, which costs one extra hash pass,
+    never num_hashes."""
     h = F.col(hashes) if isinstance(hashes, str) else hashes
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(h, lambda x: F.xxhash64(i, x))),
+    return F.when(
+        F.size(h) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(h, lambda x: F.xxhash64(i, x))),
+        ),
     )
 
 
@@ -318,12 +334,14 @@ def minhash_lsh_dedup_pairs(
     so the capped variant is for the at-scale rows-only path; leave
     ``None`` on oracle-checked paths).
 
-    The hashed path shingle-hashes the corpus ONCE (an eager
+    The hashed path shingle-hashes the corpus ONCE and materializes
+    (signature, int verification set) in that same pass (an eager
     localCheckpoint — GC-bounded blocks, not a CacheManager-pinned
-    persist, r15): the same hash arrays feed the signatures,
-    both sides of the band self-join, and the verification sets —
-    without the barrier the hashing runs 3×. A caller that needs the
-    hash arrays for its own purposes (e.g. an in-query ground-truth
+    persist, r15): the derived columns feed the band self-join (both
+    sides) and the two verification joins — without the barrier the
+    hashing runs per consumer, and inlined into the signature lambdas
+    it runs once per hash function. A caller that needs the hash
+    arrays for its own purposes (e.g. an in-query ground-truth
     contract) can pass them pre-computed via ``shingle_hashes_df``
     (columns: ``id_col``, ``__h``; caller owns persistence) so the
     corpus is hashed once across BOTH consumers."""
@@ -357,21 +375,35 @@ def minhash_lsh_dedup_pairs(
     if shingle_hashes_df is not None:
         base = shingle_hashes_df.select(F.col(id_col), F.col("__h"))
     else:
-        # eager localCheckpoint IS the materialization barrier: hash
-        # the corpus exactly once (it feeds signatures, both join
-        # sides, and the verification sets). r15: was persist+count —
-        # CacheManager-pinned for the session; checkpoint blocks are
-        # ContextCleaner-freed once the result is unreachable.
         base = df.select(
             F.col(id_col),
             shingle_hashes(text_col, shingle_k, token_ngrams_n, fast=fast_hash).alias("__h"),
-        ).localCheckpoint()
+        )
+    # ONE corpus pass computes signature + verification set together,
+    # and THAT (not the raw hash array) is the materialization barrier
+    # (r15, guide §2.3): the signature is duplicate-insensitive (a min
+    # over per-shingle hashes), so it reads identically from __h before
+    # dedup, and the 28-bit hash values fit INT exactly — the
+    # verification sets shuffle through BOTH _jaccard_on_sets joins at
+    # half the bytes of the old long arrays with bit-identical Jaccard
+    # (int vs long equality on the same values). The barrier must stay
+    # downstream of a plain __h projection: inlining the shingle-hash
+    # expression into the num_hashes signature lambdas re-evaluates the
+    # hashing once per hash function (measured 47 s vs 2 s at the
+    # 312k-doc scaled corpus — the shingle_hashes docstring's warning).
+    # localCheckpoint, not persist: blocks are ContextCleaner-freed
+    # once the result plan becomes unreachable, never session-pinned.
+    prep = base.select(
+        F.col(id_col),
+        minhash_signature_from_hashes("__h", num_hashes).alias("__sig"),
+        F.transform(F.array_distinct("__h"), lambda x: x.cast("int")).alias("__set"),
+    )
+    if shingle_hashes_df is None:
+        prep = prep.localCheckpoint()
 
     # empty shingle sets (docs shorter than the window) carry no
     # similarity signal and would band-collide everywhere — exclude
-    sig = base.filter(F.size("__h") > 0).select(
-        F.col(id_col), minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
-    )
+    sig = prep.filter(F.size("__set") > 0).select(F.col(id_col), F.col("__sig"))
     exploded = sig.select(
         id_col, F.explode(lsh_band_buckets("__sig", bands, rows_per_band)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
@@ -394,7 +426,7 @@ def minhash_lsh_dedup_pairs(
         .distinct()
     )
 
-    sets = base.select(F.col(id_col), F.array_distinct("__h").alias("__set"))
+    sets = prep.select(F.col(id_col), F.col("__set"))
     return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
