@@ -2533,10 +2533,25 @@ def bootstrap_median_revenue(spark, sf_dir):
     # hash then evaluates TWICE per row, which costs more than the
     # saved shuffle bytes. Measured and reverted; the wsum > 0 filter
     # below keeps the identical grain table.)
+    # single-long composite grain key (r16, guide §2.3 narrower keys —
+    # VERDICT r15 #5): the 12M-row fan-out shuffles ONE int64
+    # (cents<<3 | replicate) instead of the (int, long) pair — fewer
+    # key bytes and one hash per row instead of two — and the grain
+    # decodes exactly afterwards (replicate = low 3 bits, cents =
+    # arithmetic shiftright, lossless for |cents| < 2⁶⁰; bit ops, not
+    # mul/div, so a negative cents would still round-trip). Identical
+    # (replicate, cents, wsum) table.
     grain = (
-        weighted.groupBy("replicate", "cents")
+        weighted.groupBy(
+            (F.shiftleft(F.col("cents"), 3) + F.col("replicate")).alias("__k")
+        )
         .agg(F.sum("w").alias("wsum"))
         .filter(F.col("wsum") > 0)
+        .select(
+            F.col("__k").bitwiseAND(F.lit(7)).cast("int").alias("replicate"),
+            F.shiftright(F.col("__k"), 3).alias("cents"),
+            "wsum",
+        )
     )
     wc = (
         Window.partitionBy("replicate")

@@ -5,6 +5,7 @@ Python UDFs. Each kernel documents the reference behavior it
 reproduces (citations are file:line into /root/reference).
 """
 
+from etl_rj_spark.functions.exprs import bind_once  # noqa: F401
 from etl_rj_spark.functions.dates import (  # noqa: F401
     MONTH_EN_ES,
     MONTH_ES_EN,

@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 # the ONE quantization contract (floor(x·2^20) → int64) lives in
 # operators.similarity; k-means and LSH must never drift apart on it —
 # their oracles replay the same definition
+from etl_rj_spark.functions.exprs import bind_once
 from etl_rj_spark.operators.similarity import (  # noqa: F401
     QUANT_SCALE,
     _c,
@@ -463,13 +464,18 @@ def probe_ivf_index(
     packed = F.broadcast(
         centroids.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("__cents"))
     )
-    best = F.array_min(
-        F.transform(
-            "__cents",
-            lambda c: F.struct(
-                _sqdist(quantize_vec(vec_col), c["cv"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
+    # query vector quantized ONCE via bind_once (r16, guide §1.2):
+    # inlined in the per-centroid lambda it re-quantized per centroid
+    best = bind_once(
+        quantize_vec(vec_col),
+        lambda qv: F.array_min(
+            F.transform(
+                "__cents",
+                lambda c: F.struct(
+                    _sqdist(qv, c["cv"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        ),
     )
     q = F.broadcast(
         queries.crossJoin(packed).select(
@@ -610,11 +616,15 @@ def pq_encode(
         # and silently binds the INDEX to sv
         return lambda c: F.struct(_sqdist(sv, c["cv"]).alias("d"), c["cid"].alias("cid"))
 
+    def _code_fn(cents_col):
+        # subvector bound once (r16, guide §1.2): inlined in the
+        # per-codeword lambda, the slice+quantize re-ran k× per row
+        return lambda sv: F.array_min(F.transform(cents_col, _best_fn(sv)))["cid"]
+
     sels = [F.col(id_col)]
     for s in range(m):
         sv = quantize_vec(F.slice("__dv", s * sub + 1, sub))
-        best = F.array_min(F.transform(f"__cents{s}", _best_fn(sv)))
-        sels.append(best["cid"].alias(f"code_{s}"))
+        sels.append(bind_once(sv, _code_fn(f"__cents{s}")).alias(f"code_{s}"))
     return out.select(*sels)
 
 
@@ -653,14 +663,16 @@ def pq_adc_topk(
     def _dist_fn(sv):
         return lambda c: _sqdist(sv, c["cv"])  # closure, not default-arg (arity!)
 
+    def _dtable_fn(cents_col):
+        # subvector bound once (r16, guide §1.2): see pq_encode
+        return lambda sv: F.transform(F.array_sort(F.col(cents_col)), _dist_fn(sv))
+
     tcols = [F.col(query_id_col)]
     for s in range(m):
         sv = quantize_vec(F.slice("__dv", s * sub + 1, sub))
         # array_sort on (cid, cv) structs orders by cid 1..k, so the
         # distance table is indexable by codeword id via element_at
-        tcols.append(
-            F.transform(F.array_sort(F.col(f"__cents{s}")), _dist_fn(sv)).alias(f"__dt{s}")
-        )
+        tcols.append(bind_once(sv, _dtable_fn(f"__cents{s}")).alias(f"__dt{s}"))
     qtables = q.select(*tcols)
     adist = None
     for s in range(m):
@@ -774,12 +786,15 @@ def ivfpq_build(
     def _best_fn(sv):
         return lambda c: F.struct(_sqdist(sv, c["cv"]).alias("d"), c["cid"].alias("cid"))
 
+    def _code_fn(cents_col):
+        # residual subvector bound once (r16, guide §1.2): inlined in
+        # the per-codeword lambda, the slice re-ran k× per corpus row
+        return lambda sv: F.array_min(F.transform(cents_col, _best_fn(sv)))["cid"]
+
     sels = [F.col("__id").alias(id_col), F.col("cell")]
     for s in range(m):
         sv = F.slice("__riv", s * sub + 1, sub)
-        sels.append(
-            F.array_min(F.transform(f"__cents{s}", _best_fn(sv)))["cid"].alias(f"code_{s}")
-        )
+        sels.append(bind_once(sv, _code_fn(f"__cents{s}")).alias(f"code_{s}"))
     return coarse, books, out.select(*sels)
 
 
@@ -849,12 +864,14 @@ def ivfpq_topk(
     def _dist_fn(sv):
         return lambda c: _sqdist(sv, c["cv"])
 
+    def _dtable_fn(cents_col):
+        # residual subvector bound once (r16, guide §1.2): see pq_encode
+        return lambda sv: F.transform(F.array_sort(F.col(cents_col)), _dist_fn(sv))
+
     tcols = [F.col(query_id_col), F.col("cell")]
     for s in range(m):
         sv = F.slice("__riv", s * sub + 1, sub)
-        tcols.append(
-            F.transform(F.array_sort(F.col(f"__cents{s}")), _dist_fn(sv)).alias(f"__dt{s}")
-        )
+        tcols.append(bind_once(sv, _dtable_fn(f"__cents{s}")).alias(f"__dt{s}"))
     qtables = qres.select(*tcols)
     adist = None
     for s in range(m):

@@ -236,19 +236,27 @@ def lsh_buckets(c: Column | str, dim: int, bits: int = 8, tables: int = 4) -> Co
     product is pure int64 arithmetic (|component| ≤ 2^20, |plane| ≤
     1000, 64 dims → |sum| < 2^37), so bucket assignment is bit-exact
     across engines — the property the DuckDB oracle relies on."""
-    v = quantize_vec(c)
-    entries = []
-    for t, planes in enumerate(_lsh_planes(dim, bits, tables)):
-        bucket = F.lit(0)
-        for p, plane in enumerate(planes):
-            d = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return F.array(*entries)
+    # quantized vector bound once (r16, guide §1.2): as a direct child
+    # of every per-plane zip_with it was re-evaluated tables·bits (32)
+    # times per row — each analysis site binds fresh lambda expr-ids,
+    # so codegen CSE never merges the copies
+    def buckets(v: Column) -> Column:
+        entries = []
+        for t, planes in enumerate(_lsh_planes(dim, bits, tables)):
+            bucket = F.lit(0)
+            for p, plane in enumerate(planes):
+                d = F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+        return F.array(*entries)
+
+    from etl_rj_spark.functions.exprs import bind_once
+
+    return bind_once(quantize_vec(c), buckets)
 
 
 def lsh_topk(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from etl_rj_spark.functions.exprs import bind_once
+
 #: Tiny per-language stopword lists (ASCII, regex-safe). Heuristic
 #: language ID — the point is the operator shape, not linguistic
 #: accuracy; swap lists for real deployments.
@@ -55,15 +57,22 @@ def regex_token_count(c: Column | str, pattern: str = REGEX_TOKEN_PATTERN) -> Co
 
 def char_shingles(c: Column | str, k: int) -> Column:
     """All k-char shingles of a string (with multiplicity); length < k
-    → empty array. Expression-level — no UDF, no explode."""
-    col = _c(c).cast("string")
-    return F.when(
-        F.length(col) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(col) - (k - 1)),
-            lambda i: F.substr(col, i, F.lit(k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    → empty array. Expression-level — no UDF, no explode. The input
+    string is bound once (r16): callers pass derived text (normalize =
+    lower+trim+regexp_replace), and an inlined ``substr(col, i, k)``
+    lambda body would re-derive it once per shingle position."""
+    col0 = _c(c).cast("string")
+
+    def shingles(col: Column) -> Column:
+        return F.when(
+            F.length(col) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (k - 1)),
+                lambda i: F.substr(col, i, F.lit(k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(col0, shingles)
 
 
 def shingle_hash(s: Column) -> Column:
@@ -172,20 +181,24 @@ def bigram_fluency_score(df, id_col: str, text_col: str):
     # tab/newline-separated words into one token, producing phantom
     # rare transitions that tanked min_cond_ppm for perfectly fluent
     # docs — the exact misclassification this filter exists to avoid
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
+    toks0 = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+    # token array bound once (r16): inlined, the split+filter re-ran
+    # per bigram position inside the element_at lambda (guide §1.2)
+    def bigram_arr(toks: Column) -> Column:
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(toks) >= 2, bigrams).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
     bg = (
-        df.select(F.col(id_col), F.explode(
-            F.when(F.size(toks) >= 2, bigrams).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>")
-            )
-        ).alias("b"))
+        df.select(F.col(id_col), F.explode(bind_once(toks0, bigram_arr)).alias("b"))
         .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     tf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
@@ -222,14 +235,19 @@ def feature_hash_vectors(df, id_col: str, text_col: str, dim: int = 16):
     explode tokens and pivot through a (doc, bucket) aggregate
     instead. NULL text → NULL vector (filter before clustering).
     """
-    toks = whitespace_tokens(normalized_text(text_col))
+    toks0 = whitespace_tokens(normalized_text(text_col))
 
     def bucket(t: Column) -> Column:
         return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long") % dim
 
-    feats = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.size(F.filter(toks, lambda t: bucket(t) == j)).cast("double"),
+    # token array bound once (r16): inlined, normalize+split re-ran per
+    # bucket index — dim× per document (guide §1.2)
+    feats = bind_once(
+        toks0,
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.size(F.filter(toks, lambda t: bucket(t) == j)).cast("double"),
+        ),
     )
     feats = F.when(F.col(text_col).isNull(), F.lit(None).cast("array<double>")).otherwise(feats)
     return df.select(F.col(id_col), feats.alias("features"))

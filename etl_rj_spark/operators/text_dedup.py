@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_rj_spark.functions.exprs import bind_once
 from etl_rj_spark.operators.text_analysis import (
     char_shingles,
     normalized_text,
@@ -114,14 +115,23 @@ def _fast_token_ngram_hashes(c: Column | str, n: int) -> Column:
 
     col = c if isinstance(c, Column) else F.col(c)
     toks = whitespace_tokens(normalized_text(col))
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 28)))
-    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
-    acc = F.slice(th, 1, m)
-    for j in range(2, n + 1):
-        acc = F.zip_with(
-            acc, F.slice(th, j, m), lambda a, b: F.pmod(a * 8191 + b, F.lit(1 << 28))
-        )
-    return acc
+    th0 = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 28)))
+
+    # token-hash array bound once (r16, guide §1.2): inlined, the full
+    # normalize+split+hash expression appeared in every slice AND every
+    # size() — six evaluations per row (3.7× measured at sf0.1), and
+    # codegen CSE cannot merge them (each occurrence binds fresh
+    # lambda-variable expr-ids)
+    def combine(th: Column) -> Column:
+        m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+        acc = F.slice(th, 1, m)
+        for j in range(2, n + 1):
+            acc = F.zip_with(
+                acc, F.slice(th, j, m), lambda a, b: F.pmod(a * 8191 + b, F.lit(1 << 28))
+            )
+        return acc
+
+    return bind_once(th0, combine)
 
 
 def minhash_signature_from_hashes(hashes: Column | str, num_hashes: int = 32) -> Column:
@@ -205,6 +215,13 @@ def _jaccard_select(withsets: DataFrame) -> DataFrame:
     documents too short to shingle) has no defined Jaccard → NULL via
     try_divide, which any ``>= τ`` filter drops — never an ANSI
     divide-by-zero."""
+    # NOT bind_once'd (r16, measured): the duplicated array_intersect
+    # occurrences here are lambda-free and structurally identical, so
+    # codegen subexpression elimination already evaluates the intersect
+    # once per operator site — and a bind_once wrapper (a higher-order
+    # transform, CodegenFallback) measured SLOWER (3.57 s vs 3.26 s on
+    # the scaled verify) than letting CSE handle it. bind_once is for
+    # duplicates that contain lambda variables, which CSE cannot merge.
     inter = F.size(F.array_intersect("__set_a", "__set_b")).cast("double")
     union = (F.size("__set_a") + F.size("__set_b")).cast("double") - inter
     return withsets.select(
@@ -212,9 +229,23 @@ def _jaccard_select(withsets: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_on_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+def _jaccard_on_sets(
+    pairs: DataFrame, sets: DataFrame, threshold: float | None = None
+) -> DataFrame:
     """Join (id_a, id_b) pairs to an (id, __set) table on both sides
     and emit the exact Jaccard (see :func:`_jaccard_select`).
+
+    ``threshold`` (r16, guide §2.3/§3.2): pass it when (and ONLY when)
+    the caller filters ``jaccard >= threshold`` downstream — the size
+    bound it implies (j ≥ τ ⟹ min(|A|,|B|) ≥ τ·max(|A|,|B|), since
+    |A∩B| ≤ min and |A∪B| ≥ max) then prunes candidate pairs BEFORE the
+    intersect is computed, and Catalyst pushes the cheap size predicate
+    into the verify join's condition ahead of the substituted jaccard
+    expression (measured −18 % on the scaled verify stage; 2.26 M →
+    1.84 M intersects). The τ−1e-9 slack keeps double rounding from
+    ever dropping a boundary pair: a too-LOOSE bound only costs work,
+    never a row, so composed with the caller's exact ``>= threshold``
+    filter the output is unchanged.
 
     Distinct-pairs contract (r11 dupstorm-regime fix): a corpus whose
     ids are DUPLICATED (a re-ingested shard — routine at 100 TB) fans
@@ -227,7 +258,14 @@ def _jaccard_on_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     hidden)."""
     sa = sets.toDF("id_a", "__set_a")
     sb = sets.toDF("id_b", "__set_b")
-    return _jaccard_select(pairs.join(sa, "id_a").join(sb, "id_b")).distinct()
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    if threshold is not None:
+        joined = joined.filter(
+            F.least(F.size("__set_a"), F.size("__set_b")).cast("double")
+            >= F.greatest(F.size("__set_a"), F.size("__set_b")).cast("double")
+            * F.lit(threshold - 1e-9)
+        )
+    return _jaccard_select(joined).distinct()
 
 
 def lsh_candidate_pairs(
@@ -280,8 +318,14 @@ def jaccard_on_pairs(
     shingle_k: int = 5,
     hashed_sets: bool = False,
     token_ngrams_n: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Attach exact shingle-set Jaccard to (id_a, id_b) pairs.
+
+    ``threshold`` is the pass-through to :func:`_jaccard_on_sets`'s
+    size-bound prune — set it ONLY when you will filter
+    ``jaccard >= threshold`` on the result (below-bound pairs are
+    dropped before the intersect instead of after).
 
     ``hashed_sets=True`` intersects 28-bit shingle-hash sets instead of
     string sets — ~10× cheaper per pair (int equality, int arrays
@@ -294,7 +338,7 @@ def jaccard_on_pairs(
         else F.array_distinct(_shingles(text_col, shingle_k, token_ngrams_n))
     )
     sets = df.select(F.col(id_col), shingle_col.alias("__set"))
-    return _jaccard_on_sets(pairs, sets)
+    return _jaccard_on_sets(pairs, sets, threshold)
 
 
 def minhash_lsh_dedup_pairs(
@@ -367,7 +411,8 @@ def minhash_lsh_dedup_pairs(
             )
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingle_k, num_hashes, bands, token_ngrams_n)
         return jaccard_on_pairs(
-            pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n
+            pairs, df, id_col, text_col, shingle_k, hashed_sets, token_ngrams_n,
+            threshold=threshold,
         ).filter(F.col("jaccard") >= threshold)
 
     _check_bands(num_hashes, bands)
@@ -427,7 +472,9 @@ def minhash_lsh_dedup_pairs(
     )
 
     sets = prep.select(F.col(id_col), F.col("__set"))
-    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
+    return _jaccard_on_sets(pairs, sets, threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def exact_collapse_star_pairs(
@@ -597,15 +644,22 @@ def near_dup_pairs(
 def token_ngrams(c: Column | str, n: int = 3) -> Column:
     """Distinct n-grams of whitespace tokens (joined with single
     spaces) of the normalized text."""
-    toks = whitespace_tokens(normalized_text(c))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    toks0 = whitespace_tokens(normalized_text(c))
+
+    # token array bound once (r16, guide §1.2): inlined, the
+    # normalize+split re-ran inside the slice lambda once per gram
+    # position — measured 16× on the sf0.1 corpus gram explode
+    def grams(toks: Column) -> Column:
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(g)
+
+    return bind_once(toks0, grams)
 
 
 def ngram_jaccard_pairs(
@@ -654,7 +708,9 @@ def ngram_jaccard_pairs(
     pairs = (
         a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
-    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
+    return _jaccard_on_sets(pairs, sets, threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def ngram_containment_pairs(
@@ -805,7 +861,9 @@ def set_similarity_pairs_prefix(
         .filter(F.size("__set") > 0)
     )
     pairs = _prefix_candidates(sets, id_col, threshold)
-    return _jaccard_on_sets(pairs, sets).filter(F.col("jaccard") >= threshold)
+    return _jaccard_on_sets(pairs, sets, threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -834,26 +892,32 @@ def simhash(c: Column | str) -> Column:
     per-bit ±1 votes from each token's 60-bit md5 hash; fingerprint
     bit j set iff the vote sum is positive. Pure expressions."""
     toks = whitespace_tokens(normalized_text(c))
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    th0 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
     zero = F.lit(0).cast("long")
     # dynamic shifts aren't expressible with F.shiftleft/right (literal
     # amounts only); test bits with a literal powers-of-two array instead
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
 
-    def bit_word(j: Column) -> Column:
-        p = F.element_at(powers, j + 1)
-        votes = F.aggregate(
-            th,
-            zero,
-            lambda acc, h: acc + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, p).otherwise(zero)
+    # token-hash array bound once (r16, guide §1.2): inlined into the
+    # per-bit vote aggregate, the md5-per-token transform re-ran once
+    # per fingerprint bit — SIMHASH_BITS× (60×) per document
+    def fingerprint(th: Column) -> Column:
+        def bit_word(j: Column) -> Column:
+            p = F.element_at(powers, j + 1)
+            votes = F.aggregate(
+                th,
+                zero,
+                lambda acc, h: acc + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            return F.when(votes > 0, p).otherwise(zero)
 
-    return F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_word),
-        zero,
-        lambda acc, x: acc + x,
-    )
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_word),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    return bind_once(th0, fingerprint)
 
 
 def simhash_near_pairs(
@@ -941,15 +1005,20 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
-    toks = whitespace_tokens(normalized_text(text_col))
+    toks0 = whitespace_tokens(normalized_text(text_col))
     k = span_tokens
-    spans = F.when(
-        F.size(toks) >= 1,
-        F.transform(
-            F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array bound once (r16, guide §1.2): inlined, the
+    # normalize+split re-ran inside the slice lambda once per span
+    spans = bind_once(
+        toks0,
+        lambda toks: F.when(
+            F.size(toks) >= 1,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(k)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     exploded = _fanout_partitions(df).select(
         F.col(id_col), F.posexplode(spans).alias("pos", "span")
     )
@@ -1236,6 +1305,15 @@ def incremental_near_dup_pairs(
             F.coalesce("__ia", "__na").alias("__set_a"),
             F.coalesce("__ib", "__nb").alias("__set_b"),
         )
+    )
+    # threshold-implied size bound before the intersect (r16, same
+    # prune as _jaccard_on_sets: j ≥ τ ⟹ min|set| ≥ τ·max|set|, with
+    # 1e-9 slack so rounding can only keep extra rows — the exact
+    # >= threshold filter below makes the output identical)
+    verified = verified.filter(
+        F.least(F.size("__set_a"), F.size("__set_b")).cast("double")
+        >= F.greatest(F.size("__set_a"), F.size("__set_b")).cast("double")
+        * F.lit(threshold - 1e-9)
     )
     return _jaccard_select(verified).filter(F.col("jaccard") >= threshold)
 
