@@ -116,6 +116,24 @@ def main() -> None:
                 "BASELINE.md idle per-row records, not directly"
             )
             print(f"WARNING: {warning}", file=sys.stderr, flush=True)
+    # Per-row bench floor (VERDICT r15 #7): the fixed cost every row
+    # pays regardless of its operator — plan construction + 32-core job
+    # launch + the noop write round-trip — measured on a one-row
+    # in-memory frame with an empty plan. Recorded as its own JSON
+    # field, NOT added to the suite total and NOT a queries entry, so
+    # the driver's low-core/high-core scaling ratios can be read
+    # against it: a 0.3 s row over a 0.25 s floor has ~0.05 s of
+    # operator time and will scale ≈1 with cores no matter how
+    # parallel the operator is.
+    def _floor_run() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    _floor_run()  # warm-up, same discipline as the query rows
+    floor_sec = round(min(_floor_run(), _floor_run()), 4)
+
     timings: dict[str, float | dict] = {}
     for name in bench_queries:
         try:
@@ -137,6 +155,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "errors": sum(1 for t in timings.values() if isinstance(t, dict)),
+                "floor_sec": floor_sec,
                 "load_start": load_start,
                 "load_end": _host_load_stamp(),
                 **({"warning": warning} if warning else {}),

@@ -91,94 +91,89 @@ from etl_rj_spark.analytics import pipeline_suite  # noqa: F401  (registers quer
 #: poisson_xxh/pii_scrub_docs) are NOT re-listed — their r10 verdicts
 #: already cover the current semantics.
 _PRIORITY = [
-    # ---- ROUND-15 DRIVER PREFIX (50 names) ---------------------
-    # Executes VERDICT r14 directive #1: the staged r15 rotation,
-    # with (per the standing rule) anything round 15 itself changes
-    # outranking backfill.  Block A = changed/new THIS round
-    # (VERDICT r14 #2 — the storm-safe exact-collapse-first default
-    # generalized beyond MinHash): four NEW storm queries — the
-    # SimHash / n-gram / vector family twins of near_dup_pairs_storm
-    # plus the vector survivors component-equivalence proof
-    # (recursive-CTE oracle) — and four CHANGED contracts:
-    # `simhash_near_pairs` (its verbatim-copy corpus now trips the
-    # count gate → star edges + rep-level hamming join),
-    # `ngram_jaccard_pairs` / `set_similarity_prefix_pairs` /
-    # `embedding_cosine_near_pairs` (routed through the new defaults;
-    # gate does not trip on their corpora so output is byte-identical,
-    # but the oracles are re-spelled two-tier for the degenerate
-    # regimes).  Block B = the 13 remaining r7-green names, verbatim
-    # from the staged plan — after this round the staleness floor
-    # rises to r8.  Block C = the oldest-r8 drain, alphabetical, as
-    # many as the remaining 29 slots admit (the 4 leftover r8 names
-    # are at age 7 — inside MAX_AGE — and lead the staged r16 plan).
-    # -- A: changed/new this round (r15)
-    "simhash_near_pairs_storm",
-    "ngram_jaccard_pairs_storm",
-    "vector_near_dup_pairs_storm",
-    "vector_near_dup_survivors_storm",
-    "simhash_near_pairs",
-    "ngram_jaccard_pairs",
-    "set_similarity_prefix_pairs",
-    "embedding_cosine_near_pairs",
-    # -- B: the r7-green drain (staged at r14 close, verbatim)
-    "lag_day_over_day",
-    "last_two_snapshots_delta",
-    "monthly_order_stats",
-    "pivot_status_by_priority",
-    "pricing_summary",
-    "recode_static_map",
-    "sessionization",
-    "temporal_dims_kernel",
-    "threshold_filter",
-    "topk_orders_per_customer",
-    "unmapped_clients_report",
-    "unpivot_flag_measures",
-    "zone_coalesce_default",
-    # -- C: oldest-r8 backfill (alphabetical; 29 of 33)
-    "ann_eval_recall_mrr",
-    "bigram_fluency_score",
-    "bpe_pair_merge_candidates",
-    "calibration_bins_events",
-    "cdc_apply_orders",
-    "decontaminate_docs_bloom",
-    "distribution_match_resample",
-    "event_cooccurrence_lift",
-    "exact_auc_purchase_value",
-    "golden_record_docs",
-    "hard_negative_mining",
-    "hybrid_search_rrf",
-    "join_key_skew_audit",
-    "keyword_search_topk",
-    "knn_label_vote",
-    "manifest_incremental_ingest",
-    "margin_bitext_pairs",
-    "nearest_view_to_purchase",
-    "pareto_revenue_report",
-    "pk_uniqueness_audit",
-    "preference_pairs_mined",
-    "prorate_order_totals",
-    "purchase_attribution_linear",
-    "referential_integrity_audit",
-    "retention_labels_events",
-    "shard_source_diversity",
-    "split_leakage_audit",
-    "temperature_mix_docs",
-    "user_feature_snapshot",
+    # ---- ROUND-16 DRIVER PREFIX (50 names) ---------------------
+    # Executes VERDICT r15 directive #8: the staged r16 rotation,
+    # with (standing rule) whatever round 16 itself changes
+    # outranking backfill.  Block A = the 10 queries whose OPERATOR
+    # INTERNALS round 16's optimization pass touched (outputs are
+    # contract-identical — the optimization brief forbids semantic
+    # change — but the driver should confirm that on the new code):
+    # the bind_once HOF-subtree materialization reaches
+    # simhash_fingerprints (simhash), dedup_corpus_survivors +
+    # span_dedup_docs (near-dup/span paths), doc_topic_cells
+    # (feature_hash_vectors), embedding_near_pairs_lsh_scaled
+    # (lsh_buckets), ann_ivf_index_probe / _append_probe (probe
+    # argmin), ann_ivfpq_topk (PQ encode + distance tables);
+    # bootstrap_median_revenue's grain shuffle moved to a composite
+    # int64 key; minhash_index_probe gained the threshold-implied
+    # size prune in its verify join.  Ordered oldest-verdict-first
+    # (r10 → r14).  Block B = the four age-8 r8 leftovers the staged
+    # plan says MUST ride (at the MAX_AGE boundary).  Block C = the
+    # complete oldest-r9 cohort, alphabetical (36 names — raises the
+    # staleness floor to r10).
+    # -- A: operator internals changed this round (r16)
+    "simhash_fingerprints",
+    "dedup_corpus_survivors",
+    "bootstrap_median_revenue",
+    "embedding_near_pairs_lsh_scaled",
+    "ann_ivf_index_probe",
+    "ann_ivf_index_append_probe",
+    "doc_topic_cells",
+    "minhash_index_probe",
+    "ann_ivfpq_topk",
+    "span_dedup_docs",
+    # -- B: the age-8 r8 leftovers (staged at r15 close, verbatim)
+    "value_trend_slope",
+    "weighted_percentiles_price",
+    "weighted_sample_sources",
+    "zorder_layout_buckets",
+    # -- C: the full oldest-r9 cohort (alphabetical)
+    "abc_classification_parts",
+    "acf_daily_revenue",
+    "attribution_model_compare",
+    "bpe_second_merge_candidates",
+    "chi_square_priority_status",
+    "correlation_matrix_lineitem",
+    "cuped_theta_events",
+    "embedding_centroid_drift",
+    "event_debounce_weekly",
+    "forecast_eval_naive7",
+    "gains_table_activity_purchase",
+    "gini_revenue_customers",
+    "growth_accounting_weekly",
+    "ivm_agg_with_retractions",
+    "ivm_join_maintenance",
+    "json_key_census",
+    "k_anonymity_audit",
+    "kappa_langid_agreement",
+    "km_view_to_purchase_survival",
+    "ks_two_sample_values",
+    "l_diversity_audit",
+    "markov_event_transitions",
+    "ols_price_qty_discount",
+    "order_total_reconciliation",
+    "path_regex_sessions",
+    "phrase_search_docs",
+    "quality_classifier_inference",
+    "rolling_7day_active_users",
+    "seasonal_adjusted_outlier_days",
+    "stream_transition_maintenance",
+    "stream_view_purchase_join",
+    "time_weighted_value_user",
+    "transition_latency_matrix",
+    "trending_event_types",
+    "triangle_count_copurchase",
+    "zipf_slope_tokens",
     # ---- 50-query driver prefix ends here ----------------------
-    # ---- ROUND-16 STAGED PLAN (written during r15) -------------
-    # After this round the staleness floor is r8; the r16 rotation
-    # leads with the 4 r8 names this prefix could not admit —
-    # value_trend_slope, weighted_percentiles_price,
-    # weighted_sample_sources, zorder_layout_buckets (age 8 by then,
-    # i.e. AT the MAX_AGE boundary — they must ride or be staged) —
-    # then the oldest r9 cohort alphabetically
-    # (abc_classification_parts, acf_daily_revenue,
-    # attribution_model_compare, bpe_second_merge_candidates, …, 36
-    # names) as the remaining ~46 slots admit, with whatever r15/r16
-    # itself changes ALWAYS outranking backfill.
-    # ---- ROUND-14 DRIVER PREFIX: superseded (executed verbatim —
-    #      CORRECTNESS_r14 went 50/50 green; see that file and the
-    #      git history of this list for the exact names/order) -----
+    # ---- ROUND-17 STAGED PLAN (written during r16) -------------
+    # After this round the staleness floor is r10; the r17 rotation
+    # leads with whatever r17 itself changes, then the r10 cohort
+    # (46 names, age 7 by then — ann_ivf_topk, bayes_avg_part_
+    # quantity, …, weekday_seasonality_revenue) as slots admit;
+    # any r10 names that do not fit must lead r18.
+    # ---- ROUND-15 DRIVER PREFIX: superseded (executed verbatim —
+    # CORRECTNESS_r15 went 50/50 green; see that file and the git
+    # history of this list for the exact names/order) --------------
 ]
 
 

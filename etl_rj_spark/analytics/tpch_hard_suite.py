@@ -444,27 +444,34 @@ def exclusive_late_supplier_q21(spark, sf_dir):
             ).alias("late")
         )
     )
-    # r15 (guide §2.4/§5): `flags` feeds TWO branches (the per-order
-    # culprit filter AND the late-supplier rows semi-joined back); left
-    # lazy, the planner compiled two full lineitem⋈orders joins +
-    # aggregations — the differing column pruning per branch defeats
-    # exchange reuse (10 parquet scans in the r14 plan). Materializing
-    # the narrow (order, supplier, late) aggregate once makes the plan
-    # read each table once and both branches reuse the 600k-row
-    # intermediate (measured 4.2 s → 3.1 s shape-for-shape;
-    # localCheckpoint = ContextCleaner-bounded blocks, the house
-    # pattern for reused corpus-grain intermediates).
-    flags = flags.localCheckpoint()
-    culprit = (
-        flags.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .select("l_orderkey")
-    )
+    # r16 (guide §2.4 — same-key operations share one exchange): the
+    # r15 shape materialized `flags` (localCheckpoint) so the culprit
+    # aggregate and the semi-join-back could reuse it — one scan per
+    # table, but still TWO l_orderkey-keyed operations (the groupBy
+    # exchange + the semi-join's own exchange+sorts) plus the barrier's
+    # materialize/read round-trip. The per-order culprit stats are a
+    # WINDOW over the partitioning both branches already needed:
+    # count(*) / sum(late) OVER (PARTITION BY l_orderkey) computes
+    # n_supp/n_late on every flags row in ONE exchange, the culprit
+    # condition becomes a row-local filter, and the semi-join AND the
+    # checkpoint disappear — `flags` has a single consumer again, so
+    # the lazy plan reads each table once by construction. Plan: the
+    # r15 shape's 5 exchanges + 1 SortMergeJoin + 2 jobs → 4 exchanges,
+    # 0 SMJ, 1 job. Identical rows: the window filter keeps exactly
+    # the flags rows the semi-join kept (late=1 rows of orders with
+    # n_supp ≥ 2 and n_late = 1).
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("l_orderkey")
     s = _t(spark, sf_dir, "supplier")
     return (
-        flags.filter(F.col("late") == 1)
-        .join(culprit, "l_orderkey", "left_semi")
+        flags.select(
+            "l_suppkey",
+            "late",
+            F.count(F.lit(1)).over(wo).alias("n_supp"),
+            F.sum("late").over(wo).alias("n_late"),
+        )
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -388,7 +388,12 @@ def minhash_lsh_dedup_pairs(
     arrays for its own purposes (e.g. an in-query ground-truth
     contract) can pass them pre-computed via ``shingle_hashes_df``
     (columns: ``id_col``, ``__h``; caller owns persistence) so the
-    corpus is hashed once across BOTH consumers."""
+    corpus is hashed once across BOTH consumers. ``__h`` values MUST
+    lie in the 28-bit shingle-hash domain the engine's
+    ``shingle_hashes`` emits (any int32-range value works): the
+    verification sets are cast to INT for half-width shuffles (r15,
+    ADVICE r15), so a caller-provided 64-bit hash outside int range
+    raises CAST_OVERFLOW under ANSI rather than joining."""
     if not hashed_sets:
         if max_bucket_len is not None:
             raise ValueError(

@@ -22,11 +22,25 @@ from pyspark.sql import SparkSession
 #: the two per-partition sorts — measured −6 % across the heavy bench
 #: joins (array-carrying verify joins benefit most: sorting rows with
 #: ~100-element set payloads just to equi-join ids is pure overhead).
-#: The per-partition build cap is the OOM guard and is env-tunable for
-#: cluster memory geometry; sort-merge remains the automatic fallback
-#: above it. Join strategy never changes results, only plans.
+#: OOM-guard scope, stated precisely (ADVICE r15): the 128m
+#: local-map threshold bounds ONLY the AQE sort-merge→shuffled-hash
+#: rewrite, which is runtime-size-based; the STATIC shuffled-hash
+#: selection that preferSortMergeJoin=false additionally enables is
+#: guarded by optimizer size ESTIMATES (muchSmaller: build side
+#: ≤ plannedSize/3 and ≤ autoBroadcastJoinThreshold ×
+#: numShufflePartitions), which can be wrong after filters/UDFs — a
+#: misestimated build side has no sort-merge fallback. On this
+#: engine's workloads every static-SHJ-eligible build side is a
+#: dimension/sliver relation (the big array-payload verify joins
+#: reach SHJ via the AQE rewrite, which IS capped); deployments that
+#: cannot vouch for their estimates should set
+#: SPARK_GRAFT_PREFER_SMJ=true to keep the static planner on
+#: sort-merge and rely solely on the capped AQE rewrite.
+#: Join strategy never changes results, only plans.
 _JOIN_DEFAULTS = {
-    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.join.preferSortMergeJoin": os.environ.get(
+        "SPARK_GRAFT_PREFER_SMJ", "false"
+    ),
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
         "SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"
     ),

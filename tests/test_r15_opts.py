@@ -125,11 +125,19 @@ def test_minhash_signature_projection_not_collapsed(spark, sf_dir):
 
 
 def test_q21_single_scan_per_table(spark, sf_dir):
-    """The materialized flags intermediate makes q21 read lineitem and
-    orders ONCE (the r14 lazy two-branch plan held 10 parquet scans)."""
+    """q21 reads each table exactly once. r14's lazy two-branch plan
+    held 10 parquet scans; r15 fixed that with a localCheckpoint
+    barrier (≤ 2 scans visible post-barrier); r16 replaces the culprit
+    aggregate + semi-join with a window over the same l_orderkey
+    partitioning, so `flags` has a single consumer and the fully LAZY
+    plan reads lineitem/orders/supplier once each — no barrier, no
+    SortMergeJoin."""
     df = REGISTRY["exclusive_late_supplier_q21"].build(spark, sf_dir)
     plan = _formatted_plan(df)
-    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("supplier.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_triangle_edges_join_free_and_equivalent(spark, sf_dir):
