@@ -1169,6 +1169,14 @@ def bloom_contaminated_docs(
             }
         )
 
+    # the distinct benchmark gram set feeds BOTH the bloom build and
+    # the exact-verify join, and is deliberately left LAZY (duplicated
+    # subtree) — r16 measured the localCheckpoint dedup and it LOST
+    # (interleaved A/B at sf0.1: inline 2.26 s vs checkpointed 3.01 s
+    # min-of-3): the two consumers are both broadcast builds, which
+    # Spark materializes on concurrent broadcast threads, and the
+    # checkpoint barrier serializes them behind one RDD materialization
+    # while breaking whole-stage fusion of the bloom aggregate.
     b = benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram")).distinct()
     bloom = (
         block_and_mask(b)
